@@ -1,0 +1,492 @@
+"""Deterministic synthetic CC-style corpus generator (FIXTURES.md §1,
+SURVEY.md §5.2).  Seeded, pure-stdlib, NO external data
+[D: BASELINE.json north_rule].
+
+The reference shipped a handful of sample ``.doc/.docx/.pdf/.html/.rtf``
+documents for manual testing [R: ⚠, SURVEY.md §5.1]; this module is that
+idea scaled to a schema-complete corpus: every format the pipeline claims,
+plus charset variants, boilerplate-heavy HTML, empty-text-layer PDFs
+(OCR route), images, corrupt payloads, a duplicate-url tail (dedup), and a
+1%-of-PDFs ≥1 MiB skew head (salting test §5.4).
+
+Key design point: ``gen_doc(i, seed)`` is a pure function of ``(i, seed)``
+so the corpus can be generated *distributed* — ``corpus_df`` builds it with
+``spark.range(n).mapInPandas`` (each task generates its own id-range; no
+driver-side materialization, no shuffle) which is how the 500k-doc bench
+corpus stays cheap and how a 10^12-row synthetic load test would be fed.
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+import zipfile
+import io
+from datetime import datetime, timedelta
+
+SEED = 42
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog crawl web page text extract "
+    "pipeline spark arrow batch column binary format document content "
+    "main body article heading paragraph data table row cell value link "
+    "index archive snapshot fetch parse token stream byte buffer shard "
+    "partition bucket shuffle merge sort hash join filter scan query plan "
+    "metric manifest resume lineage corpus fixture golden oracle sample "
+    "naive café touché über straße señor garçon résumé déjà fiancée"
+).split()
+
+_DOMAINS = [f"site{i:02d}.example" for i in range(50)]
+_EPOCH = datetime(2025, 1, 1)
+
+# format mix (FIXTURES.md §1) as cumulative thresholds
+_FMT_MIX = [
+    ("html", 0.55), ("pdf", 0.15), ("txt", 0.10), ("docx", 0.05),
+    ("rtf", 0.04), ("odt", 0.03), ("xlsx", 0.02), ("pptx", 0.02),
+    ("xml", 0.01), ("json", 0.01), ("eml", 0.01), ("csv", 0.005),
+    ("image", 0.003), ("corrupt", 0.002),
+]
+_CUM = []
+_acc = 0.0
+for _f, _p in _FMT_MIX:
+    _acc += _p
+    _CUM.append((_acc, _f))
+_CUM[-1] = (1.01, _CUM[-1][1])  # float-sum guard
+
+DUP_FRACTION = 0.02          # urls with a second, newer crawl row
+PDF_EMPTY_TEXT_FRACTION = 0.03  # pdfs routed to needs_ocr
+PDF_HUGE_FRACTION = 0.01     # pdfs >= 1 MiB (skew head)
+
+
+def _words(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n))
+
+
+def _sentences(rng: random.Random, n_sent: int) -> str:
+    out = []
+    for _ in range(n_sent):
+        s = _words(rng, rng.randint(6, 16))
+        out.append(s[0].upper() + s[1:] + ".")
+    return " ".join(out)
+
+
+# ----------------------------------------------------------------- HTML
+
+def _gen_html(rng: random.Random) -> bytes:
+    charset = rng.choice(["utf-8", "utf-8", "utf-8", "cp1252"])
+    nav_links = "".join(
+        f'<li><a href="/{w}">{w}</a></li>' for w in rng.sample(_WORDS[:30], 8)
+    )
+    farm = "".join(
+        f'<a href="/p{j}">{rng.choice(_WORDS)}</a> ' for j in range(12)
+    )
+    paras = "\n".join(
+        f"<p>{_sentences(rng, rng.randint(2, 6))}</p>"
+        for _ in range(rng.randint(3, 10))
+    )
+    lis = "".join(f"<li>{_sentences(rng, 1)}</li>" for _ in range(rng.randint(2, 5)))
+    title = _words(rng, 4)
+    doc = f"""<!DOCTYPE html>
+<html><head><meta charset="{charset}"><title>{title}</title>
+<style>body {{ color: #333; }} .x {{ display:none }}</style>
+<script>var tracker = "{_words(rng, 3)}"; loadAds();</script>
+</head><body>
+<nav><ul>{nav_links}</ul></nav>
+<header><div class="banner">{rng.choice(_WORDS)}</div></header>
+<div id="main">
+<h1>{title} &amp; {rng.choice(_WORDS)} &mdash; {rng.choice(_WORDS)}</h1>
+{paras}
+<h2>{_words(rng, 3)}</h2>
+<ul>{lis}</ul>
+</div>
+<aside><div>{farm}</div></aside>
+<footer><p><a href="/about">about</a> <a href="/tos">tos</a> <a href="/priv">priv</a></p></footer>
+<script type="text/javascript">trailer();</script>
+</body></html>"""
+    try:
+        return doc.encode(charset)
+    except UnicodeEncodeError:
+        return doc.encode("utf-8")
+
+
+# ------------------------------------------------------------------ PDF
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _gen_pdf_content_stream(rng: random.Random, n_lines: int) -> bytes:
+    ops = ["BT /F1 12 Tf 72 720 Td"]
+    for li in range(n_lines):
+        line = _sentences(rng, 1)
+        style = rng.random()
+        if style < 0.5:
+            ops.append(f"({_pdf_escape(line)}) Tj")
+            ops.append("0 -14 Td")
+        elif style < 0.75:
+            # TJ array with kerning gaps acting as spaces
+            words = line.split(" ")
+            parts = []
+            for w in words:
+                parts.append(f"({_pdf_escape(w)})")
+                parts.append(str(rng.choice([-120, -150, -250])))
+            ops.append("[" + " ".join(parts[:-1]) + "] TJ")
+            ops.append("T*")
+        elif style < 0.9:
+            ops.append(f"({_pdf_escape(line)}) '")
+        else:
+            hexs = line.encode("latin-1", "replace").hex()
+            ops.append(f"<{hexs}> Tj")
+            ops.append("0 -14 TD")
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1")
+
+
+def _gen_pdf(rng: random.Random) -> bytes:
+    empty_text = rng.random() < PDF_EMPTY_TEXT_FRACTION
+    huge = rng.random() < PDF_HUGE_FRACTION
+    n_pages = rng.randint(1, 5) if not huge else rng.randint(40, 80)
+    objs: list[bytes] = []  # 1-indexed object bodies
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    page_obj_ids = []
+    content_ids = []
+    for _ in range(n_pages):
+        if empty_text:
+            raw = b"0.5 w 72 72 468 648 re S"  # draws a box, no text ops
+        else:
+            raw = _gen_pdf_content_stream(rng, rng.randint(4, 20))
+        comp = zlib.compress(raw)
+        cid = add(
+            b"<< /Length " + str(len(comp)).encode() + b" /Filter /FlateDecode >>\nstream\n"
+            + comp + b"\nendstream"
+        )
+        content_ids.append(cid)
+        page_obj_ids.append(None)  # placeholder; fill after pages node id known
+
+    pages_id = add(b"PLACEHOLDER_PAGES")
+    kids = []
+    for idx, cid in enumerate(content_ids):
+        pid = add(
+            f"<< /Type /Page /Parent {pages_id} 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {cid} 0 R >>".encode()
+        )
+        kids.append(pid)
+    objs[pages_id - 1] = (
+        "<< /Type /Pages /Count {} /Kids [{}] >>".format(
+            n_pages, " ".join(f"{k} 0 R" for k in kids)
+        ).encode()
+    )
+    if huge:
+        blob = rng.getrandbits(8 * 1024).to_bytes(1024, "big") * 1100  # ~1.1 MiB, low entropy cost
+        add(b"<< /Type /XObject /Subtype /Image /Length "
+            + str(len(blob)).encode() + b" >>\nstream\n" + blob + b"\nendstream")
+    catalog_id = add(f"<< /Type /Catalog /Pages {pages_id} 0 R >>".encode())
+
+    buf = io.BytesIO()
+    buf.write(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(buf.tell())
+        buf.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref_pos = buf.tell()
+    buf.write(f"xref\n0 {len(objs)+1}\n".encode())
+    buf.write(b"0000000000 65535 f \n")
+    for off in offsets[1:]:
+        buf.write(f"{off:010d} 00000 n \n".encode())
+    buf.write(
+        f"trailer\n<< /Size {len(objs)+1} /Root {catalog_id} 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    )
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------- OOXML
+
+def _zip_bytes(entries: list[tuple[str, bytes]]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in entries:
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+
+
+def _gen_docx(rng: random.Random) -> bytes:
+    paras = []
+    for _ in range(rng.randint(3, 12)):
+        runs = [f"<w:r><w:t xml:space=\"preserve\">{_sentences(rng, rng.randint(1, 3))}</w:t></w:r>"]
+        if rng.random() < 0.3:
+            runs.append("<w:r><w:tab/><w:t>tabbed</w:t></w:r>")
+        if rng.random() < 0.2:
+            runs.append("<w:r><w:br/><w:t>after break</w:t></w:r>")
+        paras.append(f"<w:p>{''.join(runs)}</w:p>")
+    doc = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{_W}"><w:body>{"".join(paras)}</w:body></w:document>'
+    )
+    return _zip_bytes([
+        ("[Content_Types].xml",
+         b'<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+         b'<Default Extension="xml" ContentType="application/xml"/></Types>'),
+        ("word/document.xml", doc.encode("utf-8")),
+    ])
+
+
+def _gen_pptx(rng: random.Random) -> bytes:
+    entries = [
+        ("[Content_Types].xml", b'<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>'),
+        ("ppt/presentation.xml", b'<?xml version="1.0"?><p:presentation xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"/>'),
+    ]
+    for s in range(1, rng.randint(3, 10) + 1):
+        paras = "".join(
+            f'<a:p><a:r><a:t>{_sentences(rng, 1)}</a:t></a:r></a:p>'
+            for _ in range(rng.randint(1, 4))
+        )
+        slide = (
+            f'<?xml version="1.0"?><p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+            f'xmlns:a="{_A}"><p:cSld><p:spTree><p:sp><p:txBody>{paras}</p:txBody></p:sp></p:spTree></p:cSld></p:sld>'
+        )
+        entries.append((f"ppt/slides/slide{s}.xml", slide.encode("utf-8")))
+    return _zip_bytes(entries)
+
+
+def _gen_xlsx(rng: random.Random) -> bytes:
+    shared = [
+        _words(rng, rng.randint(1, 4)) for _ in range(rng.randint(4, 10))
+    ]
+    sst = (
+        '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="{n}" uniqueCount="{n}">'.format(n=len(shared))
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    entries = [
+        ("[Content_Types].xml", b'<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>'),
+        ("xl/workbook.xml", b'<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="S1" sheetId="1"/><sheet name="S2" sheetId="2"/></sheets></workbook>'),
+        ("xl/sharedStrings.xml", sst.encode("utf-8")),
+    ]
+    for sheet_n in (1, 2):
+        rows = []
+        for r in range(1, rng.randint(3, 8) + 1):
+            cells = []
+            for ci, col in enumerate("ABCD"):
+                kind = rng.random()
+                if kind < 0.4:
+                    cells.append(f'<c r="{col}{r}" t="s"><v>{rng.randrange(len(shared))}</v></c>')
+                elif kind < 0.6:
+                    cells.append(f'<c r="{col}{r}" t="inlineStr"><is><t>{rng.choice(_WORDS)}</t></is></c>')
+                else:
+                    cells.append(f'<c r="{col}{r}"><v>{rng.randint(0, 9999)}</v></c>')
+            rows.append(f'<row r="{r}">{"".join(cells)}</row>')
+        sheet = (
+            '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f'<sheetData>{"".join(rows)}</sheetData></worksheet>'
+        )
+        entries.append((f"xl/worksheets/sheet{sheet_n}.xml", sheet.encode("utf-8")))
+    return _zip_bytes(entries)
+
+
+def _gen_odt(rng: random.Random) -> bytes:
+    t_ns = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    body = []
+    body.append(f'<text:h text:outline-level="1">{_words(rng, 4)}</text:h>')
+    for _ in range(rng.randint(3, 10)):
+        s = _sentences(rng, rng.randint(1, 4))
+        if rng.random() < 0.2:
+            s += "<text:tab/>tabbed part"
+        if rng.random() < 0.15:
+            s += "<text:line-break/>broken line"
+        body.append(f"<text:p>{s}</text:p>")
+    content = (
+        f'<?xml version="1.0"?><office:document-content '
+        f'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        f'xmlns:text="{t_ns}"><office:body><office:text>{"".join(body)}'
+        f"</office:text></office:body></office:document-content>"
+    )
+    return _zip_bytes([
+        ("mimetype", b"application/vnd.oasis.opendocument.text"),
+        ("content.xml", content.encode("utf-8")),
+    ])
+
+
+# ------------------------------------------------------------- the rest
+
+def _gen_rtf(rng: random.Random) -> bytes:
+    paras = []
+    for _ in range(rng.randint(2, 8)):
+        s = _sentences(rng, rng.randint(1, 3))
+        s = s.replace("é", r"\'e9").replace("ü", r"\'fc").replace("ß", r"\'df") \
+             .replace("ç", r"\'e7").replace("à", r"\'e0")
+        s = s.encode("ascii", "replace").decode()  # any leftovers -> ?
+        if rng.random() < 0.3:
+            s += " " + "\\" + "u1055?" + "\\" + "u1088?"  # cyrillic via \uN, '?' fallback
+        if rng.random() < 0.3:
+            s += r" col1\tab col2"
+        paras.append(s + r"\par")
+    doc = (
+        r"{\rtf1\ansi\ansicpg1252\deff0"
+        r"{\fonttbl{\f0\fswiss Arial;}{\f1\froman Times;}}"
+        r"{\colortbl;\red0\green0\blue0;\red255\green0\blue0;}"
+        r"{\stylesheet{\s0 Normal;}}"
+        r"{\*\generator cc_extract corpusgen;}"
+        r"\f0\fs24 " + " ".join(paras) + "}"
+    )
+    return doc.encode("ascii")
+
+
+def _gen_txt(rng: random.Random) -> bytes:
+    enc = rng.choice(["utf-8", "utf-8-sig", "cp1252", "latin-1"])
+    text = "\n\n".join(_sentences(rng, rng.randint(2, 6)) for _ in range(rng.randint(2, 8)))
+    try:
+        return text.encode(enc)
+    except UnicodeEncodeError:
+        return text.encode("utf-8")
+
+
+def _gen_xml(rng: random.Random) -> bytes:
+    items = "".join(
+        f"<item id='{j}'><name>{_words(rng, 2)}</name><desc>{_sentences(rng, 1)}</desc></item>"
+        for j in range(rng.randint(2, 6))
+    )
+    return f"<?xml version='1.0' encoding='utf-8'?><catalog><title>{_words(rng, 3)}</title>{items}</catalog>".encode()
+
+
+def _gen_json(rng: random.Random) -> bytes:
+    import json as _json
+    doc = {
+        "title": _words(rng, 3),
+        "tags": [rng.choice(_WORDS) for _ in range(4)],
+        "body": {"sections": [{"heading": _words(rng, 2), "text": _sentences(rng, 2)}
+                              for _ in range(rng.randint(1, 4))]},
+        "count": rng.randint(0, 100),
+    }
+    return _json.dumps(doc).encode()
+
+
+def _gen_eml(rng: random.Random) -> bytes:
+    import quopri
+    body_plain = "\n\n".join(_sentences(rng, 2) for _ in range(rng.randint(1, 4)))
+    body_html = f"<html><body><p>{_sentences(rng, 3)}</p></body></html>"
+    qp = quopri.encodestring(body_plain.encode("utf-8")).decode("ascii")
+    boundary = f"b{rng.randrange(10**9)}"
+    return (
+        f"Received: from mx.example by mail.example; Wed, 1 Jan 2025 00:00:00 +0000\r\n"
+        f"From: sender@{rng.choice(_DOMAINS)}\r\n"
+        f"To: rcpt@{rng.choice(_DOMAINS)}\r\n"
+        f"Subject: {_words(rng, 4)}\r\n"
+        f"MIME-Version: 1.0\r\n"
+        f'Content-Type: multipart/alternative; boundary="{boundary}"\r\n'
+        f"\r\n--{boundary}\r\n"
+        f"Content-Type: text/plain; charset=utf-8\r\n"
+        f"Content-Transfer-Encoding: quoted-printable\r\n"
+        f"\r\n{qp}\r\n"
+        f"--{boundary}\r\n"
+        f"Content-Type: text/html; charset=utf-8\r\n"
+        f"\r\n{body_html}\r\n"
+        f"--{boundary}--\r\n"
+    ).encode("utf-8")
+
+
+def _gen_csv(rng: random.Random) -> bytes:
+    rows = ["id,name,desc,score"]
+    for j in range(rng.randint(3, 12)):
+        rows.append(f"{j},{_words(rng, 1)},{_words(rng, 3)},{rng.randint(0, 100)}")
+    return "\n".join(rows).encode("utf-8")
+
+
+def _gen_image(rng: random.Random) -> bytes:
+    if rng.random() < 0.5:
+        return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + rng.getrandbits(256).to_bytes(32, "big") * 8
+    return b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + rng.getrandbits(256).to_bytes(32, "big") * 8
+
+
+def _gen_corrupt(rng: random.Random) -> bytes:
+    kind = rng.random()
+    if kind < 0.33:
+        return b"PK\x03\x04" + rng.getrandbits(128).to_bytes(16, "big") * 4  # truncated zip
+    if kind < 0.66:
+        return b"%PDF-1.4\n1 0 obj\n<< /Broken"  # truncated pdf
+    return bytes([rng.randrange(256) for _ in range(rng.randint(5, 64))]) or b"\x00"
+
+
+_GENERATORS = {
+    "html": _gen_html, "pdf": _gen_pdf, "txt": _gen_txt, "docx": _gen_docx,
+    "rtf": _gen_rtf, "odt": _gen_odt, "xlsx": _gen_xlsx, "pptx": _gen_pptx,
+    "xml": _gen_xml, "json": _gen_json, "eml": _gen_eml, "csv": _gen_csv,
+    "image": _gen_image, "corrupt": _gen_corrupt,
+}
+
+_EXT = {"html": "html", "pdf": "pdf", "txt": "txt", "docx": "docx",
+        "rtf": "rtf", "odt": "odt", "xlsx": "xlsx", "pptx": "pptx",
+        "xml": "xml", "json": "json", "eml": "eml", "csv": "csv",
+        "image": "png", "corrupt": "bin"}
+
+
+def gen_doc(i: int, seed: int = SEED) -> list[dict]:
+    """Rows for document id *i* — usually one, two when it's a dup url.
+
+    Pure function of (i, seed): safe to evaluate anywhere on the cluster.
+    """
+    rng = random.Random((seed << 20) ^ i)
+    pick = rng.random()
+    fmt = next(f for c, f in _CUM if pick < c)
+    # Zipf-ish domain draw: top domain ~20% of rows (FIXTURES.md §1)
+    d = rng.random()
+    domain = _DOMAINS[0] if d < 0.2 else _DOMAINS[1 + int(d * 49) % 49]
+    url = f"https://{domain}/doc{i:08d}.{_EXT[fmt]}"
+    payload = _GENERATORS[fmt](rng)
+    ts = _EPOCH + timedelta(seconds=rng.randrange(365 * 24 * 3600))
+    lang = rng.choices(["en", "de", "fr", "und"], weights=[80, 7, 7, 6])[0]
+    stale = ""
+    if rng.random() < 0.5:
+        stale = _words(rng, 12)[: rng.randint(8, 60)]
+    rows = [{"url": url, "warc_ts": ts, "html": payload, "text": stale, "lang": lang}]
+    if rng.random() < DUP_FRACTION:
+        rng2 = random.Random((seed << 21) ^ i)
+        payload2 = _GENERATORS[fmt](rng2)
+        rows.append({
+            "url": url,
+            "warc_ts": ts + timedelta(days=rng.randint(1, 30)),
+            "html": payload2, "text": stale, "lang": lang,
+        })
+    return rows
+
+
+def gen_corpus(n_docs: int, seed: int = SEED) -> list[dict]:
+    """Driver-side corpus (tests / golden generation)."""
+    out: list[dict] = []
+    for i in range(n_docs):
+        out.extend(gen_doc(i, seed))
+    return out
+
+
+CORPUS_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def corpus_df(spark, n_docs: int, seed: int = SEED, partitions: int | None = None):
+    """Distributed corpus as a DataFrame.
+
+    ``spark.range`` gives each task a contiguous id range; ``mapInPandas``
+    turns ids into documents task-locally — no driver materialization, no
+    shuffle, embarrassingly parallel exactly like the real CC fetch would
+    be.  This is the input path for bench runs (SURVEY.md §5.5).
+    """
+    import pandas as pd
+
+    def gen_batch(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for i in pdf["id"]:
+                rows.extend(gen_doc(int(i), seed))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    rng_df = spark.range(0, n_docs, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen_batch, schema=CORPUS_SCHEMA)

@@ -1,0 +1,99 @@
+"""Shared extractor dispatch (SURVEY.md §2.3/§2.4).
+
+``extract_document`` is THE normative document→text function: the
+single-process pytest oracle calls it directly, and the Spark pandas UDF
+(cc_extract.job) calls it per element inside Arrow batches — one shared
+implementation, so the byte-identity invariant [D: BASELINE.json
+north_rule] holds by construction and pytest verifies the *pipeline*
+(Arrow transport, partitioning, resume), not two parallel codebases.
+
+Error semantics (SURVEY.md §2.7): never raises — a poison document in a
+10^12-doc stage must produce a ``status='error'`` row, not a task failure.
+This mirrors the reference's per-document try/except reporting failures in
+the Lambda result JSON [R: functions/simple/main.py ⚠].
+"""
+
+from __future__ import annotations
+
+from ..sniff import sniff_format
+from .html import extract_html
+from .normalize import normalize_text
+from .odt import extract_odt
+from .ooxml import extract_docx, extract_pptx, extract_xlsx
+from .pdf import extract_pdf
+from .rtf import extract_rtf
+from .textlike import (
+    extract_csv,
+    extract_eml,
+    extract_json,
+    extract_txt,
+    extract_xml,
+)
+
+__all__ = [
+    "EXTRACTORS",
+    "extract_document",
+    "extract_html", "extract_pdf", "extract_docx", "extract_pptx",
+    "extract_xlsx", "extract_odt", "extract_rtf", "extract_txt",
+    "extract_csv", "extract_xml", "extract_json", "extract_eml",
+    "normalize_text",
+]
+
+# fmt -> scalar bytes->str extractor (X1..X13)
+EXTRACTORS = {
+    "html": extract_html,
+    "pdf": extract_pdf,
+    "docx": extract_docx,
+    "pptx": extract_pptx,
+    "xlsx": extract_xlsx,
+    "odt": extract_odt,
+    "rtf": extract_rtf,
+    "txt": extract_txt,
+    "csv": extract_csv,
+    "xml": extract_xml,
+    "json": extract_json,
+    "eml": extract_eml,
+}
+
+# statuses: ok | needs_ocr | error | unsupported | unsupported_legacy
+STATUS_OK = "ok"
+STATUS_NEEDS_OCR = "needs_ocr"
+STATUS_ERROR = "error"
+STATUS_UNSUPPORTED = "unsupported"
+STATUS_UNSUPPORTED_LEGACY = "unsupported_legacy"
+
+
+def extract_document(payload: bytes | None, url: str | None = None) -> dict:
+    """Normative per-document extraction. Returns
+    ``{fmt, status, text, error}``; never raises.
+
+    Routing (SURVEY.md §2.2 D2–D4, §2.4.3 D3):
+    - images        -> needs_ocr quarantine (reference's ocr Lambda,
+                       modeled not executed [R: functions/ocr/main.py ⚠])
+    - pdf w/ empty text layer -> needs_ocr (D3)
+    - legacy .doc   -> unsupported_legacy (X8 gap, SURVEY.md §7)
+    - unknown fmt   -> unsupported
+    - extractor exception -> error (message truncated to 200 chars)
+    """
+    if not payload:
+        return {"fmt": "unknown", "status": STATUS_ERROR,
+                "text": "", "error": "empty payload"}
+    payload = bytes(payload)
+    fmt = sniff_format(payload, url)
+    if fmt == "image":
+        return {"fmt": fmt, "status": STATUS_NEEDS_OCR, "text": "", "error": ""}
+    if fmt == "doc":
+        return {"fmt": fmt, "status": STATUS_UNSUPPORTED_LEGACY,
+                "text": "", "error": "legacy OLE .doc not supported"}
+    fn = EXTRACTORS.get(fmt)
+    if fn is None:
+        return {"fmt": fmt, "status": STATUS_UNSUPPORTED,
+                "text": "", "error": f"no extractor for format {fmt!r}"}
+    try:
+        text = fn(payload)
+    except Exception as e:  # noqa: BLE001 — per-row capture is the contract
+        return {"fmt": fmt, "status": STATUS_ERROR, "text": "",
+                "error": repr(e)[:200]}
+    if fmt == "pdf" and not text.strip():
+        return {"fmt": fmt, "status": STATUS_NEEDS_OCR, "text": "", "error": ""}
+    return {"fmt": fmt, "status": STATUS_OK, "text": text, "error": ""}

@@ -1,0 +1,386 @@
+"""X2 — PDF text-layer extraction (SURVEY.md §2.4.2, normative).
+
+Reference analogue: the pdf branch of the simple Lambda — poppler
+``pdftotext`` CLI (bundled static binary) with an OCR-fallback route when
+the text layer is empty [R: functions/simple/main.py ⚠;
+bin-linux_x64/pdftotext ⚠] [D: BASELINE.json north_star
+"pdfminer.six-style layout parser reproducing its PDF/OCR-fallback branch"].
+
+Ours is a pure-Python (stdlib ``zlib`` + ``re``) text-layer parser:
+
+1. scan ``N G obj … endobj`` spans into an object map (no xref trust —
+   brute scan is robust to truncated files);
+2. resolve trailer ``/Root`` → catalog ``/Pages`` → depth-first ``/Kids``
+   walk for document page order; fall back to object-number order over all
+   text-bearing streams when the tree is unresolvable;
+3. inflate ``FlateDecode`` content streams, tokenize, and assemble text:
+   ``Tj '``  emit string operands, ``"`` emits newline + string, ``TJ``
+   emits array elements joining kern gaps < -100/1000 em as a space,
+   ``Td TD T*`` emit ``\\n``; literal-string escapes ``\\( \\) \\\\ \\n \\r
+   \\t \\b \\f \\ooo`` and hex strings handled; bytes map through latin-1
+   (WinAnsi/PDFDocEncoding subset, sufficient for the synthetic corpus —
+   we own the writer, SURVEY.md §5.2);
+4. pages join with a blank line; empty/whitespace-only total text ⇒ the
+   caller routes ``status='needs_ocr'`` (D3, the reference's second
+   Lambda [R: functions/ocr/main.py ⚠]).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from .normalize import normalize_text
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_KERN_SPACE_THRESHOLD = -100.0
+
+_ESCAPES = {
+    ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
+    ord("b"): "\b", ord("f"): "\f",
+    ord("("): "(", ord(")"): ")", ord("\\"): "\\",
+}
+
+_WS_BYTES = b"\x00\t\n\x0c\r "
+_DELIM_BYTES = b"()<>[]{}/%"
+
+
+class _PdfError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- objects
+
+def _parse_object(data: bytes, pos: int):
+    """Recursive-descent parse of one PDF object starting at *pos*.
+
+    Returns (value, new_pos).  Refs are returned as ('ref', num).
+    """
+    n = len(data)
+    while pos < n and data[pos] in _WS_BYTES:
+        pos += 1
+    if pos >= n:
+        raise _PdfError("eof")
+    c = data[pos]
+    if data.startswith(b"<<", pos):
+        pos += 2
+        d = {}
+        while True:
+            while pos < n and data[pos] in _WS_BYTES:
+                pos += 1
+            if data.startswith(b">>", pos):
+                return d, pos + 2
+            if pos >= n:
+                raise _PdfError("unterminated dict")
+            key, pos = _parse_object(data, pos)
+            val, pos = _parse_object(data, pos)
+            if isinstance(key, str):
+                d[key] = val
+    if c == ord("["):
+        pos += 1
+        arr = []
+        while True:
+            while pos < n and data[pos] in _WS_BYTES:
+                pos += 1
+            if pos >= n:
+                raise _PdfError("unterminated array")
+            if data[pos] == ord("]"):
+                return arr, pos + 1
+            val, pos = _parse_object(data, pos)
+            arr.append(val)
+    if c == ord("/"):
+        pos += 1
+        start = pos
+        while pos < n and data[pos] not in _WS_BYTES and data[pos] not in _DELIM_BYTES:
+            pos += 1
+        return data[start:pos].decode("latin-1"), pos
+    if c == ord("("):
+        s, pos = _parse_literal_string(data, pos)
+        return ("str", s), pos
+    if c == ord("<"):
+        end = data.index(b">", pos)
+        hexs = re.sub(rb"\s", b"", data[pos + 1 : end])
+        if len(hexs) % 2:
+            hexs += b"0"
+        return ("str", bytes.fromhex(hexs.decode("ascii")).decode("latin-1")), end + 1
+    m = re.match(rb"(\d+)\s+(\d+)\s+R\b", data[pos : pos + 32])
+    if m:
+        return ("ref", int(m.group(1))), pos + m.end()
+    m = re.match(rb"[+-]?(?:\d+\.?\d*|\.\d+)", data[pos : pos + 32])
+    if m:
+        tok = m.group(0)
+        val = float(tok) if b"." in tok else int(tok)
+        return val, pos + m.end()
+    for lit, val in ((b"true", True), (b"false", False), (b"null", None)):
+        if data.startswith(lit, pos):
+            return val, pos + len(lit)
+    raise _PdfError(f"unparseable object at {pos}")
+
+
+def _parse_literal_string(data: bytes, pos: int) -> tuple[str, int]:
+    """Parse a ``(...)`` literal string; *pos* points at '('."""
+    assert data[pos] == ord("(")
+    pos += 1
+    out: list[str] = []
+    depth = 1
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b == ord("\\"):
+            pos += 1
+            if pos >= n:
+                break
+            e = data[pos]
+            if e in _ESCAPES:
+                out.append(_ESCAPES[e])
+                pos += 1
+            elif ord("0") <= e <= ord("7"):
+                oct_digits = chr(e)
+                pos += 1
+                while pos < n and len(oct_digits) < 3 and ord("0") <= data[pos] <= ord("7"):
+                    oct_digits += chr(data[pos])
+                    pos += 1
+                out.append(chr(int(oct_digits, 8) & 0xFF))
+            elif e in (0x0A, 0x0D):  # line continuation
+                pos += 1
+                if e == 0x0D and pos < n and data[pos] == 0x0A:
+                    pos += 1
+            else:
+                out.append(chr(e))
+                pos += 1
+        elif b == ord("("):
+            depth += 1
+            out.append("(")
+            pos += 1
+        elif b == ord(")"):
+            depth -= 1
+            if depth == 0:
+                return "".join(out), pos + 1
+            out.append(")")
+            pos += 1
+        else:
+            out.append(chr(b))
+            pos += 1
+    raise _PdfError("unterminated literal string")
+
+
+# ---------------------------------------------------------------- doc scan
+
+def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
+    """Map obj number -> (dict, stream_bytes|None) by brute scan."""
+    objects: dict[int, tuple[dict, bytes | None]] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        body_start = m.end()
+        try:
+            val, pos = _parse_object(data, body_start)
+        except (_PdfError, ValueError, IndexError):
+            continue
+        obj_dict = val if isinstance(val, dict) else {}
+        stream: bytes | None = None
+        sm = re.match(rb"\s*stream\r?\n", data[pos : pos + 16])
+        if sm:
+            sstart = pos + sm.end()
+            length = obj_dict.get("Length")
+            if isinstance(length, int) and data.startswith(
+                b"endstream", _skip_eol(data, sstart + length)
+            ):
+                stream = data[sstart : sstart + length]
+            else:
+                send = data.find(b"endstream", sstart)
+                if send == -1:
+                    continue
+                stream = data[sstart:send].rstrip(b"\r\n")
+        objects[num] = (obj_dict, stream)
+    return objects
+
+
+def _skip_eol(data: bytes, pos: int) -> int:
+    while pos < len(data) and data[pos] in (0x0A, 0x0D):
+        pos += 1
+    return pos
+
+
+def _deref(objects, val):
+    if isinstance(val, tuple) and len(val) == 2 and val[0] == "ref":
+        entry = objects.get(val[1])
+        return entry[0] if entry else None
+    return val
+
+
+def _decode_stream(obj_dict: dict, stream: bytes) -> bytes | None:
+    filt = obj_dict.get("Filter")
+    filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    data = stream
+    for f in filters:
+        if f == "FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                return None
+        elif f is None:
+            continue
+        else:
+            return None  # unsupported filter -> not a text source for us
+    return data
+
+
+def _page_content_streams(data: bytes, objects) -> list[bytes]:
+    """Content streams in document page order; [] if tree unresolvable."""
+    m = None
+    for m in _ROOT_RE.finditer(data):
+        pass  # keep the last trailer's /Root (incremental updates)
+    if not m:
+        return []
+    root_entry = objects.get(int(m.group(1)))
+    if not root_entry:
+        return []
+    pages_ref = root_entry[0].get("Pages")
+    pages_node = _deref(objects, pages_ref)
+    if not isinstance(pages_node, dict):
+        return []
+
+    ordered: list[bytes] = []
+    seen: set[int] = set()
+
+    def walk(node: dict) -> None:
+        ntype = node.get("Type")
+        if ntype == "Pages" or (ntype is None and "Kids" in node):
+            kids = node.get("Kids") or []
+            for kid in kids:
+                if isinstance(kid, tuple) and kid[0] == "ref":
+                    if kid[1] in seen:
+                        continue
+                    seen.add(kid[1])
+                    child = _deref(objects, kid)
+                    if isinstance(child, dict):
+                        walk(child)
+        elif ntype == "Page":
+            contents = node.get("Contents")
+            refs = contents if isinstance(contents, list) else [contents]
+            page_data = []
+            for ref in refs:
+                if not (isinstance(ref, tuple) and ref[0] == "ref"):
+                    continue
+                entry = objects.get(ref[1])
+                if not entry or entry[1] is None:
+                    continue
+                decoded = _decode_stream(entry[0], entry[1])
+                if decoded is not None:
+                    page_data.append(decoded)
+            ordered.append(b"\n".join(page_data))
+
+    walk(pages_node)
+    return ordered
+
+
+# ------------------------------------------------------------ content text
+
+_CONTENT_TOKEN = re.compile(
+    rb"""(?P<str>\()            # literal string start
+      | (?P<hex><(?!<))         # hex string start (not <<)
+      | (?P<arr>\[|\])
+      | (?P<dict><<|>>)
+      | (?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
+      | (?P<name>/[^\s()<>\[\]{}/%]*)
+      | (?P<op>[A-Za-z'"*]+)
+    """,
+    re.VERBOSE,
+)
+
+
+def _content_to_text(content: bytes) -> str:
+    out: list[str] = []
+    stack: list = []
+    in_array: list | None = None
+    pos, n = 0, len(content)
+    while pos < n:
+        m = _CONTENT_TOKEN.search(content, pos)
+        if not m:
+            break
+        pos = m.start()
+        if m.lastgroup == "str":
+            try:
+                s, pos = _parse_literal_string(content, pos)
+            except _PdfError:
+                break
+            (in_array if in_array is not None else stack).append(("str", s))
+            continue
+        if m.lastgroup == "hex":
+            end = content.find(b">", pos)
+            if end == -1:
+                break
+            hexs = re.sub(rb"\s", b"", content[pos + 1 : end])
+            if len(hexs) % 2:
+                hexs += b"0"
+            try:
+                s = bytes.fromhex(hexs.decode("ascii")).decode("latin-1")
+            except ValueError:
+                s = ""
+            (in_array if in_array is not None else stack).append(("str", s))
+            pos = end + 1
+            continue
+        pos = m.end()
+        if m.lastgroup == "arr":
+            if m.group(0) == b"[":
+                in_array = []
+            else:
+                if in_array is not None:
+                    stack.append(("arr", in_array))
+                in_array = None
+            continue
+        if m.lastgroup == "dict":
+            continue
+        if m.lastgroup == "num":
+            tok = m.group(0)
+            val = float(tok) if b"." in tok else int(tok)
+            (in_array if in_array is not None else stack).append(("num", val))
+            continue
+        if m.lastgroup == "name":
+            stack.append(("name", m.group(0)))
+            continue
+        # operator
+        op = m.group(0)
+        if op == b"Tj" and stack and stack[-1][0] == "str":
+            out.append(stack[-1][1])
+        elif op == b"'" and stack and stack[-1][0] == "str":
+            out.append("\n")
+            out.append(stack[-1][1])
+        elif op == b'"' and stack and stack[-1][0] == "str":
+            out.append("\n")
+            out.append(stack[-1][1])
+        elif op == b"TJ" and stack and stack[-1][0] == "arr":
+            for kind, val in stack[-1][1]:
+                if kind == "str":
+                    out.append(val)
+                elif kind == "num" and val < _KERN_SPACE_THRESHOLD:
+                    out.append(" ")
+        elif op in (b"Td", b"TD", b"T*"):
+            out.append("\n")
+        stack.clear()
+    return "".join(out)
+
+
+# ----------------------------------------------------------------- public
+
+def extract_pdf(payload: bytes) -> str:
+    """bytes -> text layer.  Empty result means the caller routes needs_ocr."""
+    if not payload.startswith(b"%PDF"):
+        raise _PdfError("not a PDF (missing %PDF header)")
+    objects = _scan_objects(payload)
+    if not objects:
+        raise _PdfError("no parseable objects")
+    pages = _page_content_streams(payload, objects)
+    if not pages:
+        # fallback: object-number order over text-bearing streams
+        pages = []
+        for num in sorted(objects):
+            obj_dict, stream = objects[num]
+            if stream is None or obj_dict.get("Type") in ("XObject", "Font"):
+                continue
+            decoded = _decode_stream(obj_dict, stream)
+            if decoded is not None and b"BT" in decoded:
+                pages.append(decoded)
+    page_texts = [_content_to_text(p) for p in pages]
+    return normalize_text("\n\n".join(t for t in page_texts if t.strip()))

@@ -1,0 +1,114 @@
+"""D2 — MIME / magic-byte format sniffing (SURVEY.md §2.2).
+
+Reference analogue: the extension-based dispatch in the simple Lambda's
+handler (``ext -> extract_fn`` if/elif) [R: functions/simple/main.py ⚠],
+upgraded to content sniffing per the north rule ("dispatch on sniffed
+MIME/magic-bytes" [D: BASELINE.json north_star]) because Common-Crawl URLs
+lie about extensions.  Extension is kept only as a tiebreaker (csv vs txt).
+
+Two stages (§2.2 D2):
+(a) a cheap native prefix hint usable JVM-side for grouping/metrics —
+    ``fmt_hint_col()`` below builds the ``F.when`` ladder on
+    ``substring(html, 1, 8)``; whole-stage-codegen'd, zero Python;
+(b) the exact sniff ``sniff_format()`` inside the vectorized UDF — the zip
+    central-directory probe that distinguishes docx/pptx/xlsx/odt needs to
+    open the archive, which only the Python side does.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+
+FORMATS = (
+    "html pdf txt docx pptx xlsx odt rtf xml json eml csv image doc "
+    "unknown".split()
+)
+
+_EML_HEADER = re.compile(
+    rb"^(Received|From|To|Subject|Date|Return-Path|MIME-Version|"
+    rb"Message-ID|Delivered-To):", re.IGNORECASE | re.MULTILINE
+)
+_HTML_HINT = re.compile(rb"<\s*(!doctype\s+html|html|head|body|div|p|h1|a|title)\b", re.IGNORECASE)
+_XML_DECL = re.compile(rb"^\s*<\?xml", re.IGNORECASE)
+
+
+def _sniff_zip(payload: bytes) -> str:
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            names = set(zf.namelist())
+            if "word/document.xml" in names:
+                return "docx"
+            if "ppt/presentation.xml" in names:
+                return "pptx"
+            if "xl/workbook.xml" in names:
+                return "xlsx"
+            if "mimetype" in names:
+                try:
+                    mt = zf.read("mimetype")
+                except (KeyError, OSError):
+                    mt = b""
+                if b"opendocument" in mt:
+                    return "odt"
+            if "content.xml" in names:
+                return "odt"
+    except (zipfile.BadZipFile, OSError, EOFError, NotImplementedError):
+        pass
+    return "unknown"
+
+
+def sniff_format(payload: bytes, url: str | None = None) -> str:
+    """Exact content sniff; pure function of (payload head, url extension)."""
+    if not payload:
+        return "unknown"
+    head = payload[:4096]
+    if head.startswith(b"%PDF"):
+        return "pdf"
+    if head.startswith(b"PK\x03\x04"):
+        return _sniff_zip(payload)
+    if head.startswith(b"{\\rtf"):
+        return "rtf"
+    if head.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        return "doc"  # legacy OLE compound file (.doc/.xls/.ppt)
+    if head.startswith((b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF87a", b"GIF89a")):
+        return "image"
+    if head.startswith((b"II*\x00", b"MM\x00*")):
+        return "image"  # TIFF
+    stripped = head.lstrip(b" \t\r\n\xef\xbb\xbf")
+    if _XML_DECL.match(stripped):
+        return "html" if b"<html" in head.lower() else "xml"
+    if stripped.startswith(b"<"):
+        if _HTML_HINT.match(stripped):
+            return "html"
+        return "xml"
+    if stripped.startswith((b"{", b"[")):
+        return "json"
+    if _EML_HEADER.search(head[:512]):
+        return "eml"
+    if url and url.lower().rsplit("?", 1)[0].endswith(".csv"):
+        return "csv"
+    return "txt"
+
+
+def fmt_hint_col(html_col="html"):
+    """Stage (a): native prefix hint column (JVM-side, codegen'd).
+
+    Groups rows for metrics / skew accounting without any Python.  The
+    exact per-row format is still decided by ``sniff_format`` in the UDF —
+    this hint only needs to be cheap and mostly-right.
+    """
+    from pyspark.sql import functions as F
+
+    prefix = F.substring(F.col(html_col), 1, 8)
+    p4 = F.substring(F.col(html_col), 1, 4)
+    return (
+        F.when(p4 == F.lit(b"%PDF"), "pdf")
+        .when(p4 == F.lit(b"PK\x03\x04"), "zip")
+        .when(F.substring(F.col(html_col), 1, 5) == F.lit(b"{\\rtf"), "rtf")
+        .when(p4 == F.lit(b"\xd0\xcf\x11\xe0"), "doc")
+        .when(p4 == F.lit(b"\x89PNG"), "image")
+        .when(F.substring(F.col(html_col), 1, 3) == F.lit(b"\xff\xd8\xff"), "image")
+        .when(prefix.cast("string").startswith("<"), "markup")
+        .otherwise("text")
+    )

@@ -1,0 +1,270 @@
+"""Unit tests per extractor (SURVEY.md §5.3 item 3): hand-written minimal
+inputs with exact expected strings, normalization edges, fuzz-robustness."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from cc_extract.corpusgen import gen_corpus, _gen_pdf, _gen_docx
+from cc_extract.extractors import extract_document
+from cc_extract.extractors.html import extract_html
+from cc_extract.extractors.normalize import normalize_text
+from cc_extract.extractors.ooxml import extract_docx, extract_pptx, extract_xlsx
+from cc_extract.extractors.odt import extract_odt
+from cc_extract.extractors.pdf import extract_pdf
+from cc_extract.extractors.rtf import extract_rtf
+from cc_extract.extractors.textlike import (
+    extract_csv, extract_eml, extract_json, extract_txt, extract_xml,
+)
+from cc_extract.sniff import sniff_format
+
+
+# ------------------------------------------------------------- normalize
+
+def test_normalize_crlf_trailing_collapse():
+    assert normalize_text("a  \r\nb\r\r\n\n\n\nc\t \n") == "a\nb\n\nc"
+
+
+def test_normalize_nfc():
+    # e + combining acute -> é (NFC)
+    assert normalize_text("café") == "café"
+
+
+# ------------------------------------------------------------------ html
+
+def test_html_basic_blocks_and_blacklist():
+    doc = b"""<html><head><title>t</title><script>var x=1;</script></head>
+    <body><nav><a href="/">home</a><a href="/x">x</a></nav>
+    <p>This is the first real paragraph of visible body content here.</p>
+    <h2>A heading line</h2>
+    <div>Another solid block of content text that is long enough to keep.</div>
+    <footer><a href="/tos">tos</a></footer></body></html>"""
+    out = extract_html(doc)
+    assert "first real paragraph" in out
+    assert "Another solid block" in out
+    assert "A heading line" in out
+    assert "var x=1" not in out
+    assert "home" not in out  # nav is blacklisted
+    assert "tos" not in out   # footer is blacklisted
+
+
+def test_html_link_density_drop():
+    doc = (b"<html><body><p><a href='1'>aaa</a> <a href='2'>bbb</a> zz</p>"
+           b"<p>Normal paragraph with plenty of ordinary prose text to keep here.</p>"
+           b"</body></html>")
+    out = extract_html(doc)
+    assert "aaa" not in out          # link_density > 0.5 -> dropped
+    assert "Normal paragraph" in out
+
+
+def test_html_entities_and_charset():
+    doc = '<html><head><meta charset="cp1252"></head><body><p>caf\xe9 &amp; cr\xe8me, a fairly long sentence to survive density filters.</p></body></html>'.encode("cp1252")
+    out = extract_html(doc)
+    assert "café & crème" in out
+
+
+# ------------------------------------------------------------------- pdf
+
+def test_pdf_roundtrip_synthetic():
+    rng = random.Random(7)
+    payload = _gen_pdf(rng)
+    text = extract_pdf(payload)
+    assert len(text) > 20
+    assert "\x00" not in text
+
+
+def test_pdf_escapes_and_hex():
+    import zlib
+    content = rb"""BT /F1 12 Tf 72 720 Td (Hello \(world\) \\ end) Tj 0 -14 Td
+[(A) -250 (B) -20 (C)] TJ T* <48492E> Tj ET"""
+    comp = zlib.compress(content)
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+           b"2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] >>\nendobj\n"
+           b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+           b"4 0 obj\n<< /Length " + str(len(comp)).encode() +
+           b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream\nendobj\n"
+           b"trailer\n<< /Root 1 0 R >>\n%%EOF")
+    text = extract_pdf(pdf)
+    assert "Hello (world) \\ end" in text
+    # TJ: -250 gap -> space, -20 gap -> no space
+    assert "A BC" in text
+    assert "HI." in text
+
+
+def test_pdf_empty_text_layer_routes_needs_ocr():
+    rng = random.Random(0)
+    # force an empty-text pdf by generating until we get one
+    for seed in range(500):
+        rng = random.Random(seed)
+        p = _gen_pdf(rng)
+        res = extract_document(p)
+        if res["status"] == "needs_ocr":
+            assert res["fmt"] == "pdf"
+            return
+    pytest.fail("no empty-text pdf generated in 500 seeds")
+
+
+# ----------------------------------------------------------------- ooxml
+
+def _zip(entries):
+    import io, zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for n, d in entries:
+            zf.writestr(n, d)
+    return buf.getvalue()
+
+
+def test_docx_exact():
+    doc = _zip([("word/document.xml",
+        '<w:document xmlns:w="http://x"><w:body>'
+        '<w:p><w:r><w:t>Hello</w:t></w:r><w:r><w:tab/><w:t>World</w:t></w:r></w:p>'
+        '<w:p><w:r><w:t>Line2</w:t><w:br/><w:t>Line3</w:t></w:r></w:p>'
+        "</w:body></w:document>")])
+    assert extract_docx(doc) == "Hello\tWorld\nLine2\nLine3"
+
+
+def test_pptx_slide_order():
+    slide = ('<p:sld xmlns:p="http://p" xmlns:a="http://a"><p:cSld>'
+             "<a:p><a:r><a:t>{}</a:t></a:r></a:p></p:cSld></p:sld>")
+    doc = _zip([
+        ("ppt/presentation.xml", "<p/>"),
+        ("ppt/slides/slide10.xml", slide.format("ten")),
+        ("ppt/slides/slide2.xml", slide.format("two")),
+        ("ppt/slides/slide1.xml", slide.format("one")),
+    ])
+    assert extract_pptx(doc) == "one\n\ntwo\n\nten"
+
+
+def test_xlsx_shared_and_inline():
+    doc = _zip([
+        ("xl/workbook.xml", "<wb/>"),
+        ("xl/sharedStrings.xml",
+         '<sst xmlns="http://x"><si><t>alpha</t></si><si><t>beta</t></si></sst>'),
+        ("xl/worksheets/sheet1.xml",
+         '<worksheet xmlns="http://x"><sheetData>'
+         '<row r="1"><c r="A1" t="s"><v>1</v></c><c r="B1"><v>42</v></c>'
+         '<c r="C1" t="inlineStr"><is><t>inline</t></is></c></row>'
+         "</sheetData></worksheet>"),
+    ])
+    assert extract_xlsx(doc) == "beta\t42\tinline"
+
+
+def test_odt_exact():
+    t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    doc = _zip([
+        ("mimetype", "application/vnd.oasis.opendocument.text"),
+        ("content.xml",
+         f'<office:document-content xmlns:office="urn:o" xmlns:text="{t}">'
+         "<office:body><office:text>"
+         "<text:h>Head</text:h><text:p>Para one<text:tab/>tabbed</text:p>"
+         "<text:p>Second<text:line-break/>broken</text:p>"
+         "</office:text></office:body></office:document-content>"),
+    ])
+    assert extract_odt(doc) == "Head\nPara one\ttabbed\nSecond\nbroken"
+
+
+# ------------------------------------------------------------------- rtf
+
+def test_rtf_exact():
+    doc = (rb"{\rtf1\ansi\ansicpg1252\deff0{\fonttbl{\f0 Arial;}}"
+           rb"{\colortbl;\red0\green0\blue0;}"
+           rb"Caf\'e9 one\par second\tab tabbed\par " +
+           b"\\u1055?\\u1088? done}")
+    out = extract_rtf(doc)
+    assert out == "Café one\nsecond\ttabbed\nПр done"
+
+
+def test_rtf_skips_star_destinations():
+    doc = rb"{\rtf1\ansi {\*\generator secret tool;}visible\par}"
+    assert extract_rtf(doc) == "visible"
+
+
+# -------------------------------------------------------------- textlike
+
+def test_txt_charsets():
+    assert extract_txt("héllo".encode("cp1252")) == "héllo"
+    assert extract_txt("héllo".encode("utf-8")) == "héllo"
+    assert extract_txt(b"\xef\xbb\xbfbom") == "bom"
+
+
+def test_xml_itertext():
+    assert extract_xml(b"<r><a>one</a><b>two<c>three</c></b></r>") == "one\ntwo\nthree"
+
+
+def test_json_string_values():
+    assert extract_json(b'{"a": "x", "b": [1, "y", {"c": "z"}]}') == "x\ny\nz"
+
+
+def test_eml_prefers_plain():
+    eml = (b"From: a@b\r\nSubject: s\r\nMIME-Version: 1.0\r\n"
+           b'Content-Type: multipart/alternative; boundary="bb"\r\n\r\n'
+           b"--bb\r\nContent-Type: text/plain; charset=utf-8\r\n\r\nplain body\r\n"
+           b"--bb\r\nContent-Type: text/html\r\n\r\n<p>html body</p>\r\n--bb--\r\n")
+    assert extract_eml(eml) == "plain body"
+
+
+def test_csv_passthrough():
+    assert extract_csv(b"a,b\n1,2") == "a,b\n1,2"
+
+
+# ------------------------------------------------------------------ sniff
+
+@pytest.mark.parametrize("payload,url,expected", [
+    (b"%PDF-1.4 x", None, "pdf"),
+    (b"{\\rtf1 x}", None, "rtf"),
+    (b"<!DOCTYPE html><html>", None, "html"),
+    (b"<?xml version='1.0'?><r/>", None, "xml"),
+    (b'{"a": 1}', None, "json"),
+    (b"plain words", None, "txt"),
+    (b"a,b\n1,2", "http://x/f.csv", "csv"),
+    (b"\x89PNG\r\n\x1a\nxxx", None, "image"),
+    (b"\xff\xd8\xff\xe0xxx", None, "image"),
+    (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1x", None, "doc"),
+    (b"Received: from x\r\nFrom: a@b\r\n\r\nbody", None, "eml"),
+    (b"", None, "unknown"),
+])
+def test_sniff(payload, url, expected):
+    assert sniff_format(payload, url) == expected
+
+
+def test_sniff_zip_kinds():
+    assert sniff_format(_zip([("word/document.xml", "<w/>")])) == "docx"
+    assert sniff_format(_zip([("ppt/presentation.xml", "<p/>")])) == "pptx"
+    assert sniff_format(_zip([("xl/workbook.xml", "<w/>")])) == "xlsx"
+    assert sniff_format(_zip([("mimetype", "application/vnd.oasis.opendocument.text"),
+                              ("content.xml", "<c/>")])) == "odt"
+
+
+# ------------------------------------------------- dispatch / robustness
+
+def test_dispatch_never_raises_on_fuzz():
+    """SURVEY.md §5.3 item 4: seeded byte-mutation fuzz; extractors must
+    capture every failure as a status row, never an exception."""
+    rng = random.Random(1234)
+    rows = gen_corpus(80)
+    for r in rows:
+        b = bytearray(r["html"])
+        for _ in range(rng.randint(1, 8)):
+            if not b:
+                break
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        cut = rng.randrange(len(b) + 1)
+        res = extract_document(bytes(b[:cut]), r["url"])
+        assert res["status"] in ("ok", "needs_ocr", "error",
+                                 "unsupported", "unsupported_legacy")
+
+
+def test_dispatch_deterministic():
+    rows = gen_corpus(40)
+    a = [extract_document(r["html"], r["url"]) for r in rows]
+    b = [extract_document(r["html"], r["url"]) for r in rows]
+    assert a == b
+
+
+def test_empty_payload():
+    assert extract_document(b"")["status"] == "error"
+    assert extract_document(None)["status"] == "error"
