@@ -1,0 +1,279 @@
+"""The extraction pipeline (SURVEY.md §3.4) — the Spark re-expression of
+the reference's whole serverless dataflow (dispatch → per-format extract →
+write, [R: functions/simple/main.py ⚠]).
+
+Shuffle accounting — designed for 100 TB of payload, graded at sf-small
+(SURVEY.md §4):
+
+    scan (column-pruned: url, warc_ts, html)
+      → salted repartition by (bucket, salt)        ← the ONLY payload shuffle
+      → Arrow pandas-UDF extraction (payload dies here; text is ~5-10x smaller)
+      → dedup keep-newest per url (window on text rows)   ← text shuffle
+      → repartition(n_buckets, bucket) for file layout    ← text shuffle
+      → dynamic-overwrite write partitioned by bucket
+      → per-bucket manifests + metrics
+
+Two deliberate scale decisions, worth stating because they differ from the
+naive port:
+
+1. **Dedup AFTER extraction.**  Deduping first (window over raw rows)
+   would shuffle the full payload a second time; extracting the ~2%
+   duplicate rows and deduping on their extracted text costs 2% extra UDF
+   cpu and saves an entire payload shuffle.  The dedup result is identical
+   (extraction is pure; the keep-newest choice uses columns computed
+   before the UDF).
+
+2. **Salting is size-aware and explicit** [D: BASELINE.json north_star
+   "explicit salting for skewed large-PDF partitions"].  AQE's skew
+   handling only splits join/shuffle-read stages, not a skewed UDF map
+   stage, so rows with payload > threshold get a secondary-hash salt that
+   spreads one bucket's giants across up to ``salt`` execution partitions.
+   The logical *bucket* (resume/output unit) is untouched — salt exists
+   only in the repartition expression.
+
+On real Iceberg, the input would be bucket-transform partitioned by url,
+making the resume filter partition pruning; emulation notes in tableio.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from . import manifest as mf
+from .tableio import write_partitioned
+
+DEFAULT_BUCKETS = 64
+DEFAULT_SALT = 8
+DEFAULT_SALT_THRESHOLD = 1 << 20  # 1 MiB (SURVEY.md §4.3)
+
+EXTRACT_RESULT_SCHEMA = "fmt string, text_out string, status string, error string"
+
+
+def make_extract_udf():
+    """The X1–X17 extractor surface as ONE Arrow-vectorized scalar UDF.
+
+    One UDF (not a per-format ``when`` chain, which would evaluate every
+    UDF on every batch; not ``groupBy(fmt).applyInPandas``, which would add
+    a payload shuffle and recreate the skew problem) — SURVEY.md §4.2
+    "UDF dispatch shape".  Sniffing + dispatch happen per element inside
+    the batch; zero per-row Python outside the Arrow boundary
+    [D: BASELINE.json north_star "no per-row Python dispatch"].
+    """
+
+    @F.pandas_udf(EXTRACT_RESULT_SCHEMA)
+    def extract_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+        from cc_extract.extractors import extract_document
+
+        n = len(html)
+        fmts = [None] * n
+        texts = [None] * n
+        statuses = [None] * n
+        errors = [None] * n
+        for i, (payload, u) in enumerate(zip(html, url)):
+            r = extract_document(payload, u)
+            fmts[i] = r["fmt"]
+            texts[i] = r["text"]
+            statuses[i] = r["status"]
+            errors[i] = r["error"]
+        return pd.DataFrame(
+            {"fmt": fmts, "text_out": texts, "status": statuses, "error": errors}
+        )
+
+    return extract_udf
+
+
+def with_bucket(df: DataFrame, n_buckets: int, url_col: str = "url") -> DataFrame:
+    """R4 — deterministic content-addressed bucket (resume/output unit)."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
+    )
+
+
+def pipeline_df(
+    docs: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    salt: int = DEFAULT_SALT,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    dedup: bool = True,
+    skip_buckets: list[int] | None = None,
+    exec_partitions: int | None = None,
+) -> DataFrame:
+    """documents -> extracted (url, warc_ts, bucket, n_bytes_in, fmt,
+    text_out, text_sha256, status, error, attempt).  Pure transformation —
+    no writes; reused by job, tests, bench, and the driver contract."""
+    spark = docs.sparkSession
+    n_exec = exec_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # R1 projection: stale upstream text/lang never read (column pruning
+    # reaches the parquet scan — verify via explain: ReadSchema excludes them)
+    df = docs.select("url", "warc_ts", "html").filter(F.col("url").isNotNull())
+    df = with_bucket(df, n_buckets)
+    if skip_buckets:
+        # R6 resume: driver-side static predicate, never a join (§4.2)
+        df = df.filter(~F.col("bucket").isin([int(b) for b in skip_buckets]))
+
+    # columns the dedup decision needs, computed while the payload is alive
+    df = df.withColumn("n_bytes_in", F.length("html"))
+    df = df.withColumn("payload_h", F.xxhash64("html"))
+
+    # R5 size-aware salt: only payloads > threshold get spread
+    df = df.withColumn(
+        "salt",
+        F.when(
+            F.col("n_bytes_in") > F.lit(salt_threshold),
+            F.pmod(F.xxhash64("url", F.lit(1)), F.lit(salt)),
+        ).otherwise(F.lit(0)).cast("int"),
+    )
+
+    # THE payload shuffle (the only one)
+    df = df.repartition(n_exec, F.col("bucket"), F.col("salt"))
+
+    extract_udf = make_extract_udf()
+    res = df.withColumn("r", extract_udf("html", "url")).select(
+        "url", "warc_ts", "bucket", "n_bytes_in", "payload_h", "r.*"
+    )
+    # JVM-side sha256 of the extracted text (codegen'd; the pytest oracle
+    # diffs per-url text hashes [D: BASELINE.json north_star])
+    res = res.withColumn(
+        "text_sha256", F.sha2(F.encode(F.col("text_out"), "UTF-8"), 256)
+    )
+
+    if dedup:
+        # R3 keep-newest-crawl per url; deterministic tie-break on the
+        # pre-extraction payload hash (§4.3 determinism)
+        w = Window.partitionBy("url").orderBy(
+            F.desc("warc_ts"), F.desc("payload_h")
+        )
+        res = (
+            res.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    return res.drop("payload_h").withColumn("attempt", F.lit(1))
+
+
+def run(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    salt: int = DEFAULT_SALT,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    dedup: bool = True,
+    resume: bool = True,
+) -> dict:
+    """Execute the pipeline with manifest-checkpointed resume (M1–M4).
+
+    Returns job stats.  Rerun semantics: completed buckets are skipped via
+    a static filter; incomplete buckets are dynamically overwritten —
+    rerun of a killed job converges to the identical table (M2).
+    """
+    t0 = time.time()
+    config = {
+        "n_buckets": n_buckets, "salt": salt,
+        "salt_threshold": salt_threshold, "dedup": dedup,
+    }
+    jid = mf.job_id(config)
+
+    done = mf.completed_buckets(out_dir) if resume else {}
+    skip = sorted(done)
+    if len(skip) >= n_buckets:
+        return {"job_id": jid, "skipped": True, "buckets_done": len(skip),
+                "wall_ms": 0, "n_docs": 0}
+
+    res = pipeline_df(
+        docs, n_buckets=n_buckets, salt=salt, salt_threshold=salt_threshold,
+        dedup=dedup, skip_buckets=skip,
+    )
+    # final layout shuffle: cheap text rows, clusters files 1:1 with buckets
+    final = res.repartition(n_buckets, "bucket")
+    write_partitioned(final, os.path.join(out_dir, "extracted"), "bucket")
+
+    # M1/M3: per-bucket stats from the committed output — a column-pruned
+    # metadata-cheap rescan (bucket/status/n_bytes_in only, never text)
+    out = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    stats = (
+        out.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("n_fail"),
+            F.sum("n_bytes_in").alias("bytes_in"),
+        )
+        .collect()
+    )
+    wall_ms = int((time.time() - t0) * 1000)
+    new_buckets = 0
+    for row in stats:
+        if int(row["bucket"]) in done:
+            continue
+        mf.write_bucket_manifest(out_dir, {
+            "bucket": int(row["bucket"]), "n_docs": row["n_docs"],
+            "n_ok": row["n_ok"], "n_fail": row["n_fail"],
+            "bytes_in": int(row["bytes_in"] or 0),
+            "wall_ms": wall_ms, "job_id": jid,
+        })
+        new_buckets += 1
+
+    # M3 failure metrics table: per-(bucket, fmt, status) counters
+    metrics = out.groupBy("bucket", "fmt", "status").agg(
+        F.count("*").alias("n"), F.sum("n_bytes_in").alias("bytes_in")
+    )
+    metrics.write.mode("overwrite").parquet(os.path.join(out_dir, "metrics"))
+
+    total = sum(r["n_docs"] for r in stats)
+    return {
+        "job_id": jid, "skipped": False, "wall_ms": wall_ms,
+        "n_docs": int(total), "buckets_new": new_buckets,
+        "buckets_done": len(skip) + new_buckets,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="cc_extract pipeline")
+    ap.add_argument("--input", help="parquet path of the documents table "
+                    "(default: synthetic corpus)")
+    ap.add_argument("--n-docs", type=int, default=2000,
+                    help="synthetic corpus size when no --input")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--buckets", type=int, default=DEFAULT_BUCKETS)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--salt", type=int, default=DEFAULT_SALT)
+    ap.add_argument("--salt-threshold", type=int, default=DEFAULT_SALT_THRESHOLD)
+    ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    from .session import build_session
+
+    spark = build_session(cpus=args.cpus, app_name="cc_extract.job")
+    spark.sparkContext.setLogLevel("WARN")
+    try:
+        if args.input:
+            docs = spark.read.parquet(args.input)
+        else:
+            from .corpusgen import corpus_df
+            docs = corpus_df(spark, args.n_docs, seed=args.seed)
+        stats = run(
+            spark, docs, args.out, n_buckets=args.buckets, salt=args.salt,
+            salt_threshold=args.salt_threshold, dedup=not args.no_dedup,
+            resume=not args.no_resume,
+        )
+        print(f"job stats: {stats}")
+        if not stats["skipped"]:
+            out = spark.read.parquet(os.path.join(args.out, "extracted"))
+            out.groupBy("fmt", "status").count().orderBy(F.desc("count")).show(30)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Iceberg-emulation table layer (SURVEY.md §0.3 consequence 2).
+
+No Iceberg runtime jar exists in this sandbox [E: probe], so tables are
+plain Parquet directories plus explicit atomic manifest files.  The mapping
+to the real Iceberg API is 1:1 and isolated here, so production is a config
+switch, not a rewrite:
+
+| here                                   | Iceberg                           |
+| -------------------------------------- | --------------------------------- |
+| ``write_partitioned(df, path, bucket)`` | ``df.writeTo(tbl).overwritePartitions()`` |
+| ``atomic_write_json`` manifest per bucket | manifest entries in a snapshot commit |
+| driver-side completed-bucket filter     | partition pruning on the bucket transform |
+| ``read(path)``                          | ``spark.read.format("iceberg").load`` |
+
+Atomicity: JSON manifests are written to a temp name then ``os.rename``d —
+atomic on POSIX — so a killed job never leaves a half manifest (the resume
+contract, SURVEY.md M1/M2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+
+def atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(obj, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def read_json_dir(dirpath: str, prefix: str) -> list[dict]:
+    if not os.path.isdir(dirpath):
+        return []
+    out = []
+    for name in sorted(os.listdir(dirpath)):
+        if name.startswith(prefix) and name.endswith(".json"):
+            with open(os.path.join(dirpath, name), encoding="utf-8") as f:
+                out.append(json.load(f))
+    return out
+
+
+def write_partitioned(df, path: str, partition_col: str = "bucket") -> None:
+    """Dynamic-overwrite partitioned write: only the bucket directories
+    present in *df* are replaced — reruns of incomplete buckets replace,
+    never duplicate (M2 idempotence)."""
+    (
+        df.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

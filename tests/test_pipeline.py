@@ -1,0 +1,207 @@
+"""Pipeline-behavior tests (SURVEY.md §5.3 step 2, §5.4):
+byte-identity vs the checked-in golden, idempotent resume, skew salting
+(both directions), dedup invariance, and a shuffle-count plan guard."""
+
+from __future__ import annotations
+
+import contextlib
+import csv
+import glob
+import gzip
+import io
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cc_extract import job as J
+from cc_extract import manifest as mf
+from cc_extract.corpusgen import corpus_df
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "golden_20000.csv.gz")
+
+
+def _golden_rows() -> dict[str, tuple[str, str]]:
+    with gzip.open(GOLDEN, "rt") as f:
+        r = csv.reader(f)
+        next(r)
+        return {url: (sha, status) for url, sha, status in r}
+
+
+# --------------------------------------------------- byte-identity oracle
+
+def test_e2e_byte_identity_vs_golden(spark, tmp_path):
+    """THE invariant [D: BASELINE.json north_rule]: per-url extracted text
+    sha256 from the Spark pipeline == single-process golden, 100% match."""
+    docs = corpus_df(spark, 20_000, partitions=8)
+    stats = J.run(spark, docs, str(tmp_path), n_buckets=16, resume=False)
+    assert stats["n_docs"] == 20_000
+
+    out = (
+        spark.read.parquet(str(tmp_path / "extracted"))
+        .select("url", "text_sha256", "status")
+        .collect()
+    )
+    golden = _golden_rows()
+    assert len(out) == len(golden)
+    mismatch = [
+        (r["url"], r["text_sha256"], golden.get(r["url"]))
+        for r in out
+        if golden.get(r["url"]) != (r["text_sha256"], r["status"])
+    ]
+    assert not mismatch, f"{len(mismatch)} mismatches, first: {mismatch[:3]}"
+
+
+# ------------------------------------------------------------ resume (M2)
+
+def test_resume_is_idempotent_and_minimal(spark, tmp_path):
+    docs = corpus_df(spark, 800, partitions=4)
+    out_dir = str(tmp_path / "run")
+    J.run(spark, docs, out_dir, n_buckets=8, resume=False)
+
+    full = {
+        (r["url"], r["text_sha256"])
+        for r in spark.read.parquet(out_dir + "/extracted")
+        .select("url", "text_sha256").collect()
+    }
+
+    # simulate a kill after 5 of 8 buckets: drop 3 manifests + their data
+    for b in (1, 3, 5):
+        os.remove(os.path.join(out_dir, "manifest", f"bucket_{b:06d}.json"))
+        for p in glob.glob(os.path.join(out_dir, "extracted", f"bucket={b}", "*")):
+            os.remove(p)
+
+    untouched = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(out_dir, "extracted", "bucket=*", "*.parquet"))
+    }
+    stats = J.run(spark, docs, out_dir, n_buckets=8, resume=True)
+    assert stats["buckets_new"] == 3
+
+    for p, mtime in untouched.items():
+        assert os.path.getmtime(p) == mtime, f"completed bucket rewritten: {p}"
+
+    after = {
+        (r["url"], r["text_sha256"])
+        for r in spark.read.parquet(out_dir + "/extracted")
+        .select("url", "text_sha256").collect()
+    }
+    assert after == full
+
+    # third run: everything complete -> no-op
+    stats = J.run(spark, docs, out_dir, n_buckets=8, resume=True)
+    assert stats["skipped"] is True
+
+
+# ------------------------------------------------------------- skew (R5)
+
+def _partition_loads(spark, df, n_parts: int, with_salt: bool):
+    """max/median byte load over execution partitions for the given plan."""
+    cols = [F.col("bucket"), F.col("salt") if with_salt else F.lit(0)]
+    parts = (
+        df.repartition(n_parts, *cols)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").agg(F.sum("n_bytes_in").alias("b"))
+        .collect()
+    )
+    loads = sorted(r["b"] for r in parts)
+    return loads[-1], loads[len(loads) // 2]
+
+
+def test_salting_spreads_large_doc_skew(spark):
+    """§5.4: the max/median partition-byte ratio must improve with salting
+    on a corpus whose giants all hash to one bucket — and the test guards
+    the mechanism by asserting it's bad WITHOUT salting."""
+    big = b"%PDF" + b"\x00" * (2 << 20)
+    rows = [(f"https://skew.example/big{i}", bytearray(big)) for i in range(16)]
+    rows += [(f"https://skew.example/s{i}", bytearray(b"tiny doc " * 10)) for i in range(400)]
+    docs = spark.createDataFrame(rows, "url string, html binary")
+
+    df = docs.withColumn("n_bytes_in", F.length("html"))
+    # force all big docs into ONE logical bucket (worst case)
+    df = df.withColumn(
+        "bucket",
+        F.when(F.col("n_bytes_in") > 1 << 20, F.lit(7))
+        .otherwise(F.pmod(F.xxhash64("url"), F.lit(8)).cast("int")),
+    )
+    # salt space ~= execution partitions so E[giants/partition] ~ 1
+    df = df.withColumn(
+        "salt",
+        F.when(F.col("n_bytes_in") > 1 << 20,
+               F.pmod(F.xxhash64("url", F.lit(1)), F.lit(32)))
+        .otherwise(F.lit(0)).cast("int"),
+    ).cache()
+
+    max_u, med_u = _partition_loads(spark, df, 32, with_salt=False)
+    max_s, med_s = _partition_loads(spark, df, 32, with_salt=True)
+    df.unpersist()
+
+    ratio_unsalted = max_u / max(med_u, 1)
+    ratio_salted = max_s / max(med_s, 1)
+    # unsalted: one partition carries all 16 giants -> pathological
+    assert ratio_unsalted > 50, f"skew fixture not skewed: {ratio_unsalted}"
+    # salted: giants spread across up to 8 (bucket,salt) combos
+    assert max_s <= max_u / 3, f"salting didn't spread: {max_s} vs {max_u}"
+
+
+# ---------------------------------------------------------- dedup (R3)
+
+def test_dedup_keeps_newest_crawl(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        ("https://d.example/a", dt.datetime(2025, 1, 1), bytearray(b"old text")),
+        ("https://d.example/a", dt.datetime(2025, 6, 1), bytearray(b"new text")),
+        ("https://d.example/b", dt.datetime(2025, 3, 1), bytearray(b"only")),
+    ]
+    docs = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    res = J.pipeline_df(docs, n_buckets=4).select("url", "text_out").collect()
+    got = {r["url"]: r["text_out"] for r in res}
+    assert got == {"https://d.example/a": "new text", "https://d.example/b": "only"}
+
+
+# -------------------------------------------------- plan guard (scale)
+
+def test_only_one_payload_shuffle(spark):
+    """Scale guard (SURVEY.md §4): exactly one Exchange may carry the
+    ``html`` payload column.  A second payload shuffle is a 100 TB
+    regression even if correctness stays green."""
+    docs = corpus_df(spark, 100, partitions=2)
+    res = J.pipeline_df(docs, n_buckets=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+
+    # formatted explain: each Exchange node lists its Input columns
+    exchanges = re.findall(r"\(\d+\) Exchange\n(?:.*\n)*?Arguments.*", plan)
+    payload_exchanges = [
+        m for m in re.finditer(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+        if "html" in m.group(1)
+    ]
+    assert len(payload_exchanges) == 1, (
+        f"expected exactly 1 payload shuffle, plan:\n{plan}"
+    )
+    # stale upstream columns must be pruned at the scan (R1)
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    if m:  # corpus_df path has no parquet scan; guard applies to parquet inputs
+        assert "text" not in m.group(1)
+
+
+def test_pruned_scan_on_parquet_input(spark, tmp_path):
+    """Column pruning must reach the parquet scan: the pipeline never
+    reads the stale upstream text/lang columns."""
+    p = str(tmp_path / "docs.parquet")
+    corpus_df(spark, 200, partitions=2).write.parquet(p)
+    docs = spark.read.parquet(p)
+    res = J.pipeline_df(docs, n_buckets=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan
+    assert "html" in m.group(1)
+    assert "lang" not in m.group(1), m.group(1)
