@@ -1,38 +1,479 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``   — flagship corpus-health query on sf0.001.
+- ``queries()``      — one entry per implemented operator (SURVEY.md §2 +
+  the training-data ops: dedup family, ANN family, text analysis,
+  extraction pipeline).
+- ``oracle_sql()``   — exact DuckDB twin for every SQL-expressible query.
+  Extraction-pipeline entries have no oracle (the corpus lives outside
+  DuckDB's views); their byte-identity gate is the pytest golden diff
+  (tests/test_pipeline.py), and the driver records rows-only here.
+
+Determinism contract (shared by both sides): doubles rounded at output
+(sums 2 dp, ratios/avgs 4 dp, cosines 5 dp, centroids 6 dp); hashes are
+md5 hex; MinHash minima compare fixed-width hex substrings; every
+aggregate/computed column aliased identically in Spark and SQL.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from cc_extract import embedops, relops, textops
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ----------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: corpus-health report over the documents table — token
+    counts, quality score, language-ID rolled up per source."""
+    docs = textops.load_documents(spark, SF0001)
+    toks = textops.with_tokens(docs)
+    en = F.size(F.filter("tokens", lambda t: t.isin(textops.EN_STOP)))
+    n_tokens = F.size("tokens")
+    per_doc = toks.select(
+        "doc_id", "source", "lang",
+        n_tokens.alias("n_tokens"),
+        (en / F.greatest(n_tokens, F.lit(1))).alias("stop_ratio"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
 
+
+# ------------------------------------------------- extraction (rows-only)
+
+def _cc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extraction pipeline over the deterministic synthetic CC corpus:
+    per-(fmt, status) doc counts and output chars.  Byte-identity for this
+    path is enforced by tests/test_pipeline.py against the checked-in
+    golden; here the driver records a rows-only check."""
+    from cc_extract.corpusgen import corpus_df
+    from cc_extract.job import pipeline_df
+
+    docs = corpus_df(spark, 1200, partitions=8)
+    res = pipeline_df(docs, n_buckets=16)
+    return (
+        res.groupBy("fmt", "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text_out")).alias("total_chars"),
+        )
+        .orderBy("fmt", "status")
+    )
+
+
+def _cc_needs_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OCR-quarantine route (D3): documents whose text layer is empty
+    or that are images, emitted as needs_ocr rows (reference's ocr Lambda,
+    modeled not executed — SURVEY.md §2.4.3)."""
+    from cc_extract.corpusgen import corpus_df
+    from cc_extract.job import pipeline_df
+
+    docs = corpus_df(spark, 1200, partitions=8)
+    res = pipeline_df(docs, n_buckets=16)
+    return (
+        res.filter(F.col("status") == "needs_ocr")
+        .select("url", "fmt", "n_bytes_in")
+        .orderBy("url")
+    )
+
+
+def _cc_dedup_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 dedup bookkeeping: input rows vs distinct urls vs output rows."""
+    from cc_extract.corpusgen import corpus_df
+    from cc_extract.job import pipeline_df
+
+    docs = corpus_df(spark, 1200, partitions=8)
+    n_in = docs.count()
+    n_urls = docs.select("url").distinct().count()
+    n_out = pipeline_df(docs, n_buckets=16).count()
+    return spark.createDataFrame(
+        [(n_in, n_urls, n_out)], "n_input_rows long, n_distinct_urls long, n_output_rows long"
+    )
+
+
+# --------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational operator suite (SURVEY.md §2.5)
+        "q1_pricing_summary": relops.q1_pricing_summary,
+        "q3_shipping_priority": relops.q3_shipping_priority,
+        "q5_local_supplier_volume": relops.q5_local_supplier_volume,
+        "top_orders": relops.top_orders,
+        "latest_event_per_user": relops.latest_event_per_user,
+        "daily_event_stats": relops.daily_event_stats,
+        "event_cube": relops.event_cube,
+        "distinct_users_by_type": relops.distinct_users_by_type,
+        "region_customer_stats": relops.region_customer_stats,
+        # text analysis / dedup family (documents table)
+        "doc_token_stats": textops.token_stats,
+        "doc_quality_scores": textops.quality_scores,
+        "doc_lang_id": textops.lang_id,
+        "doc_exact_dedup": textops.exact_dedup,
+        "doc_minhash_signatures": textops.minhash_signatures,
+        "doc_lsh_candidate_pairs": textops.lsh_candidate_pairs,
+        "doc_simhash": textops.simhash,
+        "doc_ngram_jaccard": textops.ngram_jaccard_pairs,
+        "doc_fingerprints": textops.fingerprints,
+        # similarity search (embeddings table)
+        "emb_knn_bruteforce": embedops.knn_bruteforce,
+        "emb_lsh_buckets": embedops.lsh_buckets,
+        "emb_lsh_ann": embedops.lsh_ann,
+        "emb_ivf_ann": embedops.ivf_ann,
+        # extraction pipeline (rows-only; byte-identity via pytest golden)
+        "cc_extract_stats": _cc_extract_stats,
+        "cc_needs_ocr": _cc_needs_ocr,
+        "cc_dedup_effect": _cc_dedup_effect,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------ oracle SQL
+
+_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _stop_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _sh_cte() -> str:
+    """Shared CTE: distinct 3-token shingles per doc (matches
+    textops.shingles_df exactly)."""
+    return f"""
+toks AS (
+  SELECT doc_id, {_TOKENS} AS tokens FROM documents
+  WHERE len({_TOKENS}) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(tokens) - 2),
+                  i -> tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3])) AS shingle
+    FROM toks
+  )
+)"""
+
+
+def _minhash_select() -> str:
+    aggs = ", ".join(
+        f"min(substr(md5('{i}|' || shingle), 1, 12)) AS h{i}"
+        for i in range(textops.MINHASH_K)
+    )
+    return f"SELECT doc_id, {aggs} FROM sh GROUP BY doc_id"
+
+
+def _lsh_bands_sql() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS key FROM sig"
+        for b in range(textops.MINHASH_BANDS)
+    )
+    return bands
+
+
+def _planes_sql() -> list[str]:
+    return [
+        "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        for p in embedops.lsh_planes()
+    ]
+
+
+def _emb_query_literals(query_id: int = 0) -> tuple[str, str, str]:
+    """(query array literal, qnorm literal, query bucket bits) — computed
+    once from the parquet file so Spark and SQL share identical constants."""
+    import duckdb
+
+    con = duckdb.connect()
+    q = con.execute(
+        "SELECT embedding FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+        "WHERE vec_id = ?", [query_id],
+    ).fetchone()[0]
+    con.close()
+    q = [float(x) for x in q]
+    qlit = "[" + ", ".join(repr(x) for x in q) + "]::DOUBLE[]"
+    qnorm = repr(math.sqrt(sum(x * x for x in q)))
+    planes = embedops.lsh_planes()
+    qbits = "".join(
+        "1" if sum(a * b for a, b in zip(q, p)) >= 0 else "0" for p in planes
+    )
+    return qlit, qnorm, qbits
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = _stop_list(textops.EN_STOP)
+    de = _stop_list(textops.DE_STOP)
+    fr = _stop_list(textops.FR_STOP)
+
+    sql: dict[str, str] = {}
+
+    sql["q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+    sql["q3_shipping_priority"] = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+    sql["q5_local_supplier_volume"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+    sql["top_orders"] = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+    sql["latest_event_per_user"] = """
+SELECT user_id, event_id, event_type, round(value, 4) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+    sql["daily_event_stats"] = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+    sql["event_cube"] = """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+ORDER BY event_type, day
+"""
+
+    sql["distinct_users_by_type"] = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+    sql["region_customer_stats"] = """
+SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+    sql["doc_token_stats"] = f"""
+SELECT doc_id,
+       len({_TOKENS}) AS n_tokens,
+       len(list_distinct({_TOKENS})) AS n_uniq_tokens,
+       length(text) AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+    sql["doc_quality_scores"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKENS} AS tokens FROM documents
+)
+SELECT doc_id,
+       len(tokens) AS n_tokens,
+       round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round(len(list_filter(tokens, tk -> tk IN ({en})))
+             / greatest(len(tokens), 1), 4) AS stopword_ratio,
+       round(coalesce(list_aggregate(list_transform(tokens, tk -> length(tk)), 'sum'), 0)
+             / greatest(len(tokens), 1), 4) AS mean_token_len,
+       round(least(len(tokens) / 50.0, 1.0)
+             * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                      / greatest(length(text), 1))
+             * least(1.0, 0.5 + len(list_filter(tokens, tk -> tk IN ({en})))
+                               / greatest(len(tokens), 1)), 4) AS quality_score
+FROM t ORDER BY doc_id
+"""
+
+    sql["doc_lang_id"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKENS} AS tokens FROM documents
+), v AS (
+  SELECT doc_id, lang,
+         len(list_filter(tokens, tk -> tk IN ({en}))) AS en_hits,
+         len(list_filter(tokens, tk -> tk IN ({de}))) AS de_hits,
+         len(list_filter(tokens, tk -> tk IN ({fr}))) AS fr_hits
+  FROM t
+)
+SELECT lang,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+            WHEN fr_hits > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       count(*) AS n_docs
+FROM v GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+    sql["doc_exact_dedup"] = """
+SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text) ORDER BY canonical_doc_id
+"""
+
+    sql["doc_minhash_signatures"] = f"""
+WITH {_sh_cte()}
+{_minhash_select()} ORDER BY doc_id
+"""
+
+    sql["doc_lsh_candidate_pairs"] = f"""
+WITH {_sh_cte()},
+sig AS ({_minhash_select()}),
+bands AS ({_lsh_bands_sql()})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+    simhash_sums = ", ".join(
+        f"sum(CASE WHEN (strpos('0123456789abcdef', substr(h, {b+1}, 1)) - 1) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(textops.SIMHASH_BITS)
+    )
+    simhash_pack = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)"
+        for b in range(textops.SIMHASH_BITS)
+    )
+    sql["doc_simhash"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
+), h AS (
+  SELECT doc_id, md5(t) AS h FROM tok
+), s AS (
+  SELECT doc_id, {simhash_sums} FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({simhash_pack} AS BIGINT) AS simhash
+FROM s ORDER BY doc_id
+"""
+
+    sql["doc_ngram_jaccard"] = f"""
+WITH {_sh_cte()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.03
+ORDER BY doc_a, doc_b
+"""
+
+    sql["doc_fingerprints"] = f"""
+WITH {_sh_cte()}
+SELECT doc_id, min(md5(shingle)) AS fp_min, max(md5(shingle)) AS fp_max,
+       count(*) AS n_shingles
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # ---- embeddings: constants shared with the Spark side
+    qlit, qnorm, qbits = _emb_query_literals(0)
+    planes = _planes_sql()
+    bucket_expr = "||".join(
+        f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), {p}) >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    cos_expr = (
+        f"round(list_inner_product(CAST(embedding AS DOUBLE[]), {qlit}) / "
+        f"(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST(embedding AS DOUBLE[]))) * {qnorm}), 5)"
+    )
+
+    sql["emb_knn_bruteforce"] = f"""
+SELECT vec_id, label, {cos_expr} AS cos_sim
+FROM embeddings WHERE vec_id != 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+    sql["emb_lsh_buckets"] = f"""
+SELECT {bucket_expr} AS bucket, count(*) AS n_vecs
+FROM embeddings GROUP BY 1 ORDER BY 1
+"""
+
+    sql["emb_lsh_ann"] = f"""
+SELECT vec_id, label, {cos_expr} AS cos_sim
+FROM embeddings
+WHERE {bucket_expr} = '{qbits}' AND vec_id != 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+    sql["emb_ivf_ann"] = f"""
+WITH q AS (SELECT {qlit} AS qv),
+cent AS (
+  SELECT label, i AS pos, round(avg(embedding[CAST(i AS INT) + 1]), 6) AS c
+  FROM embeddings, range(64) AS t(i)
+  GROUP BY label, i
+),
+dist AS (
+  SELECT label, sum((c - qv[CAST(pos AS INT) + 1]) * (c - qv[CAST(pos AS INT) + 1])) AS d
+  FROM cent, q GROUP BY label
+),
+best AS (SELECT label FROM dist ORDER BY d, label LIMIT 1)
+SELECT vec_id, label, {cos_expr} AS cos_sim
+FROM embeddings
+WHERE label = (SELECT label FROM best) AND vec_id != 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+    return sql

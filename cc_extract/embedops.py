@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (``embeddings`` table:
+vec_id bigint, embedding array<float> (64-d), label int).
+
+Three tiers, mirroring how ANN is actually deployed over 10^12 vectors:
+
+- ``knn_bruteforce`` — exact cosine top-k against a query vector.  The
+  correctness baseline; at scale it's the per-partition scan you run
+  *inside* a pruned candidate set.
+- ``lsh_ann``       — random-hyperplane (sign) LSH: deterministic planes,
+  bucket = bit-string of dot-product signs; search only the query's
+  bucket.  Bucketing is a pure projection (no shuffle); candidates
+  shrink by ~2^n_planes.
+- ``ivf_ann``       — IVF-style coarse quantization using per-label
+  centroids (k-means cells stand-in): nearest centroid first, then exact
+  search within the cell.  Centroid build is one tiny agg; the probe is
+  a partition-pruned scan at scale.
+
+All math is float64, built from JVM-side functions (zip_with/aggregate —
+no Python UDFs), with deterministic constants shared verbatim with the
+DuckDB oracles in ``__spark_entry__.py``: planes are seeded-numpy literals
+rounded to 6 dp; centroids are rounded to 6 dp *before* use in both
+engines so distance comparisons bit-agree.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+DIM = 64
+N_PLANES = 8
+PLANE_SEED = 7
+DEFAULT_K = 10
+
+
+def load_embeddings(spark, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def lsh_planes() -> list[list[float]]:
+    """Deterministic hyperplanes, rounded so both engines parse identical
+    float64 literals."""
+    rng = np.random.RandomState(PLANE_SEED)
+    return [[round(float(x), 6) for x in rng.randn(DIM)] for _ in range(N_PLANES)]
+
+
+def query_vector(spark, sf_dir: str, query_id: int = 0) -> list[float]:
+    row = (
+        load_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") == query_id)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _lit_vec(v: list[float]):
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _cosine(emb_col, qvec: list[float]):
+    qnorm = math.sqrt(sum(x * x for x in qvec))
+    e = emb_col.cast("array<double>")
+    q = _lit_vec(qvec)
+    return _dot(e, q) / (F.sqrt(_dot(e, e)) * F.lit(qnorm))
+
+
+def knn_bruteforce(spark, sf_dir: str, query_id: int = 0, k: int = DEFAULT_K) -> DataFrame:
+    """Exact cosine top-k: TakeOrderedAndProject over a single projection
+    scan — the plan you want (no shuffle, no sort of the full table)."""
+    emb = load_embeddings(spark, sf_dir)
+    q = query_vector(spark, sf_dir, query_id)
+    scored = emb.select(
+        "vec_id", "label", F.round(_cosine(F.col("embedding"), q), 5).alias("cos_sim")
+    )
+    return (
+        scored.filter(F.col("vec_id") != query_id)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _bucket_expr(emb_col, planes: list[list[float]]):
+    e = emb_col.cast("array<double>")
+    bits = [
+        F.when(_dot(e, _lit_vec(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_buckets(spark, sf_dir: str) -> DataFrame:
+    """Bucket histogram — the data-layout view of the LSH index."""
+    emb = load_embeddings(spark, sf_dir)
+    planes = lsh_planes()
+    return (
+        emb.select(_bucket_expr(F.col("embedding"), planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("bucket")
+    )
+
+
+def lsh_ann(spark, sf_dir: str, query_id: int = 0, k: int = DEFAULT_K) -> DataFrame:
+    """ANN: restrict the exact search to the query's LSH bucket."""
+    emb = load_embeddings(spark, sf_dir)
+    planes = lsh_planes()
+    q = query_vector(spark, sf_dir, query_id)
+    qbits = "".join(
+        "1" if sum(a * b for a, b in zip(q, p)) >= 0 else "0" for p in planes
+    )
+    cand = emb.filter(_bucket_expr(F.col("embedding"), planes) == qbits)
+    scored = cand.select(
+        "vec_id", "label", F.round(_cosine(F.col("embedding"), q), 5).alias("cos_sim")
+    )
+    return (
+        scored.filter(F.col("vec_id") != query_id)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def label_centroids(spark, sf_dir: str) -> DataFrame:
+    """Per-label centroid (rounded 6 dp), as (label, pos, c) long form —
+    one tiny partial-aggregable shuffle (labels x 64 rows)."""
+    emb = load_embeddings(spark, sf_dir)
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+
+
+def ivf_ann(spark, sf_dir: str, query_id: int = 0, k: int = DEFAULT_K) -> DataFrame:
+    """IVF-style ANN: nearest centroid (coarse cell), exact cosine within
+    the cell.  The centroid table is k rows — driver-side is the right
+    place for it at any scale (it's the 'index', not the data)."""
+    q = query_vector(spark, sf_dir, query_id)
+    cent = label_centroids(spark, sf_dir).collect()
+    by_label: dict[int, list[float]] = {}
+    for r in cent:
+        by_label.setdefault(r["label"], [0.0] * DIM)[r["pos"]] = r["c"]
+    best_label = min(
+        sorted(by_label),
+        key=lambda lbl: sum((a - b) ** 2 for a, b in zip(by_label[lbl], q)),
+    )
+    emb = load_embeddings(spark, sf_dir).filter(F.col("label") == best_label)
+    scored = emb.select(
+        "vec_id", "label", F.round(_cosine(F.col("embedding"), q), 5).alias("cos_sim")
+    )
+    return (
+        scored.filter(F.col("vec_id") != query_id)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

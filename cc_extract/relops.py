@@ -1,0 +1,194 @@
+"""Relational / dataflow operators (SURVEY.md §2.5 R1–R15) exercised over
+the driver's TPC-H-ish tables — the same operator shapes the extraction
+job uses (window dedup, hash agg, broadcast join, top-k, cube, distinct),
+each with an exact DuckDB oracle in ``__spark_entry__.py``.
+
+Float determinism contract with the oracles: SUMs of doubles rounded to
+2 dp, AVGs to 4 dp (accumulation order differs between engines and runs;
+rounding absorbs the ~1e-12 relative drift).  Counts/mins/maxes exact.
+
+Scale notes: dimension joins (region/nation/supplier) carry explicit
+``broadcast()`` hints — at 100 TB fact scale these must never shuffle the
+fact side; aggregations are all partial-aggregable hash aggs; top-k uses
+orderBy+limit which Spark plans as TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- TPC-H Q1
+
+def q1_pricing_summary(spark, sf_dir: str) -> DataFrame:
+    """R7 grouped aggregation with partial/final hash agg (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark, sf_dir: str) -> DataFrame:
+    """3-way fact join + agg + top-k (TPC-H Q3 shape)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark, sf_dir: str) -> DataFrame:
+    """6-way join with broadcast dimensions (TPC-H Q5 shape).  nation /
+    region / supplier are broadcast — the lineitem side never moves for
+    them (verify: BroadcastHashJoin in explain)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# ------------------------------------------------------------ top-k (R8)
+
+def top_orders(spark, sf_dir: str) -> DataFrame:
+    """orderBy+limit -> TakeOrderedAndProject (never a global sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+# ------------------------------------------------- window dedup (R3 twin)
+
+def latest_event_per_user(spark, sf_dir: str) -> DataFrame:
+    """Keep-newest-per-key window — the same R3 dedup shape the extraction
+    job applies to duplicate crawls of a url."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 4).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------- time rollups (R13/15)
+
+def daily_event_stats(spark, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+def event_cube(spark, sf_dir: str) -> DataFrame:
+    """R15 grouping sets: fmt x day rollup shape, as cube(event_type, day)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_type", "day")
+    )
+
+
+def distinct_users_by_type(spark, sf_dir: str) -> DataFrame:
+    """R14 exact distinct (the approx_count_distinct twin is
+    dashboards-only; exactness is what's oracle-checkable)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------------- broadcast dim join (R9)
+
+def region_customer_stats(spark, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )

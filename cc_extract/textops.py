@@ -1,0 +1,291 @@
+"""Training-data text operators over the ``documents`` table — the
+large-scale pipeline ops a CC-scale corpus needs beyond extraction:
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard), language
+ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` only —
+no Python UDFs anywhere — so every operator stays inside whole-stage
+codegen and each has an exact DuckDB-SQL twin in ``__spark_entry__.py``
+(the driver's correctness gate).  Determinism contract shared with the
+oracles:
+
+- tokens      := regexp_extract_all(lower(text), '[a-z0-9]+')
+- shingles    := distinct 3-grams of tokens joined by single spaces
+- token hash  := md5 hex (identical bytes->hex in Spark and DuckDB);
+                 numeric hashes derive from hex-substring tricks so both
+                 engines compare identical fixed-width strings
+- floats      := computed in float64 in both engines, rounded at output
+
+Scale notes (the 100 TB lens): every groupBy here keys on doc_id or a
+hash — uniform, no skew; MinHash/SimHash signatures reduce each doc to a
+constant-size row *before* any join, so the LSH candidate join shuffles
+signatures (bytes/doc) not text; the band join is an equi-join on
+(band_idx, key) which AQE can plan as broadcast when candidates are few.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_RX = "[a-z0-9]+"
+
+EN_STOP = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+DE_STOP = ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"]
+FR_STOP = ["le", "la", "les", "et", "est", "des", "une", "que", "pour", "dans"]
+
+MINHASH_K = 8       # signature length
+MINHASH_BANDS = 4   # bands of 2 -> candidate if any band matches
+SIMHASH_BITS = 16
+SHINGLE_N = 3
+
+
+def load_documents(spark, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def tokens_col(text_col="text"):
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RX), 0)
+
+
+def with_tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("tokens", tokens_col())
+
+
+# ------------------------------------------------------------ token stats
+
+def token_stats(spark, sf_dir: str) -> DataFrame:
+    """Per-document token counting (whitespace+punct tokenizer): the basic
+    unit-of-cost column every downstream sampler/pricing pass needs."""
+    df = with_tokens(load_documents(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_uniq_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------- quality score
+
+def quality_scores(spark, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, punctuation ratio, stopword
+    ratio, mean token length — the classic cheap pre-filters for web text."""
+    df = with_tokens(load_documents(spark, sf_dir))
+    n_chars = F.length("text")
+    n_alnum_sp = F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    punct_ratio = (n_chars - n_alnum_sp) / F.greatest(n_chars, F.lit(1))
+    n_tokens = F.size("tokens")
+    stop_hits = F.size(F.filter("tokens", lambda t: t.isin(EN_STOP)))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    mean_tok_len = F.aggregate(
+        "tokens", F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        * (F.lit(1.0) - punct_ratio)
+        * F.least(F.lit(1.0), F.lit(0.5) + stop_ratio)
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(score, 4).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------ language id
+
+def lang_id(spark, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (en/de/fr/und) — the n-gram-heuristic
+    family, deterministic and fully relational."""
+    df = with_tokens(load_documents(spark, sf_dir))
+    en = F.size(F.filter("tokens", lambda t: t.isin(EN_STOP)))
+    de = F.size(F.filter("tokens", lambda t: t.isin(DE_STOP)))
+    fr = F.size(F.filter("tokens", lambda t: t.isin(FR_STOP)))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    per_doc = df.select(
+        "doc_id", "lang",
+        en.alias("en_hits"), de.alias("de_hits"), fr.alias("fr_hits"),
+        pred.alias("lang_pred"),
+    )
+    return (
+        per_doc.groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# ------------------------------------------------------------ exact dedup
+
+def exact_dedup(spark, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash grouping: canonical doc per text-md5
+    (min doc_id wins), group size — hash-groupBy, fully shuffle-minimal
+    (map-side partial agg on the hash)."""
+    df = load_documents(spark, sf_dir)
+    g = df.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("dup_count"),
+    )
+    return g.select("text_md5", "canonical_doc_id", "dup_count").orderBy(
+        "canonical_doc_id"
+    )
+
+
+# --------------------------------------------------------------- shingles
+
+def shingles_df(df: DataFrame) -> DataFrame:
+    """doc_id -> distinct 3-token shingles (exploded)."""
+    toks = (
+        with_tokens(df)
+        .select("doc_id", "tokens")
+        .filter(F.size("tokens") >= SHINGLE_N)
+    )
+    idx = F.sequence(F.lit(0), F.size("tokens") - SHINGLE_N)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.slice("tokens", i + 1, SHINGLE_N)
+                ),
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+# ---------------------------------------------------------- minhash + lsh
+
+def minhash_signatures(spark, sf_dir: str) -> DataFrame:
+    """K=8 MinHash signature per document.
+
+    Hash family: h_i(s) = first 12 hex chars of md5(i || '|' || s); min is
+    taken lexicographically over the fixed-width hex — identical semantics
+    in Spark and DuckDB, no bigint conversion needed.  At scale the
+    explode->groupBy(doc_id) agg is a partial-aggregable map-side combine."""
+    sh = shingles_df(load_documents(spark, sf_dir))
+    aggs = [
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 12
+            )
+        ).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def lsh_candidate_pairs(spark, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: banding (4 bands x 2 rows) over the
+    signatures; docs sharing any band key become a candidate pair.
+
+    The join is an equi-join on (band_idx, band_key) over constant-size
+    signature rows — at 10^12 docs this shuffles ~50 B/doc, never text."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("key"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash(spark, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document over the token multiset.
+
+    Bit b of a token's hash = hex digit b of md5(token) mod 2; the document
+    bit is the majority vote weighted by token frequency.  Pure relational
+    (explode -> 16 conditional sums -> bit-pack), exactly mirrorable in SQL."""
+    df = with_tokens(load_documents(spark, sf_dir))
+    tok = df.select("doc_id", F.explode("tokens").alias("t"))
+    tok = tok.withColumn("h", F.md5(F.col("t")))
+    # hex digit value; F.conv because locate() needs a literal needle
+    digit = lambda b: F.conv(F.substring("h", b + 1, 1), 16, 10).cast("int")  # noqa: E731
+    sums = [
+        F.sum(F.when(digit(b) % 2 == 1, 1).otherwise(-1)).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    packed = agg.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"s{b}") > 0, 2 ** b).otherwise(0))
+            for b in range(SIMHASH_BITS)
+        ).cast("long").alias("simhash"),
+    )
+    return packed.orderBy("doc_id")
+
+
+# --------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(spark, sf_dir: str, threshold: float = 0.03) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle self-join.
+
+    inter(a,b) from the equi-join on shingle; union = |A|+|B|-inter.  The
+    shingle join is the textbook exact method — quadratic in the worst
+    case, which is exactly why MinHash-LSH above is the scale path; this
+    one is the ground-truth oracle for it."""
+    sh = shingles_df(load_documents(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", "inter", "jaccard").orderBy("doc_a", "doc_b")
+
+
+# ------------------------------------------------------------ fingerprint
+
+def fingerprints(spark, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min and max shingle-md5 (a k=1 MinHash /
+    winnowing-style content fingerprint) — constant bytes per doc."""
+    sh = shingles_df(load_documents(spark, sf_dir))
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.min(F.md5("shingle")).alias("fp_min"),
+            F.max(F.md5("shingle")).alias("fp_max"),
+            F.count("*").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
