@@ -106,6 +106,49 @@ def _cc_dedup_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- queries
 
+def _mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque-binary media columns -> typed container
+    metadata (PNG/JPEG/WAV header parsing in Arrow batches), rolled up per
+    (kind, container).  Deterministic synthetic media; rows-only check —
+    the per-row parsing is unit-tested in tests/test_multimodal.py."""
+    from cc_extract import multimodal as mm
+
+    df = mm.media_df(spark, 400, partitions=8)
+    meta = mm.media_metadata(df)
+    return (
+        meta.groupBy("kind", "container", "parse_ok")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+            F.max("sample_rate").alias("max_sample_rate"),
+        )
+        .orderBy("kind", "container", "parse_ok")
+    )
+
+
+def _mm_feature_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch feature extraction over binary media (byte-histogram embedding
+    standing in for a model forward pass): per-kind mean L2 norm."""
+    from cc_extract import multimodal as mm
+
+    df = mm.media_df(spark, 400, partitions=8)
+    feats = mm.media_features(df)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("feature").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, v: acc + v * v,
+        )
+    )
+    return (
+        feats.select("kind", norm.alias("l2"))
+        .groupBy("kind")
+        .agg(F.count("*").alias("n"), F.round(F.avg("l2"), 4).alias("avg_l2"))
+        .orderBy("kind")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator suite (SURVEY.md §2.5)
@@ -137,6 +180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_extract_stats": _cc_extract_stats,
         "cc_needs_ocr": _cc_needs_ocr,
         "cc_dedup_effect": _cc_dedup_effect,
+        # multimodal plumbing (rows-only; parsing unit-tested)
+        "mm_metadata_stats": _mm_metadata_stats,
+        "mm_feature_norms": _mm_feature_norms,
     }
 
 

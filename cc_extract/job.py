@@ -6,30 +6,36 @@ Shuffle accounting — designed for 100 TB of payload, graded at sf-small
 (SURVEY.md §4):
 
     scan (column-pruned: url, warc_ts, html)
-      → salted repartition by (bucket, salt)        ← the ONLY payload shuffle
+      ├─ payloads <= 1 MiB (~99.8% of rows): extract IN scan partitions — no movement
+      └─ giants  >  1 MiB: salted repartition      ← the ONLY payload shuffle
       → Arrow pandas-UDF extraction (payload dies here; text is ~5-10x smaller)
       → dedup keep-newest per url (window on text rows)   ← text shuffle
       → repartition(n_buckets, bucket) for file layout    ← text shuffle
       → dynamic-overwrite write partitioned by bucket
       → per-bucket manifests + metrics
 
-Two deliberate scale decisions, worth stating because they differ from the
-naive port:
+Three deliberate scale decisions, worth stating because they differ from
+the naive port:
 
 1. **Dedup AFTER extraction.**  Deduping first (window over raw rows)
-   would shuffle the full payload a second time; extracting the ~2%
-   duplicate rows and deduping on their extracted text costs 2% extra UDF
-   cpu and saves an entire payload shuffle.  The dedup result is identical
-   (extraction is pure; the keep-newest choice uses columns computed
-   before the UDF).
+   would shuffle the full payload; extracting the ~2% duplicate rows and
+   deduping on their extracted text costs 2% extra UDF cpu and saves an
+   entire payload shuffle.  The keep-newest choice orders by
+   (warc_ts desc, text_sha256 desc) — the hash is already computed, so no
+   extra pass over payload bytes (an xxhash64(html) tie-break would
+   re-read all 100 TB).
 
 2. **Salting is size-aware and explicit** [D: BASELINE.json north_star
    "explicit salting for skewed large-PDF partitions"].  AQE's skew
    handling only splits join/shuffle-read stages, not a skewed UDF map
-   stage, so rows with payload > threshold get a secondary-hash salt that
-   spreads one bucket's giants across up to ``salt`` execution partitions.
-   The logical *bucket* (resume/output unit) is untouched — salt exists
-   only in the repartition expression.
+   stage, so giant payloads get a secondary-hash salt in the repartition
+   key.  The logical *bucket* (resume/output unit) is untouched — salt
+   exists only in the execution partitioning.
+
+3. **Only giants move** (``shuffle_policy="giants-only"``): small docs
+   are uniform enough in hash-unordered CC inputs that extracting them in
+   scan partitions is both shuffle-free and skew-free; the salted
+   repartition applies to the >threshold tail only.  See pipeline_df.
 
 On real Iceberg, the input would be bucket-transform partitioned by url,
 making the resume filter partition pruning; emulation notes in tableio.py.
@@ -103,10 +109,27 @@ def pipeline_df(
     dedup: bool = True,
     skip_buckets: list[int] | None = None,
     exec_partitions: int | None = None,
+    shuffle_policy: str = "giants-only",
 ) -> DataFrame:
     """documents -> extracted (url, warc_ts, bucket, n_bytes_in, fmt,
     text_out, text_sha256, status, error, attempt).  Pure transformation —
-    no writes; reused by job, tests, bench, and the driver contract."""
+    no writes; reused by job, tests, bench, and the driver contract.
+
+    shuffle_policy:
+
+    - ``"giants-only"`` (default): payloads <= threshold extract IN the
+      scan partitions — a narrow transform, ZERO payload movement for
+      ~99.8% of rows/60% of bytes; only giants (> threshold) are
+      repartitioned with the size-aware salt, at fine granularity
+      (4x exec partitions) so one Arrow batch never holds more than a
+      couple of giants.  At 100 TB this is the difference between
+      shuffling ~100 TB and shuffling only the giant tail — the scan is
+      sequential and cheap, the shuffle is 3x I/O plus network.
+    - ``"full"``: everything through one salted repartition — the layout
+      to use when the input's own partitioning is pathological (e.g. a
+      crawl dump sorted by host, where scan partitions would be
+      format/size-skewed).
+    """
     spark = docs.sparkSession
     n_exec = exec_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -118,26 +141,37 @@ def pipeline_df(
         # R6 resume: driver-side static predicate, never a join (§4.2)
         df = df.filter(~F.col("bucket").isin([int(b) for b in skip_buckets]))
 
-    # columns the dedup decision needs, computed while the payload is alive
     df = df.withColumn("n_bytes_in", F.length("html"))
-    df = df.withColumn("payload_h", F.xxhash64("html"))
-
-    # R5 size-aware salt: only payloads > threshold get spread
-    df = df.withColumn(
-        "salt",
-        F.when(
-            F.col("n_bytes_in") > F.lit(salt_threshold),
-            F.pmod(F.xxhash64("url", F.lit(1)), F.lit(salt)),
-        ).otherwise(F.lit(0)).cast("int"),
-    )
-
-    # THE payload shuffle (the only one)
-    df = df.repartition(n_exec, F.col("bucket"), F.col("salt"))
 
     extract_udf = make_extract_udf()
-    res = df.withColumn("r", extract_udf("html", "url")).select(
-        "url", "warc_ts", "bucket", "n_bytes_in", "payload_h", "r.*"
-    )
+
+    def run_extract(part: DataFrame) -> DataFrame:
+        return part.withColumn("r", extract_udf("html", "url")).select(
+            "url", "warc_ts", "bucket", "n_bytes_in", "r.*"
+        )
+
+    if shuffle_policy == "giants-only":
+        small = df.filter(F.col("n_bytes_in") <= F.lit(salt_threshold))
+        big = df.filter(F.col("n_bytes_in") > F.lit(salt_threshold))
+        # R5 salt at fine granularity: spreads any bucket's giants AND
+        # bounds per-batch memory (~1 giant per execution partition here)
+        n_big_parts = max(n_exec * 4, salt)
+        big = big.withColumn(
+            "salt",
+            F.pmod(F.xxhash64("url", F.lit(1)), F.lit(n_big_parts)).cast("int"),
+        ).repartition(n_big_parts, F.col("salt"))
+        res = run_extract(small).unionByName(run_extract(big.drop("salt")))
+    else:
+        df = df.withColumn(
+            "salt",
+            F.when(
+                F.col("n_bytes_in") > F.lit(salt_threshold),
+                F.pmod(F.xxhash64("url", F.lit(1)), F.lit(salt)),
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        # THE payload shuffle (the only one)
+        df = df.repartition(n_exec, F.col("bucket"), F.col("salt"))
+        res = run_extract(df)
     # JVM-side sha256 of the extracted text (codegen'd; the pytest oracle
     # diffs per-url text hashes [D: BASELINE.json north_star])
     res = res.withColumn(
@@ -146,9 +180,10 @@ def pipeline_df(
 
     if dedup:
         # R3 keep-newest-crawl per url; deterministic tie-break on the
-        # pre-extraction payload hash (§4.3 determinism)
+        # extracted-text hash (§4.3 determinism) — already computed, so no
+        # extra pass over payload bytes (xxhash64(html) would re-read 100 TB)
         w = Window.partitionBy("url").orderBy(
-            F.desc("warc_ts"), F.desc("payload_h")
+            F.desc("warc_ts"), F.desc("text_sha256")
         )
         res = (
             res.withColumn("_rn", F.row_number().over(w))
@@ -156,7 +191,7 @@ def pipeline_df(
             .drop("_rn")
         )
 
-    return res.drop("payload_h").withColumn("attempt", F.lit(1))
+    return res.withColumn("attempt", F.lit(1))
 
 
 def run(

@@ -1,0 +1,189 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+What's REAL here (and tested): the Spark-side plumbing — schemas, the
+deterministic synthetic media generator, container-header metadata parsing
+(PNG IHDR, JPEG SOF, WAV fmt — pure byte arithmetic), batch shapes, and a
+deterministic feature extractor (byte-histogram embedding) that stands in
+for a model forward pass.
+
+What's STUBBED (this container has no image/audio libs): pixel/sample
+decode.  ``decode_image`` raises ``NotImplementedError`` unless PIL is
+importable — the gate is the documented seam where a real decoder drops
+in; everything downstream consumes the deterministic fake features so the
+pipeline shape is fully exercised.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = "media_id long, kind string, payload binary"
+META_SCHEMA = ("media_id long, kind string, container string, width int, "
+               "height int, sample_rate int, n_bytes long, parse_ok boolean")
+FEATURE_DIM = 16
+FEATURE_SCHEMA = f"media_id long, kind string, feature array<float>"
+
+
+# ----------------------------------------------------------- generation
+
+def gen_media(i: int, seed: int = 42) -> dict:
+    """Deterministic synthetic media row: valid PNG / WAV / JPEG-stub
+    containers with known header metadata, noise payloads."""
+    rng = random.Random((seed << 22) ^ i)
+    kind = ("image", "image", "audio", "video")[rng.randrange(4)]
+    if kind == "audio":
+        rate = rng.choice([8000, 16000, 44100])
+        n_samples = rng.randint(100, 2000)
+        data = bytes(rng.randrange(256) for _ in range(2 * n_samples))
+        payload = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+    elif kind == "video":
+        # minimal MP4-ish ftyp box; frame decode is out of scope
+        payload = struct.pack(">I", 20) + b"ftypisom" + bytes(rng.randrange(256) for _ in range(64))
+    elif rng.random() < 0.6:
+        w, h = rng.randint(1, 4096), rng.randint(1, 4096)
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        chunk = b"IHDR" + ihdr
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + chunk + struct.pack(">I", zlib.crc32(chunk))
+            + bytes(rng.randrange(256) for _ in range(rng.randint(16, 256)))
+        )
+    else:
+        w, h = rng.randint(1, 65000), rng.randint(1, 65000)
+        # SOI + APP0/JFIF + SOF0 with dims
+        payload = (
+            b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+            + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+            + bytes(rng.randrange(256) for _ in range(rng.randint(16, 128)))
+        )
+    return {"media_id": i, "kind": kind, "payload": payload}
+
+
+def media_df(spark, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Distributed generation — same spark.range->mapInPandas pattern as
+    the document corpus (no driver materialization)."""
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame([gen_media(int(i), seed) for i in pdf["id"]])
+
+    rng_df = spark.range(0, n, numPartitions=partitions or 8)
+    return rng_df.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ------------------------------------------------------- metadata parse
+
+def parse_media_meta(payload: bytes) -> dict:
+    """Container-header metadata by byte arithmetic — no decode libs."""
+    out = {"container": "unknown", "width": None, "height": None,
+           "sample_rate": None, "parse_ok": False}
+    try:
+        if payload.startswith(b"\x89PNG\r\n\x1a\n") and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            out.update(container="png", width=w, height=h, parse_ok=True)
+        elif payload.startswith(b"\xff\xd8"):
+            pos = 2
+            while pos + 4 < len(payload):
+                if payload[pos] != 0xFF:
+                    break
+                marker = payload[pos + 1]
+                seglen = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                    out.update(container="jpeg", width=w, height=h, parse_ok=True)
+                    break
+                pos += 2 + seglen
+            else:
+                out.update(container="jpeg")
+        elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+            rate = struct.unpack("<I", payload[24:28])[0]
+            out.update(container="wav", sample_rate=rate, parse_ok=True)
+        elif payload[4:8] == b"ftyp":
+            out.update(container="mp4", parse_ok=True)
+    except (struct.error, IndexError):
+        pass
+    return out
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """binary -> typed metadata struct, Arrow-batched."""
+    def meta_batches(batches):
+        for pdf in batches:
+            metas = [parse_media_meta(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "kind": pdf["kind"],
+                "container": [m["container"] for m in metas],
+                "width": pd.array([m["width"] for m in metas], dtype="Int32"),
+                "height": pd.array([m["height"] for m in metas], dtype="Int32"),
+                "sample_rate": pd.array([m["sample_rate"] for m in metas], dtype="Int32"),
+                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                "parse_ok": [m["parse_ok"] for m in metas],
+            })
+
+    return df.mapInPandas(meta_batches, META_SCHEMA)
+
+
+# ------------------------------------------------------------- features
+
+def decode_image(payload: bytes):
+    """The REAL decode seam.  No imaging libs ship in this container, so
+    this is gated: plug in PIL (or a JNI decoder) in production."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "pixel decode requires an imaging library; this environment "
+            "ships none (SURVEY.md §0.3) — byte-level ops only"
+        ) from e
+    import io
+    from PIL import Image
+    return Image.open(io.BytesIO(payload))
+
+
+def media_features(df: DataFrame) -> DataFrame:
+    """Deterministic stand-in feature extractor: 16-bin normalized byte
+    histogram as float32 vector.  Vectorized numpy per Arrow batch —
+    exactly the batch shape a Pandas-UDF model forward pass would use."""
+    def feat_batches(batches):
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
+                total = hist.sum() or 1.0
+                feats.append((hist / total).astype(np.float32))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats,
+            })
+
+    return df.mapInPandas(feat_batches, FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: emits (media_id, frame_idx) rows for
+    the sampled frames — the row-expansion shape of a real frame sampler;
+    actual frame decode is behind the decode seam above."""
+    def frames(batches):
+        for pdf in batches:
+            out_ids, out_idx = [], []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "video":
+                    continue
+                # deterministic pseudo frame count from payload size
+                n_frames = max(1, len(bytes(p)) % 97)
+                for fi in range(0, n_frames, every_n):
+                    out_ids.append(mid)
+                    out_idx.append(fi)
+            yield pd.DataFrame({"media_id": out_ids, "frame_idx": out_idx})
+
+    return df.mapInPandas(frames, "media_id long, frame_idx int")

@@ -1,0 +1,63 @@
+"""Structured Streaming front-end (SURVEY.md §2.5 R17).
+
+The reference is request/response, not a stream, and the CC snapshot input
+is a static table — so batch is the primary mode.  This module is the
+documented drop-in for a WARC-firehose scenario: the SAME extraction UDF
+and bucket/salt expressions run under ``readStream``, with
+watermark-bounded keep-one-per-url dedup and checkpointed exactly-once
+file sink.  Nothing here forks the extraction semantics — it reuses
+cc_extract.job's UDF verbatim, so stream output hashes equal batch output
+hashes (tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .corpusgen import CORPUS_SCHEMA
+from .job import DEFAULT_BUCKETS, make_extract_udf, with_bucket
+
+
+def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of the documents table (one parquet dir; each
+    new file is a micro-batch of crawled pages)."""
+    return (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def extract_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    watermark: str = "1 day",
+):
+    """streaming scan -> dedup-within-watermark -> vectorized extraction
+    -> checkpointed parquet sink.  Returns the StreamingQuery.
+
+    Dedup semantics vs batch: the batch job keeps the NEWEST crawl per
+    url globally; a stream can only keep the FIRST within the watermark
+    (late duplicates beyond the watermark are dropped by definition).
+    That difference is inherent to streaming and documented here.
+    """
+    docs = stream_documents(spark, input_dir)
+    docs = docs.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
+    df = with_bucket(docs.select("url", "warc_ts", "html"), n_buckets)
+    extract_udf = make_extract_udf()
+    res = df.withColumn("r", extract_udf("html", "url")).select(
+        "url", "warc_ts", "bucket", "r.*"
+    )
+    res = res.withColumn(
+        "text_sha256", F.sha2(F.encode(F.col("text_out"), "UTF-8"), 256)
+    )
+    return (
+        res.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

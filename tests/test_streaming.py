@@ -1,0 +1,51 @@
+"""Streaming front-end test: the SAME extraction UDF under readStream must
+produce byte-identical per-url text hashes to the batch pipeline."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cc_extract import streaming
+from cc_extract.corpusgen import corpus_df
+from cc_extract.job import pipeline_df
+
+
+def test_stream_matches_batch_hashes(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus_df(spark, 400, partitions=4).write.parquet(input_dir)
+
+    q = streaming.extract_stream(spark, input_dir, out_dir, ckpt, n_buckets=8)
+    q.awaitTermination(240)
+    assert not q.isActive
+
+    stream_out = spark.read.parquet(out_dir).select("url", "text_sha256", "status")
+    batch_out = (
+        pipeline_df(spark.read.parquet(input_dir), n_buckets=8)
+        .select("url", "text_sha256", "status")
+    )
+    s = {(r["url"], r["text_sha256"], r["status"]) for r in stream_out.collect()}
+    b = {(r["url"], r["text_sha256"], r["status"]) for r in batch_out.collect()}
+
+    # same url set; stream keeps FIRST-within-watermark while batch keeps
+    # NEWEST, so compare on the non-duplicated urls (98% of the corpus)
+    # and require the dup urls to at least be present
+    assert {u for u, _, _ in s} == {u for u, _, _ in b}
+    dup_urls = {u for u, _, _ in b} - {u for u, h, st in b if (u, h, st) in s}
+    # every differing url must be a genuine duplicate-crawl url
+    docs = spark.read.parquet(input_dir)
+    counts = {r["url"]: r["n"] for r in
+              docs.groupBy("url").agg(F.count("*").alias("n")).collect()}
+    for u in dup_urls:
+        assert counts[u] > 1, f"stream/batch mismatch on non-dup url {u}"
+
+    # checkpointed resume: rerunning with availableNow and no new files
+    # must be a no-op (exactly-once sink)
+    n_before = spark.read.parquet(out_dir).count()
+    q2 = streaming.extract_stream(spark, input_dir, out_dir, ckpt, n_buckets=8)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n_before
