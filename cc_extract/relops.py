@@ -132,7 +132,6 @@ def latest_event_per_user(spark, sf_dir: str) -> DataFrame:
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", F.round("value", 4).alias("value"))
-        .orderBy("user_id")
     )
 
 

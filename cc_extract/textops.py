@@ -62,7 +62,7 @@ def token_stats(spark, sf_dir: str) -> DataFrame:
         F.size("tokens").alias("n_tokens"),
         F.size(F.array_distinct("tokens")).alias("n_uniq_tokens"),
         F.length("text").alias("n_chars_actual"),
-    ).orderBy("doc_id")
+    )  # no orderBy: a global sort of per-doc rows is pure cost at scale
 
 
 # --------------------------------------------------------- quality score
@@ -92,7 +92,7 @@ def quality_scores(spark, sf_dir: str) -> DataFrame:
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(mean_tok_len, 4).alias("mean_token_len"),
         F.round(score, 4).alias("quality_score"),
-    ).orderBy("doc_id")
+    )
 
 
 # ------------------------------------------------------------ language id
@@ -133,33 +133,33 @@ def exact_dedup(spark, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("canonical_doc_id"),
         F.count("*").alias("dup_count"),
     )
-    return g.select("text_md5", "canonical_doc_id", "dup_count").orderBy(
-        "canonical_doc_id"
-    )
+    return g.select("text_md5", "canonical_doc_id", "dup_count")
 
 
 # --------------------------------------------------------------- shingles
 
 def shingles_df(df: DataFrame) -> DataFrame:
-    """doc_id -> distinct 3-token shingles (exploded)."""
+    """doc_id -> distinct 3-token shingles (exploded).
+
+    Dedup happens per-doc with ``array_distinct`` BEFORE the explode — a
+    narrow map-side operation — instead of a global ``.distinct()`` after,
+    which would add a full (doc_id, shingle) shuffle ahead of every
+    downstream aggregation.  Semantics identical (shingle sets are
+    per-document); one shuffle saved on every MinHash/Jaccard/fingerprint
+    query at any scale."""
     toks = (
         with_tokens(df)
         .select("doc_id", "tokens")
         .filter(F.size("tokens") >= SHINGLE_N)
     )
     idx = F.sequence(F.lit(0), F.size("tokens") - SHINGLE_N)
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", F.slice("tokens", i + 1, SHINGLE_N)
-                ),
-            )
-        ).alias("shingle"),
+    shingle_arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, SHINGLE_N)),
+        )
     )
-    return sh.distinct()
+    return toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
 
 
 # ---------------------------------------------------------- minhash + lsh
@@ -180,7 +180,7 @@ def minhash_signatures(spark, sf_dir: str) -> DataFrame:
         ).alias(f"h{i}")
         for i in range(MINHASH_K)
     ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(spark, sf_dir: str) -> DataFrame:
@@ -211,7 +211,7 @@ def lsh_candidate_pairs(spark, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return pairs.orderBy("doc_a", "doc_b")
+    return pairs
 
 
 # ---------------------------------------------------------------- simhash
@@ -239,7 +239,7 @@ def simhash(spark, sf_dir: str) -> DataFrame:
             for b in range(SIMHASH_BITS)
         ).cast("long").alias("simhash"),
     )
-    return packed.orderBy("doc_id")
+    return packed
 
 
 # --------------------------------------------------------- ngram jaccard
@@ -271,7 +271,7 @@ def ngram_jaccard_pairs(spark, sf_dir: str, threshold: float = 0.03) -> DataFram
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return j.select("doc_a", "doc_b", "inter", "jaccard").orderBy("doc_a", "doc_b")
+    return j.select("doc_a", "doc_b", "inter", "jaccard")
 
 
 # ------------------------------------------------------------ fingerprint
@@ -287,5 +287,4 @@ def fingerprints(spark, sf_dir: str) -> DataFrame:
             F.max(F.md5("shingle")).alias("fp_max"),
             F.count("*").alias("n_shingles"),
         )
-        .orderBy("doc_id")
     )
