@@ -41,7 +41,7 @@ _EPOCH = datetime(2025, 1, 1)
 
 # format mix (FIXTURES.md §1) as cumulative thresholds
 _FMT_MIX = [
-    ("html", 0.55), ("pdf", 0.15), ("txt", 0.10), ("docx", 0.05),
+    ("html", 0.55), ("pdf", 0.15), ("txt", 0.08), ("doc", 0.02), ("docx", 0.05),
     ("rtf", 0.04), ("odt", 0.03), ("xlsx", 0.02), ("pptx", 0.02),
     ("xml", 0.01), ("json", 0.01), ("eml", 0.01), ("csv", 0.005),
     ("image", 0.003), ("corrupt", 0.002),
@@ -315,6 +315,119 @@ def _gen_odt(rng: random.Random) -> bytes:
     ])
 
 
+# ------------------------------------------------------------ legacy .doc
+
+def _cfb_container(streams: list[tuple[str, bytes]]) -> bytes:
+    """Minimal valid [MS-CFB] file, 512-byte sectors, no mini stream
+    (streams padded past the 4096-byte cutoff)."""
+    import struct
+
+    SS = 512
+    ENDOFCHAIN, FREESECT, FATSECT, NOSTREAM = 0xFFFFFFFE, 0xFFFFFFFF, 0xFFFFFFFD, 0xFFFFFFFF
+
+    padded = []
+    for name, data in streams:
+        data = data + b"\x00" * max(0, 4096 - len(data))
+        data += b"\x00" * ((-len(data)) % SS)
+        padded.append((name, data))
+
+    sectors: list[bytes] = []
+    dir_sector_idx = 0
+    sectors.append(b"")  # placeholder for directory
+    starts = []
+    for _, data in padded:
+        starts.append(len(sectors))
+        for off in range(0, len(data), SS):
+            sectors.append(data[off : off + SS])
+    fat_idx = len(sectors)
+
+    fat = [FREESECT] * (SS // 4)
+    fat[dir_sector_idx] = ENDOFCHAIN
+    for (name, data), start in zip(padded, starts):
+        n = len(data) // SS
+        for i in range(n - 1):
+            fat[start + i] = start + i + 1
+        fat[start + n - 1] = ENDOFCHAIN
+    fat[fat_idx] = FATSECT
+    sectors.append(struct.pack(f"<{SS // 4}I", *fat))
+
+    def dir_entry(name: str, etype: int, start: int, size: int,
+                  left=NOSTREAM, right=NOSTREAM, child=NOSTREAM) -> bytes:
+        raw_name = name.encode("utf-16-le") + b"\x00\x00"
+        e = bytearray(128)
+        e[0 : len(raw_name)] = raw_name
+        struct.pack_into("<H", e, 64, len(raw_name))
+        e[66] = etype
+        e[67] = 1  # black
+        struct.pack_into("<III", e, 68, left, right, child)
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<Q", e, 120, size)
+        return bytes(e)
+
+    dirs = dir_entry("Root Entry", 5, ENDOFCHAIN, 0, child=1)
+    dirs += dir_entry(padded[0][0], 2, starts[0], len(padded[0][1]), right=2)
+    dirs += dir_entry(padded[1][0], 2, starts[1], len(padded[1][1]))
+    dirs += dir_entry("", 0, 0, 0)  # unused slot -> skipped by readers
+    sectors[dir_sector_idx] = dirs.ljust(SS, b"\x00")
+
+    header = bytearray(512)
+    header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    import struct as _s
+    _s.pack_into("<H", header, 26, 0x003E)   # minor version
+    _s.pack_into("<H", header, 28, 0x0003)   # major version 3 (512-byte)
+    _s.pack_into("<H", header, 30, 9)        # sector shift
+    _s.pack_into("<H", header, 32, 6)        # mini sector shift
+    _s.pack_into("<H", header, 24, 0xFFFE)   # byte order
+    _s.pack_into("<I", header, 44, 1)        # number of FAT sectors
+    _s.pack_into("<I", header, 48, dir_sector_idx)
+    _s.pack_into("<I", header, 56, 4096)     # mini stream cutoff
+    _s.pack_into("<I", header, 60, ENDOFCHAIN)  # first miniFAT sector
+    _s.pack_into("<I", header, 64, 0)        # miniFAT count
+    _s.pack_into("<I", header, 68, ENDOFCHAIN)  # first DIFAT sector
+    _s.pack_into("<I", header, 72, 0)        # DIFAT sector count
+    difat = [fat_idx] + [FREESECT] * 108
+    _s.pack_into("<109I", header, 76, *difat)
+    return bytes(header) + b"".join(sectors)
+
+
+def _gen_doc(rng: random.Random) -> bytes:
+    """Spec-correct minimal Word 97 binary: FIB + piece table (one cp1252
+    piece + one UTF-16 piece) so the reader exercises both encodings."""
+    import struct
+
+    text1 = _sentences(rng, rng.randint(2, 6)).encode("ascii", "replace").decode()
+    text2 = _sentences(rng, rng.randint(1, 4)) + " café résumé"
+    part1 = (text1 + "\r").encode("cp1252")
+    part2 = text2.encode("utf-16-le")
+
+    TEXT1_OFF = 0x0800
+    text2_off = TEXT1_OFF + len(part1)
+    if text2_off % 2:  # utf-16 piece must be 2-byte aligned
+        part1 += b" "
+        text2_off += 1
+
+    word = bytearray(text2_off + len(part2))
+    struct.pack_into("<H", word, 0, 0xA5EC)        # wIdent
+    struct.pack_into("<H", word, 2, 0x00C1)        # nFib (Word 97)
+    struct.pack_into("<H", word, 10, 0x0200)       # fWhichTblStm -> 1Table
+    struct.pack_into("<I", word, 24, TEXT1_OFF)    # fcMin (legacy fallback)
+    struct.pack_into("<I", word, 28, text2_off)    # fcMac
+    word[TEXT1_OFF : TEXT1_OFF + len(part1)] = part1
+    word[text2_off : text2_off + len(part2)] = part2
+
+    n1 = len(part1)
+    n2 = len(part2) // 2
+    cps = [0, n1, n1 + n2]
+    pcd1 = struct.pack("<HIH", 0, (TEXT1_OFF * 2) | 0x40000000, 0)  # compressed
+    pcd2 = struct.pack("<HIH", 0, text2_off, 0)                     # unicode
+    plcpcd = struct.pack("<3I", *cps) + pcd1 + pcd2
+    clx = b"\x02" + struct.pack("<I", len(plcpcd)) + plcpcd
+    struct.pack_into("<I", word, 0x01A2, 0)          # fcClx (offset in 1Table)
+    struct.pack_into("<I", word, 0x01A6, len(clx))   # lcbClx
+
+    return _cfb_container([("WordDocument", bytes(word)), ("1Table", clx)])
+
+
 # ------------------------------------------------------------- the rest
 
 def _gen_rtf(rng: random.Random) -> bytes:
@@ -416,13 +529,14 @@ def _gen_corrupt(rng: random.Random) -> bytes:
 
 
 _GENERATORS = {
-    "html": _gen_html, "pdf": _gen_pdf, "txt": _gen_txt, "docx": _gen_docx,
+    "html": _gen_html, "pdf": _gen_pdf, "txt": _gen_txt, "doc": _gen_doc,
+    "docx": _gen_docx,
     "rtf": _gen_rtf, "odt": _gen_odt, "xlsx": _gen_xlsx, "pptx": _gen_pptx,
     "xml": _gen_xml, "json": _gen_json, "eml": _gen_eml, "csv": _gen_csv,
     "image": _gen_image, "corrupt": _gen_corrupt,
 }
 
-_EXT = {"html": "html", "pdf": "pdf", "txt": "txt", "docx": "docx",
+_EXT = {"html": "html", "pdf": "pdf", "txt": "txt", "doc": "doc", "docx": "docx",
         "rtf": "rtf", "odt": "odt", "xlsx": "xlsx", "pptx": "pptx",
         "xml": "xml", "json": "json", "eml": "eml", "csv": "csv",
         "image": "png", "corrupt": "bin"}

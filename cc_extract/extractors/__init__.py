@@ -16,6 +16,7 @@ the Lambda result JSON [R: functions/simple/main.py ⚠].
 from __future__ import annotations
 
 from ..sniff import sniff_format
+from .doc import extract_doc
 from .html import extract_html
 from .normalize import normalize_text
 from .odt import extract_odt
@@ -34,7 +35,7 @@ __all__ = [
     "EXTRACTORS",
     "extract_document",
     "extract_html", "extract_pdf", "extract_docx", "extract_pptx",
-    "extract_xlsx", "extract_odt", "extract_rtf", "extract_txt",
+    "extract_xlsx", "extract_odt", "extract_rtf", "extract_txt", "extract_doc",
     "extract_csv", "extract_xml", "extract_json", "extract_eml",
     "normalize_text",
 ]
@@ -43,6 +44,7 @@ __all__ = [
 EXTRACTORS = {
     "html": extract_html,
     "pdf": extract_pdf,
+    "doc": extract_doc,
     "docx": extract_docx,
     "pptx": extract_pptx,
     "xlsx": extract_xlsx,
@@ -71,7 +73,8 @@ def extract_document(payload: bytes | None, url: str | None = None) -> dict:
     - images        -> needs_ocr quarantine (reference's ocr Lambda,
                        modeled not executed [R: functions/ocr/main.py ⚠])
     - pdf w/ empty text layer -> needs_ocr (D3)
-    - legacy .doc   -> unsupported_legacy (X8 gap, SURVEY.md §7)
+    - legacy .doc   -> real CFB + Word97 piece-table extraction (doc.py);
+                       non-Word OLE files (.xls/.ppt) land in status=error
     - unknown fmt   -> unsupported
     - extractor exception -> error (message truncated to 200 chars)
     """
@@ -82,9 +85,6 @@ def extract_document(payload: bytes | None, url: str | None = None) -> dict:
     fmt = sniff_format(payload, url)
     if fmt == "image":
         return {"fmt": fmt, "status": STATUS_NEEDS_OCR, "text": "", "error": ""}
-    if fmt == "doc":
-        return {"fmt": fmt, "status": STATUS_UNSUPPORTED_LEGACY,
-                "text": "", "error": "legacy OLE .doc not supported"}
     fn = EXTRACTORS.get(fmt)
     if fn is None:
         return {"fmt": fmt, "status": STATUS_UNSUPPORTED,

@@ -268,3 +268,32 @@ def test_dispatch_deterministic():
 def test_empty_payload():
     assert extract_document(b"")["status"] == "error"
     assert extract_document(None)["status"] == "error"
+
+
+# ------------------------------------------------------------ legacy .doc
+
+def test_doc_roundtrip_both_encodings():
+    from cc_extract.corpusgen import _gen_doc
+    from cc_extract.extractors.doc import extract_doc
+    rng = random.Random(11)
+    payload = _gen_doc(rng)
+    out = extract_doc(payload)
+    assert "café résumé" in out          # UTF-16 piece decoded
+    assert len(out.split("\n")) >= 2     # paragraph mark -> newline
+
+
+def test_doc_truncated_is_error_row():
+    from cc_extract.corpusgen import _gen_doc
+    rng = random.Random(12)
+    payload = _gen_doc(rng)[:700]  # header + partial directory only
+    res = extract_document(payload)
+    assert res["fmt"] == "doc" and res["status"] == "error"
+
+
+def test_doc_non_word_ole_is_error_row():
+    # valid CFB magic but no WordDocument stream
+    from cc_extract.corpusgen import _cfb_container
+    payload = _cfb_container([("Workbook", b"\x00" * 64), ("Extra", b"\x01" * 64)])
+    res = extract_document(payload)
+    assert res["fmt"] == "doc" and res["status"] == "error"
+    assert "WordDocument" in res["error"]
