@@ -555,6 +555,11 @@ def gen_doc(i: int, seed: int = SEED) -> list[dict]:
     domain = _DOMAINS[0] if d < 0.2 else _DOMAINS[1 + int(d * 49) % 49]
     url = f"https://{domain}/doc{i:08d}.{_EXT[fmt]}"
     payload = _GENERATORS[fmt](rng)
+    # ~5% of text-ish payloads are stored gzip-transfer-encoded, as real
+    # CC-style stores do; the dispatcher must unwrap and re-sniff
+    if fmt in ("html", "txt", "xml", "json", "csv") and rng.random() < 0.05:
+        import gzip as _gzip
+        payload = _gzip.compress(payload, compresslevel=6, mtime=0)
     ts = _EPOCH + timedelta(seconds=rng.randrange(365 * 24 * 3600))
     lang = rng.choices(["en", "de", "fr", "und"], weights=[80, 7, 7, 6])[0]
     stale = ""

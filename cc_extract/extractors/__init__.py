@@ -83,6 +83,21 @@ def extract_document(payload: bytes | None, url: str | None = None) -> dict:
                 "text": "", "error": "empty payload"}
     payload = bytes(payload)
     fmt = sniff_format(payload, url)
+    if fmt == "gzip":
+        # CC stores often hold transfer-encoded bodies; unwrap and
+        # re-dispatch on the inner content (depth 1 — nested gzip is
+        # treated as a corrupt payload)
+        import gzip as _gzip
+        try:
+            inner = _gzip.decompress(payload)
+        except (OSError, EOFError) as e:
+            return {"fmt": "gzip", "status": STATUS_ERROR, "text": "",
+                    "error": repr(e)[:200]}
+        fmt = sniff_format(inner, url)
+        if fmt == "gzip":
+            return {"fmt": "gzip", "status": STATUS_ERROR, "text": "",
+                    "error": "nested gzip"}
+        payload = inner
     if fmt == "image":
         return {"fmt": fmt, "status": STATUS_NEEDS_OCR, "text": "", "error": ""}
     fn = EXTRACTORS.get(fmt)

@@ -63,6 +63,8 @@ def sniff_format(payload: bytes, url: str | None = None) -> str:
     if not payload:
         return "unknown"
     head = payload[:4096]
+    if head.startswith(b"\x1f\x8b"):
+        return "gzip"  # transport encoding: dispatcher decompresses + re-sniffs
     if head.startswith(b"%PDF"):
         return "pdf"
     if head.startswith(b"PK\x03\x04"):

@@ -297,3 +297,22 @@ def test_doc_non_word_ole_is_error_row():
     res = extract_document(payload)
     assert res["fmt"] == "doc" and res["status"] == "error"
     assert "WordDocument" in res["error"]
+
+
+# ------------------------------------------------------------------ gzip
+
+def test_gzip_transport_encoding_unwrapped():
+    import gzip
+    html = (b"<html><body><p>A long enough paragraph of plain visible "
+            b"content to keep after density filters.</p></body></html>")
+    wrapped = extract_document(gzip.compress(html, mtime=0))
+    plain = extract_document(html)
+    assert wrapped["fmt"] == "html" and wrapped["status"] == "ok"
+    assert wrapped["text"] == plain["text"]
+
+
+def test_gzip_corrupt_and_nested_are_error_rows():
+    import gzip
+    assert extract_document(b"\x1f\x8b\x08\x00junk")["status"] == "error"
+    nested = extract_document(gzip.compress(gzip.compress(b"x")))
+    assert nested["status"] == "error" and "nested" in nested["error"]
