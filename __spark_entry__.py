@@ -171,11 +171,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": textops.simhash,
         "doc_ngram_jaccard": textops.ngram_jaccard_pairs,
         "doc_fingerprints": textops.fingerprints,
+        "doc_bpe_token_stats": textops.bpe_token_stats,
         # similarity search (embeddings table)
         "emb_knn_bruteforce": embedops.knn_bruteforce,
         "emb_lsh_buckets": embedops.lsh_buckets,
         "emb_lsh_ann": embedops.lsh_ann,
         "emb_ivf_ann": embedops.ivf_ann,
+        "emb_cosine_near_dup": embedops.cosine_near_dup_pairs,
         # extraction pipeline (rows-only; byte-identity via pytest golden)
         "cc_extract_stats": _cc_extract_stats,
         "cc_needs_ocr": _cc_needs_ocr,
@@ -406,6 +408,19 @@ SELECT lang,
 FROM v GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+    sql["doc_bpe_token_stats"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_bpe_tokens,
+       len(list_filter(toks, tk -> regexp_matches(tk, '^[a-zA-Z]+$'))) AS n_alpha,
+       len(list_filter(toks, tk -> regexp_matches(tk, '^[0-9]+$'))) AS n_digit,
+       len(toks) - len(list_filter(toks, tk -> regexp_matches(tk, '^[a-zA-Z0-9]+$'))) AS n_punct
+FROM t
+"""
+
     sql["doc_exact_dedup"] = """
 SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id, count(*) AS dup_count
 FROM documents GROUP BY md5(text) ORDER BY canonical_doc_id
@@ -485,6 +500,17 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
         f"(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), "
         f"CAST(embedding AS DOUBLE[]))) * {qnorm}), 5)"
     )
+
+    sql["emb_cosine_near_dup"] = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 5) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 5) >= 0.4
+"""
 
     sql["emb_knn_bruteforce"] = f"""
 SELECT vec_id, label, {cos_expr} AS cos_sim

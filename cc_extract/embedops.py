@@ -165,3 +165,32 @@ def ivf_ann(spark, sf_dir: str, query_id: int = 0, k: int = DEFAULT_K) -> DataFr
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def cosine_near_dup_pairs(spark, sf_dir: str, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: exact all-pairs baseline.
+
+    O(n^2) by construction — this is the ground-truth oracle for the
+    LSH/IVF paths above, exactly like ngram_jaccard_pairs is for
+    MinHash-LSH; at 10^12 vectors you run it only within LSH buckets /
+    IVF cells, never globally."""
+    emb = load_embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pair = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = F.round(
+        _dot(F.col("a.e"), F.col("b.e"))
+        / (F.sqrt(_dot(F.col("a.e"), F.col("a.e")))
+           * F.sqrt(_dot(F.col("b.e"), F.col("b.e")))),
+        5,
+    )
+    return (
+        pair.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

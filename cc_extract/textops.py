@@ -288,3 +288,25 @@ def fingerprints(spark, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_shingles"),
         )
     )
+
+
+# -------------------------------------------------------- BPE-ish tokens
+
+BPE_RX = "[a-zA-Z]+|[0-9]+|[^\\sa-zA-Z0-9]"
+
+
+def bpe_token_stats(spark, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer-style counting: alpha runs, digit runs, and single
+    punctuation marks as separate tokens (the shape BPE pre-tokenizers
+    feed), vs the plain whitespace/alnum tokens of token_stats."""
+    df = load_documents(spark, sf_dir)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_RX), 0)
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-zA-Z]+$"))).alias("n_alpha"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).alias("n_digit"),
+        (F.size(toks)
+         - F.size(F.filter(toks, lambda t: t.rlike("^[a-zA-Z0-9]+$")))
+         ).alias("n_punct"),
+    )
