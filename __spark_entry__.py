@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": textops.ngram_jaccard_pairs,
         "doc_fingerprints": textops.fingerprints,
         "doc_bpe_token_stats": textops.bpe_token_stats,
+        "doc_lsh_verified_near_dups": textops.lsh_verified_near_dups,
         # similarity search (embeddings table)
         "emb_knn_bruteforce": embedops.knn_bruteforce,
         "emb_lsh_buckets": embedops.lsh_buckets,
@@ -450,6 +451,31 @@ ORDER BY doc_a, doc_b
         f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)"
         for b in range(textops.SIMHASH_BITS)
     )
+    sql["doc_lsh_verified_near_dups"] = f"""
+WITH {_sh_cte()},
+sig AS ({_minhash_select()}),
+bands AS ({_lsh_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.inter / (za.n_sh + zb.n_sh - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE round(i.inter / (za.n_sh + zb.n_sh - i.inter), 6) >= 0.5
+"""
+
     sql["doc_simhash"] = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOKENS}) AS t FROM documents

@@ -310,3 +310,40 @@ def bpe_token_stats(spark, sf_dir: str) -> DataFrame:
          - F.size(F.filter(toks, lambda t: t.rlike("^[a-zA-Z0-9]+$")))
          ).alias("n_punct"),
     )
+
+
+def lsh_verified_near_dups(spark, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """The production near-dup recipe composed end-to-end: MinHash-LSH
+    candidate generation (cheap, signature-sized shuffle) -> exact Jaccard
+    verification computed ONLY on the candidate pairs.
+
+    At 10^12 docs this is the whole point of LSH: the exact shingle
+    intersection runs on the ~0.01% of pairs that share a band, not on
+    n^2.  Candidates is small, so the shingle join against it broadcasts."""
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    sh = shingles_df(load_documents(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("sa")
+        .join(F.broadcast(cand), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+    )
+    return j.select("doc_a", "doc_b", "jaccard").filter(
+        F.col("jaccard") >= threshold
+    )
