@@ -205,3 +205,20 @@ def test_pruned_scan_on_parquet_input(spark, tmp_path):
     assert m, plan
     assert "html" in m.group(1)
     assert "lang" not in m.group(1), m.group(1)
+
+
+def test_shuffle_policies_byte_identical(spark):
+    """giants-only and full-shuffle are execution layouts, not semantics:
+    identical (url, sha, status) sets required."""
+    docs = corpus_df(spark, 600, partitions=4)
+    a = {
+        (r["url"], r["text_sha256"], r["status"])
+        for r in J.pipeline_df(docs, n_buckets=8, shuffle_policy="giants-only")
+        .select("url", "text_sha256", "status").collect()
+    }
+    b = {
+        (r["url"], r["text_sha256"], r["status"])
+        for r in J.pipeline_df(docs, n_buckets=8, shuffle_policy="full")
+        .select("url", "text_sha256", "status").collect()
+    }
+    assert a == b and len(a) == 600
