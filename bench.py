@@ -77,9 +77,17 @@ def main() -> None:
     timings["cc_extract_e2e"] = round(ext_sec, 3)
 
     def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn(spark, SF_DIR).collect()
-        timings[name] = round(time.time() - t0, 3)
+        # Same protocol as bench_extract: one untimed warm-up (codegen,
+        # shuffle-file page cache, Python worker reuse), then min of 2
+        # timed runs — round-1 recorded a 48 s number for a query whose
+        # warm truth is ~3 s purely from first-run effects + host weather.
+        def once() -> float:
+            t0 = time.time()
+            fn(spark, SF_DIR).collect()
+            return time.time() - t0
+
+        once()  # warm-up (untimed)
+        timings[name] = round(min(once() for _ in range(2)), 3)
 
     timed("q1_pricing_summary", relops.q1_pricing_summary)
     timed("q3_shipping_priority", relops.q3_shipping_priority)

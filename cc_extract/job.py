@@ -58,7 +58,11 @@ DEFAULT_BUCKETS = 64
 DEFAULT_SALT = 8
 DEFAULT_SALT_THRESHOLD = 1 << 20  # 1 MiB (SURVEY.md §4.3)
 
-EXTRACT_RESULT_SCHEMA = "fmt string, text_out string, status string, error string"
+EXTRACT_RESULT_SCHEMA = (
+    "fmt string, text_out string, status string, error string, extract_ms double"
+)
+
+OK_STATUSES = ("ok", "ok_ocr")  # ok_ocr = executed OCR-lite route (X14)
 
 
 def make_extract_udf():
@@ -74,6 +78,8 @@ def make_extract_udf():
 
     @F.pandas_udf(EXTRACT_RESULT_SCHEMA)
     def extract_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+        from time import perf_counter
+
         from cc_extract.extractors import extract_document
 
         n = len(html)
@@ -81,14 +87,18 @@ def make_extract_udf():
         texts = [None] * n
         statuses = [None] * n
         errors = [None] * n
+        ms = [0.0] * n
         for i, (payload, u) in enumerate(zip(html, url)):
+            t0 = perf_counter()
             r = extract_document(payload, u)
+            ms[i] = (perf_counter() - t0) * 1000.0
             fmts[i] = r["fmt"]
             texts[i] = r["text"]
             statuses[i] = r["status"]
             errors[i] = r["error"]
         return pd.DataFrame(
-            {"fmt": fmts, "text_out": texts, "status": statuses, "error": errors}
+            {"fmt": fmts, "text_out": texts, "status": statuses,
+             "error": errors, "extract_ms": ms}
         )
 
     return extract_udf
@@ -141,7 +151,12 @@ def pipeline_df(
         # R6 resume: driver-side static predicate, never a join (§4.2)
         df = df.filter(~F.col("bucket").isin([int(b) for b in skip_buckets]))
 
-    df = df.withColumn("n_bytes_in", F.length("html"))
+    # NULL payloads coalesce to size 0 so they land in the small branch of
+    # EITHER shuffle policy and surface as status='error' rows — a NULL
+    # n_bytes_in would fail both the <= and > giant filters and the row
+    # would silently vanish, violating the "poison doc -> error row, never
+    # disappears" contract.
+    df = df.withColumn("n_bytes_in", F.coalesce(F.length("html"), F.lit(0)))
 
     extract_udf = make_extract_udf()
 
@@ -209,6 +224,21 @@ def run(
     Returns job stats.  Rerun semantics: completed buckets are skipped via
     a static filter; incomplete buckets are dynamically overwritten —
     rerun of a killed job converges to the identical table (M2).
+
+    Resume safety (M4): manifests carry (job_id, snapshot_id).  A resumed
+    run REFUSES manifests written under a different config hash (a changed
+    n_buckets means completed bucket ids were computed under a different
+    modulus — silently mixing them duplicates/drops documents) or a
+    different input snapshot (completed buckets would hold stale data).
+    ``resume=False`` means a fresh run: prior output/manifests/metrics for
+    this out_dir are removed first, so stale partition directories from an
+    earlier layout can never linger beside new ones.
+
+    Incremental accounting: stats and the metrics table are computed ONLY
+    over the buckets written by THIS run (partition-pruned scan of the new
+    ``bucket=`` directories; metrics dynamically overwrite only those
+    partitions).  At 10^12 docs a resumed run must not rescan or rewrite
+    long-completed buckets.
     """
     t0 = time.time()
     config = {
@@ -216,12 +246,31 @@ def run(
         "salt_threshold": salt_threshold, "dedup": dedup,
     }
     jid = mf.job_id(config)
+    snap = mf.input_snapshot_id(docs)
 
-    done = mf.completed_buckets(out_dir) if resume else {}
+    if not resume:
+        import shutil
+        for sub in ("extracted", "metrics", mf.MANIFEST_DIR):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        done: dict[int, dict] = {}
+    else:
+        done = mf.completed_buckets(out_dir)
+        stale = {
+            b: r for b, r in done.items()
+            if r.get("job_id") != jid or r.get("snapshot_id", snap) != snap
+        }
+        if stale:
+            b, r = next(iter(stale.items()))
+            raise ValueError(
+                f"out_dir {out_dir!r} holds manifests from a different "
+                f"job/input (bucket {b}: job_id={r.get('job_id')} "
+                f"snapshot={r.get('snapshot_id')}; current job_id={jid} "
+                f"snapshot={snap}). Use a fresh out_dir or resume=False."
+            )
     skip = sorted(done)
     if len(skip) >= n_buckets:
-        return {"job_id": jid, "skipped": True, "buckets_done": len(skip),
-                "wall_ms": 0, "n_docs": 0}
+        return {"job_id": jid, "snapshot_id": snap, "skipped": True,
+                "buckets_done": len(skip), "wall_ms": 0, "n_docs": 0}
 
     res = pipeline_df(
         docs, n_buckets=n_buckets, salt=salt, salt_threshold=salt_threshold,
@@ -231,42 +280,59 @@ def run(
     final = res.repartition(n_buckets, "bucket")
     write_partitioned(final, os.path.join(out_dir, "extracted"), "bucket")
 
-    # M1/M3: per-bucket stats from the committed output — a column-pruned
-    # metadata-cheap rescan (bucket/status/n_bytes_in only, never text)
+    # M1/M3: per-bucket stats over ONLY the buckets this run wrote — the
+    # static ~isin predicate prunes completed bucket= directories at the
+    # scan, and the projection never touches text
     out = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    fresh = out.filter(~F.col("bucket").isin(skip)) if skip else out
+    ok_cond = F.col("status").isin(*OK_STATUSES)
     stats = (
-        out.groupBy("bucket")
+        fresh.groupBy("bucket")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
-            F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("n_fail"),
+            F.sum(ok_cond.cast("int")).alias("n_ok"),
+            F.sum((F.col("status") == "error").cast("int")).alias("n_fail"),
             F.sum("n_bytes_in").alias("bytes_in"),
+            F.sum("extract_ms").alias("extract_ms"),
         )
         .collect()
     )
     wall_ms = int((time.time() - t0) * 1000)
-    new_buckets = 0
+    seen = set()
     for row in stats:
-        if int(row["bucket"]) in done:
-            continue
+        seen.add(int(row["bucket"]))
         mf.write_bucket_manifest(out_dir, {
             "bucket": int(row["bucket"]), "n_docs": row["n_docs"],
             "n_ok": row["n_ok"], "n_fail": row["n_fail"],
             "bytes_in": int(row["bytes_in"] or 0),
-            "wall_ms": wall_ms, "job_id": jid,
+            # per-bucket cost is the summed in-UDF extraction time (real,
+            # measured per row); wall_ms stays job-level and says so
+            "extract_ms": round(float(row["extract_ms"] or 0.0), 3),
+            "wall_ms": wall_ms, "job_id": jid, "snapshot_id": snap,
         })
-        new_buckets += 1
+    # buckets this run was responsible for but that hold zero documents
+    # still complete (else every rerun re-pays their scan)
+    for b in range(n_buckets):
+        if b not in seen and b not in done:
+            mf.write_bucket_manifest(out_dir, {
+                "bucket": b, "n_docs": 0, "n_ok": 0, "n_fail": 0,
+                "bytes_in": 0, "extract_ms": 0.0, "wall_ms": wall_ms,
+                "job_id": jid, "snapshot_id": snap,
+            })
+    new_buckets = n_buckets - len(skip)
 
-    # M3 failure metrics table: per-(bucket, fmt, status) counters
-    metrics = out.groupBy("bucket", "fmt", "status").agg(
+    # M3 failure metrics: per-(bucket, fmt, status) counters for the new
+    # buckets only; dynamic partition overwrite leaves completed buckets'
+    # metric files byte-untouched
+    metrics = fresh.groupBy("bucket", "fmt", "status").agg(
         F.count("*").alias("n"), F.sum("n_bytes_in").alias("bytes_in")
     )
-    metrics.write.mode("overwrite").parquet(os.path.join(out_dir, "metrics"))
+    write_partitioned(metrics, os.path.join(out_dir, "metrics"), "bucket")
 
     total = sum(r["n_docs"] for r in stats)
     return {
-        "job_id": jid, "skipped": False, "wall_ms": wall_ms,
-        "n_docs": int(total), "buckets_new": new_buckets,
+        "job_id": jid, "snapshot_id": snap, "skipped": False,
+        "wall_ms": wall_ms, "n_docs": int(total), "buckets_new": new_buckets,
         "buckets_done": len(skip) + new_buckets,
     }
 

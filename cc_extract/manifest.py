@@ -35,6 +35,32 @@ def job_id(config: dict) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+def input_snapshot_id(docs) -> str:
+    """M4 input lineage: identity of the input table *version* the job
+    read, so every output row traces to (job_id, snapshot_id, bucket).
+
+    File-based inputs (the production shape): hash of the sorted file
+    listing plus per-file sizes — the emulation of an Iceberg snapshot id
+    (on real Iceberg this is ``table.currentSnapshot().snapshotId()``; the
+    file listing IS what that snapshot pins).  Non-file inputs (inline
+    DataFrames, the synthetic generator) get a schema-derived id prefixed
+    ``inline:`` — honest about the fact that there is no durable version
+    to point at."""
+    files = sorted(docs.inputFiles())
+    if not files:
+        sig = docs.schema.simpleString()
+        return "inline:" + hashlib.sha256(sig.encode()).hexdigest()[:12]
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode())
+        local = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            h.update(str(os.path.getsize(local)).encode())
+        except OSError:
+            pass
+    return h.hexdigest()[:16]
+
+
 def manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, MANIFEST_DIR)
 
@@ -57,9 +83,10 @@ def manifest_df(spark, out_dir: str):
     """Manifests as a DataFrame (the SURVEY.md §1.2 ``manifest`` table)."""
     rows = list(completed_buckets(out_dir).values())
     schema = ("bucket int, n_docs long, n_ok long, n_fail long, "
-              "bytes_in long, wall_ms long, job_id string, completed_at double")
+              "bytes_in long, extract_ms double, wall_ms long, "
+              "job_id string, snapshot_id string, completed_at double")
     if not rows:
         return spark.createDataFrame([], schema)
-    cols = ["bucket", "n_docs", "n_ok", "n_fail", "bytes_in", "wall_ms",
-            "job_id", "completed_at"]
+    cols = ["bucket", "n_docs", "n_ok", "n_fail", "bytes_in", "extract_ms",
+            "wall_ms", "job_id", "snapshot_id", "completed_at"]
     return spark.createDataFrame([[r.get(c) for c in cols] for r in rows], schema)

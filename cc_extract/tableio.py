@@ -47,9 +47,16 @@ def read_json_dir(dirpath: str, prefix: str) -> list[dict]:
 def write_partitioned(df, path: str, partition_col: str = "bucket") -> None:
     """Dynamic-overwrite partitioned write: only the bucket directories
     present in *df* are replaced — reruns of incomplete buckets replace,
-    never duplicate (M2 idempotence)."""
+    never duplicate (M2 idempotence).
+
+    ``partitionOverwriteMode`` is pinned HERE, per write, not inherited
+    from the session: with Spark's default *static* mode an overwrite
+    deletes ALL partition directories — including completed buckets — so
+    a resumed run driven from a session not built by ``build_session``
+    would silently destroy finished work."""
     (
         df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
     )

@@ -250,7 +250,12 @@ def ngram_jaccard_pairs(spark, sf_dir: str, threshold: float = 0.03) -> DataFram
     inter(a,b) from the equi-join on shingle; union = |A|+|B|-inter.  The
     shingle join is the textbook exact method — quadratic in the worst
     case, which is exactly why MinHash-LSH above is the scale path; this
-    one is the ground-truth oracle for it."""
+    one is the ground-truth oracle for it.
+
+    The threshold is applied to the UNROUNDED ratio (matching the DuckDB
+    oracle's WHERE clause); rounding happens only at output.  Filtering on
+    the rounded value would keep pairs whose true jaccard lies within
+    5e-7 below the threshold that the oracle excludes."""
     sh = shingles_df(load_documents(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -260,16 +265,14 @@ def ngram_jaccard_pairs(spark, sf_dir: str, threshold: float = 0.03) -> DataFram
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
+    raw_j = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     j = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
                    .withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b")
               .withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(raw_j >= threshold)
+        .withColumn("jaccard", F.round(raw_j, 6))
     )
     return j.select("doc_a", "doc_b", "inter", "jaccard")
 
@@ -319,13 +322,20 @@ def lsh_verified_near_dups(spark, sf_dir: str, threshold: float = 0.5) -> DataFr
 
     At 10^12 docs this is the whole point of LSH: the exact shingle
     intersection runs on the ~0.01% of pairs that share a band, not on
-    n^2.  Candidates is small, so the shingle join against it broadcasts."""
+    n^2.
+
+    No broadcast hint on the candidate set: LSH banding can emit O(docs)
+    pairs on a dup-heavy corpus, so an unconditional broadcast is an OOM
+    waiting to happen at scale.  AQE picks broadcast at runtime when the
+    candidate relation is actually small (the common case), and falls
+    back to a shuffled hash join keyed on doc_a — which partitions the
+    verify work instead of replicating it — when it isn't."""
     cand = lsh_candidate_pairs(spark, sf_dir)
     sh = shingles_df(load_documents(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("sa")
-        .join(F.broadcast(cand), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(cand, F.col("sa.doc_id") == F.col("doc_a"))
         .join(
             sh.alias("sb"),
             (F.col("sb.doc_id") == F.col("doc_b"))

@@ -76,11 +76,22 @@ def test_resume_is_idempotent_and_minimal(spark, tmp_path):
         p: os.path.getmtime(p)
         for p in glob.glob(os.path.join(out_dir, "extracted", "bucket=*", "*.parquet"))
     }
+    # completed buckets' METRICS files must also survive a resume
+    # byte-untouched — the resumed run may only compute/write metrics for
+    # the buckets it actually re-ran (incremental accounting)
+    untouched_metrics = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(out_dir, "metrics", "bucket=*", "*.parquet"))
+        if not any(f"bucket={b}/" in p or f"bucket={b}{os.sep}" in p for b in (1, 3, 5))
+    }
+    assert untouched_metrics
     stats = J.run(spark, docs, out_dir, n_buckets=8, resume=True)
     assert stats["buckets_new"] == 3
 
     for p, mtime in untouched.items():
         assert os.path.getmtime(p) == mtime, f"completed bucket rewritten: {p}"
+    for p, mtime in untouched_metrics.items():
+        assert os.path.getmtime(p) == mtime, f"completed bucket metrics rewritten: {p}"
 
     after = {
         (r["url"], r["text_sha256"])
@@ -92,6 +103,86 @@ def test_resume_is_idempotent_and_minimal(spark, tmp_path):
     # third run: everything complete -> no-op
     stats = J.run(spark, docs, out_dir, n_buckets=8, resume=True)
     assert stats["skipped"] is True
+
+
+def test_resume_refuses_mismatched_config(spark, tmp_path):
+    """A rerun into the same out_dir with a different n_buckets would skip
+    bucket ids computed under a different modulus — the job must refuse,
+    not silently mix layouts."""
+    docs = corpus_df(spark, 200, partitions=2)
+    out_dir = str(tmp_path / "run")
+    J.run(spark, docs, out_dir, n_buckets=8, resume=False)
+    with pytest.raises(ValueError, match="different job"):
+        J.run(spark, docs, out_dir, n_buckets=4, resume=True)
+
+
+def test_manifest_carries_input_snapshot_lineage(spark, tmp_path):
+    """M4: manifests from two different input versions carry different
+    snapshot ids, and resuming over a changed input refuses."""
+    p = str(tmp_path / "docs_v1")
+    corpus_df(spark, 150, partitions=2).write.parquet(p)
+    docs_v1 = spark.read.parquet(p)
+    out1 = str(tmp_path / "out1")
+    s1 = J.run(spark, docs_v1, out1, n_buckets=4, resume=False)
+
+    p2 = str(tmp_path / "docs_v2")
+    corpus_df(spark, 151, partitions=2).write.parquet(p2)
+    docs_v2 = spark.read.parquet(p2)
+    out2 = str(tmp_path / "out2")
+    s2 = J.run(spark, docs_v2, out2, n_buckets=4, resume=False)
+
+    assert s1["snapshot_id"] != s2["snapshot_id"]
+    m1 = mf.completed_buckets(out1)
+    assert all(r["snapshot_id"] == s1["snapshot_id"] for r in m1.values())
+
+    # resuming out1 against the v2 input must refuse (stale completed data)
+    with pytest.raises(ValueError, match="different job"):
+        J.run(spark, docs_v2, out1, n_buckets=4, resume=True)
+
+
+def test_null_payload_rows_become_error_rows_in_both_policies(spark):
+    """The poison-doc contract: a NULL payload may never disappear — both
+    shuffle policies must emit the same status='error' row for it."""
+    import datetime as dt
+
+    rows = [
+        ("https://n.example/null", dt.datetime(2025, 1, 1), None),
+        ("https://n.example/ok", dt.datetime(2025, 1, 1), bytearray(b"plain text doc")),
+    ]
+    docs = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    for policy in ("giants-only", "full"):
+        got = {
+            r["url"]: (r["status"], r["error"])
+            for r in J.pipeline_df(docs, n_buckets=4, shuffle_policy=policy)
+            .select("url", "status", "error").collect()
+        }
+        assert got["https://n.example/null"] == ("error", "empty payload"), policy
+        assert got["https://n.example/ok"][0] == "ok", policy
+
+
+def test_full_policy_salting_spreads_giants(spark):
+    """§5.4 for shuffle_policy='full': with every row in ONE logical bucket,
+    the giants must still land on multiple execution partitions via the
+    size-aware salt (without it, bucket-keyed repartition puts 100% of the
+    giant bytes on one partition)."""
+    big = b"%PDF" + b"\x00" * (2 << 20)
+    rows = [(f"https://fs.example/big{i}", bytearray(big)) for i in range(16)]
+    rows += [(f"https://fs.example/s{i}", bytearray(b"tiny doc " * 10)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "url string, html binary")
+
+    res = J.pipeline_df(
+        docs.withColumn("warc_ts", F.lit(None).cast("timestamp")),
+        n_buckets=1,  # worst case: one logical bucket holds all giants
+        dedup=False,  # keep the post-UDF rows on their execution partitions
+        exec_partitions=32,
+        shuffle_policy="full",
+    )
+    giant_pids = (
+        res.withColumn("pid", F.spark_partition_id())
+        .filter(F.col("n_bytes_in") > 1 << 20)
+        .select("pid").distinct().count()
+    )
+    assert giant_pids >= 4, f"full-policy salt did not spread giants: {giant_pids} partitions"
 
 
 # ------------------------------------------------------------- skew (R5)
