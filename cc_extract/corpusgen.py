@@ -144,6 +144,11 @@ def _gen_pdf_content_stream(rng: random.Random, n_lines: int) -> bytes:
 
 def _gen_pdf(rng: random.Random) -> bytes:
     empty_text = rng.random() < PDF_EMPTY_TEXT_FRACTION
+    # 60% of empty-text PDFs are scanned-style: the page raster rides along
+    # as a FlateDecode grayscale image XObject (what a scanner writes) and
+    # the OCR-lite route recognizes it; the rest stay OCR-unreachable
+    # (box-only vector pages) and populate the needs_ocr quarantine.
+    scanned = empty_text and rng.random() < 0.6
     huge = rng.random() < PDF_HUGE_FRACTION
     n_pages = rng.randint(1, 5) if not huge else rng.randint(40, 80)
     objs: list[bytes] = []  # 1-indexed object bodies
@@ -155,7 +160,18 @@ def _gen_pdf(rng: random.Random) -> bytes:
     page_obj_ids = []
     content_ids = []
     for _ in range(n_pages):
-        if empty_text:
+        if scanned:
+            from .glyphs import render_raster
+            w, h, raster = render_raster(_sentences(rng, rng.randint(1, 3)))
+            comp_img = zlib.compress(bytes(raster))
+            img_id = add(
+                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/BitsPerComponent 8 /ColorSpace /DeviceGray "
+                f"/Filter /FlateDecode /Length {len(comp_img)} >>".encode()
+                + b"\nstream\n" + comp_img + b"\nendstream"
+            )
+            raw = f"q {w} 0 0 {h} 72 400 cm /Im{img_id} Do Q".encode()
+        elif empty_text:
             raw = b"0.5 w 72 72 468 648 re S"  # draws a box, no text ops
         else:
             raw = _gen_pdf_content_stream(rng, rng.randint(4, 20))
@@ -513,10 +529,35 @@ def _gen_csv(rng: random.Random) -> bytes:
     return "\n".join(rows).encode("utf-8")
 
 
+def _png_gray(w: int, h: int, raster: bytes) -> bytes:
+    """Valid minimal PNG: 8-bit grayscale, filter 0 scanlines, one IDAT."""
+    import struct
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    scan = b"".join(b"\x00" + raster[y * w : (y + 1) * w] for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan, 6)) + chunk(b"IEND", b""))
+
+
 def _gen_image(rng: random.Random) -> bytes:
-    if rng.random() < 0.5:
-        return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + rng.getrandbits(256).to_bytes(32, "big") * 8
-    return b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + rng.getrandbits(256).to_bytes(32, "big") * 8
+    p = rng.random()
+    if p < 0.55:
+        # real scanned-page PNG: rendered text the OCR-lite route reads back
+        from .glyphs import render_raster
+        text = "\n".join(
+            _sentences(rng, rng.randint(1, 3)) for _ in range(rng.randint(1, 3))
+        )
+        w, h, raster = render_raster(text)
+        return _png_gray(w, h, bytes(raster))
+    if p < 0.8:
+        # JPEG: no decoder in OCR-lite -> needs_ocr quarantine
+        return b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + rng.getrandbits(256).to_bytes(32, "big") * 8
+    # PNG magic over garbage: parse failure -> needs_ocr quarantine
+    return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + rng.getrandbits(256).to_bytes(32, "big") * 8
 
 
 def _gen_corrupt(rng: random.Random) -> bytes:

@@ -57,8 +57,9 @@ EXTRACTORS = {
     "eml": extract_eml,
 }
 
-# statuses: ok | needs_ocr | error | unsupported | unsupported_legacy
+# statuses: ok | ok_ocr | needs_ocr | error | unsupported | unsupported_legacy
 STATUS_OK = "ok"
+STATUS_OK_OCR = "ok_ocr"  # text produced by the executed OCR-lite route
 STATUS_NEEDS_OCR = "needs_ocr"
 STATUS_ERROR = "error"
 STATUS_UNSUPPORTED = "unsupported"
@@ -70,9 +71,14 @@ def extract_document(payload: bytes | None, url: str | None = None) -> dict:
     ``{fmt, status, text, error}``; never raises.
 
     Routing (SURVEY.md §2.2 D2–D4, §2.4.3 D3):
-    - images        -> needs_ocr quarantine (reference's ocr Lambda,
-                       modeled not executed [R: functions/ocr/main.py ⚠])
-    - pdf w/ empty text layer -> needs_ocr (D3)
+    - images        -> OCR-lite (ocr.py): decodable PNG rasters are
+                       recognized to real text (status=ok_ocr); containers
+                       OCR-lite can't read (JPEG/TIFF, corrupt PNG) land in
+                       the needs_ocr quarantine with the reason in `error`
+                       (reference's ocr Lambda [R: functions/ocr/main.py ⚠])
+    - pdf w/ empty text layer -> OCR-lite over its page-image XObjects
+                       (scanned-PDF shape); no recognizable raster ->
+                       needs_ocr (D3)
     - legacy .doc   -> real CFB + Word97 piece-table extraction (doc.py);
                        non-Word OLE files (.xls/.ppt) land in status=error
     - unknown fmt   -> unsupported
@@ -99,7 +105,16 @@ def extract_document(payload: bytes | None, url: str | None = None) -> dict:
                     "error": "nested gzip"}
         payload = inner
     if fmt == "image":
-        return {"fmt": fmt, "status": STATUS_NEEDS_OCR, "text": "", "error": ""}
+        from .ocr import extract_image_ocr
+        try:
+            text = extract_image_ocr(payload)
+        except Exception as e:  # noqa: BLE001 — quarantine, never raise
+            return {"fmt": fmt, "status": STATUS_NEEDS_OCR, "text": "",
+                    "error": repr(e)[:200]}
+        if not text.strip():
+            return {"fmt": fmt, "status": STATUS_NEEDS_OCR, "text": "",
+                    "error": "blank raster"}
+        return {"fmt": fmt, "status": STATUS_OK_OCR, "text": text, "error": ""}
     fn = EXTRACTORS.get(fmt)
     if fn is None:
         return {"fmt": fmt, "status": STATUS_UNSUPPORTED,
@@ -110,5 +125,15 @@ def extract_document(payload: bytes | None, url: str | None = None) -> dict:
         return {"fmt": fmt, "status": STATUS_ERROR, "text": "",
                 "error": repr(e)[:200]}
     if fmt == "pdf" and not text.strip():
+        # D3: empty text layer -> the OCR route.  Scanned-style PDFs carry
+        # the page raster as an image XObject; recognize it directly.
+        from .ocr import ocr_pdf_rasters
+        try:
+            ocr_text = ocr_pdf_rasters(payload)
+        except Exception:  # noqa: BLE001
+            ocr_text = ""
+        if ocr_text.strip():
+            return {"fmt": fmt, "status": STATUS_OK_OCR, "text": ocr_text,
+                    "error": ""}
         return {"fmt": fmt, "status": STATUS_NEEDS_OCR, "text": "", "error": ""}
     return {"fmt": fmt, "status": STATUS_OK, "text": text, "error": ""}

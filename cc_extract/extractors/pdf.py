@@ -364,6 +364,35 @@ def _content_to_text(content: bytes) -> str:
 
 # ----------------------------------------------------------------- public
 
+def pdf_scan_rasters(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Page-image rasters of a scanned-style PDF, in object order:
+    ``/Subtype /Image`` XObjects with 8-bit /DeviceGray samples under
+    /FlateDecode — the shape scanner-produced PDFs carry.  Used by the
+    OCR-lite route (X14) instead of re-rasterizing pages; anything this
+    can't express (JPEG/DCTDecode scans, CMYK, 1-bit) yields nothing and
+    the document stays in the needs_ocr quarantine."""
+    if not payload.startswith(b"%PDF"):
+        return []
+    out: list[tuple[int, int, bytes]] = []
+    objects = _scan_objects(payload)
+    for num in sorted(objects):
+        obj_dict, stream = objects[num]
+        if obj_dict.get("Subtype") != "Image" or stream is None:
+            continue
+        w, h = obj_dict.get("Width"), obj_dict.get("Height")
+        if not (isinstance(w, int) and isinstance(h, int) and w > 0 and h > 0):
+            continue
+        if obj_dict.get("BitsPerComponent") != 8:
+            continue
+        if obj_dict.get("ColorSpace") != "DeviceGray":
+            continue
+        raw = _decode_stream(obj_dict, stream)
+        if raw is None or len(raw) < w * h:
+            continue
+        out.append((w, h, raw[: w * h]))
+    return out
+
+
 def extract_pdf(payload: bytes) -> str:
     """bytes -> text layer.  Empty result means the caller routes needs_ocr."""
     if not payload.startswith(b"%PDF"):

@@ -254,7 +254,7 @@ def test_dispatch_never_raises_on_fuzz():
             b[rng.randrange(len(b))] = rng.randrange(256)
         cut = rng.randrange(len(b) + 1)
         res = extract_document(bytes(b[:cut]), r["url"])
-        assert res["status"] in ("ok", "needs_ocr", "error",
+        assert res["status"] in ("ok", "ok_ocr", "needs_ocr", "error",
                                  "unsupported", "unsupported_legacy")
 
 
@@ -267,6 +267,112 @@ def test_dispatch_deterministic():
 
 def test_empty_payload():
     assert extract_document(b"")["status"] == "error"
+
+
+# -------------------------------------------------------- OCR-lite (X14)
+
+def test_ocr_png_round_trip():
+    """Writer/reader closed loop: render text -> valid PNG -> recognized
+    text equals the renderable projection (uppercase, font alphabet)."""
+    from cc_extract.corpusgen import _png_gray
+    from cc_extract.glyphs import render_raster, renderable
+    from cc_extract.extractors.ocr import extract_image_ocr
+
+    text = "The Quick Brown Fox 0123456789. second line here"
+    w, h, raster = render_raster(text)
+    png = _png_gray(w, h, bytes(raster))
+    got = extract_image_ocr(png)
+    want = "\n".join(ln.rstrip() for ln in renderable(text)).strip()
+    assert got == want
+
+
+def test_ocr_png_dispatch_status():
+    from cc_extract.corpusgen import _png_gray
+    from cc_extract.glyphs import render_raster
+
+    w, h, raster = render_raster("scanned page")
+    res = extract_document(_png_gray(w, h, bytes(raster)), "https://x/im.png")
+    assert res["fmt"] == "image"
+    assert res["status"] == "ok_ocr"
+    assert "SCANNED PAGE" in res["text"]
+
+
+def test_ocr_unreadable_images_quarantine():
+    # JPEG: no decoder -> needs_ocr with reason
+    res = extract_document(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x01" * 64)
+    assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
+    assert res["error"]
+    # corrupt PNG body -> needs_ocr, never an exception
+    res = extract_document(b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDRjunk" * 4)
+    assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
+    # blank-but-valid PNG -> needs_ocr (empty recognition == empty pdf text layer)
+    from cc_extract.corpusgen import _png_gray
+    res = extract_document(_png_gray(8, 8, bytes([255] * 64)))
+    assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
+
+
+def test_ocr_scanned_pdf_round_trip():
+    """Empty text layer + grayscale image XObject -> ok_ocr with the
+    rendered page text (the reference's rasterize->tesseract branch)."""
+    import zlib as _z
+    from cc_extract.glyphs import render_raster, renderable
+
+    w, h, raster = render_raster("page one scan")
+    comp_img = _z.compress(bytes(raster))
+    content = _z.compress(f"q {w} 0 0 {h} 72 400 cm /Im1 Do Q".encode())
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+        + b" /Height " + str(h).encode()
+        + b" /BitsPerComponent 8 /ColorSpace /DeviceGray /Filter /FlateDecode"
+        b" /Length " + str(len(comp_img)).encode() + b" >>\nstream\n"
+        + comp_img + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 4 0 R /Contents 2 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] >>\nendobj\n"
+        b"5 0 obj\n<< /Type /Catalog /Pages 4 0 R >>\nendobj\n"
+        b"trailer\n<< /Root 5 0 R >>\n%%EOF"
+    )
+    res = extract_document(pdf, "https://x/scan.pdf")
+    assert (res["fmt"], res["status"]) == ("pdf", "ok_ocr")
+    assert res["text"] == "\n".join(renderable("page one scan")).strip()
+
+
+def test_ocr_png_filter_reconstruction():
+    """The PNG reader must reconstruct Sub/Up filtered scanlines, not just
+    filter-0 (robustness beyond our own writer)."""
+    import struct
+    import zlib as _z
+    from cc_extract.extractors.ocr import decode_png_gray
+    from cc_extract.glyphs import render_raster
+
+    w, h, raster = render_raster("AB")
+    rows = [bytes(raster[y * w:(y + 1) * w]) for y in range(h)]
+    scan = bytearray()
+    for y, row in enumerate(rows):
+        if y % 2 == 0 and y > 0:  # Up filter
+            prev = rows[y - 1]
+            scan += b"\x02" + bytes((row[x] - prev[x]) & 0xFF for x in range(w))
+        elif y % 2 == 1:  # Sub filter
+            enc = bytearray(row)
+            for x in range(w - 1, 0, -1):
+                enc[x] = (enc[x] - row[x - 1]) & 0xFF
+            scan += b"\x01" + bytes(enc)
+        else:
+            scan += b"\x00" + row
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", _z.compress(bytes(scan)))
+           + chunk(b"IEND", b""))
+    w2, h2, out = decode_png_gray(png)
+    assert (w2, h2) == (w, h)
+    assert bytes(out) == bytes(raster)
     assert extract_document(None)["status"] == "error"
 
 
