@@ -4,10 +4,14 @@
 - ``queries()``      — one entry per implemented operator (SURVEY.md §2 +
   the training-data ops: dedup family, ANN family, text analysis,
   extraction pipeline).
-- ``oracle_sql()``   — exact DuckDB twin for every SQL-expressible query.
-  Extraction-pipeline entries have no oracle (the corpus lives outside
-  DuckDB's views); their byte-identity gate is the pytest golden diff
-  (tests/test_pipeline.py), and the driver records rows-only here.
+- ``oracle_sql()``   — exact DuckDB twin for EVERY query.  The
+  extraction/multimodal corpora exist only as deterministic generators,
+  so their oracle side is materialized single-process (the same normative
+  per-row code the pytest golden uses — cc_extract.oracle_data) to parquet
+  that the SQL reads via read_parquet; the SQL then independently
+  re-expresses the relational semantics under test (keep-newest window
+  dedup, grouping, filters, norms), so DuckDB verifies the Spark pipeline,
+  not a copy of it.
 
 Determinism contract (shared by both sides): doubles rounded at output
 (sums 2 dp, ratios/avgs 4 dp, cosines 5 dp, centroids 6 dp); hashes are
@@ -57,8 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def _cc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction pipeline over the deterministic synthetic CC corpus:
     per-(fmt, status) doc counts and output chars.  Byte-identity for this
-    path is enforced by tests/test_pipeline.py against the checked-in
-    golden; here the driver records a rows-only check."""
+    path is separately enforced by tests/test_pipeline.py (20k golden);
+    the DuckDB oracle re-aggregates the single-process per-row results."""
     from cc_extract.corpusgen import corpus_df
     from cc_extract.job import pipeline_df
 
@@ -104,13 +108,29 @@ def _cc_dedup_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_ocr_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTED OCR route (X14): per-url recognized text hashes for
+    documents that went through OCR-lite (scanned PNGs + scanned-style
+    PDFs with page-image XObjects)."""
+    from cc_extract.corpusgen import corpus_df
+    from cc_extract.job import pipeline_df
+
+    docs = corpus_df(spark, 1200, partitions=8)
+    res = pipeline_df(docs, n_buckets=16)
+    return (
+        res.filter(F.col("status") == "ok_ocr")
+        .select("url", "fmt", "text_sha256")
+        .orderBy("url")
+    )
+
+
 # --------------------------------------------------------------- queries
 
 def _mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque-binary media columns -> typed container
     metadata (PNG/JPEG/WAV header parsing in Arrow batches), rolled up per
-    (kind, container).  Deterministic synthetic media; rows-only check —
-    the per-row parsing is unit-tested in tests/test_multimodal.py."""
+    (kind, container).  Deterministic synthetic media; per-row parsing is
+    unit-tested in tests/test_multimodal.py, the rollup oracled in SQL."""
     from cc_extract import multimodal as mm
 
     df = mm.media_df(spark, 400, partitions=8)
@@ -179,11 +199,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_ann": embedops.lsh_ann,
         "emb_ivf_ann": embedops.ivf_ann,
         "emb_cosine_near_dup": embedops.cosine_near_dup_pairs,
-        # extraction pipeline (rows-only; byte-identity via pytest golden)
+        "emb_lsh_ann_multiprobe": embedops.lsh_ann_multiprobe,
+        # extraction pipeline (oracled via single-process materialization;
+        # byte-identity additionally gated by the 20k pytest golden)
         "cc_extract_stats": _cc_extract_stats,
         "cc_needs_ocr": _cc_needs_ocr,
         "cc_dedup_effect": _cc_dedup_effect,
-        # multimodal plumbing (rows-only; parsing unit-tested)
+        "cc_ocr_text": _cc_ocr_text,
+        # multimodal plumbing (oracled; parsing unit-tested)
         "mm_metadata_stats": _mm_metadata_stats,
         "mm_feature_norms": _mm_feature_norms,
     }
@@ -239,25 +262,15 @@ def _planes_sql() -> list[str]:
     ]
 
 
-def _emb_query_literals(query_id: int = 0) -> tuple[str, str, str]:
-    """(query array literal, qnorm literal, query bucket bits) — computed
-    once from the parquet file so Spark and SQL share identical constants."""
-    import duckdb
-
-    con = duckdb.connect()
-    q = con.execute(
-        "SELECT embedding FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
-        "WHERE vec_id = ?", [query_id],
-    ).fetchone()[0]
-    con.close()
-    q = [float(x) for x in q]
+def _emb_query_literals() -> tuple[str, str, str]:
+    """(query array literal, qnorm literal, query bucket bits) from the
+    SAME seeded constant embedops.query_vector() uses — sf-independent, so
+    the contract check agrees at every scale factor (reading a row from
+    one hardcoded sf path silently diverged at any other sf)."""
+    q = embedops.query_vector()
     qlit = "[" + ", ".join(repr(x) for x in q) + "]::DOUBLE[]"
     qnorm = repr(math.sqrt(sum(x * x for x in q)))
-    planes = embedops.lsh_planes()
-    qbits = "".join(
-        "1" if sum(a * b for a, b in zip(q, p)) >= 0 else "0" for p in planes
-    )
-    return qlit, qnorm, qbits
+    return qlit, qnorm, embedops.query_bits(q)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -514,7 +527,7 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 """
 
     # ---- embeddings: constants shared with the Spark side
-    qlit, qnorm, qbits = _emb_query_literals(0)
+    qlit, qnorm, qbits = _emb_query_literals()
     planes = _planes_sql()
     bucket_expr = "||".join(
         f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), {p}) >= 0 "
@@ -540,7 +553,7 @@ WHERE round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding A
 
     sql["emb_knn_bruteforce"] = f"""
 SELECT vec_id, label, {cos_expr} AS cos_sim
-FROM embeddings WHERE vec_id != 0
+FROM embeddings
 ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
@@ -552,7 +565,15 @@ FROM embeddings GROUP BY 1 ORDER BY 1
     sql["emb_lsh_ann"] = f"""
 SELECT vec_id, label, {cos_expr} AS cos_sim
 FROM embeddings
-WHERE {bucket_expr} = '{qbits}' AND vec_id != 0
+WHERE {bucket_expr} = '{qbits}'
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+    probes = ", ".join(f"'{b}'" for b in embedops.hamming1_buckets(qbits))
+    sql["emb_lsh_ann_multiprobe"] = f"""
+SELECT vec_id, label, {cos_expr} AS cos_sim
+FROM embeddings
+WHERE {bucket_expr} IN ({probes})
 ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
@@ -570,8 +591,65 @@ dist AS (
 best AS (SELECT label FROM dist ORDER BY d, label LIMIT 1)
 SELECT vec_id, label, {cos_expr} AS cos_sim
 FROM embeddings
-WHERE label = (SELECT label FROM best) AND vec_id != 0
+WHERE label = (SELECT label FROM best)
 ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+    # ---- extraction pipeline: oracle side materialized single-process
+    # (cc_extract.oracle_data) from the same normative per-row code the
+    # pytest golden uses; the SQL below independently re-expresses the
+    # relational pipeline semantics (keep-newest window dedup, grouping)
+    from cc_extract import oracle_data
+
+    ext = oracle_data.extraction_table(1200)
+    dedup_cte = f"""
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY url ORDER BY warc_ts DESC, text_sha256 DESC) AS rn
+  FROM read_parquet('{ext}')
+),
+d AS (SELECT * FROM ranked WHERE rn = 1)"""
+
+    sql["cc_extract_stats"] = f"""
+WITH {dedup_cte}
+SELECT fmt, status, count(*) AS n_docs,
+       CAST(sum(length(text_out)) AS BIGINT) AS total_chars
+FROM d GROUP BY fmt, status ORDER BY fmt, status
+"""
+
+    sql["cc_needs_ocr"] = f"""
+WITH {dedup_cte}
+SELECT url, fmt, n_bytes_in
+FROM d WHERE status = 'needs_ocr' ORDER BY url
+"""
+
+    sql["cc_ocr_text"] = f"""
+WITH {dedup_cte}
+SELECT url, fmt, text_sha256
+FROM d WHERE status = 'ok_ocr' ORDER BY url
+"""
+
+    sql["cc_dedup_effect"] = f"""
+WITH {dedup_cte}
+SELECT (SELECT count(*) FROM read_parquet('{ext}')) AS n_input_rows,
+       (SELECT count(DISTINCT url) FROM read_parquet('{ext}')) AS n_distinct_urls,
+       (SELECT count(*) FROM d) AS n_output_rows
+"""
+
+    media = oracle_data.media_table(400)
+    sql["mm_metadata_stats"] = f"""
+SELECT kind, container, parse_ok, count(*) AS n,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       max(width) AS max_width, max(sample_rate) AS max_sample_rate
+FROM read_parquet('{media}')
+GROUP BY kind, container, parse_ok ORDER BY kind, container, parse_ok
+"""
+
+    sql["mm_feature_norms"] = f"""
+SELECT kind, count(*) AS n,
+       round(avg(sqrt(list_aggregate(list_transform(feature, x -> x * x), 'sum'))), 4) AS avg_l2
+FROM read_parquet('{media}')
+GROUP BY kind ORDER BY kind
 """
 
     return sql

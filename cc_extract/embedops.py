@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 DIM = 64
 N_PLANES = 8
 PLANE_SEED = 7
+QUERY_SEED = 13
 DEFAULT_K = 10
 
 
@@ -46,14 +47,15 @@ def lsh_planes() -> list[list[float]]:
     return [[round(float(x), 6) for x in rng.randn(DIM)] for _ in range(N_PLANES)]
 
 
-def query_vector(spark, sf_dir: str, query_id: int = 0) -> list[float]:
-    row = (
-        load_embeddings(spark, sf_dir)
-        .filter(F.col("vec_id") == query_id)
-        .select("embedding")
-        .head()
-    )
-    return [float(x) for x in row["embedding"]]
+def query_vector() -> list[float]:
+    """Deterministic seeded query vector, rounded like the planes.
+
+    A fixed literal (not a row read from the data) so the Spark queries
+    and the DuckDB oracle SQL share EXACTLY the same constants at every
+    scale factor — reading vec_id=0 from one hardcoded sf path silently
+    diverged whenever the contract ran at a different sf."""
+    rng = np.random.RandomState(QUERY_SEED)
+    return [round(float(x), 6) for x in rng.randn(DIM)]
 
 
 def _dot(a, b):
@@ -75,19 +77,15 @@ def _cosine(emb_col, qvec: list[float]):
     return _dot(e, q) / (F.sqrt(_dot(e, e)) * F.lit(qnorm))
 
 
-def knn_bruteforce(spark, sf_dir: str, query_id: int = 0, k: int = DEFAULT_K) -> DataFrame:
+def knn_bruteforce(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
     """Exact cosine top-k: TakeOrderedAndProject over a single projection
     scan — the plan you want (no shuffle, no sort of the full table)."""
     emb = load_embeddings(spark, sf_dir)
-    q = query_vector(spark, sf_dir, query_id)
+    q = query_vector()
     scored = emb.select(
         "vec_id", "label", F.round(_cosine(F.col("embedding"), q), 5).alias("cos_sim")
     )
-    return (
-        scored.filter(F.col("vec_id") != query_id)
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(k)
-    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
 def _bucket_expr(emb_col, planes: list[list[float]]):
@@ -111,23 +109,53 @@ def lsh_buckets(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_ann(spark, sf_dir: str, query_id: int = 0, k: int = DEFAULT_K) -> DataFrame:
-    """ANN: restrict the exact search to the query's LSH bucket."""
-    emb = load_embeddings(spark, sf_dir)
+def query_bits(q: list[float] | None = None) -> str:
     planes = lsh_planes()
-    q = query_vector(spark, sf_dir, query_id)
-    qbits = "".join(
+    q = q or query_vector()
+    return "".join(
         "1" if sum(a * b for a, b in zip(q, p)) >= 0 else "0" for p in planes
     )
-    cand = emb.filter(_bucket_expr(F.col("embedding"), planes) == qbits)
+
+
+def hamming1_buckets(qbits: str) -> list[str]:
+    """The multi-probe sequence: query bucket + every Hamming-distance-1
+    neighbor (the buckets a near-neighbor most likely fell into when one
+    plane's sign flipped)."""
+    return [qbits] + [
+        qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1:]
+        for i in range(len(qbits))
+    ]
+
+
+def lsh_ann(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
+    """ANN: restrict the exact search to the query's LSH bucket.
+    Single-probe — cheapest, recall-starved; see lsh_ann_multiprobe."""
+    emb = load_embeddings(spark, sf_dir)
+    planes = lsh_planes()
+    q = query_vector()
+    cand = emb.filter(_bucket_expr(F.col("embedding"), planes) == query_bits(q))
     scored = cand.select(
         "vec_id", "label", F.round(_cosine(F.col("embedding"), q), 5).alias("cos_sim")
     )
-    return (
-        scored.filter(F.col("vec_id") != query_id)
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(k)
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
+def lsh_ann_multiprobe(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
+    """Production-shaped LSH ANN: probe the query bucket PLUS all
+    Hamming-distance-1 buckets (1 + n_planes probes).  Single-probe with 8
+    planes inspects ~1/256 of the corpus and routinely returns < k rows;
+    multi-probe recovers the recall at ~9/256 inspected — still a
+    projection + filter, no shuffle, so the scan stays partition-parallel
+    at any corpus size."""
+    emb = load_embeddings(spark, sf_dir)
+    planes = lsh_planes()
+    q = query_vector()
+    probes = hamming1_buckets(query_bits(q))
+    cand = emb.filter(_bucket_expr(F.col("embedding"), planes).isin(probes))
+    scored = cand.select(
+        "vec_id", "label", F.round(_cosine(F.col("embedding"), q), 5).alias("cos_sim")
     )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
 def label_centroids(spark, sf_dir: str) -> DataFrame:
@@ -143,11 +171,11 @@ def label_centroids(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_ann(spark, sf_dir: str, query_id: int = 0, k: int = DEFAULT_K) -> DataFrame:
+def ivf_ann(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
     """IVF-style ANN: nearest centroid (coarse cell), exact cosine within
     the cell.  The centroid table is k rows — driver-side is the right
     place for it at any scale (it's the 'index', not the data)."""
-    q = query_vector(spark, sf_dir, query_id)
+    q = query_vector()
     cent = label_centroids(spark, sf_dir).collect()
     by_label: dict[int, list[float]] = {}
     for r in cent:
@@ -160,11 +188,7 @@ def ivf_ann(spark, sf_dir: str, query_id: int = 0, k: int = DEFAULT_K) -> DataFr
     scored = emb.select(
         "vec_id", "label", F.round(_cosine(F.col("embedding"), q), 5).alias("cos_sim")
     )
-    return (
-        scored.filter(F.col("vec_id") != query_id)
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(k)
-    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
 def cosine_near_dup_pairs(spark, sf_dir: str, threshold: float = 0.4) -> DataFrame:

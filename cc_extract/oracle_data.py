@@ -1,0 +1,113 @@
+"""Single-process materialization of oracle-side parquet tables for the
+driver contract (SURVEY.md §5.3 applied to the extraction pipeline).
+
+The extraction/multimodal queries run over corpora that exist only as
+deterministic generator functions, so DuckDB cannot see them as
+pre-registered views.  This module closes that gap the same way the
+pytest golden does: the ORACLE side is the single-process normative code
+path (gen_doc -> extract_document per row; gen_media -> parse_media_meta),
+written to parquet that the oracle SQL reads with ``read_parquet``.  The
+SQL then independently re-expresses the *relational* semantics under test
+— keep-newest dedup, grouping, filtering, norms — so the DuckDB check
+verifies the Spark pipeline (Arrow transport, shuffle policy, window
+dedup, aggregation), exactly like the golden diff verifies byte identity.
+
+Files regenerate once per process (memoized) so a stale file from an older
+code version can never silently pass.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import uuid
+
+_ORACLE_DIR = "/tmp/cc_extract_oracle"
+_memo: dict[str, str] = {}
+
+
+def _atomic_write_table(table, path: str) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def extraction_table(n_docs: int = 1200) -> str:
+    """Per-INPUT-ROW extraction results (pre-dedup: duplicate urls keep
+    both crawls so the SQL side performs the keep-newest window itself).
+    Returns the parquet path."""
+    key = f"extraction:{n_docs}"
+    if key in _memo:
+        return _memo[key]
+    import pyarrow as pa
+
+    from .corpusgen import gen_corpus
+    from .extractors import extract_document
+
+    urls, tss, fmts, statuses, errors = [], [], [], [], []
+    texts, shas, nbytes = [], [], []
+    for r in gen_corpus(n_docs):
+        res = extract_document(r["html"], r["url"])
+        urls.append(r["url"])
+        tss.append(r["warc_ts"])
+        fmts.append(res["fmt"])
+        statuses.append(res["status"])
+        errors.append(res["error"])
+        texts.append(res["text"])
+        shas.append(hashlib.sha256(res["text"].encode("utf-8")).hexdigest())
+        nbytes.append(len(r["html"]))
+    table = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "fmt": pa.array(fmts, pa.string()),
+        "status": pa.array(statuses, pa.string()),
+        "error": pa.array(errors, pa.string()),
+        "text_out": pa.array(texts, pa.string()),
+        "text_sha256": pa.array(shas, pa.string()),
+        "n_bytes_in": pa.array(nbytes, pa.int32()),
+    })
+    path = os.path.join(_ORACLE_DIR, f"extracted_{n_docs}.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path
+
+
+def media_table(n: int = 400) -> str:
+    """Per-media-row container metadata + byte-histogram feature, the
+    single-process twin of multimodal.media_metadata/media_features."""
+    key = f"media:{n}"
+    if key in _memo:
+        return _memo[key]
+    import numpy as np
+    import pyarrow as pa
+
+    from .multimodal import FEATURE_DIM, gen_media, parse_media_meta
+
+    rows = [gen_media(i) for i in range(n)]
+    metas = [parse_media_meta(r["payload"]) for r in rows]
+    feats = []
+    for r in rows:
+        arr = np.frombuffer(r["payload"], dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(np.float64)
+        total = hist.sum() or 1.0
+        # float32 then widen — the exact values Spark's array<float> cast
+        # to double produces on the pipeline side
+        feats.append([float(x) for x in (hist / total).astype(np.float32)])
+    table = pa.table({
+        "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
+        "kind": pa.array([r["kind"] for r in rows], pa.string()),
+        "container": pa.array([m["container"] for m in metas], pa.string()),
+        "width": pa.array([m["width"] for m in metas], pa.int32()),
+        "height": pa.array([m["height"] for m in metas], pa.int32()),
+        "sample_rate": pa.array([m["sample_rate"] for m in metas], pa.int32()),
+        "n_bytes": pa.array([len(r["payload"]) for r in rows], pa.int64()),
+        "parse_ok": pa.array([m["parse_ok"] for m in metas], pa.bool_()),
+        "feature": pa.array(feats, pa.list_(pa.float64())),
+    })
+    path = os.path.join(_ORACLE_DIR, f"media_{n}.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path
