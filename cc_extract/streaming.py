@@ -18,12 +18,14 @@ from .corpusgen import CORPUS_SCHEMA
 from .job import DEFAULT_BUCKETS, make_extract_udf, with_bucket
 
 
-def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
+def stream_documents(
+    spark: SparkSession, input_dir: str, max_files: int = 8
+) -> DataFrame:
     """File-source stream of the documents table (one parquet dir; each
     new file is a micro-batch of crawled pages)."""
     return (
         spark.readStream.schema(CORPUS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files)
         .parquet(input_dir)
     )
 
@@ -35,6 +37,7 @@ def extract_stream(
     checkpoint_dir: str,
     n_buckets: int = DEFAULT_BUCKETS,
     watermark: str = "1 day",
+    max_files: int = 8,
 ):
     """streaming scan -> dedup-within-watermark -> vectorized extraction
     -> checkpointed parquet sink.  Returns the StreamingQuery.
@@ -44,7 +47,7 @@ def extract_stream(
     (late duplicates beyond the watermark are dropped by definition).
     That difference is inherent to streaming and documented here.
     """
-    docs = stream_documents(spark, input_dir)
+    docs = stream_documents(spark, input_dir, max_files=max_files)
     docs = docs.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
     df = with_bucket(docs.select("url", "warc_ts", "html"), n_buckets)
     extract_udf = make_extract_udf()

@@ -49,3 +49,53 @@ def test_stream_matches_batch_hashes(spark, tmp_path):
     q2 = streaming.extract_stream(spark, input_dir, out_dir, ckpt, n_buckets=8)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == n_before
+
+
+def test_stream_dedup_keeps_first_within_watermark(spark, tmp_path):
+    """The documented stream/batch divergence (streaming.py): a duplicate
+    url arriving in a LATER micro-batch within the watermark is dropped —
+    the stream keeps the FIRST crawl, where batch keeps the NEWEST.  This
+    pins the documented semantics with an actual cross-micro-batch dup."""
+    import datetime as dt
+    import glob
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    url = "https://stream.example/dup.txt"
+
+    def write_file(name: str, payload: bytes, ts: dt.datetime, mtime: float):
+        df = spark.createDataFrame(
+            [(url, ts, bytearray(payload), "", "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(input_dir, f"{name}.parquet")
+        os.rename(part, dst)
+        # the file source orders micro-batches by modification time —
+        # pin distinct mtimes so batch order is deterministic
+        os.utime(dst, (mtime, mtime))
+
+    # first crawl arrives first (older mtime); second crawl is NEWER by
+    # warc_ts but arrives in a later micro-batch, inside the watermark
+    write_file("f1", b"first crawl text", dt.datetime(2025, 1, 1), 1_700_000_000)
+    write_file("f2", b"second crawl text", dt.datetime(2025, 1, 1, 12), 1_700_000_100)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming.extract_stream(
+        spark, input_dir, out_dir, ckpt, n_buckets=4, max_files=1
+    )
+    q.awaitTermination(240)
+    assert not q.isActive
+
+    rows = spark.read.parquet(out_dir).select("url", "text_out").collect()
+    assert len(rows) == 1, rows
+    assert rows[0]["text_out"] == "first crawl text"
+
+    # and the batch pipeline keeps the NEWEST for the same input
+    batch = pipeline_df(
+        spark.read.parquet(input_dir), n_buckets=4
+    ).select("text_out").collect()
+    assert [r["text_out"] for r in batch] == ["second crawl text"]
