@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": textops.fingerprints,
         "doc_bpe_token_stats": textops.bpe_token_stats,
         "doc_lsh_verified_near_dups": textops.lsh_verified_near_dups,
+        "doc_token_doc_freq": textops.token_doc_freq,
+        "doc_deterministic_sample": textops.deterministic_sample,
         # similarity search (embeddings table)
         "emb_knn_bruteforce": embedops.knn_bruteforce,
         "emb_lsh_buckets": embedops.lsh_buckets,
@@ -433,6 +435,25 @@ SELECT doc_id,
        len(list_filter(toks, tk -> regexp_matches(tk, '^[0-9]+$'))) AS n_digit,
        len(toks) - len(list_filter(toks, tk -> regexp_matches(tk, '^[a-zA-Z0-9]+$'))) AS n_punct
 FROM t
+"""
+
+    sql["doc_token_doc_freq"] = f"""
+WITH occ AS (
+  SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+), per_doc AS (
+  SELECT doc_id, token, count(*) AS tf FROM occ GROUP BY doc_id, token
+)
+SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM per_doc GROUP BY token
+ORDER BY df DESC, total_tf DESC, token ASC LIMIT 100
+"""
+
+    sql["doc_deterministic_sample"] = """
+SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) AS sample_key,
+       length(text) AS n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) < '28f5c'
+ORDER BY doc_id
 """
 
     sql["doc_exact_dedup"] = """

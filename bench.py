@@ -98,6 +98,7 @@ def main() -> None:
     timed("doc_simhash", textops.simhash)
     timed("emb_knn_bruteforce", embedops.knn_bruteforce)
     timed("emb_lsh_ann", embedops.lsh_ann)
+    timed("emb_lsh_ann_multiprobe", embedops.lsh_ann_multiprobe)
 
     spark.stop()
 

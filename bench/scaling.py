@@ -156,12 +156,15 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    md = f"""# BENCH_SCALING — N -> 4N throughput scaling evidence
+    header = f"""# BENCH_SCALING — N -> 4N throughput scaling evidence
 
 Per BASELINE.json north_rule, scaling is evidenced by the same extraction
 job at two parallelism levels on identical input (no real cluster in this
-sandbox): `local[{args.n}]` (N) vs `local[{args.n4}]` (4N), separate JVMs, same
-deterministic {args.docs:,}-doc corpus (seed 42), same code.
+sandbox), separate JVMs, same deterministic corpus (seed 42), same code.
+Campaigns append below (history preserved across rounds).
+"""
+    md = f"""
+## Campaign {time.strftime('%Y-%m-%d %H:%M:%S')} — local[{args.n}] vs local[{args.n4}], {args.docs:,} docs
 
 | level | wall (s) | docs/sec | MB/sec | steal during run |
 | --- | --- | --- | --- | --- |
@@ -171,13 +174,21 @@ deterministic {args.docs:,}-doc corpus (seed 42), same code.
 **Scaling efficiency (median over {len(pairs)} interleaved pairs) = {eff:.3f}**
 (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}); per-pair efficiencies: {pairs}.
 Pairing note: this guest's effective CPU allocation drifts 2-3x over minutes
-(host-shared vCPUs; <1% steal reported) — back-to-back pairs share weather,
-so the per-pair ratio is the statistically meaningful quantity.
-
-Measured {time.strftime('%Y-%m-%d %H:%M:%S')}; pipeline = scan -> salted
-repartition -> Arrow pandas-UDF extraction -> keep-newest dedup -> agg.
+(host-shared vCPUs) — back-to-back pairs share weather, so the per-pair
+ratio is the statistically meaningful quantity.
+Pipeline = scan -> salted repartition -> Arrow pandas-UDF extraction ->
+keep-newest dedup -> agg.
 """
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+    path = os.path.join(REPO, "BENCH_SCALING.md")
+    existing = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = f.read()
+    with open(path, "w") as f:
+        if existing:
+            f.write(existing.rstrip() + "\n")
+        else:
+            f.write(header)
         f.write(md)
 
 

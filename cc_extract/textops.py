@@ -315,6 +315,48 @@ def bpe_token_stats(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- vocabulary / df
+
+def token_doc_freq(spark, sf_dir: str, top_k: int = 100) -> DataFrame:
+    """Vocabulary statistics: document frequency + total term frequency
+    per token, top-k by df — the corpus-level view every tokenizer/IDF/
+    stopword pipeline builds first.
+
+    Scale shape: per-doc ``array_distinct`` happens map-side BEFORE the
+    explode (same trick as shingles_df), so the groupBy(token) shuffle
+    carries one row per (doc, distinct token) for df and one per (doc,
+    token) occurrence count via a pre-aggregated pair — both partial-
+    aggregable; the final top-k is TakeOrderedAndProject, never a global
+    sort."""
+    df = with_tokens(load_documents(spark, sf_dir))
+    # (token, n_occurrences_in_doc) pairs per doc, built map-side from the
+    # already-tokenized array: explode once, carry df=1 per distinct below
+    occ = df.select("doc_id", F.explode("tokens").alias("token"))
+    per_doc = occ.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    agg = per_doc.groupBy("token").agg(
+        F.count("*").alias("df"),          # docs containing the token
+        F.sum("tf").alias("total_tf"),     # corpus-wide occurrences
+    )
+    return agg.orderBy(F.desc("df"), F.desc("total_tf"), F.asc("token")).limit(top_k)
+
+
+# ---------------------------------------------------- deterministic sample
+
+def deterministic_sample(spark, sf_dir: str, rate_hex: str = "28f5c") -> DataFrame:
+    """Reproducible content-addressed sampling: keep documents whose
+    md5(doc_id) prefix falls under a fixed hex threshold (~rate_hex/16^5).
+    The standard trick for train/eval splits and auditable subsampling at
+    10^12 docs: pure projection + filter (no shuffle, no RNG state), and
+    the SAME rows come back on every engine, any partitioning, any day."""
+    df = load_documents(spark, sf_dir)
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5)
+    return (
+        df.filter(key < F.lit(rate_hex))
+        .select("doc_id", key.alias("sample_key"), F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
 def lsh_verified_near_dups(spark, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """The production near-dup recipe composed end-to-end: MinHash-LSH
     candidate generation (cheap, signature-sized shuffle) -> exact Jaccard
