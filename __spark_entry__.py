@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lsh_verified_near_dups": textops.lsh_verified_near_dups,
         "doc_token_doc_freq": textops.token_doc_freq,
         "doc_deterministic_sample": textops.deterministic_sample,
+        "doc_dup_clusters": textops.dup_clusters,
+        "doc_length_quantiles": textops.length_quantiles,
         # similarity search (embeddings table)
         "emb_knn_bruteforce": embedops.knn_bruteforce,
         "emb_lsh_buckets": embedops.lsh_buckets,
@@ -448,6 +450,15 @@ FROM per_doc GROUP BY token
 ORDER BY df DESC, total_tf DESC, token ASC LIMIT 100
 """
 
+    sql["doc_length_quantiles"] = f"""
+WITH t AS (SELECT lang, len({_TOKENS}) AS n_tokens FROM documents)
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+       round(quantile_cont(n_tokens, 0.9), 4) AS p90,
+       round(quantile_cont(n_tokens, 0.99), 4) AS p99
+FROM t GROUP BY lang ORDER BY lang
+"""
+
     sql["doc_deterministic_sample"] = """
 SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) AS sample_key,
        length(text) AS n_chars
@@ -508,6 +519,52 @@ FROM inter i
 JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE round(i.inter / (za.n_sh + zb.n_sh - i.inter), 6) >= 0.5
+"""
+
+    # Near-dup clustering: Spark side is iterative min-label propagation;
+    # the oracle computes the same components via recursive transitive
+    # closure (tractable at oracle scale — the verified-pair graph is tiny)
+    sql["doc_dup_clusters"] = f"""
+WITH RECURSIVE {_sh_cte()},
+sig AS ({_minhash_select()}),
+bands AS ({_lsh_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+vnd AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE round(i.inter / (za.n_sh + zb.n_sh - i.inter), 6) >= 0.5
+),
+edges AS (
+  SELECT doc_a, doc_b FROM vnd
+  UNION
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM vnd
+),
+walk(doc_id, reach) AS (
+  SELECT doc_a AS doc_id, doc_a AS reach FROM edges
+  UNION
+  SELECT w.doc_id, e.doc_b AS reach
+  FROM walk w JOIN edges e ON e.doc_a = w.reach
+),
+lab AS (SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM lab l
+JOIN (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id) s
+  USING (cluster_id)
+ORDER BY doc_id
 """
 
     sql["doc_simhash"] = f"""

@@ -340,6 +340,29 @@ def token_doc_freq(spark, sf_dir: str, top_k: int = 100) -> DataFrame:
     return agg.orderBy(F.desc("df"), F.desc("total_tf"), F.asc("token")).limit(top_k)
 
 
+# ------------------------------------------------------- length quantiles
+
+def length_quantiles(spark, sf_dir: str) -> DataFrame:
+    """Per-language token-length distribution (p50/p90/p99) — the corpus
+    pass that sizes sequence-length budgets and truncation losses.  Exact
+    interpolated percentiles (matching SQL quantile_cont); at 10^12 docs
+    you'd swap in approx_percentile with a documented error bound, but the
+    grouped exact sort is per-lang partial and this is the oracle-able
+    ground truth."""
+    df = with_tokens(load_documents(spark, sf_dir))
+    per = df.select("lang", F.size("tokens").alias("n_tokens"))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(n_tokens, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------- deterministic sample
 
 def deterministic_sample(spark, sf_dir: str, rate_hex: str = "28f5c") -> DataFrame:
@@ -353,6 +376,61 @@ def deterministic_sample(spark, sf_dir: str, rate_hex: str = "28f5c") -> DataFra
     return (
         df.filter(key < F.lit(rate_hex))
         .select("doc_id", key.alias("sample_key"), F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+def dup_clusters(spark, sf_dir: str, threshold: float = 0.5,
+                 max_iters: int = 20) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the LSH-verified
+    near-dup pairs, the step that turns pairwise similarity into the
+    keep-one-per-cluster decision every dedup pipeline actually ships.
+
+    Algorithm: iterative min-label propagation (each node adopts the
+    minimum label among itself and its neighbors) — the standard
+    Spark-native connected-components recipe.  Convergence in O(graph
+    diameter) rounds; near-dup graphs are unions of small cliques, so 2–3
+    rounds in practice (capped at *max_iters*).  Each round is one
+    edges⨝labels shuffle on (doc_id, label) pairs — constant bytes/node,
+    never text.  Labels only ever decrease, so sum(label) is a strictly
+    decreasing convergence witness: no expensive old-vs-new anti-join.
+    localCheckpoint truncates the growing lineage so round k's plan does
+    not replay rounds 1..k-1.
+
+    Returns (doc_id, cluster_id, cluster_size) for every doc that has at
+    least one verified near-dup; cluster_id = min doc_id in the component
+    (the canonical survivor)."""
+    pairs = lsh_verified_near_dups(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a").agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["doc_a"], "left")
+            .select(
+                labels["doc_id"],
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("cluster_id"), "cluster_size")
         .orderBy("doc_id")
     )
 
