@@ -34,6 +34,9 @@ from .normalize import normalize_text
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_STREAM_RE = re.compile(rb"\s*stream\r?\n")
 _KERN_SPACE_THRESHOLD = -100.0
 
 _ESCAPES = {
@@ -104,28 +107,48 @@ def _parse_object(data: bytes, pos: int):
         if len(hexs) % 2:
             hexs += b"0"
         return ("str", bytes.fromhex(hexs.decode("ascii")).decode("latin-1")), end + 1
-    m = re.match(rb"(\d+)\s+(\d+)\s+R\b", data[pos : pos + 32])
+    m = _REF_RE.match(data, pos, pos + 32)
     if m:
-        return ("ref", int(m.group(1))), pos + m.end()
-    m = re.match(rb"[+-]?(?:\d+\.?\d*|\.\d+)", data[pos : pos + 32])
+        return ("ref", int(m.group(1))), m.end()
+    m = _NUM_RE.match(data, pos, pos + 32)
     if m:
         tok = m.group(0)
         val = float(tok) if b"." in tok else int(tok)
-        return val, pos + m.end()
+        return val, m.end()
     for lit, val in ((b"true", True), (b"false", False), (b"null", None)):
         if data.startswith(lit, pos):
             return val, pos + len(lit)
     raise _PdfError(f"unparseable object at {pos}")
 
 
+_STR_SPECIAL = re.compile(rb"[\\()]")
+
+
 def _parse_literal_string(data: bytes, pos: int) -> tuple[str, int]:
-    """Parse a ``(...)`` literal string; *pos* points at '('."""
+    """Parse a ``(...)`` literal string; *pos* points at '('.
+
+    Fast path: the overwhelmingly common escape-free, non-nested string is
+    a single slice+decode (identical semantics — any backslash or nested
+    paren before the first ')' falls through to the full parser, which
+    itself bulk-copies between special characters instead of walking
+    byte-at-a-time; this function was 24% of extraction CPU)."""
     assert data[pos] == ord("(")
+    end = data.find(b")", pos + 1)
+    if end != -1:
+        seg = data[pos + 1 : end]
+        if b"\\" not in seg and b"(" not in seg:
+            return seg.decode("latin-1"), end + 1
     pos += 1
     out: list[str] = []
     depth = 1
     n = len(data)
     while pos < n:
+        m = _STR_SPECIAL.search(data, pos)
+        if not m:
+            break
+        if m.start() > pos:  # bulk-copy the unremarkable span
+            out.append(data[pos : m.start()].decode("latin-1"))
+            pos = m.start()
         b = data[pos]
         if b == ord("\\"):
             pos += 1
@@ -179,9 +202,9 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
             continue
         obj_dict = val if isinstance(val, dict) else {}
         stream: bytes | None = None
-        sm = re.match(rb"\s*stream\r?\n", data[pos : pos + 16])
+        sm = _STREAM_RE.match(data, pos, pos + 16)
         if sm:
-            sstart = pos + sm.end()
+            sstart = sm.end()
             length = obj_dict.get("Length")
             if isinstance(length, int) and data.startswith(
                 b"endstream", _skip_eol(data, sstart + length)
