@@ -464,7 +464,6 @@ SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) AS sample_key,
        length(text) AS n_chars
 FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) < '28f5c'
-ORDER BY doc_id
 """
 
     sql["doc_exact_dedup"] = """

@@ -373,10 +373,10 @@ def deterministic_sample(spark, sf_dir: str, rate_hex: str = "28f5c") -> DataFra
     the SAME rows come back on every engine, any partitioning, any day."""
     df = load_documents(spark, sf_dir)
     key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5)
-    return (
-        df.filter(key < F.lit(rate_hex))
-        .select("doc_id", key.alias("sample_key"), F.length("text").alias("n_chars"))
-        .orderBy("doc_id")
+    # no orderBy: globally sorting a ~16% sample of 10^12 docs is pure
+    # cost; the contract comparator is row-order-insensitive
+    return df.filter(key < F.lit(rate_hex)).select(
+        "doc_id", key.alias("sample_key"), F.length("text").alias("n_chars")
     )
 
 
