@@ -57,7 +57,10 @@ def bench_extract(spark) -> tuple[float, int]:
         return time.time() - t0, int(row["n"])
 
     run_once()  # warm scan cache + python workers + codegen
-    return min(run_once() for _ in range(2))
+    # best-of-3: this guest's effective CPU drifts minute-to-minute
+    # (BENCH_SCALING.md); three ~6 s samples give the min a fair shot at
+    # one clean window
+    return min(run_once() for _ in range(3))
 
 
 def main() -> None:
