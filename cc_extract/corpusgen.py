@@ -41,10 +41,10 @@ _EPOCH = datetime(2025, 1, 1)
 
 # format mix (FIXTURES.md §1) as cumulative thresholds
 _FMT_MIX = [
-    ("html", 0.55), ("pdf", 0.15), ("txt", 0.08), ("doc", 0.02), ("docx", 0.05),
+    ("html", 0.55), ("pdf", 0.15), ("txt", 0.075), ("doc", 0.02), ("docx", 0.05),
     ("rtf", 0.04), ("odt", 0.03), ("xlsx", 0.02), ("pptx", 0.02),
     ("xml", 0.01), ("json", 0.01), ("eml", 0.01), ("csv", 0.005),
-    ("image", 0.003), ("corrupt", 0.002),
+    ("ps", 0.005), ("image", 0.003), ("corrupt", 0.002),
 ]
 _CUM = []
 _acc = 0.0
@@ -469,6 +469,34 @@ def _gen_rtf(rng: random.Random) -> bytes:
     return doc.encode("ascii")
 
 
+def _ps_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _gen_ps(rng: random.Random) -> bytes:
+    """Straight-line text PostScript: DSC header, moveto per line, text via
+    show / ashow / widthshow (string is always the last operand)."""
+    lines = []
+    y = 720
+    for _ in range(rng.randint(3, 12)):
+        s = _ps_escape(_sentences(rng, rng.randint(1, 3)))
+        style = rng.random()
+        if style < 0.6:
+            op = f"({s}) show"
+        elif style < 0.8:
+            op = f"0 0 ({s}) ashow"
+        else:
+            op = f"2 0 8#040 ({s}) widthshow"
+        lines.append(f"72 {y} moveto {op}")
+        y -= 14
+    doc = (
+        "%!PS-Adobe-3.0\n%%Title: synthetic\n"
+        "/Times-Roman findfont 12 scalefont setfont\n"
+        + "\n".join(lines) + "\nshowpage\n%%EOF\n"
+    )
+    return doc.encode("latin-1", "replace")
+
+
 def _gen_txt(rng: random.Random) -> bytes:
     enc = rng.choice(["utf-8", "utf-8-sig", "cp1252", "latin-1"])
     text = "\n\n".join(_sentences(rng, rng.randint(2, 6)) for _ in range(rng.randint(2, 8)))
@@ -571,13 +599,15 @@ def _gen_corrupt(rng: random.Random) -> bytes:
 
 _GENERATORS = {
     "html": _gen_html, "pdf": _gen_pdf, "txt": _gen_txt, "doc": _gen_doc,
+    "ps": _gen_ps,
     "docx": _gen_docx,
     "rtf": _gen_rtf, "odt": _gen_odt, "xlsx": _gen_xlsx, "pptx": _gen_pptx,
     "xml": _gen_xml, "json": _gen_json, "eml": _gen_eml, "csv": _gen_csv,
     "image": _gen_image, "corrupt": _gen_corrupt,
 }
 
-_EXT = {"html": "html", "pdf": "pdf", "txt": "txt", "doc": "doc", "docx": "docx",
+_EXT = {"html": "html", "pdf": "pdf", "txt": "txt", "doc": "doc", "ps": "ps",
+        "docx": "docx",
         "rtf": "rtf", "odt": "odt", "xlsx": "xlsx", "pptx": "pptx",
         "xml": "xml", "json": "json", "eml": "eml", "csv": "csv",
         "image": "png", "corrupt": "bin"}

@@ -22,6 +22,7 @@ from .normalize import normalize_text
 from .odt import extract_odt
 from .ooxml import extract_docx, extract_pptx, extract_xlsx
 from .pdf import extract_pdf
+from .ps import extract_ps
 from .rtf import extract_rtf
 from .textlike import (
     extract_csv,
@@ -34,7 +35,8 @@ from .textlike import (
 __all__ = [
     "EXTRACTORS",
     "extract_document",
-    "extract_html", "extract_pdf", "extract_docx", "extract_pptx",
+    "extract_html", "extract_pdf", "extract_ps", "extract_docx",
+    "extract_pptx",
     "extract_xlsx", "extract_odt", "extract_rtf", "extract_txt", "extract_doc",
     "extract_csv", "extract_xml", "extract_json", "extract_eml",
     "normalize_text",
@@ -44,6 +46,7 @@ __all__ = [
 EXTRACTORS = {
     "html": extract_html,
     "pdf": extract_pdf,
+    "ps": extract_ps,
     "doc": extract_doc,
     "docx": extract_docx,
     "pptx": extract_pptx,

@@ -22,7 +22,7 @@ import re
 import zipfile
 
 FORMATS = (
-    "html pdf txt docx pptx xlsx odt rtf xml json eml csv image doc "
+    "html pdf txt docx pptx xlsx odt rtf xml json eml csv image doc ps "
     "unknown".split()
 )
 
@@ -67,6 +67,8 @@ def sniff_format(payload: bytes, url: str | None = None) -> str:
         return "gzip"  # transport encoding: dispatcher decompresses + re-sniffs
     if head.startswith(b"%PDF"):
         return "pdf"
+    if head.startswith(b"%!"):
+        return "ps"  # PostScript (DSC header %!PS-Adobe or bare %!)
     if head.startswith(b"PK\x03\x04"):
         return _sniff_zip(payload)
     if head.startswith(b"{\\rtf"):

@@ -269,6 +269,37 @@ def test_empty_payload():
     assert extract_document(b"")["status"] == "error"
 
 
+# -------------------------------------------------------- postscript (X15)
+
+def test_ps_show_variants_and_escapes():
+    from cc_extract.extractors.ps import extract_ps
+
+    doc = (b"%!PS-Adobe-3.0\n"
+           b"%%Title: (parens in comment) ignored show\n"
+           b"/F findfont 12 scalefont setfont\n"
+           b"72 720 moveto (Hello \\(world\\)) show\n"
+           b"72 706 moveto 0 0 (second line) ashow\n"
+           b"72 692 moveto 2 0 8#040 (third widthshow) widthshow\n"
+           b"showpage\n%%EOF\n")
+    assert extract_ps(doc) == "Hello (world)\nsecond line\nthird widthshow"
+
+
+def test_ps_round_trip_via_dispatch():
+    import random
+    from cc_extract.corpusgen import _gen_ps
+
+    rng = random.Random(11)
+    res = extract_document(_gen_ps(rng), "https://x/doc.ps")
+    assert (res["fmt"], res["status"]) == ("ps", "ok")
+    assert len(res["text"]) > 50
+
+
+def test_ps_not_postscript_raises_to_error_row():
+    res = extract_document(b"%!PS\xff\xfe garbage (unterminated", "u.ps")
+    assert res["fmt"] == "ps"
+    assert res["status"] in ("ok", "error")  # never an exception
+
+
 # -------------------------------------------------------- OCR-lite (X14)
 
 def test_ocr_png_round_trip():
