@@ -108,6 +108,22 @@ def _cc_dedup_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/leakage scan over EXTRACTED text: per-url email / URL / long
+    digit-run counts for documents carrying any indicator — what a
+    redaction pass keys on before a training-data release."""
+    from cc_extract.corpusgen import corpus_df
+    from cc_extract.job import pipeline_df
+
+    docs = corpus_df(spark, 1200, partitions=8)
+    res = pipeline_df(docs, n_buckets=16)
+    out = res.select("url", *textops.pii_indicator_cols("text_out"))
+    return out.filter(
+        (F.col("n_emails") > 0) | (F.col("n_urls") > 0)
+        | (F.col("n_long_numbers") > 0)
+    )
+
+
 def _cc_ocr_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXECUTED OCR route (X14): per-url recognized text hashes for
     documents that went through OCR-lite (scanned PNGs + scanned-style
@@ -210,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_needs_ocr": _cc_needs_ocr,
         "cc_dedup_effect": _cc_dedup_effect,
         "cc_ocr_text": _cc_ocr_text,
+        "cc_pii_stats": _cc_pii_stats,
         # multimodal plumbing (oracled; parsing unit-tested)
         "mm_metadata_stats": _mm_metadata_stats,
         "mm_feature_norms": _mm_feature_norms,
@@ -704,6 +721,18 @@ FROM d WHERE status = 'needs_ocr' ORDER BY url
 WITH {dedup_cte}
 SELECT url, fmt, text_sha256
 FROM d WHERE status = 'ok_ocr' ORDER BY url
+"""
+
+    sql["cc_pii_stats"] = f"""
+WITH {dedup_cte},
+p AS (
+  SELECT url,
+         len(regexp_extract_all(text_out, '{textops.EMAIL_RX}')) AS n_emails,
+         len(regexp_extract_all(text_out, '{textops.URL_RX}')) AS n_urls,
+         len(regexp_extract_all(text_out, '{textops.LONGNUM_RX}')) AS n_long_numbers
+  FROM d
+)
+SELECT * FROM p WHERE n_emails > 0 OR n_urls > 0 OR n_long_numbers > 0
 """
 
     sql["cc_dedup_effect"] = f"""

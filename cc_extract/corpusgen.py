@@ -500,6 +500,15 @@ def _gen_ps(rng: random.Random) -> bytes:
 def _gen_txt(rng: random.Random) -> bytes:
     enc = rng.choice(["utf-8", "utf-8-sig", "cp1252", "latin-1"])
     text = "\n\n".join(_sentences(rng, rng.randint(2, 6)) for _ in range(rng.randint(2, 8)))
+    if rng.random() < 0.4:
+        # PII-shaped contact block (synthetic): exercises the leakage-scan
+        # operators over extracted text (cc_pii_stats)
+        dom = rng.choice(_DOMAINS)
+        text += (
+            f"\n\ncontact {rng.choice(_WORDS)}{rng.randrange(100)}@{dom}"
+            f" or call {rng.randrange(10**9, 10**10)}"
+            f" details at https://{dom}/{rng.choice(_WORDS)}"
+        )
     try:
         return text.encode(enc)
     except UnicodeEncodeError:

@@ -340,6 +340,30 @@ def token_doc_freq(spark, sf_dir: str, top_k: int = 100) -> DataFrame:
     return agg.orderBy(F.desc("df"), F.desc("total_tf"), F.asc("token")).limit(top_k)
 
 
+# -------------------------------------------------------------- PII scan
+
+EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RX = "https?://[^ \\t\\n]+"
+LONGNUM_RX = "[0-9]{7,}"
+
+
+def pii_indicator_cols(text_col: str) -> list:
+    """Email / URL / long-digit-run counts over *text_col* — the
+    indicators a redaction/filter pass keys on before training-data
+    release.  Patterns stay in the regex subset Java regex and RE2
+    interpret identically (character classes + bounded quantifiers, no
+    backrefs/lookaround) so the DuckDB oracle runs the same literal
+    pattern.  Pure per-row projection: no shuffle, scales with the scan.
+    Used by the cc_pii_stats contract query over EXTRACTED text (the
+    synthetic corpus injects contact blocks so the check is non-vacuous)."""
+    n = lambda rx: F.size(F.regexp_extract_all(text_col, F.lit(rx), 0))  # noqa: E731
+    return [
+        n(EMAIL_RX).alias("n_emails"),
+        n(URL_RX).alias("n_urls"),
+        n(LONGNUM_RX).alias("n_long_numbers"),
+    ]
+
+
 # ------------------------------------------------------- length quantiles
 
 def length_quantiles(spark, sf_dir: str) -> DataFrame:
