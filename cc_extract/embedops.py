@@ -111,7 +111,8 @@ def lsh_buckets(spark, sf_dir: str) -> DataFrame:
 
 def query_bits(q: list[float] | None = None) -> str:
     planes = lsh_planes()
-    q = q or query_vector()
+    if q is None:  # only the sentinel substitutes; an empty vector is an error
+        q = query_vector()
     return "".join(
         "1" if sum(a * b for a, b in zip(q, p)) >= 0 else "0" for p in planes
     )

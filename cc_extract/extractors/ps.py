@@ -41,10 +41,10 @@ def extract_ps(payload: bytes) -> str:
             break
         tok = m.group(0)
         if tok == b"(":
-            try:
-                pending, pos = _parse_literal_string(payload, m.start())
-            except _PdfError:
-                break
+            # unterminated/malformed string: propagate so the dispatcher
+            # quarantines the doc as status='error' (module docstring
+            # contract) instead of silently returning truncated text
+            pending, pos = _parse_literal_string(payload, m.start())
             continue
         pos = m.end()
         if tok.startswith(b"%"):  # comment to end of line

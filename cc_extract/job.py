@@ -218,6 +218,7 @@ def run(
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     dedup: bool = True,
     resume: bool = True,
+    input_token: str | None = None,
 ) -> dict:
     """Execute the pipeline with manifest-checkpointed resume (M1–M4).
 
@@ -246,7 +247,9 @@ def run(
         "salt_threshold": salt_threshold, "dedup": dedup,
     }
     jid = mf.job_id(config)
-    snap = mf.input_snapshot_id(docs)
+    # input_token: identity of generated/inline inputs (e.g. "n|seed") so
+    # M4's resume-refusal can distinguish same-schema inline corpora
+    snap = mf.input_snapshot_id(docs, inline_token=input_token)
 
     if not resume:
         import shutil
@@ -358,15 +361,17 @@ def main() -> None:
     spark = build_session(cpus=args.cpus, app_name="cc_extract.job")
     spark.sparkContext.setLogLevel("WARN")
     try:
+        token = None
         if args.input:
             docs = spark.read.parquet(args.input)
         else:
             from .corpusgen import corpus_df
             docs = corpus_df(spark, args.n_docs, seed=args.seed)
+            token = f"{args.n_docs}|{args.seed}"
         stats = run(
             spark, docs, args.out, n_buckets=args.buckets, salt=args.salt,
             salt_threshold=args.salt_threshold, dedup=not args.no_dedup,
-            resume=not args.no_resume,
+            resume=not args.no_resume, input_token=token,
         )
         print(f"job stats: {stats}")
         if not stats["skipped"]:

@@ -35,7 +35,7 @@ def job_id(config: dict) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-def input_snapshot_id(docs) -> str:
+def input_snapshot_id(docs, inline_token: str | None = None) -> str:
     """M4 input lineage: identity of the input table *version* the job
     read, so every output row traces to (job_id, snapshot_id, bucket).
 
@@ -43,12 +43,15 @@ def input_snapshot_id(docs) -> str:
     listing plus per-file sizes — the emulation of an Iceberg snapshot id
     (on real Iceberg this is ``table.currentSnapshot().snapshotId()``; the
     file listing IS what that snapshot pins).  Non-file inputs (inline
-    DataFrames, the synthetic generator) get a schema-derived id prefixed
-    ``inline:`` — honest about the fact that there is no durable version
-    to point at."""
+    DataFrames, the synthetic generator) have no durable version to point
+    at, so the id hashes the schema plus *inline_token* — a caller-supplied
+    identity for the generated content (e.g. ``f"{n_docs}|{seed}"``).
+    Without a token, two different inline corpora with the same schema
+    share an id and the resume-refusal guard cannot tell them apart; pass
+    one whenever the generator takes parameters."""
     files = sorted(docs.inputFiles())
     if not files:
-        sig = docs.schema.simpleString()
+        sig = docs.schema.simpleString() + "|" + (inline_token or "")
         return "inline:" + hashlib.sha256(sig.encode()).hexdigest()[:12]
     h = hashlib.sha256()
     for f in files:

@@ -267,6 +267,7 @@ def test_dispatch_deterministic():
 
 def test_empty_payload():
     assert extract_document(b"")["status"] == "error"
+    assert extract_document(None)["status"] == "error"
 
 
 # -------------------------------------------------------- postscript (X15)
@@ -298,6 +299,13 @@ def test_ps_not_postscript_raises_to_error_row():
     res = extract_document(b"%!PS\xff\xfe garbage (unterminated", "u.ps")
     assert res["fmt"] == "ps"
     assert res["status"] in ("ok", "error")  # never an exception
+
+
+def test_ps_unterminated_string_is_error_not_truncation():
+    # module contract: malformed PostScript quarantines as status='error';
+    # a partial-text 'ok' row would silently truncate the document
+    res = extract_document(b"%!PS\n72 720 moveto (no close paren show\n", "u.ps")
+    assert (res["fmt"], res["status"]) == ("ps", "error")
 
 
 # -------------------------------------------------------- OCR-lite (X14)
@@ -404,7 +412,6 @@ def test_ocr_png_filter_reconstruction():
     w2, h2, out = decode_png_gray(png)
     assert (w2, h2) == (w, h)
     assert bytes(out) == bytes(raster)
-    assert extract_document(None)["status"] == "error"
 
 
 # ------------------------------------------------------------ legacy .doc
