@@ -56,18 +56,38 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# ------------------------------------------------- extraction (rows-only)
+# ----------------------------------------------------- extraction queries
+
+# The five _cc_* contract queries share ONE corpus + extraction pipeline:
+# generating and re-extracting the 1200-doc corpus per query would run the
+# identical pipeline 5x (round-2 verdict, "what's wrong" #6).  Cached per
+# Spark application; the first query pays the extraction, the rest reuse
+# the materialized text rows.
+_CC_N_DOCS = 1200
+_cc_cache: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def _cc_corpus_and_extracted(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    key = spark.sparkContext.applicationId
+    hit = _cc_cache.get(key)
+    if hit is None:
+        from cc_extract.corpusgen import corpus_df
+        from cc_extract.job import pipeline_df
+
+        docs = corpus_df(spark, _CC_N_DOCS, partitions=8).cache()
+        res = pipeline_df(docs, n_buckets=16).cache()
+        _cc_cache.clear()  # one app at a time; drop stale session handles
+        _cc_cache[key] = (docs, res)
+        hit = (docs, res)
+    return hit
+
 
 def _cc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full extraction pipeline over the deterministic synthetic CC corpus:
     per-(fmt, status) doc counts and output chars.  Byte-identity for this
     path is separately enforced by tests/test_pipeline.py (20k golden);
     the DuckDB oracle re-aggregates the single-process per-row results."""
-    from cc_extract.corpusgen import corpus_df
-    from cc_extract.job import pipeline_df
-
-    docs = corpus_df(spark, 1200, partitions=8)
-    res = pipeline_df(docs, n_buckets=16)
+    _, res = _cc_corpus_and_extracted(spark)
     return (
         res.groupBy("fmt", "status")
         .agg(
@@ -82,11 +102,7 @@ def _cc_needs_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OCR-quarantine route (D3): documents whose text layer is empty
     or that are images, emitted as needs_ocr rows (reference's ocr Lambda,
     modeled not executed — SURVEY.md §2.4.3)."""
-    from cc_extract.corpusgen import corpus_df
-    from cc_extract.job import pipeline_df
-
-    docs = corpus_df(spark, 1200, partitions=8)
-    res = pipeline_df(docs, n_buckets=16)
+    _, res = _cc_corpus_and_extracted(spark)
     return (
         res.filter(F.col("status") == "needs_ocr")
         .select("url", "fmt", "n_bytes_in")
@@ -96,13 +112,10 @@ def _cc_needs_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cc_dedup_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3 dedup bookkeeping: input rows vs distinct urls vs output rows."""
-    from cc_extract.corpusgen import corpus_df
-    from cc_extract.job import pipeline_df
-
-    docs = corpus_df(spark, 1200, partitions=8)
+    docs, res = _cc_corpus_and_extracted(spark)
     n_in = docs.count()
     n_urls = docs.select("url").distinct().count()
-    n_out = pipeline_df(docs, n_buckets=16).count()
+    n_out = res.count()
     return spark.createDataFrame(
         [(n_in, n_urls, n_out)], "n_input_rows long, n_distinct_urls long, n_output_rows long"
     )
@@ -112,11 +125,7 @@ def _cc_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII/leakage scan over EXTRACTED text: per-url email / URL / long
     digit-run counts for documents carrying any indicator — what a
     redaction pass keys on before a training-data release."""
-    from cc_extract.corpusgen import corpus_df
-    from cc_extract.job import pipeline_df
-
-    docs = corpus_df(spark, 1200, partitions=8)
-    res = pipeline_df(docs, n_buckets=16)
+    _, res = _cc_corpus_and_extracted(spark)
     out = res.select("url", *textops.pii_indicator_cols("text_out"))
     return out.filter(
         (F.col("n_emails") > 0) | (F.col("n_urls") > 0)
@@ -128,11 +137,7 @@ def _cc_ocr_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXECUTED OCR route (X14): per-url recognized text hashes for
     documents that went through OCR-lite (scanned PNGs + scanned-style
     PDFs with page-image XObjects)."""
-    from cc_extract.corpusgen import corpus_df
-    from cc_extract.job import pipeline_df
-
-    docs = corpus_df(spark, 1200, partitions=8)
-    res = pipeline_df(docs, n_buckets=16)
+    _, res = _cc_corpus_and_extracted(spark)
     return (
         res.filter(F.col("status") == "ok_ocr")
         .select("url", "fmt", "text_sha256")
@@ -218,8 +223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_buckets": embedops.lsh_buckets,
         "emb_lsh_ann": embedops.lsh_ann,
         "emb_ivf_ann": embedops.ivf_ann,
+        "emb_ivf_ann_nprobe2": lambda spark, sf: embedops.ivf_ann(spark, sf, nprobe=2),
         "emb_cosine_near_dup": embedops.cosine_near_dup_pairs,
         "emb_lsh_ann_multiprobe": embedops.lsh_ann_multiprobe,
+        "emb_ann_recall": embedops.ann_recall,
         # extraction pipeline (oracled via single-process materialization;
         # byte-identity additionally gated by the 20k pytest golden)
         "cc_extract_stats": _cc_extract_stats,
@@ -671,7 +678,8 @@ WHERE {bucket_expr} IN ({probes})
 ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
-    sql["emb_ivf_ann"] = f"""
+    def _ivf_sql(nprobe: int) -> str:
+        return f"""
 WITH q AS (SELECT {qlit} AS qv),
 cent AS (
   SELECT label, i AS pos, round(avg(embedding[CAST(i AS INT) + 1]), 6) AS c
@@ -682,11 +690,42 @@ dist AS (
   SELECT label, sum((c - qv[CAST(pos AS INT) + 1]) * (c - qv[CAST(pos AS INT) + 1])) AS d
   FROM cent, q GROUP BY label
 ),
-best AS (SELECT label FROM dist ORDER BY d, label LIMIT 1)
+best AS (SELECT label FROM dist ORDER BY d, label LIMIT {nprobe})
 SELECT vec_id, label, {cos_expr} AS cos_sim
 FROM embeddings
-WHERE label = (SELECT label FROM best)
+WHERE label IN (SELECT label FROM best)
 ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+    sql["emb_ivf_ann"] = _ivf_sql(1)
+    sql["emb_ivf_ann_nprobe2"] = _ivf_sql(2)
+
+    # recall@k of every approximate path vs the exact brute-force top-k —
+    # composed from the ANN oracles above, so truth and candidates are the
+    # very queries under test
+    k = embedops.DEFAULT_K
+    recall_ctes = {
+        "lsh_single": sql["emb_lsh_ann"],
+        "lsh_multiprobe": sql["emb_lsh_ann_multiprobe"],
+        "ivf_nprobe1": sql["emb_ivf_ann"],
+        "ivf_nprobe2": sql["emb_ivf_ann_nprobe2"],
+    }
+    ctes = ",\n".join(
+        f"c_{m} AS (SELECT vec_id FROM ({q}))" for m, q in recall_ctes.items()
+    )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT '{m}' AS method, count(*) AS n_hits "
+        f"FROM c_{m} JOIN truth USING (vec_id)"
+        for m in recall_ctes
+    )
+    sql["emb_ann_recall"] = f"""
+WITH truth AS (SELECT vec_id FROM ({sql['emb_knn_bruteforce']})),
+{ctes}
+SELECT method, {k} AS k, n_hits, round(n_hits / {k}.0, 4) AS recall
+FROM (
+{unions}
+)
+ORDER BY method
 """
 
     # ---- extraction pipeline: oracle side materialized single-process
@@ -695,7 +734,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
     # relational pipeline semantics (keep-newest window dedup, grouping)
     from cc_extract import oracle_data
 
-    ext = oracle_data.extraction_table(1200)
+    ext = oracle_data.extraction_table(_CC_N_DOCS)
     dedup_cte = f"""
 ranked AS (
   SELECT *, row_number() OVER (

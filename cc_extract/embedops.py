@@ -172,20 +172,23 @@ def label_centroids(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_ann(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
-    """IVF-style ANN: nearest centroid (coarse cell), exact cosine within
-    the cell.  The centroid table is k rows — driver-side is the right
-    place for it at any scale (it's the 'index', not the data)."""
+def ivf_ann(spark, sf_dir: str, k: int = DEFAULT_K, nprobe: int = 1) -> DataFrame:
+    """IVF-style ANN: *nprobe* nearest centroids (coarse cells), exact
+    cosine within them.  The centroid table is a handful of rows —
+    driver-side is the right place for it at any scale (it's the 'index',
+    not the data).  nprobe is the standard IVF recall/cost dial: cells
+    are coarse, so the true neighbors of a query near a cell boundary
+    live in the second-nearest cell (measured by emb_ann_recall)."""
     q = query_vector()
     cent = label_centroids(spark, sf_dir).collect()
     by_label: dict[int, list[float]] = {}
     for r in cent:
         by_label.setdefault(r["label"], [0.0] * DIM)[r["pos"]] = r["c"]
-    best_label = min(
-        sorted(by_label),
-        key=lambda lbl: sum((a - b) ** 2 for a, b in zip(by_label[lbl], q)),
-    )
-    emb = load_embeddings(spark, sf_dir).filter(F.col("label") == best_label)
+    probe_labels = sorted(
+        by_label,
+        key=lambda lbl: (sum((a - b) ** 2 for a, b in zip(by_label[lbl], q)), lbl),
+    )[:nprobe]
+    emb = load_embeddings(spark, sf_dir).filter(F.col("label").isin(probe_labels))
     scored = emb.select(
         "vec_id", "label", F.round(_cosine(F.col("embedding"), q), 5).alias("cos_sim")
     )
@@ -218,4 +221,45 @@ def cosine_near_dup_pairs(spark, sf_dir: str, threshold: float = 0.4) -> DataFra
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ann_recall(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
+    """recall@k of every approximate path measured against the exact
+    brute-force top-k — the number (not a vibe) that justifies shipping an
+    ANN index: |approx top-k ∩ exact top-k| / k per method.  Reported for
+    single-probe LSH (the baseline multiprobe must beat), multiprobe LSH,
+    and IVF at nprobe 1 and 2 (the recall/cost dial).
+
+    Both the truth set and each candidate set are k rows, so the joins
+    are trivially broadcast; the expensive part is the underlying scans,
+    which each method already bounds (multiprobe: bucket filter; IVF:
+    cell filter).  The method dimension is left-joined so a method with
+    zero overlap still reports recall 0.0 instead of vanishing."""
+    truth = knn_bruteforce(spark, sf_dir, k).select("vec_id")
+    tagged = [
+        ("lsh_single", lsh_ann(spark, sf_dir, k)),
+        ("lsh_multiprobe", lsh_ann_multiprobe(spark, sf_dir, k)),
+        ("ivf_nprobe1", ivf_ann(spark, sf_dir, k, nprobe=1)),
+        ("ivf_nprobe2", ivf_ann(spark, sf_dir, k, nprobe=2)),
+    ]
+    cands = None
+    for name, df in tagged:
+        part = df.select(F.lit(name).alias("method"), "vec_id")
+        cands = part if cands is None else cands.unionByName(part)
+    hits = cands.join(truth, "vec_id").groupBy("method").agg(
+        F.count("*").alias("n_hits")
+    )
+    methods = spark.createDataFrame(
+        [(name,) for name, _ in tagged], "method string"
+    )
+    return (
+        methods.join(hits, "method", "left")
+        .select(
+            "method",
+            F.lit(k).alias("k"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 4).alias("recall"),
+        )
+        .orderBy("method")
     )
