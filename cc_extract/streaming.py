@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .corpusgen import CORPUS_SCHEMA
-from .job import DEFAULT_BUCKETS, make_extract_udf, with_bucket
+from .job import (
+    DEFAULT_BUCKETS,
+    DEFAULT_SALT,
+    DEFAULT_SALT_THRESHOLD,
+    make_extract_udf,
+    with_bucket,
+)
 
 
 def stream_documents(
@@ -38,22 +44,46 @@ def extract_stream(
     n_buckets: int = DEFAULT_BUCKETS,
     watermark: str = "1 day",
     max_files: int = 8,
+    salt: int = DEFAULT_SALT,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    debug_partition_col: bool = False,
 ):
-    """streaming scan -> dedup-within-watermark -> vectorized extraction
-    -> checkpointed parquet sink.  Returns the StreamingQuery.
+    """streaming scan -> dedup-within-watermark -> size-aware salted
+    repartition -> vectorized extraction -> checkpointed parquet sink.
+    Returns the StreamingQuery.
 
     Dedup semantics vs batch: the batch job keeps the NEWEST crawl per
     url globally; a stream can only keep the FIRST within the watermark
     (late duplicates beyond the watermark are dropped by definition).
     That difference is inherent to streaming and documented here.
+
+    Skew parity with batch (R5): a giant payload inside a micro-batch
+    skews that batch exactly the way the batch job's salting exists to
+    prevent, so the stream path carries the same size-aware salt —
+    giants (> salt_threshold) get a secondary url-hash salt at fine
+    granularity before the per-micro-batch repartition on (bucket,
+    salt); small docs keep salt 0.  ``debug_partition_col`` appends the
+    executing partition id for tests that assert the spread.
     """
     docs = stream_documents(spark, input_dir, max_files=max_files)
     docs = docs.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
     df = with_bucket(docs.select("url", "warc_ts", "html"), n_buckets)
+    df = df.withColumn("n_bytes_in", F.coalesce(F.length("html"), F.lit(0)))
+    n_exec = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_salt = max(n_exec * 4, salt)
+    df = df.withColumn(
+        "salt",
+        F.when(
+            F.col("n_bytes_in") > F.lit(salt_threshold),
+            F.pmod(F.xxhash64("url", F.lit(1)), F.lit(n_salt)),
+        ).otherwise(F.lit(0)).cast("int"),
+    ).repartition(n_exec, F.col("bucket"), F.col("salt"))
     extract_udf = make_extract_udf()
     res = df.withColumn("r", extract_udf("html", "url")).select(
-        "url", "warc_ts", "bucket", "r.*"
+        "url", "warc_ts", "bucket", "n_bytes_in", "r.*"
     )
+    if debug_partition_col:
+        res = res.withColumn("exec_part", F.spark_partition_id())
     res = res.withColumn(
         "text_sha256", F.sha2(F.encode(F.col("text_out"), "UTF-8"), 256)
     )

@@ -99,3 +99,47 @@ def test_stream_dedup_keeps_first_within_watermark(spark, tmp_path):
         spark.read.parquet(input_dir), n_buckets=4
     ).select("text_out").collect()
     assert [r["text_out"] for r in batch] == ["second crawl text"]
+
+
+def test_stream_salts_giants_within_micro_batch(spark, tmp_path):
+    """R5 parity on the stream path: giant payloads inside ONE micro-batch
+    must spread across execution partitions even when they share a bucket.
+    n_buckets=1 forces every row into bucket 0, so without the size-aware
+    salt the whole batch (giants included) would extract in a single
+    task."""
+    import datetime as dt
+
+    input_dir = str(tmp_path / "in")
+    rows = []
+    giant = b"x" * (1 << 20 + 1)  # > 1 MiB threshold
+    for i in range(6):
+        rows.append(
+            (f"https://stream.example/giant{i}.txt", dt.datetime(2025, 1, 1),
+             bytearray(giant + str(i).encode()), "", "en")
+        )
+    for i in range(20):
+        rows.append(
+            (f"https://stream.example/small{i}.txt", dt.datetime(2025, 1, 1),
+             bytearray(f"small doc {i}".encode()), "", "en")
+        )
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).coalesce(1).write.parquet(input_dir)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming.extract_stream(
+        spark, input_dir, out_dir, ckpt, n_buckets=1,
+        debug_partition_col=True,
+    )
+    q.awaitTermination(240)
+    assert not q.isActive
+
+    out = spark.read.parquet(out_dir)
+    giants = out.filter(F.col("n_bytes_in") > (1 << 20)).collect()
+    assert len(giants) == 6
+    # all share the single bucket, yet the salt spread them across tasks
+    assert {r["bucket"] for r in giants} == {0}
+    parts = {r["exec_part"] for r in giants}
+    assert len(parts) > 1, f"giants all extracted in one partition: {parts}"
