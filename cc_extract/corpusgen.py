@@ -19,6 +19,7 @@ corpus stays cheap and how a 10^12-row synthetic load test would be fed.
 from __future__ import annotations
 
 import random
+import struct
 import zlib
 import zipfile
 import io
@@ -56,6 +57,7 @@ _CUM[-1] = (1.01, _CUM[-1][1])  # float-sum guard
 DUP_FRACTION = 0.02          # urls with a second, newer crawl row
 PDF_EMPTY_TEXT_FRACTION = 0.03  # pdfs routed to needs_ocr
 PDF_HUGE_FRACTION = 0.01     # pdfs >= 1 MiB (skew head)
+PDF_XREF_STREAM_FRACTION = 0.2  # PDF 1.5+ layout: ObjStm + XRef stream
 
 
 def _words(rng: random.Random, n: int) -> str:
@@ -142,7 +144,68 @@ def _gen_pdf_content_stream(rng: random.Random, n_lines: int) -> bytes:
     return "\n".join(ops).encode("latin-1")
 
 
-def _gen_pdf(rng: random.Random) -> bytes:
+def _serialize_pdf_xref_stream(objs: list[bytes], catalog_id: int) -> bytes:
+    """PDF 1.5+ serialization: stream-bearing objects stay direct; every
+    other object (catalog, pages node, page dicts) packs into ONE
+    ``/ObjStm``; the cross-reference is a ``/Type /XRef`` stream (W [1 4 2]
+    binary rows: type 0 free / 1 direct-offset / 2 in-objstm) whose dict
+    doubles as the trailer (/Root rides there — no classic ``trailer``).
+    This is the layout virtually every post-2005 PDF writer emits and the
+    round-2 verdict's top real-corpus robustness gap."""
+    buf = io.BytesIO()
+    buf.write(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    packed: list[tuple[int, bytes]] = []
+    for i, body in enumerate(objs, start=1):
+        if b"\nstream\n" in body:
+            offsets[i] = buf.tell()
+            buf.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
+        else:
+            packed.append((i, body))
+
+    objstm_num = len(objs) + 1
+    xref_num = len(objs) + 2
+    header_parts, body_parts = [], []
+    off = 0
+    for num, body in packed:
+        header_parts.append(f"{num} {off}")
+        body_parts.append(body + b"\n")
+        off += len(body) + 1
+    header = (" ".join(header_parts) + "\n").encode()
+    comp = zlib.compress(header + b"".join(body_parts))
+    offsets[objstm_num] = buf.tell()
+    buf.write(
+        f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} "
+        f"/First {len(header)} /Filter /FlateDecode /Length {len(comp)} "
+        f">>\nstream\n".encode() + comp + b"\nendstream\nendobj\n"
+    )
+
+    xref_pos = buf.tell()
+    offsets[xref_num] = xref_pos
+    idx_in_stm = {num: i for i, (num, _) in enumerate(packed)}
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            rows += struct.pack(">BIH", 0, 0, 65535)
+        elif num in offsets:
+            rows += struct.pack(">BIH", 1, offsets[num], 0)
+        else:
+            rows += struct.pack(">BIH", 2, objstm_num, idx_in_stm[num])
+    xcomp = zlib.compress(bytes(rows))
+    buf.write(
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+        f"/Root {catalog_id} 0 R /Filter /FlateDecode /Length {len(xcomp)} "
+        f">>\nstream\n".encode() + xcomp + b"\nendstream\nendobj\n"
+    )
+    buf.write(f"startxref\n{xref_pos}\n%%EOF\n".encode())
+    return buf.getvalue()
+
+
+def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
+    xref_stream = rng.random() < PDF_XREF_STREAM_FRACTION
+    if layout is not None:  # test hook; production always draws
+        xref_stream = layout == "xref"
     empty_text = rng.random() < PDF_EMPTY_TEXT_FRACTION
     # 60% of empty-text PDFs are scanned-style: the page raster rides along
     # as a FlateDecode grayscale image XObject (what a scanner writes) and
@@ -201,6 +264,9 @@ def _gen_pdf(rng: random.Random) -> bytes:
         add(b"<< /Type /XObject /Subtype /Image /Length "
             + str(len(blob)).encode() + b" >>\nstream\n" + blob + b"\nendstream")
     catalog_id = add(f"<< /Type /Catalog /Pages {pages_id} 0 R >>".encode())
+
+    if xref_stream:
+        return _serialize_pdf_xref_stream(objs, catalog_id)
 
     buf = io.BytesIO()
     buf.write(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")

@@ -9,7 +9,10 @@ bin-linux_x64/pdftotext ⚠] [D: BASELINE.json north_star
 Ours is a pure-Python (stdlib ``zlib`` + ``re``) text-layer parser:
 
 1. scan ``N G obj … endobj`` spans into an object map (no xref trust —
-   brute scan is robust to truncated files);
+   brute scan is robust to truncated files), then expand PDF 1.5+
+   ``/ObjStm`` object streams so compressed catalogs/page trees resolve
+   (xref-stream files need no xref decoding under a brute scan: the
+   ``/Root`` entry rides in the XRef stream's uncompressed dict);
 2. resolve trailer ``/Root`` → catalog ``/Pages`` → depth-first ``/Kids``
    walk for document page order; fall back to object-number order over all
    text-bearing streams when the tree is unresolvable;
@@ -190,8 +193,46 @@ def _parse_literal_string(data: bytes, pos: int) -> tuple[str, int]:
 
 # ---------------------------------------------------------------- doc scan
 
+def _expand_object_streams(objects: dict[int, tuple[dict, bytes | None]]) -> None:
+    """PDF 1.5+ object streams (``/Type /ObjStm``): non-stream objects —
+    typically the whole catalog/pages/page-dict tree — are packed inside a
+    FlateDecode stream the brute scan can't see through.  Expand each one:
+    the stream starts with ``2*N`` integers (object number, offset relative
+    to /First) followed by the serialized objects.  Direct objects win on
+    number collision (setdefault): the brute scan already honors the
+    file's last definition, and an ObjStm can never redefine a
+    stream-bearing object (streams are forbidden inside ObjStm)."""
+    for num in list(objects):
+        obj_dict, stream = objects[num]
+        if obj_dict.get("Type") != "ObjStm" or stream is None:
+            continue
+        data = _decode_stream(obj_dict, stream)
+        if data is None:
+            continue
+        n_objs, first = obj_dict.get("N"), obj_dict.get("First")
+        if not (isinstance(n_objs, int) and isinstance(first, int)):
+            continue
+        if not (0 < first <= len(data)):
+            continue
+        try:
+            nums = [int(x) for x in data[:first].split()]
+        except ValueError:
+            continue
+        for i in range(min(n_objs, len(nums) // 2)):
+            onum, off = nums[2 * i], nums[2 * i + 1]
+            if off < 0 or first + off >= len(data):
+                continue
+            try:
+                val, _ = _parse_object(data, first + off)
+            except (_PdfError, ValueError, IndexError):
+                continue
+            objects.setdefault(onum, (val if isinstance(val, dict) else {}, None))
+
+
 def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
-    """Map obj number -> (dict, stream_bytes|None) by brute scan."""
+    """Map obj number -> (dict, stream_bytes|None) by brute scan, then
+    expand PDF 1.5+ object streams so compressed catalogs/page trees
+    resolve like direct ones."""
     objects: dict[int, tuple[dict, bytes | None]] = {}
     for m in _OBJ_RE.finditer(data):
         num = int(m.group(1))
@@ -216,6 +257,7 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
                     continue
                 stream = data[sstart:send].rstrip(b"\r\n")
         objects[num] = (obj_dict, stream)
+    _expand_object_streams(objects)
     return objects
 
 
