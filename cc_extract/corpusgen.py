@@ -646,18 +646,169 @@ def _png_gray(w: int, h: int, raster: bytes) -> bytes:
             + chunk(b"IDAT", zlib.compress(scan, 6)) + chunk(b"IEND", b""))
 
 
+# Baseline-JFIF grayscale encoder (writer side of the OCR-lite JPEG loop;
+# the decoder in extractors/jpeg.py is an independent implementation —
+# they share only ITU-T T.81's public constants).  Near-lossless
+# quantization (DC 1, AC 4) keeps DCT round-trip error far below the
+# recognizer's 128 binarization threshold while still exercising the real
+# codec: FDCT, zigzag, category coding, Annex K Huffman tables, stuffing.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_JPEG_QUANT_ZZ = [1] + [4] * 63
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = bytes(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_JPEG_AC_VALS = bytes.fromhex(
+    "01020300041105122131410613516107227114328191a108"
+    "2342b1c11552d1f02433627282090a161718191a25262728"
+    "292a3435363738393a434445464748494a53545556575859"
+    "5a636465666768696a737475767778797a83848586878889"
+    "8a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6"
+    "b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2"
+    "e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9fa"
+)
+
+_JPEG_COS = None  # built lazily: [u][x] = C(u)/2 * cos((2x+1)u*pi/16)
+
+
+def _jpeg_tables():
+    global _JPEG_COS
+    if _JPEG_COS is None:
+        import math
+        _JPEG_COS = [
+            [
+                (math.sqrt(0.5) if u == 0 else 1.0) / 2.0
+                * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    return _JPEG_COS
+
+
+def _huff_codes(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical per T.81 Annex C."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _jpeg_gray(w: int, h: int, raster: bytes) -> bytes:
+    """Valid baseline JFIF: 8-bit grayscale, single component, Annex K
+    Huffman tables, near-lossless custom quant table."""
+    cos = _jpeg_tables()
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    writer = _JpegBitWriter()
+    pred = 0
+
+    def px(x: int, y: int) -> int:  # edge-replicated sample, level-shifted
+        return raster[min(y, h - 1) * w + min(x, w - 1)] - 128
+
+    for by in range(bh):
+        for bx in range(bw):
+            blk = [[float(px(bx * 8 + x, by * 8 + y)) for x in range(8)]
+                   for y in range(8)]
+            # separable FDCT: rows (x->u) then columns (y->v)
+            tmp = [[sum(blk[y][x] * cos[u][x] for x in range(8))
+                    for u in range(8)] for y in range(8)]
+            coef = [
+                sum(tmp[y][u] * cos[v][y] for y in range(8))
+                for v in range(8) for u in range(8)
+            ]
+            zz = [
+                int(round(coef[_JPEG_ZIGZAG[i]] / _JPEG_QUANT_ZZ[i]))
+                for i in range(64)
+            ]
+            diff = zz[0] - pred
+            pred = zz[0]
+            size = abs(diff).bit_length()
+            writer.write(*dc_codes[size])
+            if size:
+                writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    writer.write(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                v = zz[i]
+                s = abs(v).bit_length()
+                writer.write(*ac_codes[(run << 4) | s])
+                writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                writer.write(*ac_codes[0x00])  # EOB
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes(_JPEG_QUANT_ZZ))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS
+        + b"\x10" + bytes(_JPEG_AC_BITS) + _JPEG_AC_VALS,
+    )
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (b"\xff\xd8" + app0 + dqt + sof + dht + sos
+            + writer.flush() + b"\xff\xd9")
+
+
 def _gen_image(rng: random.Random) -> bytes:
     p = rng.random()
-    if p < 0.55:
-        # real scanned-page PNG: rendered text the OCR-lite route reads back
+    if p < 0.7:
+        # real scanned-page raster: rendered text the OCR-lite route reads
+        # back, shipped as PNG or baseline-JFIF JPEG (both real codecs)
         from .glyphs import render_raster
         text = "\n".join(
             _sentences(rng, rng.randint(1, 3)) for _ in range(rng.randint(1, 3))
         )
         w, h, raster = render_raster(text)
-        return _png_gray(w, h, bytes(raster))
-    if p < 0.8:
-        # JPEG: no decoder in OCR-lite -> needs_ocr quarantine
+        if p < 0.4:
+            return _png_gray(w, h, bytes(raster))
+        return _jpeg_gray(w, h, bytes(raster))
+    if p < 0.85:
+        # JFIF magic over garbage: decode failure -> needs_ocr quarantine
         return b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + rng.getrandbits(256).to_bytes(32, "big") * 8
     # PNG magic over garbage: parse failure -> needs_ocr quarantine
     return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + rng.getrandbits(256).to_bytes(32, "big") * 8

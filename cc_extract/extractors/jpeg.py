@@ -1,0 +1,254 @@
+"""Baseline-JFIF grayscale decoder for the OCR-lite route (X14 stretch,
+round-2 verdict #9).
+
+Reference analogue: the ``ocr`` Lambda handed JPEG scans to Tesseract,
+which decodes them via libjpeg [R: functions/ocr/main.py ⚠].  No imaging
+library exists in this sandbox, so this is a from-scratch implementation
+of the baseline sequential DCT process from the JPEG standard (ITU-T T.81):
+marker segment parse -> canonical Huffman decode (DC diff categories + AC
+run/size with EOB/ZRL) -> dequantize -> inverse zigzag -> float IDCT ->
+level shift.  Deliberately narrow, failing loudly for anything beyond what
+a grayscale page scan needs — the dispatcher turns every raise into the
+honest ``needs_ocr`` quarantine:
+
+- single-component (grayscale) baseline SOF0 only, 8-bit precision;
+- no subsampling (1x1), no progressive/arithmetic/hierarchical modes;
+- no restart markers (DRI with nonzero interval rejected).
+
+The corpus writer (corpusgen._jpeg_gray) is an independent implementation
+of the same standard — writer and reader share ONLY the spec constants
+(zigzag order; writer uses the Annex K example Huffman tables, the decoder
+builds whatever tables the DHT segments declare), so the closed loop
+validates both against T.81 rather than against each other's quirks.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from .ocr import OcrError
+
+JPEG_MAGIC = b"\xff\xd8"
+
+# zigzag index -> (row-major) position, per T.81 Figure 5
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# IDCT basis: _COS[u][x] = C(u)/2 * cos((2x+1)u*pi/16)
+_COS = [
+    [
+        (math.sqrt(0.5) if u == 0 else 1.0) / 2.0
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with T.81 byte
+    unstuffing (0xFF 0x00 -> 0xFF; any other 0xFF-marker ends the scan)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.n_bits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise OcrError("jpeg: bit underrun")
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(d):
+                raise OcrError("jpeg: trailing 0xFF")
+            marker = d[self.pos]
+            self.pos += 1
+            if marker != 0x00:
+                raise OcrError(f"jpeg: unexpected marker 0xff{marker:02x} in scan")
+        self.bits = (self.bits << 8) | b
+        self.n_bits += 8
+
+    def read_bit(self) -> int:
+        if self.n_bits == 0:
+            self._fill()
+        self.n_bits -= 1
+        return (self.bits >> self.n_bits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """(code_length, code) -> symbol, canonical per T.81 Annex C."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise OcrError("jpeg: malformed DHT")
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise OcrError("jpeg: invalid huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map *size*-bit magnitude bits to the signed value."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
+    """Minimal baseline JFIF decode: 8-bit single-component sequential DCT.
+    Returns (width, height, raster) row-major grayscale."""
+    if not payload.startswith(JPEG_MAGIC):
+        raise OcrError("not a JPEG")
+    pos = 2
+    n = len(payload)
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    w = h = -1
+    comp_q = 0
+    scan_dc = scan_ac = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise OcrError("jpeg: lost marker sync")
+        marker = payload[pos + 1]
+        if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise OcrError("jpeg: truncated segment")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq != 0:
+                    raise OcrError("jpeg: 16-bit quant tables unsupported")
+                if i + 64 > len(seg):
+                    raise OcrError("jpeg: short DQT")
+                qtables[tq] = list(seg[i : i + 64])
+                i += 64
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8 or ncomp != 1:
+                raise OcrError(
+                    f"jpeg: unsupported SOF0 (precision={prec} components={ncomp})"
+                )
+            sampling = seg[7]
+            if sampling != 0x11:
+                raise OcrError("jpeg: subsampling unsupported")
+            comp_q = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise OcrError(f"jpeg: non-baseline SOF 0xff{marker:02x}")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = seg[i + 17 : i + 17 + nv]
+                if len(vals) != nv:
+                    raise OcrError("jpeg: short DHT")
+                huff[(tc, th)] = _build_huffman(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            if struct.unpack_from(">H", seg, 0)[0] != 0:
+                raise OcrError("jpeg: restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if seg[0] != 1:
+                raise OcrError("jpeg: multi-component scan unsupported")
+            td, ta = seg[2] >> 4, seg[2] & 0x0F
+            scan_dc = huff.get((0, td))
+            scan_ac = huff.get((1, ta))
+            pos = pos + 2 + seglen
+            break
+        # APPn/COM/anything else: skipped
+        pos = pos + 2 + seglen
+    if w <= 0 or h <= 0 or scan_dc is None or scan_ac is None:
+        raise OcrError("jpeg: missing SOF/DHT/SOS")
+    quant = qtables.get(comp_q)
+    if quant is None:
+        raise OcrError("jpeg: missing quant table")
+
+    br = _BitReader(payload, pos)
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    raster = bytearray(w * h)
+    pred = 0
+    cos = _COS
+    for by in range(bh):
+        for bx in range(bw):
+            # --- entropy decode one block into zigzagged coefficients
+            zz = [0] * 64
+            size = _huff_decode(br, scan_dc)
+            diff = _extend(br.read_bits(size), size)
+            pred += diff
+            zz[0] = pred * quant[0]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, scan_ac)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise OcrError("jpeg: AC index overrun")
+                zz[k] = _extend(br.read_bits(s), s) * quant[k]
+                k += 1
+            # --- dezigzag + separable IDCT
+            coef = [0.0] * 64
+            for i, v in enumerate(zz):
+                if v:
+                    coef[ZIGZAG[i]] = float(v)
+            # rows then columns
+            tmp = [0.0] * 64
+            for y in range(8):
+                row = coef[y * 8 : y * 8 + 8]
+                if any(row):
+                    for x in range(8):
+                        tmp[y * 8 + x] = sum(row[u] * cos[u][x] for u in range(8))
+            for x in range(8):
+                col = [tmp[y * 8 + x] for y in range(8)]
+                # always write: the +128 level shift applies even to
+                # all-zero columns (a zero block is mid-gray, not black)
+                for y in range(8):
+                    py, px = by * 8 + y, bx * 8 + x
+                    if py >= h or px >= w:
+                        continue
+                    v = int(round(sum(col[u] * cos[u][y] for u in range(8)))) + 128
+                    raster[py * w + px] = 0 if v < 0 else (255 if v > 255 else v)
+    return w, h, raster

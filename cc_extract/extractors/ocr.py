@@ -99,12 +99,19 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytearray]:
 
 def extract_image_ocr(payload: bytes) -> str:
     """Image document -> recognized text.  Raises OcrError for containers
-    OCR-lite cannot decode (JPEG/TIFF/GIF, corrupt PNG) — the dispatcher
-    turns that into the needs_ocr quarantine row."""
+    OCR-lite cannot decode (TIFF/GIF, progressive/color JPEG, corrupt
+    payloads) — the dispatcher turns that into the needs_ocr quarantine
+    row.  Decoders: the PNG reader below; baseline grayscale JFIF via the
+    from-scratch T.81 decoder (extractors/jpeg.py)."""
     if payload.startswith(PNG_MAGIC):
         w, h, raster = decode_png_gray(payload)
         return normalize_text(ocr_raster(w, h, raster))
-    raise OcrError("no decoder for this image container (OCR-lite reads PNG)")
+    if payload.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg_gray  # function-level: jpeg imports OcrError
+
+        w, h, raster = decode_jpeg_gray(payload)
+        return normalize_text(ocr_raster(w, h, raster))
+    raise OcrError("no decoder for this image container (OCR-lite reads PNG/JPEG)")
 
 
 def ocr_pdf_rasters(payload: bytes) -> str:

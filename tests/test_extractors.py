@@ -549,3 +549,57 @@ def test_pdf_xref_stream_in_dispatch_corpus():
         if res["status"] == "ok":
             assert len(res["text"]) > 20
     assert seen_15 >= 10, f"only {seen_15} xref-stream PDFs in 800 docs"
+
+
+# --------------------------------------------------- baseline JPEG (X14)
+
+def test_jpeg_round_trip_ocr():
+    """Writer/reader closed loop over a REAL baseline JFIF: render text,
+    encode (FDCT + Annex K Huffman), decode with the independent T.81
+    decoder, recognize.  Near-lossless quant keeps pixel error far under
+    the 128 binarization threshold."""
+    from cc_extract.corpusgen import _jpeg_gray
+    from cc_extract.extractors.jpeg import decode_jpeg_gray
+    from cc_extract.glyphs import render_raster, ocr_raster
+
+    text = "BASELINE JFIF 0123456789.\nSECOND SCAN LINE"
+    w, h, raster = render_raster(text)
+    payload = _jpeg_gray(w, h, bytes(raster))
+    assert payload.startswith(b"\xff\xd8") and payload.endswith(b"\xff\xd9")
+    w2, h2, out = decode_jpeg_gray(payload)
+    assert (w2, h2) == (w, h)
+    assert max(abs(a - b) for a, b in zip(raster, out)) < 32
+    assert ocr_raster(w2, h2, out) == text
+
+
+def test_jpeg_dispatch_ok_ocr():
+    from cc_extract.corpusgen import _jpeg_gray
+    from cc_extract.glyphs import render_raster
+
+    w, h, raster = render_raster("DISPATCH ME")
+    res = extract_document(_jpeg_gray(w, h, bytes(raster)), "https://x/scan.jpg")
+    assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
+    assert res["text"] == "DISPATCH ME"
+
+
+def test_jpeg_unsupported_and_garbage_quarantine():
+    from cc_extract.corpusgen import _jpeg_gray
+    from cc_extract.extractors.jpeg import decode_jpeg_gray
+    from cc_extract.extractors.ocr import OcrError
+    from cc_extract.glyphs import render_raster
+    import pytest
+
+    w, h, raster = render_raster("X")
+    good = _jpeg_gray(w, h, bytes(raster))
+
+    # progressive SOF2 -> honest raise (no silent wrong decode)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(OcrError):
+        decode_jpeg_gray(prog)
+    # truncated scan -> raise
+    with pytest.raises(OcrError):
+        decode_jpeg_gray(good[: len(good) // 2])
+    # dispatcher: garbage JFIF -> needs_ocr quarantine row
+    res = extract_document(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x55" * 200,
+                           "https://x/garbage.jpg")
+    assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
