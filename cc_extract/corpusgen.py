@@ -58,6 +58,7 @@ DUP_FRACTION = 0.02          # urls with a second, newer crawl row
 PDF_EMPTY_TEXT_FRACTION = 0.03  # pdfs routed to needs_ocr
 PDF_HUGE_FRACTION = 0.01     # pdfs >= 1 MiB (skew head)
 PDF_XREF_STREAM_FRACTION = 0.2  # PDF 1.5+ layout: ObjStm + XRef stream
+PDF_UNICODE_FRACTION = 0.12  # Identity-H composite font + ToUnicode CMap
 
 
 def _words(rng: random.Random, n: int) -> str:
@@ -144,6 +145,76 @@ def _gen_pdf_content_stream(rng: random.Random, n_lines: int) -> bytes:
     return "\n".join(ops).encode("latin-1")
 
 
+# Non-latin words for the Identity-H (composite font) PDF pages — the
+# text a real CC crawl's international PDFs carry.  BMP-only so each char
+# is one UTF-16 code unit in the ToUnicode CMap.
+_UNICODE_WORDS = (
+    "данные конвейер поток система σύστημα κείμενο δεδομένα 文本 数据 処理 "
+    "текст страница 抽出 解析 αρχείο"
+).split()
+
+
+class _CidCodec:
+    """char -> CID code assignment for a synthetic Identity-H font.
+    Digits pre-map to their own codepoints so the CMap exercises the
+    bfrange form; everything else gets sequential codes via bfchar."""
+
+    def __init__(self) -> None:
+        self.codes: dict[str, int] = {chr(c): c for c in range(0x30, 0x3A)}
+        self._next = 1
+
+    def code(self, ch: str) -> int:
+        c = self.codes.get(ch)
+        if c is None:
+            while self._next in range(0x30, 0x3A):
+                self._next += 1
+            c = self._next
+            self.codes[ch] = c
+            self._next += 1
+        return c
+
+    def hex_string(self, text: str) -> str:
+        return "<" + "".join(f"{self.code(ch):04x}" for ch in text) + ">"
+
+    def tounicode_cmap(self) -> bytes:
+        bfchars = "\n".join(
+            f"<{code:04x}> <{ord(ch):04x}>"
+            for ch, code in sorted(self.codes.items(), key=lambda kv: kv[1])
+            if not ("0" <= ch <= "9")
+        )
+        n = sum(1 for ch in self.codes if not ("0" <= ch <= "9"))
+        return (
+            "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+            "/CMapName /SynthCID-UCS2 def\n/CMapType 2 def\n"
+            "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+            "1 beginbfrange\n<0030> <0039> <0030>\nendbfrange\n"
+            f"{n} beginbfchar\n{bfchars}\nendbfchar\n"
+            "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n"
+        ).encode("utf-8")
+
+
+def _gen_pdf_unicode_content(rng: random.Random, n_lines: int, codec: _CidCodec) -> bytes:
+    """Content stream for an Identity-H page: 2-byte-CID hex strings under
+    /F2, mixing Tj lines and TJ arrays with kern-gap spaces."""
+    ops = ["BT /F2 12 Tf 72 720 Td"]
+    for _ in range(n_lines):
+        words = [rng.choice(_UNICODE_WORDS) for _ in range(rng.randint(3, 8))]
+        if rng.random() < 0.3:
+            words.append(str(rng.randint(0, 9999)))  # digits -> bfrange path
+        if rng.random() < 0.3:
+            parts = []
+            for wd in words:
+                parts.append(codec.hex_string(wd))
+                parts.append(str(rng.choice([-150, -250])))
+            ops.append("[" + " ".join(parts[:-1]) + "] TJ")
+            ops.append("T*")
+        else:
+            ops.append(codec.hex_string(" ".join(words)) + " Tj")
+            ops.append("0 -14 Td")
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1")
+
+
 def _serialize_pdf_xref_stream(objs: list[bytes], catalog_id: int) -> bytes:
     """PDF 1.5+ serialization: stream-bearing objects stay direct; every
     other object (catalog, pages node, page dicts) packs into ONE
@@ -206,6 +277,7 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
     xref_stream = rng.random() < PDF_XREF_STREAM_FRACTION
     if layout is not None:  # test hook; production always draws
         xref_stream = layout == "xref"
+    unicode_font = rng.random() < PDF_UNICODE_FRACTION
     empty_text = rng.random() < PDF_EMPTY_TEXT_FRACTION
     # 60% of empty-text PDFs are scanned-style: the page raster rides along
     # as a FlateDecode grayscale image XObject (what a scanner writes) and
@@ -220,9 +292,20 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
         objs.append(body)
         return len(objs)
 
+    codec = _CidCodec()
     page_obj_ids = []
     content_ids = []
     for _ in range(n_pages):
+        if unicode_font and not empty_text:
+            raw = _gen_pdf_unicode_content(rng, rng.randint(3, 12), codec)
+            comp = zlib.compress(raw)
+            cid = add(
+                b"<< /Length " + str(len(comp)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream"
+            )
+            content_ids.append(cid)
+            page_obj_ids.append(None)
+            continue
         if scanned:
             from .glyphs import render_raster
             w, h, raster = render_raster(_sentences(rng, rng.randint(1, 3)))
@@ -246,12 +329,27 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
         content_ids.append(cid)
         page_obj_ids.append(None)  # placeholder; fill after pages node id known
 
+    resources = ""
+    if unicode_font and not empty_text:
+        # composite Identity-H font + its ToUnicode CMap (built AFTER the
+        # content loop so the codec holds every char the pages used)
+        tu_cmap = codec.tounicode_cmap()
+        tu_id = add(
+            b"<< /Length " + str(len(tu_cmap)).encode() + b" >>\nstream\n"
+            + tu_cmap + b"\nendstream"
+        )
+        f2_id = add(
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+            f"/Encoding /Identity-H /ToUnicode {tu_id} 0 R >>".encode()
+        )
+        resources = f"/Resources << /Font << /F2 {f2_id} 0 R >> >> "
+
     pages_id = add(b"PLACEHOLDER_PAGES")
     kids = []
     for idx, cid in enumerate(content_ids):
         pid = add(
             f"<< /Type /Page /Parent {pages_id} 0 R /MediaBox [0 0 612 792] "
-            f"/Contents {cid} 0 R >>".encode()
+            f"{resources}/Contents {cid} 0 R >>".encode()
         )
         kids.append(pid)
     objs[pages_id - 1] = (

@@ -291,8 +291,9 @@ def _decode_stream(obj_dict: dict, stream: bytes) -> bytes | None:
     return data
 
 
-def _page_content_streams(data: bytes, objects) -> list[bytes]:
-    """Content streams in document page order; [] if tree unresolvable."""
+def _page_content_streams(data: bytes, objects) -> list[tuple[bytes, dict]]:
+    """(content stream, page font ToUnicode maps) in document page order;
+    [] if tree unresolvable."""
     m = None
     for m in _ROOT_RE.finditer(data):
         pass  # keep the last trailer's /Root (incremental updates)
@@ -306,7 +307,7 @@ def _page_content_streams(data: bytes, objects) -> list[bytes]:
     if not isinstance(pages_node, dict):
         return []
 
-    ordered: list[bytes] = []
+    ordered: list[tuple[bytes, dict]] = []
     seen: set[int] = set()
 
     def walk(node: dict) -> None:
@@ -334,10 +335,100 @@ def _page_content_streams(data: bytes, objects) -> list[bytes]:
                 decoded = _decode_stream(entry[0], entry[1])
                 if decoded is not None:
                     page_data.append(decoded)
-            ordered.append(b"\n".join(page_data))
+            ordered.append((b"\n".join(page_data), _page_fonts(objects, node)))
 
     walk(pages_node)
     return ordered
+
+
+# ------------------------------------------------------- ToUnicode CMaps
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16be_str(hexs: bytes) -> str:
+    raw = bytes.fromhex(hexs.decode("ascii"))
+    return raw.decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """/ToUnicode CMap -> {CID code: unicode string}.  Handles the two
+    mapping forms real PDF writers emit: ``bfchar`` (<src> <dst> pairs)
+    and ``bfrange`` (<lo> <hi> <dst_lo>, consecutive increments on the
+    LAST UTF-16 code unit per the CMap spec; the array-destination form
+    <lo> <hi> [<d0> <d1> ...] is also read)."""
+    out: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(cmap):
+        toks = _HEXTOK_RE.findall(m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            out[int(toks[i], 16)] = _utf16be_str(toks[i + 1])
+    for m in _BFRANGE_RE.finditer(cmap):
+        body = m.group(1)
+        # array form: <lo> <hi> [<d0> <d1> ...]
+        pos = 0
+        while True:
+            mh = _HEXTOK_RE.search(body, pos)
+            if not mh:
+                break
+            lo = int(mh.group(1), 16)
+            mh2 = _HEXTOK_RE.search(body, mh.end())
+            if not mh2:
+                break
+            hi = int(mh2.group(1), 16)
+            pos = mh2.end()
+            # what follows: '[' (array form) or a single hex dst
+            nxt = body[pos:pos + 16].lstrip()
+            if nxt.startswith(b"["):
+                arr_end = body.find(b"]", pos)
+                if arr_end == -1:
+                    break
+                dsts = _HEXTOK_RE.findall(body[pos:arr_end])
+                for k, d in enumerate(dsts):
+                    if lo + k <= hi:
+                        out[lo + k] = _utf16be_str(d)
+                pos = arr_end + 1
+            else:
+                mh3 = _HEXTOK_RE.search(body, pos)
+                if not mh3:
+                    break
+                base = _utf16be_str(mh3.group(1))
+                for k in range(hi - lo + 1):
+                    # increment the last code unit (CMap spec behavior)
+                    out[lo + k] = base[:-1] + chr(ord(base[-1]) + k) if base else ""
+                pos = mh3.end()
+    return out
+
+
+def _page_fonts(objects, page_node: dict) -> dict[str, dict[int, str]]:
+    """Page /Resources /Font -> {font name: ToUnicode code map} for the
+    fonts that carry one (composite/Identity-H fonts in CC PDFs); simple
+    fonts without /ToUnicode keep the latin-1 path."""
+    res = _deref(objects, page_node.get("Resources"))
+    if not isinstance(res, dict):
+        return {}
+    fonts = _deref(objects, res.get("Font"))
+    if not isinstance(fonts, dict):
+        return {}
+    out: dict[str, dict[int, str]] = {}
+    for name, ref in fonts.items():
+        fdict = _deref(objects, ref)
+        if not isinstance(fdict, dict):
+            continue
+        tu = fdict.get("ToUnicode")
+        if not (isinstance(tu, tuple) and tu[0] == "ref"):
+            continue
+        entry = objects.get(tu[1])
+        if not entry or entry[1] is None:
+            continue
+        cmap_data = _decode_stream(entry[0], entry[1])
+        if cmap_data is None:
+            continue
+        cm = _parse_tounicode(cmap_data)
+        if cm:
+            out[name] = cm
+    return out
 
 
 # ------------------------------------------------------------ content text
@@ -355,7 +446,24 @@ _CONTENT_TOKEN = re.compile(
 )
 
 
-def _content_to_text(content: bytes) -> str:
+def _map_string(s: str, cmap: dict[int, str] | None) -> str:
+    """Decode one content-stream string operand: latin-1 passthrough for
+    simple fonts; 2-byte big-endian CIDs through the current font's
+    ToUnicode map for composite (Identity-H) fonts."""
+    if cmap is None:
+        return s
+    raw = s.encode("latin-1")  # lossless: s was decoded latin-1 from bytes
+    out = []
+    for i in range(0, len(raw) - 1, 2):
+        out.append(cmap.get((raw[i] << 8) | raw[i + 1], "�"))
+    if len(raw) % 2:
+        out.append("�")
+    return "".join(out)
+
+
+def _content_to_text(content: bytes, fonts: dict[str, dict[int, str]] | None = None) -> str:
+    fonts = fonts or {}
+    cur_map: dict[int, str] | None = None
     out: list[str] = []
     stack: list = []
     in_array: list | None = None
@@ -408,21 +516,27 @@ def _content_to_text(content: bytes) -> str:
         # operator
         op = m.group(0)
         if op == b"Tj" and stack and stack[-1][0] == "str":
-            out.append(stack[-1][1])
+            out.append(_map_string(stack[-1][1], cur_map))
         elif op == b"'" and stack and stack[-1][0] == "str":
             out.append("\n")
-            out.append(stack[-1][1])
+            out.append(_map_string(stack[-1][1], cur_map))
         elif op == b'"' and stack and stack[-1][0] == "str":
             out.append("\n")
-            out.append(stack[-1][1])
+            out.append(_map_string(stack[-1][1], cur_map))
         elif op == b"TJ" and stack and stack[-1][0] == "arr":
             for kind, val in stack[-1][1]:
                 if kind == "str":
-                    out.append(val)
+                    out.append(_map_string(val, cur_map))
                 elif kind == "num" and val < _KERN_SPACE_THRESHOLD:
                     out.append(" ")
         elif op in (b"Td", b"TD", b"T*"):
             out.append("\n")
+        elif op == b"Tf":
+            # font select: operands are (name, size); the name decides
+            # whether strings are CIDs (ToUnicode map) or latin-1 bytes
+            names = [v for k, v in stack if k == "name"]
+            if names:
+                cur_map = fonts.get(names[-1].decode("latin-1").lstrip("/"))
         stack.clear()
     return "".join(out)
 
@@ -468,6 +582,7 @@ def extract_pdf(payload: bytes) -> str:
     pages = _page_content_streams(payload, objects)
     if not pages:
         # fallback: object-number order over text-bearing streams
+        # (no page dicts resolved -> no font resources -> latin-1 path)
         pages = []
         for num in sorted(objects):
             obj_dict, stream = objects[num]
@@ -475,6 +590,6 @@ def extract_pdf(payload: bytes) -> str:
                 continue
             decoded = _decode_stream(obj_dict, stream)
             if decoded is not None and b"BT" in decoded:
-                pages.append(decoded)
-    page_texts = [_content_to_text(p) for p in pages]
+                pages.append((decoded, {}))
+    page_texts = [_content_to_text(p, fonts) for p, fonts in pages]
     return normalize_text("\n\n".join(t for t in page_texts if t.strip()))
