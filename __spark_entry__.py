@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_deterministic_sample": textops.deterministic_sample,
         "doc_dup_clusters": textops.dup_clusters,
         "doc_length_quantiles": textops.length_quantiles,
+        "doc_repetition_stats": textops.repetition_stats,
+        "doc_winnowing_fingerprints": textops.winnowing_fingerprints,
         # similarity search (embeddings table)
         "emb_knn_bruteforce": embedops.knn_bruteforce,
         "emb_lsh_buckets": embedops.lsh_buckets,
@@ -481,6 +483,51 @@ SELECT lang, count(*) AS n_docs,
        round(quantile_cont(n_tokens, 0.9), 4) AS p90,
        round(quantile_cont(n_tokens, 0.99), 4) AS p99
 FROM t GROUP BY lang ORDER BY lang
+"""
+
+    sql["doc_repetition_stats"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKENS} AS tokens FROM documents
+), g AS (
+  SELECT doc_id, text, tokens,
+         CASE WHEN len(tokens) >= 2
+              THEN list_transform(range(len(tokens) - 1),
+                                  i -> tokens[i+1] || ' ' || tokens[i+2])
+              ELSE []::VARCHAR[] END AS grams,
+         string_split(text, chr(10)) AS lines
+  FROM t
+)
+SELECT doc_id,
+       round(coalesce(list_aggregate(list_transform(list_distinct(tokens),
+                 tk -> len(list_filter(tokens, x -> x = tk))), 'max'), 0)
+             / greatest(len(tokens), 1), 4) AS top_token_share,
+       round(coalesce(list_aggregate(list_transform(list_distinct(grams),
+                 gm -> len(list_filter(grams, x -> x = gm))), 'max'), 0)
+             / greatest(len(grams), 1), 4) AS top_bigram_share,
+       round((len(lines) - len(list_distinct(lines)))
+             / greatest(len(lines), 1), 4) AS dup_line_frac
+FROM g
+"""
+
+    sql["doc_winnowing_fingerprints"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS tokens FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) >= 3
+              THEN list_transform(range(len(tokens) - 2),
+                   i -> substr(md5(tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]), 1, 12))
+              ELSE []::VARCHAR[] END AS hs
+  FROM t
+), w AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {textops.WINNOW_W}
+              THEN list_distinct(list_transform(range(len(hs) - {textops.WINNOW_W - 1}),
+                   i -> list_aggregate(hs[i+1:i+{textops.WINNOW_W}], 'min')))
+              ELSE list_distinct(hs) END AS sel
+  FROM h
+)
+SELECT doc_id, unnest(sel) AS fingerprint FROM w
 """
 
     sql["doc_deterministic_sample"] = """

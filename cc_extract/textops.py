@@ -385,6 +385,90 @@ def token_doc_freq(spark, sf_dir: str, top_k: int = 100) -> DataFrame:
     return agg.orderBy(F.desc("df"), F.desc("total_tf"), F.asc("token")).limit(top_k)
 
 
+# ------------------------------------------------------ repetition stats
+
+def repetition_stats(spark, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 rules family):
+    top-token share, top-bigram share, duplicate-line fraction — the
+    cheap per-document filters that kill boilerplate/spam before any
+    model-based scoring.
+
+    Scale shape: a PURE PROJECTION — every signal is computed in-row from
+    the token/line arrays (distinct + nested-HOF counts, array_max), so
+    the operator adds zero shuffles and scales exactly with the scan."""
+    df = with_tokens(load_documents(spark, sf_dir))
+    toks = F.col("tokens")
+    n = F.size(toks)
+    top_tok = F.array_max(
+        F.transform(F.array_distinct(toks),
+                    lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    )
+    grams = F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(0), n - 2),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    n_g = F.size(grams)
+    top_gram = F.array_max(
+        F.transform(F.array_distinct(grams),
+                    lambda g: F.size(F.filter(grams, lambda x: x == g)))
+    )
+    lines = F.split(F.col("text"), "\n")
+    dup_line_frac = (
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        / F.greatest(F.size(lines), F.lit(1))
+    )
+    return df.select(
+        "doc_id",
+        F.round(F.coalesce(top_tok, F.lit(0)) / F.greatest(n, F.lit(1)), 4)
+         .alias("top_token_share"),
+        F.round(F.coalesce(top_gram, F.lit(0)) / F.greatest(n_g, F.lit(1)), 4)
+         .alias("top_bigram_share"),
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+    )
+
+
+# -------------------------------------------------- winnowing fingerprints
+
+WINNOW_W = 4  # window size (Schleimer et al. guarantee t = W + SHINGLE_N - 1)
+
+
+def winnowing_fingerprints(spark, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS scheme): positional shingle hashes -> minimum of each sliding
+    W-window -> distinct selected fingerprints per document.  Guarantees
+    any shared run of >= W+k-1 tokens between two documents shares a
+    fingerprint, at ~2/(W+1) the storage of all shingles.
+
+    Scale shape: selection is computed IN-ROW (positional hashes + window
+    minima via array ops); the only movement is the explode of selected
+    fingerprints (~1/W of shingles).  Positional hashing is inherent to
+    winnowing (the window is positional), so the md5-per-occurrence here
+    is the algorithm, not waste — cf. simhash's per-distinct hashing."""
+    df = with_tokens(load_documents(spark, sf_dir))
+    toks = F.col("tokens")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - SHINGLE_N),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N))), 1, 12
+        ),
+    )
+    hs = F.when(n >= SHINGLE_N, grams).otherwise(F.array().cast("array<string>"))
+    d2 = df.select("doc_id", hs.alias("hs"))
+    m = F.size("hs")
+    wins = F.transform(
+        F.sequence(F.lit(0), m - WINNOW_W),
+        lambda i: F.array_min(F.slice("hs", i + 1, WINNOW_W)),
+    )
+    sel = F.when(m >= WINNOW_W, F.array_distinct(wins)).otherwise(
+        F.array_distinct("hs")
+    )
+    return d2.select("doc_id", F.explode(sel).alias("fingerprint"))
+    # no orderBy: fingerprint sets are order-free; a global sort of
+    # ~shingles/W rows at 10^12 docs is pure cost
+
+
 # -------------------------------------------------------------- PII scan
 
 EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
