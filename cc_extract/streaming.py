@@ -94,3 +94,61 @@ def extract_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------- custom stateful operator (R17)
+
+DOMAIN_STATS_OUT = "domain string, n_docs long, total_bytes long"
+DOMAIN_STATS_STATE = "n_docs long, total_bytes long"
+
+
+def _domain_stats_update(key, pdfs, state):
+    """applyInPandasWithState update fn: running (n_docs, total_bytes) per
+    domain.  State is a 2-tuple; each micro-batch folds its rows in and
+    emits the cumulative row (so the sink is an audit log of the running
+    totals — the per-domain crawl accounting a firehose consumer keeps)."""
+    import pandas as pd
+
+    n, b = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        b += int(pdf["n_bytes"].sum())
+    state.update((n, b))
+    yield pd.DataFrame({"domain": [key[0]], "n_docs": [n], "total_bytes": [b]})
+
+
+def domain_stats_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files: int = 1,
+):
+    """Custom STATEFUL streaming operator (SURVEY.md §2.5 R17 beyond the
+    built-ins): per-domain running crawl statistics via
+    ``applyInPandasWithState`` — arbitrary user state (not expressible as
+    a windowed agg) carried across micro-batches and recovered from the
+    checkpoint on restart.  Scale shape: state is O(domains), keyed and
+    shuffled once per micro-batch on the domain hash; payload bytes never
+    enter the state store (only their lengths)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    docs = stream_documents(spark, input_dir, max_files=max_files)
+    d = docs.select(
+        F.regexp_extract("url", "//([^/]+)", 1).alias("domain"),
+        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("n_bytes"),
+    )
+    out = d.groupBy("domain").applyInPandasWithState(
+        _domain_stats_update,
+        DOMAIN_STATS_OUT,
+        DOMAIN_STATS_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

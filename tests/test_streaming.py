@@ -143,3 +143,52 @@ def test_stream_salts_giants_within_micro_batch(spark, tmp_path):
     assert {r["bucket"] for r in giants} == {0}
     parts = {r["exec_part"] for r in giants}
     assert len(parts) > 1, f"giants all extracted in one partition: {parts}"
+
+
+def test_stateful_domain_stats_across_micro_batches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-domain
+    running totals must carry state ACROSS micro-batches within a run and
+    ACROSS runs via the checkpoint."""
+    import datetime as dt
+    import glob
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+
+    def write_file(name, n_rows, mtime):
+        rows = [
+            (f"https://stateful.example/{name}/{i}.txt", dt.datetime(2025, 1, 1),
+             bytearray(b"x" * 100), "", "en")
+            for i in range(n_rows)
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string")
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(input_dir, f"{name}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    write_file("f1", 3, 1_700_000_000)
+    write_file("f2", 5, 1_700_000_100)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming.domain_stats_stream(spark, input_dir, out_dir, ckpt, max_files=1)
+    q.awaitTermination(240)
+    assert not q.isActive
+
+    rows = sorted(
+        (r["n_docs"], r["total_bytes"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # two micro-batches -> two cumulative emissions: 3 docs then 3+5
+    assert rows == [(3, 300), (8, 800)], rows
+
+    # restart with a third file: state recovered from checkpoint
+    write_file("f3", 2, 1_700_000_200)
+    q2 = streaming.domain_stats_stream(spark, input_dir, out_dir, ckpt, max_files=1)
+    q2.awaitTermination(240)
+    totals = {r["n_docs"] for r in spark.read.parquet(out_dir).collect()}
+    assert 10 in totals, totals  # 8 + 2, not 2 — state survived the restart
