@@ -27,6 +27,8 @@ from __future__ import annotations
 import math
 import struct
 
+import numpy as np
+
 from .ocr import OcrError
 
 JPEG_MAGIC = b"\xff\xd8"
@@ -39,15 +41,20 @@ ZIGZAG = [
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
 
-# IDCT basis: _COS[u][x] = C(u)/2 * cos((2x+1)u*pi/16)
-_COS = [
+# IDCT basis matrix: _A[u, x] = C(u)/2 * cos((2x+1)u*pi/16); orthonormal,
+# so the 2-D IDCT of a coefficient block C is A.T @ C @ A (numpy matmuls —
+# the per-pixel Python loops were the decoder's hot spot)
+_A = np.array(
     [
-        (math.sqrt(0.5) if u == 0 else 1.0) / 2.0
-        * math.cos((2 * x + 1) * u * math.pi / 16.0)
-        for x in range(8)
+        [
+            (math.sqrt(0.5) if u == 0 else 1.0) / 2.0
+            * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
     ]
-    for u in range(8)
-]
+)
+_ZZ_POS = np.array(ZIGZAG)
 
 
 class _BitReader:
@@ -204,13 +211,12 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
     br = _BitReader(payload, pos)
     bw = (w + 7) // 8
     bh = (h + 7) // 8
-    raster = bytearray(w * h)
+    img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
     pred = 0
-    cos = _COS
     for by in range(bh):
         for bx in range(bw):
             # --- entropy decode one block into zigzagged coefficients
-            zz = [0] * 64
+            zz = np.zeros(64, dtype=np.float64)
             size = _huff_decode(br, scan_dc)
             diff = _extend(br.read_bits(size), size)
             pred += diff
@@ -229,26 +235,11 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
                     raise OcrError("jpeg: AC index overrun")
                 zz[k] = _extend(br.read_bits(s), s) * quant[k]
                 k += 1
-            # --- dezigzag + separable IDCT
-            coef = [0.0] * 64
-            for i, v in enumerate(zz):
-                if v:
-                    coef[ZIGZAG[i]] = float(v)
-            # rows then columns
-            tmp = [0.0] * 64
-            for y in range(8):
-                row = coef[y * 8 : y * 8 + 8]
-                if any(row):
-                    for x in range(8):
-                        tmp[y * 8 + x] = sum(row[u] * cos[u][x] for u in range(8))
-            for x in range(8):
-                col = [tmp[y * 8 + x] for y in range(8)]
-                # always write: the +128 level shift applies even to
-                # all-zero columns (a zero block is mid-gray, not black)
-                for y in range(8):
-                    py, px = by * 8 + y, bx * 8 + x
-                    if py >= h or px >= w:
-                        continue
-                    v = int(round(sum(col[u] * cos[u][y] for u in range(8)))) + 128
-                    raster[py * w + px] = 0 if v < 0 else (255 if v > 255 else v)
-    return w, h, raster
+            # --- dezigzag + 2-D IDCT as two matmuls (+128 level shift)
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZZ_POS] = zz
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _A.T @ coef.reshape(8, 8) @ _A
+            )
+    out = np.clip(np.rint(img[:h, :w]) + 128.0, 0, 255).astype(np.uint8)
+    return w, h, bytearray(out.tobytes())
