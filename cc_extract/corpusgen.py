@@ -309,13 +309,24 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
         if scanned:
             from .glyphs import render_raster
             w, h, raster = render_raster(_sentences(rng, rng.randint(1, 3)))
-            comp_img = zlib.compress(bytes(raster))
-            img_id = add(
-                f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
-                f"/BitsPerComponent 8 /ColorSpace /DeviceGray "
-                f"/Filter /FlateDecode /Length {len(comp_img)} >>".encode()
-                + b"\nstream\n" + comp_img + b"\nendstream"
-            )
+            if rng.random() < 0.4:
+                # JPEG scan: the page raster embedded as /DCTDecode (the
+                # JFIF bytes ARE the stream), what real scanners write
+                jfif = _jpeg_gray(w, h, bytes(raster))
+                img_id = add(
+                    f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                    f"/BitsPerComponent 8 /ColorSpace /DeviceGray "
+                    f"/Filter /DCTDecode /Length {len(jfif)} >>".encode()
+                    + b"\nstream\n" + jfif + b"\nendstream"
+                )
+            else:
+                comp_img = zlib.compress(bytes(raster))
+                img_id = add(
+                    f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                    f"/BitsPerComponent 8 /ColorSpace /DeviceGray "
+                    f"/Filter /FlateDecode /Length {len(comp_img)} >>".encode()
+                    + b"\nstream\n" + comp_img + b"\nendstream"
+                )
             raw = f"q {w} 0 0 {h} 72 400 cm /Im{img_id} Do Q".encode()
         elif empty_text:
             raw = b"0.5 w 72 72 468 648 re S"  # draws a box, no text ops

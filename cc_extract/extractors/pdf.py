@@ -546,10 +546,11 @@ def _content_to_text(content: bytes, fonts: dict[str, dict[int, str]] | None = N
 def pdf_scan_rasters(payload: bytes) -> list[tuple[int, int, bytes]]:
     """Page-image rasters of a scanned-style PDF, in object order:
     ``/Subtype /Image`` XObjects with 8-bit /DeviceGray samples under
-    /FlateDecode — the shape scanner-produced PDFs carry.  Used by the
-    OCR-lite route (X14) instead of re-rasterizing pages; anything this
-    can't express (JPEG/DCTDecode scans, CMYK, 1-bit) yields nothing and
-    the document stays in the needs_ocr quarantine."""
+    /FlateDecode, or JPEG scans under /DCTDecode (decoded by the
+    from-scratch baseline-JFIF reader — what a real scanner embeds).
+    Used by the OCR-lite route (X14) instead of re-rasterizing pages;
+    anything these can't express (CMYK, 1-bit, progressive JPEG) yields
+    nothing and the document stays in the needs_ocr quarantine."""
     if not payload.startswith(b"%PDF"):
         return []
     out: list[tuple[int, int, bytes]] = []
@@ -564,6 +565,18 @@ def pdf_scan_rasters(payload: bytes) -> list[tuple[int, int, bytes]]:
         if obj_dict.get("BitsPerComponent") != 8:
             continue
         if obj_dict.get("ColorSpace") != "DeviceGray":
+            continue
+        filt = obj_dict.get("Filter")
+        if filt == "DCTDecode" or (isinstance(filt, list) and filt[-1:] == ["DCTDecode"]):
+            from .jpeg import decode_jpeg_gray
+            from .ocr import OcrError
+
+            try:
+                jw, jh, raster = decode_jpeg_gray(bytes(stream))
+            except OcrError:
+                continue  # undecodable JPEG flavor -> not a raster source
+            if (jw, jh) == (w, h):
+                out.append((jw, jh, bytes(raster)))
             continue
         raw = _decode_stream(obj_dict, stream)
         if raw is None or len(raw) < w * h:

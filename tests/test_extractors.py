@@ -677,3 +677,23 @@ def test_pdf_identity_h_corpus_round_trip():
         t = extract_pdf(p)
         assert any(ord(c) > 0x400 for c in t), t[:80]
     assert found >= 5, f"only {found} Identity-H PDFs in 120 seeds"
+
+
+def test_scanned_pdf_with_dctdecode_jpeg_ocr():
+    """Scanner-style PDFs embedding the page raster as a /DCTDecode JPEG
+    XObject must flow through OCR-lite like Flate ones do."""
+    import random
+    from cc_extract.corpusgen import _gen_pdf
+
+    found = 0
+    for seed in range(4000):
+        p = _gen_pdf(random.Random(seed))
+        if b"/DCTDecode" not in p:
+            continue
+        found += 1
+        res = extract_document(p, "https://x/scan.pdf")
+        assert (res["fmt"], res["status"]) == ("pdf", "ok_ocr"), res["error"]
+        assert len(res["text"]) > 10
+        if found >= 3:
+            break
+    assert found >= 1, "no DCTDecode scanned PDF generated in 4000 seeds"
