@@ -697,3 +697,58 @@ def test_scanned_pdf_with_dctdecode_jpeg_ocr():
         if found >= 3:
             break
     assert found >= 1, "no DCTDecode scanned PDF generated in 4000 seeds"
+
+
+# ------------------------------------------------- fast HTML scanner (X1)
+
+def _html_blocks_stdlib(doc: str):
+    from cc_extract.extractors.html import _BlockWalkerStdlib
+    w = _BlockWalkerStdlib()
+    w.feed(doc)
+    w.close()
+    w.state.finish()
+    return w.state.blocks
+
+
+def _html_blocks_fast(doc: str):
+    from cc_extract.extractors.html import _BlockState, _scan_html
+    st = _BlockState()
+    _scan_html(doc, st)
+    return st.blocks
+
+
+def test_html_fast_scanner_matches_stdlib_on_corpus():
+    """The production scanner must emit block-for-block identical output
+    to the stdlib html.parser reference on every corpus HTML doc."""
+    from cc_extract.extractors.charset import decode_bytes
+
+    n = 0
+    for r in gen_corpus(600):
+        head = r["html"][:200].lstrip()[:9].lower()
+        if not head.startswith((b"<!doctype", b"<html")):
+            continue
+        n += 1
+        doc = decode_bytes(r["html"], None)
+        assert _html_blocks_fast(doc) == _html_blocks_stdlib(doc)
+    assert n > 200
+
+
+def test_html_fast_scanner_edge_cases():
+    cases = [
+        # comment containing tags
+        "<p>keep</p><!-- <div>not a tag</div> --><p>also</p>",
+        # script with markup inside a string (raw-text element)
+        '<p>a</p><script>var s = "</p><div>";</script><p>b</p>',
+        "<p>a</p><style>p > a { color: red }</style><p>b</p>",
+        # quoted '>' inside an attribute value
+        '<p><a href="x>y">link text here</a> plus trailing words</p>',
+        # self-closing, uppercase, literal '<' in text, entities
+        "<P>One<BR/>Two &amp; 3 < 4</P>",
+        # malformed end tag, unterminated tag at EOF
+        "<p>ok</p></ huh><div>tail",
+        "<p>ok</p><a href=",
+        # doctype + processing instruction
+        "<!DOCTYPE html><?xml version='1'?><p>body text</p>",
+    ]
+    for doc in cases:
+        assert _html_blocks_fast(doc) == _html_blocks_stdlib(doc), doc
