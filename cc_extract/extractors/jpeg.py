@@ -57,69 +57,54 @@ _A = np.array(
 _ZZ_POS = np.array(ZIGZAG)
 
 
-class _BitReader:
-    """MSB-first bit reader over the entropy-coded segment with T.81 byte
-    unstuffing (0xFF 0x00 -> 0xFF; any other 0xFF-marker ends the scan)."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.bits = 0
-        self.n_bits = 0
-
-    def _fill(self) -> None:
-        d = self.data
-        if self.pos >= len(d):
-            raise OcrError("jpeg: bit underrun")
-        b = d[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            if self.pos >= len(d):
-                raise OcrError("jpeg: trailing 0xFF")
-            marker = d[self.pos]
-            self.pos += 1
-            if marker != 0x00:
-                raise OcrError(f"jpeg: unexpected marker 0xff{marker:02x} in scan")
-        self.bits = (self.bits << 8) | b
-        self.n_bits += 8
-
-    def read_bit(self) -> int:
-        if self.n_bits == 0:
-            self._fill()
-        self.n_bits -= 1
-        return (self.bits >> self.n_bits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+def _unstuff_scan(data: bytes, pos: int) -> bytes:
+    """Entropy-coded segment with T.81 byte unstuffing applied once up
+    front (0xFF 0x00 -> 0xFF; any other 0xFF-marker ends the scan) —
+    per-bit stuffing checks were the decoder's hot spot."""
+    out = bytearray()
+    n = len(data)
+    i = pos
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            # bulk-copy to the next 0xFF
+            j = data.find(b"\xff", i)
+            if j == -1:
+                out += data[i:]
+                break
+            out += data[i:j]
+            i = j
+            continue
+        if i + 1 >= n:
+            break
+        if data[i + 1] == 0x00:
+            out.append(0xFF)
+            i += 2
+        else:
+            break  # a real marker ends the scan
+    return bytes(out)
 
 
-def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
-    """(code_length, code) -> symbol, canonical per T.81 Annex C."""
-    table: dict[tuple[int, int], int] = {}
+def _build_huffman(bits: list[int], vals: bytes):
+    """Canonical decode tables per T.81 F.2.2.3 (DECODE procedure):
+    (mincode, maxcode, valptr, huffval), 1-indexed by code length."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
     code = 0
     k = 0
     for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            if k >= len(vals):
-                raise OcrError("jpeg: malformed DHT")
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
+        cnt = bits[length - 1]
+        if cnt:
+            valptr[length] = k
+            mincode[length] = code
+            code += cnt
+            k += cnt
+            maxcode[length] = code - 1
         code <<= 1
-    return table
-
-
-def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise OcrError("jpeg: invalid huffman code")
+    if k != len(vals):
+        raise OcrError("jpeg: malformed DHT")
+    return mincode, maxcode, valptr, vals
 
 
 def _extend(v: int, size: int) -> int:
@@ -208,22 +193,72 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
     if quant is None:
         raise OcrError("jpeg: missing quant table")
 
-    br = _BitReader(payload, pos)
+    ecs = _unstuff_scan(payload, pos)
+    ne = len(ecs)
+    dc_min, dc_max, dc_ptr, dc_vals = scan_dc
+    ac_min, ac_max, ac_ptr, ac_vals = scan_ac
     bw = (w + 7) // 8
     bh = (h + 7) // 8
     img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
     pred = 0
+    # bit cursor: low `have` bits of `buf` are unread (local ints — the
+    # per-bit method-call reader was ~60% of decode time)
+    buf = 0
+    have = 0
+    bp = 0
+    zz = np.zeros(64, dtype=np.float64)
     for by in range(bh):
         for bx in range(bw):
-            # --- entropy decode one block into zigzagged coefficients
-            zz = np.zeros(64, dtype=np.float64)
-            size = _huff_decode(br, scan_dc)
-            diff = _extend(br.read_bits(size), size)
-            pred += diff
+            zz[:] = 0.0
+            # --- DC: canonical-table Huffman decode, then EXTEND
+            code = 0
+            length = 0
+            while True:
+                if have == 0:
+                    if bp >= ne:
+                        raise OcrError("jpeg: bit underrun")
+                    buf = ecs[bp]
+                    bp += 1
+                    have = 8
+                have -= 1
+                code = (code << 1) | ((buf >> have) & 1)
+                length += 1
+                if length > 16:
+                    raise OcrError("jpeg: invalid huffman code")
+                if code <= dc_max[length]:
+                    size = dc_vals[dc_ptr[length] + code - dc_min[length]]
+                    break
+            if size:
+                while have < size:
+                    if bp >= ne:
+                        raise OcrError("jpeg: bit underrun")
+                    buf = ((buf & ((1 << have) - 1)) << 8) | ecs[bp]
+                    bp += 1
+                    have += 8
+                have -= size
+                v = (buf >> have) & ((1 << size) - 1)
+                pred += _extend(v, size)
             zz[0] = pred * quant[0]
+            # --- ACs: run/size with EOB/ZRL
             k = 1
             while k < 64:
-                rs = _huff_decode(br, scan_ac)
+                code = 0
+                length = 0
+                while True:
+                    if have == 0:
+                        if bp >= ne:
+                            raise OcrError("jpeg: bit underrun")
+                        buf = ecs[bp]
+                        bp += 1
+                        have = 8
+                    have -= 1
+                    code = (code << 1) | ((buf >> have) & 1)
+                    length += 1
+                    if length > 16:
+                        raise OcrError("jpeg: invalid huffman code")
+                    if code <= ac_max[length]:
+                        rs = ac_vals[ac_ptr[length] + code - ac_min[length]]
+                        break
                 r, s = rs >> 4, rs & 0x0F
                 if s == 0:
                     if r == 15:  # ZRL: sixteen zeros
@@ -233,7 +268,15 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
                 k += r
                 if k > 63:
                     raise OcrError("jpeg: AC index overrun")
-                zz[k] = _extend(br.read_bits(s), s) * quant[k]
+                while have < s:
+                    if bp >= ne:
+                        raise OcrError("jpeg: bit underrun")
+                    buf = ((buf & ((1 << have) - 1)) << 8) | ecs[bp]
+                    bp += 1
+                    have += 8
+                have -= s
+                v = (buf >> have) & ((1 << s) - 1)
+                zz[k] = _extend(v, s) * quant[k]
                 k += 1
             # --- dezigzag + 2-D IDCT as two matmuls (+128 level shift)
             coef = np.zeros(64, dtype=np.float64)
