@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": relops.q1_pricing_summary,
         "q3_shipping_priority": relops.q3_shipping_priority,
         "q5_local_supplier_volume": relops.q5_local_supplier_volume,
+        "q6_forecast_revenue": relops.q6_forecast_revenue,
+        "q18_large_volume_customers": relops.q18_large_volume_customers,
         "top_orders": relops.top_orders,
         "latest_event_per_user": relops.latest_event_per_user,
         "daily_event_stats": relops.daily_event_stats,
@@ -354,6 +356,33 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
 ORDER BY revenue DESC
+"""
+
+    sql["q6_forecast_revenue"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+    sql["q18_large_volume_customers"] = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS order_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > 180
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       order_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
 """
 
     sql["top_orders"] = """

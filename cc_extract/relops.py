@@ -191,3 +191,56 @@ def region_customer_stats(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+# --------------------------------------------------------------- TPC-H Q6
+
+def q6_forecast_revenue(spark, sf_dir: str) -> DataFrame:
+    """R2 showcase: pure filter+agg whose THREE predicates all push to the
+    parquet scan (date range, discount band, quantity cap) — the plan is a
+    scan with PushedFilters + one partial/final agg, zero joins, zero
+    wide shuffles (TPC-H Q6 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# -------------------------------------------------------------- TPC-H Q18
+
+def q18_large_volume_customers(spark, sf_dir: str) -> DataFrame:
+    """HAVING + IN-subquery re-expressed as a semi-join (TPC-H Q18 shape):
+    per-order quantity rollup -> HAVING threshold -> semi-join back to
+    orders⨝customer -> top-k.  The qualifying-orders set is tiny, so the
+    semi-join broadcasts; the heavy rollup is partial-aggregable."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("order_qty"))
+        .filter(F.col("order_qty") > 180)
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "order_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
