@@ -903,20 +903,85 @@ def _jpeg_gray(w: int, h: int, raster: bytes) -> bytes:
             + writer.flush() + b"\xff\xd9")
 
 
+def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
+               white_is_zero: bool = False) -> bytes:
+    """Valid baseline TIFF 6.0: 8-bit grayscale, uncompressed, two strips
+    (exercises the strip table), either byte order, either grayscale
+    photometric.  Independent twin of extractors/tiff.py."""
+    e = ">" if big_endian else "<"
+    px = bytes(255 - b for b in raster) if white_is_zero else bytes(raster)
+    rps = (h + 1) // 2 if h >= 2 else max(h, 1)
+    strips = [px[i * rps * w:(i + 1) * rps * w]
+              for i in range((h + rps - 1) // rps)] or [b""]
+    n = len(strips)
+    offs = []
+    o = 8
+    for s in strips:
+        offs.append(o)
+        o += len(s)
+    ifd_off = o
+    n_entries = 9
+    ext = bytearray()
+    ext_base = ifd_off + 2 + n_entries * 12 + 4
+
+    def arr_field(vals: list[int]) -> bytes:
+        off = ext_base + len(ext)
+        ext.extend(struct.pack(e + "I" * len(vals), *vals))
+        return struct.pack(e + "I", off)
+
+    short = lambda v: struct.pack(e + "HH", v, 0)  # noqa: E731
+    long_ = lambda v: struct.pack(e + "I", v)      # noqa: E731
+    entries = []
+
+    def add(tag: int, typ: int, cnt: int, field: bytes) -> None:
+        entries.append(struct.pack(e + "HHI", tag, typ, cnt) + field)
+
+    add(256, 3, 1, short(w))
+    add(257, 3, 1, short(h))
+    add(258, 3, 1, short(8))
+    add(259, 3, 1, short(1))
+    add(262, 3, 1, short(0 if white_is_zero else 1))
+    add(273, 4, n, long_(offs[0]) if n == 1 else arr_field(offs))
+    add(277, 3, 1, short(1))
+    add(278, 4, 1, long_(rps))
+    add(279, 4, n,
+        long_(len(strips[0])) if n == 1 else arr_field([len(s) for s in strips]))
+    buf = bytearray()
+    buf += (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(e + "I", ifd_off)
+    buf += px
+    buf += struct.pack(e + "H", n_entries) + b"".join(entries) + struct.pack(e + "I", 0)
+    buf += ext
+    return bytes(buf)
+
+
 def _gen_image(rng: random.Random) -> bytes:
     p = rng.random()
     if p < 0.7:
         # real scanned-page raster: rendered text the OCR-lite route reads
-        # back, shipped as PNG or baseline-JFIF JPEG (both real codecs)
+        # back, shipped as PNG, baseline-JFIF JPEG, or baseline TIFF
+        # (all real codecs with independent writer/reader pairs)
         from .glyphs import render_raster
         text = "\n".join(
             _sentences(rng, rng.randint(1, 3)) for _ in range(rng.randint(1, 3))
         )
         w, h, raster = render_raster(text)
-        if p < 0.4:
+        if p < 0.3:
             return _png_gray(w, h, bytes(raster))
-        return _jpeg_gray(w, h, bytes(raster))
-    if p < 0.85:
+        if p < 0.55:
+            return _jpeg_gray(w, h, bytes(raster))
+        return _tiff_gray(w, h, bytes(raster),
+                          big_endian=rng.random() < 0.5,
+                          white_is_zero=rng.random() < 0.5)
+    if p < 0.78:
+        # LZW-compressed TIFF: honestly quarantined (no LZW decoder)
+        e = "<"
+        ifd = (struct.pack(e + "H", 3)
+               + struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "HH", 64, 0)
+               + struct.pack(e + "HHI", 257, 3, 1) + struct.pack(e + "HH", 64, 0)
+               + struct.pack(e + "HHI", 259, 3, 1) + struct.pack(e + "HH", 5, 0)
+               + struct.pack(e + "I", 0))
+        return b"II*\x00" + struct.pack(e + "I", 8) + ifd
+    if p < 0.87:
         # JFIF magic over garbage: decode failure -> needs_ocr quarantine
         return b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + rng.getrandbits(256).to_bytes(32, "big") * 8
     # PNG magic over garbage: parse failure -> needs_ocr quarantine

@@ -181,6 +181,14 @@ def _scan_html(doc: str, st: _BlockState) -> None:
 
     n = len(doc)
     pos = 0
+
+    def _eof_flush(start: int) -> int:
+        # html.parser's close() flushes unterminated markup as
+        # (charref-decoded) data; mirror that exactly
+        seg = doc[start:]
+        st.data(unescape(seg) if "&" in seg else seg)
+        return n
+
     while pos < n:
         lt = doc.find("<", pos)
         if lt == -1:
@@ -190,13 +198,6 @@ def _scan_html(doc: str, st: _BlockState) -> None:
         if lt > pos:
             seg = doc[pos:lt]
             st.data(unescape(seg) if "&" in seg else seg)
-        def _eof_flush(start: int) -> int:
-            # html.parser's close() flushes unterminated markup as
-            # (charref-decoded) data; mirror that exactly
-            seg = doc[start:]
-            st.data(unescape(seg) if "&" in seg else seg)
-            return n
-
         nxt = doc[lt + 1 : lt + 2]
         if nxt == "!":
             if doc.startswith("<!--", lt):

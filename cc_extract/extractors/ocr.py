@@ -111,7 +111,14 @@ def extract_image_ocr(payload: bytes) -> str:
 
         w, h, raster = decode_jpeg_gray(payload)
         return normalize_text(ocr_raster(w, h, raster))
-    raise OcrError("no decoder for this image container (OCR-lite reads PNG/JPEG)")
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff_gray
+
+        w, h, raster = decode_tiff_gray(payload)
+        return normalize_text(ocr_raster(w, h, raster))
+    raise OcrError(
+        "no decoder for this image container (OCR-lite reads PNG/JPEG/TIFF)"
+    )
 
 
 def ocr_pdf_rasters(payload: bytes) -> str:

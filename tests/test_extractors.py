@@ -752,3 +752,43 @@ def test_html_fast_scanner_edge_cases():
     ]
     for doc in cases:
         assert _html_blocks_fast(doc) == _html_blocks_stdlib(doc), doc
+
+
+# ----------------------------------------------------- baseline TIFF (X14)
+
+def test_tiff_round_trip_all_variants():
+    """Writer/reader closed loop over baseline TIFF: both byte orders,
+    both grayscale photometrics (WhiteIsZero inverted), two-strip layout."""
+    from cc_extract.corpusgen import _tiff_gray
+    from cc_extract.extractors.tiff import decode_tiff_gray
+    from cc_extract.glyphs import render_raster, ocr_raster
+
+    text = "TIFF BASELINE 0123456789."
+    w, h, raster = render_raster(text)
+    for be in (False, True):
+        for wiz in (False, True):
+            t = _tiff_gray(w, h, bytes(raster), big_endian=be, white_is_zero=wiz)
+            w2, h2, out = decode_tiff_gray(t)
+            assert (w2, h2) == (w, h)
+            assert bytes(out) == bytes(raster)
+            assert ocr_raster(w2, h2, out) == text
+
+
+def test_tiff_dispatch_and_quarantine():
+    import struct
+    from cc_extract.corpusgen import _tiff_gray
+    from cc_extract.glyphs import render_raster
+
+    w, h, raster = render_raster("DISPATCH TIFF")
+    res = extract_document(_tiff_gray(w, h, bytes(raster)), "https://x/s.tif")
+    assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
+    assert res["text"] == "DISPATCH TIFF"
+    # LZW-compressed -> honest quarantine
+    e = "<"
+    ifd = (struct.pack(e + "H", 3)
+           + struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "HH", 64, 0)
+           + struct.pack(e + "HHI", 257, 3, 1) + struct.pack(e + "HH", 64, 0)
+           + struct.pack(e + "HHI", 259, 3, 1) + struct.pack(e + "HH", 5, 0)
+           + struct.pack(e + "I", 0))
+    res = extract_document(b"II*\x00" + struct.pack(e + "I", 8) + ifd, "u.tif")
+    assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
