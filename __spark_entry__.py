@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": textops.length_quantiles,
         "doc_repetition_stats": textops.repetition_stats,
         "doc_winnowing_fingerprints": textops.winnowing_fingerprints,
+        "doc_token_entropy": textops.token_entropy,
+        "doc_dedup_keep_decision": textops.dedup_keep_decision,
+        "event_sessions": relops.event_sessions,
         # similarity search (embeddings table)
         "emb_knn_bruteforce": embedops.knn_bruteforce,
         "emb_lsh_buckets": embedops.lsh_buckets,
@@ -559,6 +562,38 @@ WITH t AS (
 SELECT doc_id, unnest(sel) AS fingerprint FROM w
 """
 
+    sql["doc_token_entropy"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents)
+SELECT doc_id, len(tokens) AS n_tokens,
+       round(CASE WHEN len(tokens) > 0 THEN
+         -list_aggregate(list_transform(list_distinct(tokens),
+            tk -> (len(list_filter(tokens, x -> x = tk)) / len(tokens))
+                  * log2(len(list_filter(tokens, x -> x = tk)) / len(tokens))),
+           'sum')
+         ELSE 0.0 END, 4) AS token_entropy
+FROM t
+"""
+
+    sql["event_sessions"] = """
+WITH s AS (
+  SELECT *, CASE WHEN ts - lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), r AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_id
+  FROM s
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       round(sum(value), 2) AS sum_value
+FROM r GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
     sql["doc_deterministic_sample"] = """
 SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) AS sample_key,
        length(text) AS n_chars
@@ -664,6 +699,16 @@ FROM lab l
 JOIN (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id) s
   USING (cluster_id)
 ORDER BY doc_id
+"""
+
+    # keep/drop decision: documents LEFT JOIN the cluster table (the
+    # dup_clusters oracle re-used as a derived table)
+    sql["doc_dedup_keep_decision"] = f"""
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM documents d
+LEFT JOIN ({sql['doc_dup_clusters']}) c ON c.doc_id = d.doc_id
 """
 
     sql["doc_simhash"] = f"""

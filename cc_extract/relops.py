@@ -244,3 +244,37 @@ def q18_large_volume_customers(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+# ----------------------------------------------------------- sessionization
+
+def event_sessions(spark, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization — the classic gap-based window recipe: a new session
+    starts where the per-user inter-event gap exceeds *gap_minutes*;
+    session id = running count of session starts.  Two window passes over
+    the same (user_id, ts) ordering, so Spark plans ONE sort/shuffle and
+    both windows run in it; the rollup is partial-aggregable."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval arithmetic, not epoch casts: TIMESTAMP_NTZ has no direct
+    # long cast in Spark 4, and interval comparison is timezone-free in
+    # both engines (the DuckDB oracle compares the same way)
+    new_sess = F.when(
+        F.col("ts") - F.lag("ts").over(w)
+        > F.expr(f"INTERVAL {gap_minutes} MINUTES"),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    df = ev.withColumn("session_id", F.sum(new_sess).over(run))
+    return (
+        df.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -630,3 +630,47 @@ def lsh_verified_near_dups(spark, sf_dir: str, threshold: float = 0.5) -> DataFr
     return j.select("doc_a", "doc_b", "jaccard").filter(
         F.col("jaccard") >= threshold
     )
+
+
+# ---------------------------------------------------------- token entropy
+
+def token_entropy(spark, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy (bits/token over the in-doc token
+    distribution) — low entropy flags repetitive/templated text, the
+    information-theoretic sibling of repetition_stats.  Pure projection:
+    distinct counts and the entropy sum are computed in-row, zero
+    shuffles."""
+    df = with_tokens(load_documents(spark, sf_dir))
+    toks = F.col("tokens")
+    n = F.size(toks)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    )
+    ent = -F.aggregate(
+        counts, F.lit(0.0), lambda acc, c: acc + (c / n) * F.log2(c / n)
+    )
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(F.when(n > 0, ent).otherwise(F.lit(0.0)), 4).alias("token_entropy"),
+    )
+
+
+# ----------------------------------------------------- dedup keep decision
+
+def dedup_keep_decision(spark, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """The decision table a dedup pipeline actually ships: every document
+    joined against its near-dup cluster (dup_clusters), keep = the doc IS
+    its cluster's canonical (min doc_id); singletons keep themselves.
+    Left join against O(near-dup docs) cluster rows — tiny relative to the
+    corpus, so AQE broadcasts it at any scale."""
+    clusters = dup_clusters(spark, sf_dir, threshold).select("doc_id", "cluster_id")
+    docs = load_documents(spark, sf_dir).select("doc_id")
+    j = docs.join(clusters, "doc_id", "left")
+    cid = F.coalesce("cluster_id", F.col("doc_id"))
+    return j.select(
+        "doc_id",
+        cid.alias("cluster_id"),
+        (cid == F.col("doc_id")).alias("keep"),
+    )
