@@ -190,6 +190,17 @@ def _mm_feature_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (mapInPandas row expansion): every
+    10th frame of each media payload's deterministic pseudo frame count —
+    the schema/batch shape of a real frame sampler with decode behind the
+    documented seam."""
+    from cc_extract import multimodal as mm
+
+    df = mm.media_df(spark, 400, partitions=8)
+    return mm.frame_sample(df, every_n=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator suite (SURVEY.md §2.5)
@@ -244,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (oracled; parsing unit-tested)
         "mm_metadata_stats": _mm_metadata_stats,
         "mm_feature_norms": _mm_feature_norms,
+        "mm_frame_sample": _mm_frame_sample,
     }
 
 
@@ -916,6 +928,13 @@ SELECT kind, count(*) AS n,
        round(avg(sqrt(list_aggregate(list_transform(feature, x -> x * x), 'sum'))), 4) AS avg_l2
 FROM read_parquet('{media}')
 GROUP BY kind ORDER BY kind
+"""
+
+    sql["mm_frame_sample"] = f"""
+SELECT media_id,
+       CAST(unnest(range(0, greatest(1, n_bytes % 97), 10)) AS INT) AS frame_idx
+FROM read_parquet('{media}')
+WHERE kind = 'video'
 """
 
     return sql
