@@ -434,8 +434,10 @@ def _page_fonts(objects, page_node: dict) -> dict[str, dict[int, str]]:
 # ------------------------------------------------------------ content text
 
 _CONTENT_TOKEN = re.compile(
-    rb"""(?P<str>\()            # literal string start
-      | (?P<hex><(?!<))         # hex string start (not <<)
+    rb"""(?P<sstr>\((?P<sbody>[^()\\]*)\))   # escape-free literal string (fast path)
+      | (?P<str>\()             # literal string with escapes/nesting
+      | (?P<shex><(?!<)(?P<hbody>[0-9A-Fa-f\s]*)>)  # well-formed hex string
+      | (?P<hex><(?!<))         # malformed hex start (fallback)
       | (?P<arr>\[|\])
       | (?P<dict><<|>>)
       | (?P<num>[+-]?(?:\d+\.?\d*|\.\d+))
@@ -473,14 +475,32 @@ def _content_to_text(content: bytes, fonts: dict[str, dict[int, str]] | None = N
         if not m:
             break
         pos = m.start()
-        if m.lastgroup == "str":
+        g = m.lastgroup
+        if g == "sstr":  # escape-free string: one regex group, one decode
+            (in_array if in_array is not None else stack).append(
+                ("str", m.group("sbody").decode("latin-1"))
+            )
+            pos = m.end()
+            continue
+        if g == "str":
             try:
                 s, pos = _parse_literal_string(content, pos)
             except _PdfError:
                 break
             (in_array if in_array is not None else stack).append(("str", s))
             continue
-        if m.lastgroup == "hex":
+        if g == "shex":
+            hexs = m.group("hbody")
+            if b" " in hexs or b"\n" in hexs or b"\r" in hexs or b"\t" in hexs:
+                hexs = re.sub(rb"\s", b"", hexs)
+            if len(hexs) % 2:
+                hexs += b"0"
+            (in_array if in_array is not None else stack).append(
+                ("str", bytes.fromhex(hexs.decode("ascii")).decode("latin-1"))
+            )
+            pos = m.end()
+            continue
+        if g == "hex":
             end = content.find(b">", pos)
             if end == -1:
                 break
