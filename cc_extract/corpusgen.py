@@ -228,7 +228,10 @@ def _serialize_pdf_xref_stream(objs: list[bytes], catalog_id: int) -> bytes:
     offsets: dict[int, int] = {}
     packed: list[tuple[int, bytes]] = []
     for i, body in enumerate(objs, start=1):
-        if b"\nstream\n" in body:
+        # streams must stay direct (spec); scalar objects (indirect
+        # /Length ints) also stay direct so stream extents resolve
+        # before any ObjStm is decoded — dict objects pack
+        if b"\nstream\n" in body or not body.startswith(b"<<"):
             offsets[i] = buf.tell()
             buf.write(f"{i} 0 obj\n".encode() + body + b"\nendobj\n")
         else:
@@ -333,10 +336,20 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
         else:
             raw = _gen_pdf_content_stream(rng, rng.randint(4, 20))
         comp = zlib.compress(raw)
-        cid = add(
-            b"<< /Length " + str(len(comp)).encode() + b" /Filter /FlateDecode >>\nstream\n"
-            + comp + b"\nendstream"
-        )
+        if rng.random() < 0.15:
+            # indirect /Length N 0 R (what many real writers emit); the
+            # int object precedes the stream here but the parser also
+            # resolves forward references
+            lid = add(str(len(comp)).encode())
+            cid = add(
+                f"<< /Length {lid} 0 R /Filter /FlateDecode >>".encode()
+                + b"\nstream\n" + comp + b"\nendstream"
+            )
+        else:
+            cid = add(
+                b"<< /Length " + str(len(comp)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream"
+            )
         content_ids.append(cid)
         page_obj_ids.append(None)  # placeholder; fill after pages node id known
 

@@ -232,8 +232,17 @@ def _expand_object_streams(objects: dict[int, tuple[dict, bytes | None]]) -> Non
 def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
     """Map obj number -> (dict, stream_bytes|None) by brute scan, then
     expand PDF 1.5+ object streams so compressed catalogs/page trees
-    resolve like direct ones."""
+    resolve like direct ones.
+
+    Two passes so an indirect ``/Length N 0 R`` (what many real writers
+    emit) resolves through the integer object — even a forward reference
+    — instead of falling to the ``endstream`` search, which can truncate
+    a stream whose compressed bytes happen to contain ``endstream``.
+    (An int object packed inside an ObjStm is still out of reach at this
+    point; those streams keep the search fallback.)"""
     objects: dict[int, tuple[dict, bytes | None]] = {}
+    scalars: dict[int, int] = {}
+    pending: list[tuple[int, dict, int]] = []
     for m in _OBJ_RE.finditer(data):
         num = int(m.group(1))
         body_start = m.end()
@@ -241,12 +250,17 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
             val, pos = _parse_object(data, body_start)
         except (_PdfError, ValueError, IndexError):
             continue
+        if isinstance(val, int):
+            scalars[num] = val
         obj_dict = val if isinstance(val, dict) else {}
         stream: bytes | None = None
         sm = _STREAM_RE.match(data, pos, pos + 16)
         if sm:
             sstart = sm.end()
             length = obj_dict.get("Length")
+            if isinstance(length, tuple) and length[0] == "ref":
+                pending.append((num, obj_dict, sstart))
+                continue
             if isinstance(length, int) and data.startswith(
                 b"endstream", _skip_eol(data, sstart + length)
             ):
@@ -256,6 +270,18 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
                 if send == -1:
                     continue
                 stream = data[sstart:send].rstrip(b"\r\n")
+        objects[num] = (obj_dict, stream)
+    for num, obj_dict, sstart in pending:
+        lv = scalars.get(obj_dict["Length"][1])
+        if isinstance(lv, int) and data.startswith(
+            b"endstream", _skip_eol(data, sstart + lv)
+        ):
+            stream = data[sstart : sstart + lv]
+        else:
+            send = data.find(b"endstream", sstart)
+            if send == -1:
+                continue
+            stream = data[sstart:send].rstrip(b"\r\n")
         objects[num] = (obj_dict, stream)
     _expand_object_streams(objects)
     return objects

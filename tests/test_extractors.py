@@ -792,3 +792,28 @@ def test_tiff_dispatch_and_quarantine():
            + struct.pack(e + "I", 0))
     res = extract_document(b"II*\x00" + struct.pack(e + "I", 8) + ifd, "u.tif")
     assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
+
+
+def test_pdf_indirect_length_resolves_even_forward():
+    """/Length as an indirect int ref must resolve through the object map
+    (both reference directions); the endstream-search fallback would
+    truncate this uncompressed stream at the literal 'endstream' inside
+    its text."""
+    from cc_extract.extractors.pdf import extract_pdf
+
+    content = b"BT /F1 12 Tf 72 720 Td (the word endstream appears here) Tj ET"
+    for length_first in (True, False):
+        len_obj = b"5 0 obj\n" + str(len(content)).encode() + b"\nendobj\n"
+        stream_obj = (
+            b"4 0 obj\n<< /Length 5 0 R >>\nstream\n" + content
+            + b"\nendstream\nendobj\n"
+        )
+        body = (len_obj + stream_obj) if length_first else (stream_obj + len_obj)
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+            + body + b"trailer\n<< /Root 1 0 R >>\n%%EOF"
+        )
+        assert extract_pdf(pdf) == "the word endstream appears here", length_first
