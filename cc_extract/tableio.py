@@ -60,3 +60,23 @@ def write_partitioned(df, path: str, partition_col: str = "bucket") -> None:
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def write_bucketed(df, table_name: str, n_buckets: int, key: str = "url") -> None:
+    """Bucketed-table write: hash-bucket + sort by *key* so subsequent
+    equi-joins/aggregations on *key* between co-bucketed tables need NO
+    shuffle (Spark reads matching buckets pairwise — the co-located join
+    the 100 TB design leans on for url-keyed enrichment joins).
+
+    Iceberg mapping: ``bucket(n, key)`` partition transform +
+    ``sortedBy(key)`` write order; here it is Spark's native bucketing
+    via ``saveAsTable`` (bucket metadata needs a catalog entry — a plain
+    ``.parquet(path)`` write silently drops it).  Verified shuffle-free
+    in tests/test_tableio.py::test_bucketed_join_is_shuffle_free."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table_name)  # default warehouse location
+    )

@@ -96,3 +96,38 @@ def test_tableio_snapshot_commit_atomicity(tmp_path):
     # mirroring Iceberg's retry-safe commit of a new snapshot version
     atomic_write_json(os.path.join(d, "bucket_000001.json"), {"bucket": 1, "v": 2})
     assert read_json_dir(d, "bucket_") == [{"bucket": 1, "v": 2}]
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-bucketed tables joined on the bucket key must produce a plan
+    with ZERO Exchange operators — the co-located join that avoids
+    shuffling the 100 TB fact side for url-keyed enrichment.  (Iceberg
+    twin: bucket(n, url) partition transform.)"""
+    import contextlib
+    import io as _io
+
+    from cc_extract.tableio import write_bucketed
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 2000).selectExpr(
+            "concat('https://e/', id) AS url", "id AS a_val"
+        )
+        b = spark.range(0, 2000, 2).selectExpr(
+            "concat('https://e/', id) AS url", "id * 10 AS b_val"
+        )
+        write_bucketed(a, "bkt_a", 8, "url")
+        write_bucketed(b, "bkt_b", 8, "url")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "url")
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
