@@ -48,3 +48,10 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["source", "n_docs", "avg_tokens", "avg_stop_ratio", "n_langs"]
+
+
+def test_every_query_is_oracled():
+    """Zero rows-only carve-outs: every queries() entry must carry a
+    DuckDB oracle, and no oracle may be orphaned."""
+    q, o = set(_QUERIES), set(_ORACLES)
+    assert q == o, (sorted(q - o), sorted(o - q))
