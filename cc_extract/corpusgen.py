@@ -916,16 +916,47 @@ def _jpeg_gray(w: int, h: int, raster: bytes) -> bytes:
             + writer.flush() + b"\xff\xd9")
 
 
+def _packbits(row: bytes) -> bytes:
+    """PackBits encode one row (TIFF 6.0 §9): repeat runs >= 2 as
+    (257-len, byte); literals in chunks of <= 128."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i
+        while j < n - 1 and row[j] == row[j + 1] and j - i < 126:
+            j += 1
+        if j > i:
+            out.append(257 - (j - i + 1))
+            out.append(row[i])
+            i = j + 1
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            if i < n - 2 and row[i] == row[i + 1] == row[i + 2]:
+                break
+            i += 1
+        out.append(i - lit - 1)
+        out += row[lit:i]
+    return bytes(out)
+
+
 def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
-               white_is_zero: bool = False) -> bytes:
-    """Valid baseline TIFF 6.0: 8-bit grayscale, uncompressed, two strips
-    (exercises the strip table), either byte order, either grayscale
-    photometric.  Independent twin of extractors/tiff.py."""
+               white_is_zero: bool = False, packbits: bool = False) -> bytes:
+    """Valid baseline TIFF 6.0: 8-bit grayscale, uncompressed or PackBits
+    (encoded per row, per spec), two strips (exercises the strip table),
+    either byte order, either grayscale photometric.  Independent twin of
+    extractors/tiff.py."""
     e = ">" if big_endian else "<"
     px = bytes(255 - b for b in raster) if white_is_zero else bytes(raster)
     rps = (h + 1) // 2 if h >= 2 else max(h, 1)
     strips = [px[i * rps * w:(i + 1) * rps * w]
               for i in range((h + rps - 1) // rps)] or [b""]
+    if packbits:
+        strips = [
+            b"".join(_packbits(s[r * w:(r + 1) * w])
+                     for r in range((len(s) + w - 1) // w))
+            for s in strips
+        ]
     n = len(strips)
     offs = []
     o = 8
@@ -952,7 +983,7 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
     add(256, 3, 1, short(w))
     add(257, 3, 1, short(h))
     add(258, 3, 1, short(8))
-    add(259, 3, 1, short(1))
+    add(259, 3, 1, short(32773 if packbits else 1))
     add(262, 3, 1, short(0 if white_is_zero else 1))
     add(273, 4, n, long_(offs[0]) if n == 1 else arr_field(offs))
     add(277, 3, 1, short(1))
@@ -961,7 +992,7 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
         long_(len(strips[0])) if n == 1 else arr_field([len(s) for s in strips]))
     buf = bytearray()
     buf += (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(e + "I", ifd_off)
-    buf += px
+    buf += b"".join(strips)
     buf += struct.pack(e + "H", n_entries) + b"".join(entries) + struct.pack(e + "I", 0)
     buf += ext
     return bytes(buf)
@@ -984,7 +1015,8 @@ def _gen_image(rng: random.Random) -> bytes:
             return _jpeg_gray(w, h, bytes(raster))
         return _tiff_gray(w, h, bytes(raster),
                           big_endian=rng.random() < 0.5,
-                          white_is_zero=rng.random() < 0.5)
+                          white_is_zero=rng.random() < 0.5,
+                          packbits=rng.random() < 0.4)
     if p < 0.78:
         # LZW-compressed TIFF: honestly quarantined (no LZW decoder)
         e = "<"

@@ -3,11 +3,11 @@
 Reference analogue: Tesseract accepts TIFF scans via libtiff
 [R: functions/ocr/main.py ⚠].  This is a from-scratch reader for the
 subset a grayscale page scan needs — TIFF 6.0 baseline, both byte
-orders, first IFD only, 8-bit single-sample, Compression=1 (none),
-PhotometricInterpretation 0/1 (WhiteIsZero inverted to BlackIsZero),
-strip-organized.  Everything else (LZW/PackBits/CCITT, tiles, RGB,
-multi-page) raises, which the dispatcher turns into the honest
-``needs_ocr`` quarantine.  The corpus writer (corpusgen._tiff_gray) is an
+orders, first IFD only, 8-bit single-sample, Compression 1 (none) or
+32773 (PackBits RLE), PhotometricInterpretation 0/1 (WhiteIsZero
+inverted to BlackIsZero), strip-organized.  Everything else (LZW/CCITT,
+tiles, RGB, multi-page) raises, which the dispatcher turns into the
+honest ``needs_ocr`` quarantine.  The corpus writer (corpusgen._tiff_gray) is an
 independent implementation of the same spec.
 """
 
@@ -47,6 +47,28 @@ def _read_values(data: bytes, e: str, typ: int, count: int, val_field: bytes):
     raise OcrError(f"tiff: unexpected type {typ} for a scalar tag")
 
 
+def _unpackbits(data: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9 / Apple PackBits): n in [0,127] copies
+    n+1 literals; n in [-127,-1] repeats the next byte 1-n times; -128 is
+    a no-op."""
+    out = bytearray()
+    i = 0
+    nd = len(data)
+    while i < nd:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= nd:
+                raise OcrError("tiff: truncated PackBits repeat")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
 def decode_tiff_gray(payload: bytes) -> tuple[int, int, bytearray]:
     """Minimal TIFF decode: 8-bit grayscale, uncompressed, stripped.
     Returns (width, height, raster) row-major, BlackIsZero."""
@@ -79,8 +101,11 @@ def decode_tiff_gray(payload: bytes) -> tuple[int, int, bytearray]:
     w, h = one(_W), one(_H)
     if not (0 < w < 1 << 20 and 0 < h < 1 << 20):
         raise OcrError("tiff: absurd dimensions")
-    if one(_COMP, 1) != 1:
-        raise OcrError("tiff: only uncompressed (Compression=1) supported")
+    comp = one(_COMP, 1)
+    if comp not in (1, 32773):
+        raise OcrError(
+            "tiff: only uncompressed (1) and PackBits (32773) supported"
+        )
     if one(_BITS, 8) != 8 or one(_SAMPLES, 1) != 1:
         raise OcrError("tiff: only 8-bit single-sample grayscale supported")
     photo = one(_PHOTO, 1)
@@ -95,7 +120,7 @@ def decode_tiff_gray(payload: bytes) -> tuple[int, int, bytearray]:
         chunk = payload[off : off + cnt]
         if len(chunk) < cnt:
             raise OcrError("tiff: truncated strip")
-        raster += chunk
+        raster += _unpackbits(chunk) if comp == 32773 else chunk
     if len(raster) < w * h:
         raise OcrError("tiff: short pixel data")
     raster = raster[: w * h]

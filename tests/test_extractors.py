@@ -817,3 +817,29 @@ def test_pdf_indirect_length_resolves_even_forward():
             + body + b"trailer\n<< /Root 1 0 R >>\n%%EOF"
         )
         assert extract_pdf(pdf) == "the word endstream appears here", length_first
+
+
+def test_tiff_packbits_round_trip():
+    """PackBits (Compression 32773) writer/reader closed loop, plus codec
+    round-trip on adversarial rows."""
+    import random
+    from cc_extract.corpusgen import _packbits, _tiff_gray
+    from cc_extract.extractors.tiff import _unpackbits, decode_tiff_gray
+    from cc_extract.glyphs import render_raster, ocr_raster
+
+    rng = random.Random(5)
+    for _ in range(100):
+        row = bytes(
+            rng.choice([0, 0, 255, 255, 255, rng.randrange(256)])
+            for _ in range(rng.randrange(1, 300))
+        )
+        assert _unpackbits(_packbits(row)) == row
+
+    text = "PACKBITS 32773."
+    w, h, raster = render_raster(text)
+    t = _tiff_gray(w, h, bytes(raster), packbits=True)
+    w2, h2, out = decode_tiff_gray(t)
+    assert bytes(out) == bytes(raster)
+    assert ocr_raster(w2, h2, out) == text
+    res = extract_document(t, "https://x/pb.tif")
+    assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
