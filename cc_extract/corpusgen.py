@@ -998,6 +998,70 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
     return bytes(buf)
 
 
+# GIF87a grayscale writer (independent twin of extractors/gif.py): real
+# variable-width LSB-first LZW with CLEAR/EOI, dictionary growth and
+# reset at 4096 — the same T.81-style closed loop as JPEG/TIFF/PNG.
+
+def _gif_lzw_encode(mcs: int, indices: bytes) -> bytes:
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, mcs + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    prev = b""
+    for px in indices:
+        cur = prev + bytes([px])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        prev = bytes([px])
+    if prev:
+        emit(table[prev], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_gray(w: int, h: int, raster: bytes) -> bytes:
+    """Valid GIF87a: 4-entry grayscale global color table (ink/bg),
+    single non-interlaced image, real LZW."""
+    idx = bytes(0 if b < 128 else 1 for b in raster)
+    header = b"GIF87a" + struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)
+    pal = bytes([0, 0, 0, 255, 255, 255, 0, 0, 0, 0, 0, 0])
+    imgdesc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    mcs = 2
+    data = _gif_lzw_encode(mcs, idx)
+    blocks = b"".join(
+        bytes([min(255, len(data) - i)]) + data[i : i + 255]
+        for i in range(0, len(data), 255)
+    )
+    return header + pal + imgdesc + bytes([mcs]) + blocks + b"\x00\x3b"
+
+
 def _gen_image(rng: random.Random) -> bytes:
     p = rng.random()
     if p < 0.7:
@@ -1009,14 +1073,16 @@ def _gen_image(rng: random.Random) -> bytes:
             _sentences(rng, rng.randint(1, 3)) for _ in range(rng.randint(1, 3))
         )
         w, h, raster = render_raster(text)
-        if p < 0.3:
+        if p < 0.25:
             return _png_gray(w, h, bytes(raster))
-        if p < 0.55:
+        if p < 0.45:
             return _jpeg_gray(w, h, bytes(raster))
-        return _tiff_gray(w, h, bytes(raster),
-                          big_endian=rng.random() < 0.5,
-                          white_is_zero=rng.random() < 0.5,
-                          packbits=rng.random() < 0.4)
+        if p < 0.6:
+            return _tiff_gray(w, h, bytes(raster),
+                              big_endian=rng.random() < 0.5,
+                              white_is_zero=rng.random() < 0.5,
+                              packbits=rng.random() < 0.4)
+        return _gif_gray(w, h, bytes(raster))
     if p < 0.78:
         # LZW-compressed TIFF: honestly quarantined (no LZW decoder)
         e = "<"

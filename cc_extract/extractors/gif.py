@@ -1,0 +1,141 @@
+"""GIF87a/89a grayscale decoder for the OCR-lite route (X14).
+
+Reference analogue: Tesseract accepts GIF scans via giflib
+[R: functions/ocr/main.py ⚠].  From-scratch implementation of the GIF
+LZW scheme (variable-width codes, LSB-first packing, CLEAR/EOI codes,
+dictionary growth to 12 bits) over the subset a grayscale page scan
+needs: single image, global color table whose entries are gray
+(r==g==b), no interlace.  Color GIFs, interlaced images, and local
+color tables raise — the dispatcher turns that into the honest
+``needs_ocr`` quarantine.  The corpus writer (corpusgen._gif_gray) is an
+independent implementation of the same spec.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .ocr import OcrError
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
+    """GIF-flavor LZW: codes packed LSB-first; CLEAR resets the table;
+    width grows when the next code would not fit, capped at 12 bits."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+
+    def reset():
+        return (
+            {i: bytes([i]) for i in range(clear)},
+            min_code_size + 1,
+            eoi + 1,
+        )
+
+    table, width, next_code = reset()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width, next_code = reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise OcrError("gif: bad initial LZW code")
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise OcrError("gif: LZW code out of range")
+            out += entry
+            if len(out) > max_pixels:
+                raise OcrError("gif: LZW output overrun")
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                # the decoder's table lags the encoder's by ONE entry (it
+                # reconstructs entry k while reading code k+1), so it must
+                # widen one entry earlier than the encoder's == check
+                if next_code + 1 == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def decode_gif_gray(payload: bytes) -> tuple[int, int, bytearray]:
+    """Minimal GIF decode: single non-interlaced image over a grayscale
+    global color table.  Returns (width, height, raster)."""
+    if payload[:6] not in GIF_MAGICS:
+        raise OcrError("not a GIF")
+    if len(payload) < 13:
+        raise OcrError("gif: truncated header")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette: list[int] = []
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        for i in range(n):
+            r, g, b = payload[pos : pos + 3]
+            if not (r == g == b):
+                raise OcrError("gif: color palette unsupported (grayscale only)")
+            palette.append(r)
+            pos += 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise OcrError(f"gif: unexpected block 0x{block:02x}")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if iflags & 0x80:
+            raise OcrError("gif: local color tables unsupported")
+        if iflags & 0x40:
+            raise OcrError("gif: interlaced images unsupported")
+        if not palette:
+            raise OcrError("gif: no color table")
+        if pos >= len(payload):
+            raise OcrError("gif: truncated image block")
+        min_code_size = payload[pos]
+        pos += 1
+        if not (2 <= min_code_size <= 8):
+            raise OcrError("gif: bad LZW min code size")
+        sub = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            sub += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(min_code_size, bytes(sub), w * h)
+        if len(idx) < w * h:
+            raise OcrError("gif: short pixel data")
+        np_pal = palette
+        raster = bytearray(w * h)
+        for i in range(w * h):
+            v = idx[i]
+            if v >= len(np_pal):
+                raise OcrError("gif: palette index out of range")
+            raster[i] = np_pal[v]
+        return w, h, raster
+    raise OcrError("gif: no image block")

@@ -116,8 +116,13 @@ def extract_image_ocr(payload: bytes) -> str:
 
         w, h, raster = decode_tiff_gray(payload)
         return normalize_text(ocr_raster(w, h, raster))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif_gray
+
+        w, h, raster = decode_gif_gray(payload)
+        return normalize_text(ocr_raster(w, h, raster))
     raise OcrError(
-        "no decoder for this image container (OCR-lite reads PNG/JPEG/TIFF)"
+        "no decoder for this image container (OCR-lite reads PNG/JPEG/TIFF/GIF)"
     )
 
 

@@ -114,6 +114,7 @@ def fmt_hint_col(html_col="html"):
         .when(p4 == F.lit(b"\x89PNG"), "image")
         .when(F.substring(F.col(html_col), 1, 3) == F.lit(b"\xff\xd8\xff"), "image")
         .when((p4 == F.lit(b"II*\x00")) | (p4 == F.lit(b"MM\x00*")), "image")
+        .when(p4 == F.lit(b"GIF8"), "image")
         .when(prefix.cast("string").startswith("<"), "markup")
         .otherwise("text")
     )

@@ -843,3 +843,55 @@ def test_tiff_packbits_round_trip():
     assert ocr_raster(w2, h2, out) == text
     res = extract_document(t, "https://x/pb.tif")
     assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
+
+
+# ------------------------------------------------------ GIF / LZW (X14)
+
+def test_gif_round_trip_and_dispatch():
+    """Writer/reader closed loop over GIF87a with real variable-width LZW
+    (dict growth + the 4096 reset exercised by a random raster)."""
+    import random
+    from cc_extract.corpusgen import _gif_gray
+    from cc_extract.extractors.gif import decode_gif_gray
+    from cc_extract.glyphs import render_raster, ocr_raster
+
+    text = "GIF LZW 0123456789."
+    w, h, raster = render_raster(text)
+    g = _gif_gray(w, h, bytes(raster))
+    w2, h2, out = decode_gif_gray(g)
+    assert (w2, h2) == (w, h)
+    assert bytes(out) == bytes(raster)  # ink/bg raster is already binary
+    assert ocr_raster(w2, h2, out) == text
+    res = extract_document(g, "https://x/scan.gif")
+    assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
+    assert res["text"] == text
+
+    # 60k random pixels: > 4096 LZW codes, forces the CLEAR/reset path
+    rng = random.Random(9)
+    rnd = bytes(rng.choice([0, 255]) for _ in range(300 * 200))
+    w2, h2, out = decode_gif_gray(_gif_gray(300, 200, rnd))
+    assert bytes(out) == rnd
+
+
+def test_gif_color_and_interlace_quarantine():
+    import struct
+    from cc_extract.corpusgen import _gif_gray
+    from cc_extract.extractors.gif import decode_gif_gray
+    from cc_extract.extractors.ocr import OcrError
+    from cc_extract.glyphs import render_raster
+    import pytest
+
+    w, h, raster = render_raster("X")
+    g = bytearray(_gif_gray(w, h, bytes(raster)))
+    # make palette entry 1 colored -> honest raise
+    colored = bytes(g[:16]) + b"\x10" + bytes(g[17:])  # green byte of entry 1
+    with pytest.raises(OcrError):
+        decode_gif_gray(colored)
+    # set the interlace flag in the image descriptor -> honest raise
+    idesc = bytes(g).index(b"\x2c")
+    laced = bytes(g[:idesc + 9]) + bytes([g[idesc + 9] | 0x40]) + bytes(g[idesc + 10:])
+    with pytest.raises(OcrError):
+        decode_gif_gray(laced)
+    # dispatcher: truncated GIF -> needs_ocr quarantine row
+    res = extract_document(bytes(g[:40]), "https://x/t.gif")
+    assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
