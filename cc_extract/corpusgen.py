@@ -1032,7 +1032,10 @@ def _gif_lzw_encode(mcs: int, indices: bytes) -> bytes:
         emit(table[prev], width)
         table[cur] = next_code
         next_code += 1
-        if next_code == (1 << width) and width < 12:
+        # standard late change: the encoder's table leads the decoder's
+        # by one entry, so it widens one step after the decoder's
+        # next_code == 2^width check (see extractors/gif.py).
+        if next_code == (1 << width) + 1 and width < 12:
             width += 1
         if next_code == 4096:
             emit(clear, width)

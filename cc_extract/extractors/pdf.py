@@ -421,8 +421,17 @@ def _parse_tounicode(cmap: bytes) -> dict[int, str]:
                     break
                 base = _utf16be_str(mh3.group(1))
                 for k in range(hi - lo + 1):
-                    # increment the last code unit (CMap spec behavior)
-                    out[lo + k] = base[:-1] + chr(ord(base[-1]) + k) if base else ""
+                    # increment the last code unit (CMap spec behavior); a
+                    # hostile range near the top of the plane can push the
+                    # increment past 0x10FFFF — degrade that destination to
+                    # U+FFFD instead of erroring the whole document
+                    if base:
+                        cp = ord(base[-1]) + k
+                        bad = cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF
+                        last = "�" if bad else chr(cp)
+                        out[lo + k] = base[:-1] + last
+                    else:
+                        out[lo + k] = ""
                 pos = mh3.end()
     return out
 

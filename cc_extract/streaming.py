@@ -69,7 +69,12 @@ def extract_stream(
     docs = docs.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
     df = with_bucket(docs.select("url", "warc_ts", "html"), n_buckets)
     df = df.withColumn("n_bytes_in", F.coalesce(F.length("html"), F.lit(0)))
-    n_exec = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # the conf may be non-numeric (e.g. "auto" under some AQE setups) —
+    # fall back to the cluster's default parallelism rather than crashing
+    try:
+        n_exec = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        n_exec = spark.sparkContext.defaultParallelism
     n_salt = max(n_exec * 4, salt)
     df = df.withColumn(
         "salt",

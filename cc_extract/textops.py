@@ -236,27 +236,54 @@ def lsh_candidate_pairs(spark, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- distinct (doc, token) tf
 
+def tf_structs(arr):
+    """In-row per-distinct-element frequencies of a string array as
+    ``array<struct<token:string, tf:int>>`` in O(n log n): sort the array,
+    keep the run-start positions, tf = distance to the next run start.
+
+    This replaces the round-3 filter-per-distinct pattern (O(distinct x
+    len) equality comparisons per row — effectively quadratic on long
+    token-diverse documents; r3 ADVICE low).  Output element ORDER is the
+    sorted-token order; callers must not depend on appearance order."""
+    sorted_ = F.array_sort(arr)
+    n = F.size(sorted_)
+    starts = F.filter(
+        F.transform(sorted_, lambda x, i: F.struct(x.alias("token"), i.alias("i"))),
+        # run start: first element, or differs from its predecessor
+        # (F.get is 0-based and null-safe at index -1, so i==0 is true
+        # via the null-propagating inequality OR)
+        lambda s: (s["i"] == 0) | (F.get(sorted_, s["i"] - 1) != s["token"]),
+    )
+    nexts = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(F.struct(F.lit(None).cast("string").alias("token"), n.alias("i"))),
+    )
+    pairs = F.zip_with(
+        starts,
+        nexts,
+        lambda a, b: F.struct(
+            a["token"].alias("token"), (b["i"] - a["i"]).cast("int").alias("tf")
+        ),
+    )
+    # empty input: zip_with would pad the empty starts against the one
+    # sentinel element — guard to a typed empty array instead
+    return F.when(n > 0, pairs).otherwise(
+        F.array().cast("array<struct<token:string,tf:int>>")
+    )
+
+
 def token_tf_pairs(df: DataFrame) -> DataFrame:
     """(doc_id, token, tf): one row per DISTINCT (doc, token), built
-    map-side from the already-tokenized array (``array_distinct`` + a
-    per-distinct-token frequency count via a nested higher-order filter) —
-    never an occurrence explode.
+    map-side from the already-tokenized array via the sorted-run counter
+    (``tf_structs``) — never an occurrence explode.
 
     Scale rationale: natural-language text has ~10x more token occurrences
     than distinct (doc, token) pairs, so everything downstream of this
     frame (md5 hashing in simhash, the groupBy(token) shuffle in
     token_doc_freq) touches ~10x fewer rows than an explode-then-aggregate
-    plan.  The tf count is O(distinct x len) JVM-side equality comparisons
-    per document — cheap next to one md5 per occurrence."""
+    plan; the in-row count is O(len log len) per document."""
     toks = with_tokens(df).select("doc_id", "tokens")
-    pairs = F.transform(
-        F.array_distinct("tokens"),
-        lambda t: F.struct(
-            t.alias("token"),
-            F.size(F.filter("tokens", lambda x: x == t)).alias("tf"),
-        ),
-    )
-    return toks.select("doc_id", F.explode(pairs).alias("p")).select(
+    return toks.select("doc_id", F.explode(tf_structs("tokens")).alias("p")).select(
         "doc_id", "p.token", "p.tf"
     )
 
@@ -394,25 +421,19 @@ def repetition_stats(spark, sf_dir: str) -> DataFrame:
     model-based scoring.
 
     Scale shape: a PURE PROJECTION — every signal is computed in-row from
-    the token/line arrays (distinct + nested-HOF counts, array_max), so
-    the operator adds zero shuffles and scales exactly with the scan."""
+    the token/line arrays (sorted-run tf counts, array_max), so the
+    operator adds zero shuffles and scales exactly with the scan."""
     df = with_tokens(load_documents(spark, sf_dir))
     toks = F.col("tokens")
     n = F.size(toks)
-    top_tok = F.array_max(
-        F.transform(F.array_distinct(toks),
-                    lambda t: F.size(F.filter(toks, lambda x: x == t)))
-    )
+    top_tok = F.array_max(F.transform(tf_structs(toks), lambda s: s["tf"]))
     grams = F.when(
         n >= 2,
         F.transform(F.sequence(F.lit(0), n - 2),
                     lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
     ).otherwise(F.array().cast("array<string>"))
     n_g = F.size(grams)
-    top_gram = F.array_max(
-        F.transform(F.array_distinct(grams),
-                    lambda g: F.size(F.filter(grams, lambda x: x == g)))
-    )
+    top_gram = F.array_max(F.transform(tf_structs(grams), lambda s: s["tf"]))
     lines = F.split(F.col("text"), "\n")
     dup_line_frac = (
         (F.size(lines) - F.size(F.array_distinct(lines)))
@@ -643,10 +664,7 @@ def token_entropy(spark, sf_dir: str) -> DataFrame:
     df = with_tokens(load_documents(spark, sf_dir))
     toks = F.col("tokens")
     n = F.size(toks)
-    counts = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.size(F.filter(toks, lambda x: x == t)),
-    )
+    counts = F.transform(tf_structs(toks), lambda s: s["tf"])
     ent = -F.aggregate(
         counts, F.lit(0.0), lambda acc, c: acc + (c / n) * F.log2(c / n)
     )

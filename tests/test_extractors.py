@@ -895,3 +895,115 @@ def test_gif_color_and_interlace_quarantine():
     # dispatcher: truncated GIF -> needs_ocr quarantine row
     res = extract_document(bytes(g[:40]), "https://x/t.gif")
     assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
+
+
+# Real GIFs produced by reference encoders (shipped with CPython's idlelib
+# and the Tix/Tcl distributions on this host).  They pin the LZW decoder to
+# the STANDARD late width-change convention — a writer/reader pair that
+# shares a quirk (the round-3 TIFF-style EarlyChange bug) round-trips its
+# own corpus but fails every one of these.  Expected hashes were computed
+# once after validating all 37 reference GIFs on this host decode cleanly.
+_REAL_GRAY_GIFS = {
+    # name: (base64 bytes, width, height, md5 of decoded grayscale raster)
+    "tix_info": (
+        "R0lGODlhIAAgAIAAAAAAAP///yH5BAEAAAAALAAAAAAgACAAAAJ2jI+pywsPYUPA1BBbxlbP"
+        "dHnPp4xcSXrgyUhqyJabg7aRSR+wfE/hDroBKbpPz1cZ8lLJlLOjfKKiFqEx5rD6sLxZixs8"
+        "iozaMVL8BevKOXUVXXNj2HG3MIrrZOHFOoXe10d1BZbHpAQzSBS4OIdnkkhyZ7hQAAA7",
+        32, 32, "c01a1f3fcf54b1f2f12ea33a8e047551"),
+    "tix_srcfile": (
+        "R0lGODlhDAAMAKEAAL+/vwAAAOjo6AAAACH5BAEAAAAALAAAAAAMAAwAAAIgRI4Ha+IfWHsO"
+        "rUBpnAhegVXVF2pkBp5iyh3ehG7JHBUAOw==",
+        12, 12, "22f947634657cf9137463f02fe5e7c23"),
+    "idle_minusnode": (
+        "R0lGODlhCwALAPEDAP///39/fwAAAMDAwCH5BAUAAAMALAAAAAALAAsAAAIcnI8Wy6wAIwhP"
+        "QjqCvU94P1UWpm3kFmZNk7RDAQA7",
+        11, 11, "f87145ea094ac717cc18450d83600886"),
+    "idle_plusnode": (
+        "R0lGODlhCwALAPEDAP///39/fwAAAMDAwCH5BAUAAAMALAAAAAALAAsAAAIfnI8Wy6wAIwgP"
+        "ikhHiBfmLYThVAEdqXFYKX1Nk8RDAQA7",
+        11, 11, "74099a4de63c31c8da5235fb463dbbbb"),
+}
+
+
+def test_gif_real_grayscale_fixtures_decode():
+    """decode_gif_gray end-to-end on real reference-encoder grayscale GIFs:
+    dimensions and full raster hash must match (ADVICE r3 high: the shared
+    EarlyChange quirk made every real GIF fail at the first width boundary)."""
+    import base64
+    import hashlib
+    from cc_extract.extractors.gif import decode_gif_gray
+
+    for name, (b64, ew, eh, eraster_md5) in _REAL_GRAY_GIFS.items():
+        payload = base64.b64decode(b64)
+        w, h, raster = decode_gif_gray(payload)
+        assert (w, h) == (ew, eh), name
+        assert hashlib.md5(bytes(raster)).hexdigest() == eraster_md5, name
+
+
+def test_gif_real_color_lzw_layer():
+    """The raw LZW layer on a real 64-color GIF (Tcl 'powered by' logo,
+    mcs=6): the stream crosses the 7->8->9-bit width boundaries, so any
+    off-by-one in the width-change rule desyncs and either raises or
+    produces the wrong pixel count/hash."""
+    import base64
+    import hashlib
+    import struct
+    from cc_extract.extractors.gif import _lzw_decode
+
+    payload = base64.b64decode(_REAL_COLOR_GIF_B64)
+    assert payload[:6] == b"GIF89a"
+    _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13 + 3 * (2 << (flags & 0x07))
+    while payload[pos] == 0x21:  # skip extension blocks
+        pos += 2
+        while payload[pos] != 0:
+            pos += 1 + payload[pos]
+        pos += 1
+    assert payload[pos] == 0x2C
+    _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+    assert not (iflags & 0xC0)
+    pos += 10
+    mcs = payload[pos]
+    pos += 1
+    sub = bytearray()
+    while payload[pos] != 0:
+        ln = payload[pos]
+        sub += payload[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    idx = _lzw_decode(mcs, bytes(sub), w * h)
+    assert (w, h, mcs) == (64, 100, 6)
+    assert len(idx) == w * h
+    assert hashlib.md5(bytes(idx)).hexdigest() == "697318279693d3d34bf82cbb306ec88d"
+
+
+_REAL_COLOR_GIF_B64 = (
+    "R0lGODlhQABkAPUAAP//////zP//mf//AP/MzP/Mmf/MAP+Zmf+ZZv+ZAMz//8zM/8zMzMyZzMyZ"
+    "mcyZZsyZAMxmZsxmM8xmAMwzM8wzAJnMzJmZzJmZmZlmmZlmZplmM5kzM5kzAGaZzGaZmWZmzGZm"
+    "mWZmZmYzZmYzMzNmzDNmmTMzmTMzZgAzmQAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAACH+BSAtZGwtACH5BAEKAAIALAAAAABA"
+    "AGQAAAb+QIFwSCwaj0UE4hGJIJ/QKPHBjEgklIp2y+1qndLw0Esum70Scfi8NUy4k8EAwu5eKdkz"
+    "5Vk3GLpyA391hHZ8ZxADb22ChY5caUhsBgNwjY+YYEeTCVx+mKAPh2ZuW3GLoI5QEmeDWp9sEQQA"
+    "BXmYq61cimyzAL4EqbhmnVqJZxK9FyUlDA+gwmWoBsRlAQAXKdnZGM9PrGaou2WzINrmHLdPEYRx"
+    "ZgUAJebaKN1I63UJrl0PACby2qD2qCM0jYwEAOX+pUCHKRISBITEdSGATeEIMhMgoIJQSovDIxDr"
+    "VPISYYHCFPTIUNJHaQuHEiA8SGLTzguBeAoZeokzslj+TxLaZp6ZoO8Lg5MXo13SQnQL0GxCwVHb"
+    "cvPk0DlwUI0IuokmHS4UTOasIAHBLGBbEqGqsBZFNhNRo62t8KDiPxIjTIC4oACArXxn3KYAERfj"
+    "3AL+TpoLAeBbBQNfywiW2RUTAcXyIjTe0rMM18qPjmLWxu8bRzafjaSyixnFAQBt5npJXQSUhISj"
+    "SRBA+5gNh7ejHEnAOZoCAGdsZXf5nYIy6EISEmM+wS/P1DLMoaSSrngEgQKm6jzVDop7CvMLNzsa"
+    "H9zRCXnESYN/tPUENEeCUWowj4I3/hQl3FfIVtmMgME/IdzziFvOHeFYHcg9tRBr2WiQiltRPMjL"
+    "ARX+MJdCBxbIkxQoUAl4xiwMhJDNCRSEOE8qWpQ4UCHkJIaCBKx1AGMF50VhIY2iZUPCAx7MQ0ID"
+    "ASDnSAeDRbGBIxSZQ4IDRZqDgnqO/CaFTnUUwBoHBOCWDWOgMLmlIwVUmU0FVZnzgX+FmBkFl2wc"
+    "cCBA/chzwXyYpHBmIQjcuSYA75nDAIegBDinIw84oM0JFRAqDwFKPtIgEnQe42g2KBj3DwEaFrKG"
+    "IxQcMM9B8vQXKiGjoinYjQCIeMCqdbRayAGvoiolFcFIgckBBMIqDwcI0MqGFB5g8oAGnOqqDQd8"
+    "pgMFCA0xi5Kz2ZQKoxQmgLKpsPNUKu0TkGbSbKz+2pCghS2PSFHuIxK8hwIH6K4pwQHiFiIKFClh"
+    "8t4J9BY6ggTv5EvIvk/0S182AQs5AgoWKPiIJkgoXMc3T9EbXwoWGHsMFB5YzAYyEmS8wMYMwPiR"
+    "ESWMWIgvVXLAgJgpwCkcFCa4TMgBuMmsJkrRwgtFCjrXQUGQU7KGgcSPCIRECuoqWyUKDrCW8o5D"
+    "R42JA/GgEEGQIiC67RNQw+iAPxKIlYIDO2rxRJFag5KBCfQ223YFT5STKX1g+rP3uEX4fTebGcSN"
+    "9dMLNSQuvoO7jfjfZwTwYARi30124pDUITkkNo99BMNcyKK5hp33+vmHXBwA6hb3NsHF5lyUXk/+"
+    "EVXquIXoWwSQhe65azhr4wgcgZPtX/B2kEevaxhBSHcHb0RiXeBOFmxewL4FBbI/gjARAIW+uhar"
+    "V2o9VY1TPET3XDwweQS2SOB6F7/fbb4Q6A9uxeAr079m48jfnb8A9eOf/4yQkHeRoQMc4AAJ8IIC"
+    "FBTqBBBsoARHQMERLHCBCcxgAjvAQTSwjFMJXODDHDiaEppQHlEo1AlXyEIUDq2FMGxhFGJIwxPO"
+    "UB4q1AZ6FAJBc+QwBT/8oYwQpw0QMCBIJljABVw0GA848QLSWYCajIhEKWrDAwxQG21oJw8qXrEc"
+    "QUoBAyxggTAqwC5GZGIS1eRED9BsWl1kDQhoLJBEc1jgAgywmgpBoEQdWkCFTrTAxnAmDxNszAN0"
+    "NAcIYMKdC9jFkGoywQXUVIIL0MxPl6uhJhXzwk160oVqUIMHSrBDTYbylEZwYwmEuEJUuhJkICjl"
+    "P15JSzGM0jxwqaUudzmEIAAAOw=="
+)
