@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_signatures": textops.minhash_signatures,
         "doc_lsh_candidate_pairs": textops.lsh_candidate_pairs,
         "doc_simhash": textops.simhash,
+        "doc_simhash_near_dups": textops.simhash_near_dups,
         "doc_ngram_jaccard": textops.ngram_jaccard_pairs,
         "doc_fingerprints": textops.fingerprints,
         "doc_bpe_token_stats": textops.bpe_token_stats,
@@ -231,6 +232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_deterministic_sample": textops.deterministic_sample,
         "doc_dup_clusters": textops.dup_clusters,
         "doc_length_quantiles": textops.length_quantiles,
+        "doc_length_quantiles_approx": textops.length_quantiles_approx,
+        "distinct_users_approx": relops.distinct_users_approx,
         "doc_repetition_stats": textops.repetition_stats,
         "doc_winnowing_fingerprints": textops.winnowing_fingerprints,
         "doc_token_entropy": textops.token_entropy,
@@ -529,6 +532,25 @@ SELECT lang, count(*) AS n_docs,
 FROM t GROUP BY lang ORDER BY lang
 """
 
+    # approx-at-scale contracts: the oracle states the exact values and
+    # asserts the bound holds (TRUE literal); the Spark side must PROVE it
+    # by computing the sketch and the envelope — an out-of-bound sketch
+    # hash-mismatches the oracle's TRUE.
+    sql["doc_length_quantiles_approx"] = f"""
+WITH t AS (SELECT lang, len({_TOKENS}) AS n_tokens FROM documents)
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+       round(quantile_cont(n_tokens, 0.9), 4) AS p90,
+       round(quantile_cont(n_tokens, 0.99), 4) AS p99,
+       TRUE AS approx_ok
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+    sql["distinct_users_approx"] = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS approx_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
     sql["doc_repetition_stats"] = f"""
 WITH t AS (
   SELECT doc_id, text, {_TOKENS} AS tokens FROM documents
@@ -735,6 +757,34 @@ SELECT doc_id, CAST({simhash_pack} AS BIGINT) AS simhash
 FROM s ORDER BY doc_id
 """
 
+    # simhash banding near-dup join: same 4x4-bit bands + Hamming verify
+    bw = textops.SIMHASH_BITS // textops.SIMHASH_BANDS
+    band_rows = ", ".join(f"({b})" for b in range(textops.SIMHASH_BANDS))
+    sql["doc_simhash_near_dups"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS}) AS t FROM documents
+), h AS (
+  SELECT doc_id, md5(t) AS h FROM tok
+), s AS (
+  SELECT doc_id, {simhash_sums} FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST({simhash_pack} AS BIGINT) AS simhash FROM s
+), bands AS (
+  SELECT doc_id, simhash, bd.band,
+         (simhash >> (bd.band * {bw})) & {(1 << bw) - 1} AS key
+  FROM sig, (VALUES {band_rows}) bd(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {textops.SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
     sql["doc_ngram_jaccard"] = f"""
 WITH {_sh_cte()},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -812,22 +862,73 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
     def _ivf_sql(nprobe: int) -> str:
+        # LEARNED k-means cells, mirroring embedops.kmeans_centroids
+        # exactly: md5-ordered seeds, KMEANS_ITERS Lloyd iterations
+        # (assign = argmin over previous centroids, ties to the lower
+        # cell; update = round(avg, 6); emptied cells keep the previous
+        # centroid), final assignment against the last centroids.
+        n_cells, iters, dim = embedops.N_CELLS, embedops.KMEANS_ITERS, embedops.DIM
+        it_ctes = []
+        prev = "c0"
+        for n in range(1, iters + 1):
+            it_ctes.append(f"""
+d{n} AS (
+  SELECT x.vec_id, c.cell, sum((x.v - c.c) * (x.v - c.c)) AS d
+  FROM ex x JOIN {prev} c ON c.pos = x.pos
+  GROUP BY x.vec_id, c.cell
+),
+a{n} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM d{n}) WHERE rn = 1
+),
+u{n} AS (
+  SELECT a.cell, x.pos, round(avg(x.v), 6) AS c
+  FROM a{n} a JOIN ex x USING (vec_id)
+  GROUP BY a.cell, x.pos
+),
+c{n} AS (
+  SELECT p.cell, p.pos, coalesce(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN u{n} u ON u.cell = p.cell AND u.pos = p.pos
+)""")
+            prev = f"c{n}"
         return f"""
 WITH q AS (SELECT {qlit} AS qv),
-cent AS (
-  SELECT label, i AS pos, round(avg(embedding[CAST(i AS INT) + 1]), 6) AS c
-  FROM embeddings, range(64) AS t(i)
-  GROUP BY label, i
+e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ex AS (
+  SELECT vec_id, i AS pos, e[CAST(i AS INT) + 1] AS v
+  FROM e, range({dim}) AS t(i)
 ),
-dist AS (
-  SELECT label, sum((c - qv[CAST(pos AS INT) + 1]) * (c - qv[CAST(pos AS INT) + 1])) AS d
-  FROM cent, q GROUP BY label
+seeds AS (
+  SELECT row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, e
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}
 ),
-best AS (SELECT label FROM dist ORDER BY d, label LIMIT {nprobe})
-SELECT vec_id, label, {cos_expr} AS cos_sim
-FROM embeddings
-WHERE label IN (SELECT label FROM best)
-ORDER BY cos_sim DESC, vec_id LIMIT 10
+c0 AS (
+  SELECT cell, i AS pos, e[CAST(i AS INT) + 1] AS c
+  FROM seeds, range({dim}) AS t(i)
+),{",".join(it_ctes)},
+member AS (
+  SELECT vec_id, cell FROM (
+    SELECT x.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY sum((x.v - c.c) * (x.v - c.c)), c.cell) AS rn
+    FROM ex x JOIN {prev} c ON c.pos = x.pos
+    GROUP BY x.vec_id, c.cell) WHERE rn = 1
+),
+qdist AS (
+  SELECT c.cell, sum((c.c - qv[CAST(c.pos AS INT) + 1])
+                   * (c.c - qv[CAST(c.pos AS INT) + 1])) AS d
+  FROM {prev} c, q GROUP BY c.cell
+),
+best AS (SELECT cell FROM qdist ORDER BY d, cell LIMIT {nprobe})
+SELECT emb.vec_id, emb.label, {cos_expr} AS cos_sim
+FROM embeddings emb
+JOIN member m ON m.vec_id = emb.vec_id
+WHERE m.cell IN (SELECT cell FROM best)
+ORDER BY cos_sim DESC, emb.vec_id LIMIT 10
 """
 
     sql["emb_ivf_ann"] = _ivf_sql(1)

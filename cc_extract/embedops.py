@@ -10,10 +10,10 @@ Three tiers, mirroring how ANN is actually deployed over 10^12 vectors:
   bucket = bit-string of dot-product signs; search only the query's
   bucket.  Bucketing is a pure projection (no shuffle); candidates
   shrink by ~2^n_planes.
-- ``ivf_ann``       — IVF-style coarse quantization using per-label
-  centroids (k-means cells stand-in): nearest centroid first, then exact
-  search within the cell.  Centroid build is one tiny agg; the probe is
-  a partition-pruned scan at scale.
+- ``ivf_ann``       — IVF coarse quantization over LEARNED cells: a
+  deterministic k-means (Lloyd iterations as DataFrame aggs) builds the
+  centroid index, then nearest-centroid(s) first, exact search within.
+  The probe is a partition-pruned scan at scale.
 
 All math is float64, built from JVM-side functions (zip_with/aggregate —
 no Python UDFs), with deterministic constants shared verbatim with the
@@ -159,36 +159,100 @@ def lsh_ann_multiprobe(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
-def label_centroids(spark, sf_dir: str) -> DataFrame:
-    """Per-label centroid (rounded 6 dp), as (label, pos, c) long form —
-    one tiny partial-aggregable shuffle (labels x 64 rows)."""
-    emb = load_embeddings(spark, sf_dir)
-    ex = emb.select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+N_CELLS = 8
+KMEANS_ITERS = 3
+
+
+def _sqdist(e_col, vec: list[float]):
+    return F.aggregate(
+        F.zip_with(e_col, _lit_vec(vec), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
-    return (
-        ex.groupBy("label", "pos")
-        .agg(F.round(F.avg("v"), 6).alias("c"))
+
+
+def _cell_expr(e_col, cents: list[list[float]]):
+    """argmin cell over literal centroids, ties to the lower cell index
+    (array_min on struct(dist, cell) orders lexicographically)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(_sqdist(e_col, c).alias("d"), F.lit(i).alias("cell"))
+                for i, c in enumerate(cents)
+            ]
+        )
+    )["cell"]
+
+
+_kmeans_cache: dict[str, list[list[float]]] = {}
+
+
+def kmeans_centroids(spark, sf_dir: str, iters: int = KMEANS_ITERS) -> list[list[float]]:
+    """LEARNED IVF cells: ``N_CELLS``-means via *iters* Lloyd iterations,
+    entirely as DataFrame aggs (r3 verdict "missing" #3 — the per-label
+    centroid stand-in is gone).
+
+    - init: the embeddings of the ``N_CELLS`` vec_ids that sort first by
+      ``md5(cast(vec_id as string))`` — a deterministic pseudo-random,
+      label-free sample both engines express identically.
+    - assign: in-row argmin over the broadcast (literal) centroids — a
+      projection, no shuffle.
+    - update: posexplode -> groupBy(cell, pos).avg, rounded to 6 dp so
+      both engines feed bit-identical centroids into the next iteration;
+      an emptied cell keeps its previous centroid.
+
+    Each update is one partial-aggregable shuffle of N_CELLS x DIM rows;
+    the driver holds only the centroids (the index, not the data).  At
+    10^12 vectors this is the standard IVF build: sample-then-iterate,
+    then persist the assignment as a partition column."""
+    key = f"{sf_dir}|{iters}"
+    if key in _kmeans_cache:
+        return _kmeans_cache[key]
+    emb = (
+        load_embeddings(spark, sf_dir)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .persist()
     )
+    seeds = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(N_CELLS)
+        .collect()
+    )
+    cents = [[float(x) for x in r["e"]] for r in seeds]
+    for _ in range(iters):
+        upd = (
+            emb.select(_cell_expr(F.col("e"), cents).alias("cell"), "e")
+            .select("cell", F.posexplode("e").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("c"))
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in upd:
+            new.setdefault(r["cell"], [0.0] * DIM)[r["pos"]] = r["c"]
+        cents = [new.get(i, cents[i]) for i in range(N_CELLS)]
+    emb.unpersist()
+    _kmeans_cache[key] = cents
+    return cents
 
 
 def ivf_ann(spark, sf_dir: str, k: int = DEFAULT_K, nprobe: int = 1) -> DataFrame:
-    """IVF-style ANN: *nprobe* nearest centroids (coarse cells), exact
-    cosine within them.  The centroid table is a handful of rows —
-    driver-side is the right place for it at any scale (it's the 'index',
-    not the data).  nprobe is the standard IVF recall/cost dial: cells
-    are coarse, so the true neighbors of a query near a cell boundary
-    live in the second-nearest cell (measured by emb_ann_recall)."""
+    """IVF ANN over LEARNED k-means cells: *nprobe* nearest centroids to
+    the query, exact cosine within their members.  Cell membership is the
+    same argmin-vs-final-centroids projection as the index build (no
+    stored column at test scale; at 10^12 vectors you materialize it as a
+    partition column at build time and the probe becomes partition
+    pruning).  nprobe is the standard recall/cost dial (measured by
+    emb_ann_recall)."""
     q = query_vector()
-    cent = label_centroids(spark, sf_dir).collect()
-    by_label: dict[int, list[float]] = {}
-    for r in cent:
-        by_label.setdefault(r["label"], [0.0] * DIM)[r["pos"]] = r["c"]
-    probe_labels = sorted(
-        by_label,
-        key=lambda lbl: (sum((a - b) ** 2 for a, b in zip(by_label[lbl], q)), lbl),
+    cents = kmeans_centroids(spark, sf_dir)
+    probe_cells = sorted(
+        range(N_CELLS),
+        key=lambda i: (sum((a - b) ** 2 for a, b in zip(cents[i], q)), i),
     )[:nprobe]
-    emb = load_embeddings(spark, sf_dir).filter(F.col("label").isin(probe_labels))
+    emb = load_embeddings(spark, sf_dir).filter(
+        _cell_expr(F.col("embedding").cast("array<double>"), cents).isin(probe_cells)
+    )
     scored = emb.select(
         "vec_id", "label", F.round(_cosine(F.col("embedding"), q), 5).alias("cos_sim")
     )

@@ -75,8 +75,10 @@ def q3_shipping_priority(spark, sf_dir: str) -> DataFrame:
 
 def q5_local_supplier_volume(spark, sf_dir: str) -> DataFrame:
     """6-way join with broadcast dimensions (TPC-H Q5 shape).  nation /
-    region / supplier are broadcast — the lineitem side never moves for
-    them (verify: BroadcastHashJoin in explain)."""
+    region are true constant-size dimensions and carry explicit broadcast
+    hints; supplier scales with SF, so its join is left to AQE (broadcast
+    by statistics at small SF, shuffle join at 100 TB — verify:
+    BroadcastHashJoin in explain at sf0.1)."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -89,8 +91,13 @@ def q5_local_supplier_volume(spark, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
+        # supplier scales linearly with SF, so no unconditional broadcast
+        # hint (r3 verdict: same policy as lsh_verified_near_dups) — AQE
+        # still plans a BroadcastHashJoin at small SF from its measured
+        # size, and degrades to shuffle join when supplier outgrows the
+        # threshold at 100 TB.
         .join(
-            F.broadcast(sup),
+            sup,
             (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
         )
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
@@ -175,6 +182,30 @@ def distinct_users_by_type(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def distinct_users_approx(spark, sf_dir: str, rsd: float = 0.05) -> DataFrame:
+    """The at-scale distinct-count path, ORACLED (r3 verdict "missing"
+    #5): ``approx_count_distinct`` (HyperLogLog++ — constant memory,
+    partial-aggregable, the operator you run at 10^12 events) with its
+    error bound ASSERTED: |approx - exact| <= max(4 * rsd * exact, 2).
+    HLL++ is hash-deterministic, so the verdict is stable per dataset;
+    4x the relative-standard-deviation parameter makes the bound a
+    contract violation, not sampling noise.  Emitted columns are
+    engine-stable: exact count + boolean verdict (the sketch estimate
+    stays out of the hash)."""
+    ev = _t(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd)
+    bound = F.greatest(F.lit(4 * rsd) * exact, F.lit(2.0))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            exact.alias("n_users"),
+            (F.abs(approx - exact) <= bound).alias("approx_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ------------------------------------------------- broadcast dim join (R9)
 
 def region_customer_stats(spark, sf_dir: str) -> DataFrame:
@@ -222,8 +253,11 @@ def q6_forecast_revenue(spark, sf_dir: str) -> DataFrame:
 def q18_large_volume_customers(spark, sf_dir: str) -> DataFrame:
     """HAVING + IN-subquery re-expressed as a semi-join (TPC-H Q18 shape):
     per-order quantity rollup -> HAVING threshold -> semi-join back to
-    orders⨝customer -> top-k.  The qualifying-orders set is tiny, so the
-    semi-join broadcasts; the heavy rollup is partial-aggregable."""
+    orders⨝customer -> top-k.  The qualifying-orders set is small but
+    grows with SF, so no unconditional broadcast hint — AQE plans the
+    broadcast from the rollup's measured post-filter size (and falls back
+    to a shuffle join if the threshold ever qualifies too many orders);
+    the heavy rollup is partial-aggregable."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -233,7 +267,7 @@ def q18_large_volume_customers(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("order_qty") > 180)
     )
     return (
-        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .select(
             "c_name", "c_custkey", "o_orderkey",
