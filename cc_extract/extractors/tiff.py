@@ -3,11 +3,13 @@
 Reference analogue: Tesseract accepts TIFF scans via libtiff
 [R: functions/ocr/main.py ⚠].  This is a from-scratch reader for the
 subset a grayscale page scan needs — TIFF 6.0 baseline, both byte
-orders, first IFD only, 8-bit single-sample, Compression 1 (none) or
-32773 (PackBits RLE), PhotometricInterpretation 0/1 (WhiteIsZero
-inverted to BlackIsZero), strip-organized.  Everything else (LZW/CCITT,
-tiles, RGB, multi-page) raises, which the dispatcher turns into the
-honest ``needs_ocr`` quarantine.  The corpus writer (corpusgen._tiff_gray) is an
+orders, first IFD only, 8-bit single-sample, Compression 1 (none), 5
+(LZW with the spec's EarlyChange and optional horizontal Predictor 2 —
+the most common real scan encoding) or 32773 (PackBits RLE),
+PhotometricInterpretation 0/1 (WhiteIsZero inverted to BlackIsZero),
+strip-organized.  Everything else (CCITT, tiles, RGB, multi-page)
+raises, which the dispatcher turns into the honest ``needs_ocr``
+quarantine.  The corpus writer (corpusgen._tiff_gray) is an
 independent implementation of the same spec.
 """
 
@@ -22,6 +24,7 @@ TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
 # tag ids
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _ROWS_PER_STRIP, _STRIP_CNT, _SAMPLES = 273, 278, 279, 277
+_PREDICTOR = 317
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -45,6 +48,78 @@ def _read_values(data: bytes, e: str, typ: int, count: int, val_field: bytes):
     if typ == 1:
         return list(raw)
     raise OcrError(f"tiff: unexpected type {typ} for a scalar tag")
+
+
+def _lzw_decode_tiff(data: bytes, max_out: int) -> bytes:
+    """TIFF 6.0 §13 LZW: 8-bit strings, Clear=256, EOI=257, table grows
+    from 258, codes packed MSB-first, widths 9->12 with the spec's
+    "EarlyChange" — the decoder widens when next_code == 2^width - 1
+    (one entry earlier than GIF's late change; TIFF blesses the
+    off-by-one officially).  The encoder-side mirror in
+    corpusgen._tiff_lzw_encode widens at 2^width (its table leads by
+    one).  Per spec the writer must emit Clear at 4094 entries; the
+    reader just honors Clear wherever it appears."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+
+    def reset():
+        return {i: bytes([i]) for i in range(256)}, 9, EOI + 1
+
+    table, width, next_code = reset()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                table, width, next_code = reset()
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise OcrError("tiff: bad initial LZW code")
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise OcrError("tiff: LZW code out of range")
+            out += entry
+            if len(out) > max_out:
+                raise OcrError("tiff: LZW output overrun")
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1
+            prev = entry
+        acc &= (1 << nbits) - 1  # keep the accumulator bounded
+    return bytes(out)
+
+
+def _undo_horizontal_predictor(strip: bytes, w: int) -> bytes:
+    """TIFF Predictor 2 inverse: cumulative sum mod 256 along each row
+    (vectorized: one uint8 cumsum per strip with natural wraparound)."""
+    import numpy as np
+
+    n_rows = (len(strip) + w - 1) // w
+    if len(strip) == n_rows * w:
+        a = np.frombuffer(strip, dtype=np.uint8).reshape(n_rows, w)
+        return np.cumsum(a, axis=1, dtype=np.uint8).tobytes()
+    # ragged tail (malformed strip): per-row fallback
+    out = bytearray(strip)
+    for r in range(n_rows):
+        base = r * w
+        for i in range(base + 1, min(base + w, len(out))):
+            out[i] = (out[i] + out[i - 1]) & 0xFF
+    return bytes(out)
 
 
 def _unpackbits(data: bytes) -> bytes:
@@ -86,7 +161,7 @@ def decode_tiff_gray(payload: bytes) -> tuple[int, int, bytearray]:
             raise OcrError("tiff: truncated IFD")
         tag, typ, count = struct.unpack_from(e + "HHI", payload, pos)
         if tag in (_W, _H, _BITS, _COMP, _PHOTO, _STRIP_OFF,
-                   _ROWS_PER_STRIP, _STRIP_CNT, _SAMPLES):
+                   _ROWS_PER_STRIP, _STRIP_CNT, _SAMPLES, _PREDICTOR):
             tags[tag] = _read_values(payload, e, typ, count, payload[pos + 8 : pos + 12])
         pos += 12
 
@@ -102,28 +177,41 @@ def decode_tiff_gray(payload: bytes) -> tuple[int, int, bytearray]:
     if not (0 < w < 1 << 20 and 0 < h < 1 << 20):
         raise OcrError("tiff: absurd dimensions")
     comp = one(_COMP, 1)
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise OcrError(
-            "tiff: only uncompressed (1) and PackBits (32773) supported"
+            "tiff: only uncompressed (1), LZW (5) and PackBits (32773) supported"
         )
     if one(_BITS, 8) != 8 or one(_SAMPLES, 1) != 1:
         raise OcrError("tiff: only 8-bit single-sample grayscale supported")
     photo = one(_PHOTO, 1)
     if photo not in (0, 1):
         raise OcrError("tiff: only grayscale photometric supported")
+    predictor = one(_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise OcrError("tiff: only predictor 1/2 supported")
+    rps = one(_ROWS_PER_STRIP, h)
     offs = tags.get(_STRIP_OFF)
     cnts = tags.get(_STRIP_CNT)
     if not offs or not cnts or len(offs) != len(cnts):
         raise OcrError("tiff: missing/mismatched strip tables")
     raster = bytearray()
-    for off, cnt in zip(offs, cnts):
+    for si, (off, cnt) in enumerate(zip(offs, cnts)):
         chunk = payload[off : off + cnt]
         if len(chunk) < cnt:
             raise OcrError("tiff: truncated strip")
-        raster += _unpackbits(chunk) if comp == 32773 else chunk
+        if comp == 5:
+            n_rows = min(rps, h - si * rps)
+            strip = _lzw_decode_tiff(chunk, max(n_rows, 1) * w)
+        elif comp == 32773:
+            strip = _unpackbits(chunk)
+        else:
+            strip = chunk
+        if predictor == 2:
+            strip = _undo_horizontal_predictor(strip, w)
+        raster += strip
     if len(raster) < w * h:
         raise OcrError("tiff: short pixel data")
     raster = raster[: w * h]
-    if photo == 0:  # WhiteIsZero -> invert to BlackIsZero
-        raster = bytearray(255 - b for b in raster)
+    if photo == 0:  # WhiteIsZero -> invert to BlackIsZero (C-speed table)
+        raster = bytearray(bytes(raster).translate(bytes(255 - i for i in range(256))))
     return w, h, raster

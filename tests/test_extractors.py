@@ -873,27 +873,38 @@ def test_gif_round_trip_and_dispatch():
     assert bytes(out) == rnd
 
 
-def test_gif_color_and_interlace_quarantine():
-    import struct
+def test_gif_interlace_color_local_table_variants():
+    """Round 4: interlaced row order, color palettes (collapsed to BT.601
+    luminance on the decode side) and local color tables all decode to
+    the same OCR text as the plain variant."""
     from cc_extract.corpusgen import _gif_gray
     from cc_extract.extractors.gif import decode_gif_gray
-    from cc_extract.extractors.ocr import OcrError
+    from cc_extract.glyphs import render_raster, ocr_raster
+
+    text = "INTERLACE AND COLOR 42."
+    w, h, raster = render_raster(text)
+    for interlaced in (False, True):
+        for color in (False, True):
+            for local in (False, True):
+                g = _gif_gray(w, h, bytes(raster), interlaced=interlaced,
+                              color=color, local_table=local)
+                w2, h2, out = decode_gif_gray(g)
+                assert (w2, h2) == (w, h)
+                assert ocr_raster(w2, h2, out) == text, (interlaced, color, local)
+    res = extract_document(
+        _gif_gray(w, h, bytes(raster), interlaced=True, color=True),
+        "https://x/scan.gif")
+    assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
+    assert res["text"] == text
+
+
+def test_gif_truncated_is_quarantined():
+    from cc_extract.corpusgen import _gif_gray
     from cc_extract.glyphs import render_raster
-    import pytest
 
     w, h, raster = render_raster("X")
-    g = bytearray(_gif_gray(w, h, bytes(raster)))
-    # make palette entry 1 colored -> honest raise
-    colored = bytes(g[:16]) + b"\x10" + bytes(g[17:])  # green byte of entry 1
-    with pytest.raises(OcrError):
-        decode_gif_gray(colored)
-    # set the interlace flag in the image descriptor -> honest raise
-    idesc = bytes(g).index(b"\x2c")
-    laced = bytes(g[:idesc + 9]) + bytes([g[idesc + 9] | 0x40]) + bytes(g[idesc + 10:])
-    with pytest.raises(OcrError):
-        decode_gif_gray(laced)
-    # dispatcher: truncated GIF -> needs_ocr quarantine row
-    res = extract_document(bytes(g[:40]), "https://x/t.gif")
+    g = _gif_gray(w, h, bytes(raster))
+    res = extract_document(g[:40], "https://x/t.gif")
     assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
 
 
@@ -975,6 +986,14 @@ def test_gif_real_color_lzw_layer():
     assert len(idx) == w * h
     assert hashlib.md5(bytes(idx)).hexdigest() == "697318279693d3d34bf82cbb306ec88d"
 
+    # round 4: the color path decodes end-to-end too (palette -> BT.601
+    # luminance raster)
+    from cc_extract.extractors.gif import decode_gif_gray
+
+    fw, fh, raster = decode_gif_gray(payload)
+    assert (fw, fh) == (64, 100)
+    assert hashlib.md5(bytes(raster)).hexdigest() == "1609ac33825c11b300153c3b9a4a3379"
+
 
 _REAL_COLOR_GIF_B64 = (
     "R0lGODlhQABkAPUAAP//////zP//mf//AP/MzP/Mmf/MAP+Zmf+ZZv+ZAMz//8zM/8zMzMyZzMyZ"
@@ -1007,3 +1026,171 @@ _REAL_COLOR_GIF_B64 = (
     "NAcIYMKdC9jFkGoywQXUVIIL0MxPl6uhJhXzwk160oVqUIMHSrBDTYbylEZwYwmEuEJUuhJkICjl"
     "P15JSzGM0jxwqaUudzmEIAAAOw=="
 )
+
+
+def test_tiff_lzw_code_sequence_matches_spec():
+    """Hand-derived TIFF 6.0 §13 example: the encoder must emit exactly
+    [Clear, 'a', code(aa), 'b', code(bb), EOI] for 'aaabbb', 9-bit
+    MSB-first — pinning Clear/EOI values, table growth order and packing
+    direction against the spec rather than the decoder twin."""
+    from cc_extract.corpusgen import _tiff_lzw_encode
+
+    data = _tiff_lzw_encode(b"aaabbb")
+    # unpack 9-bit MSB-first codes independently of both implementations
+    acc = 0
+    nbits = 0
+    codes = []
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        if nbits >= 9:
+            codes.append((acc >> (nbits - 9)) & 0x1FF)
+            nbits -= 9
+    assert codes[:6] == [256, ord("a"), 258, ord("b"), 260, 257]
+
+
+def test_tiff_lzw_round_trip_all_variants():
+    """LZW writer/reader closed loop: both byte orders, predictor 1/2,
+    WhiteIsZero, plus a raster long enough to cross the 9->10-bit width
+    boundary (the EarlyChange seam)."""
+    import random
+    from cc_extract.corpusgen import _tiff_gray
+    from cc_extract.extractors.tiff import decode_tiff_gray
+    from cc_extract.glyphs import render_raster, ocr_raster
+
+    text = "TIFF LZW 0123456789."
+    w, h, raster = render_raster(text)
+    for be in (False, True):
+        for pred in (1, 2):
+            for wiz in (False, True):
+                t = _tiff_gray(w, h, bytes(raster), big_endian=be,
+                               white_is_zero=wiz, lzw=True, predictor=pred)
+                w2, h2, out = decode_tiff_gray(t)
+                assert (w2, h2) == (w, h)
+                assert bytes(out) == bytes(raster), (be, pred, wiz)
+                assert ocr_raster(w2, h2, out) == text
+
+    # random raster: > 256 distinct pairs forces width growth; big enough
+    # to cross 511 (9->10) and 1023 (10->11)
+    rng = random.Random(11)
+    rnd = bytes(rng.randrange(256) for _ in range(200 * 120))
+    t = _tiff_gray(200, 120, rnd, lzw=True)
+    _, _, out = decode_tiff_gray(t)
+    assert bytes(out) == rnd
+    t = _tiff_gray(200, 120, rnd, lzw=True, predictor=2)
+    _, _, out = decode_tiff_gray(t)
+    assert bytes(out) == rnd
+
+
+def test_tiff_lzw_4094_reset():
+    """A raster with enough entropy to fill the 4094-entry table forces
+    the encoder's mid-stream Clear; the decoder must resynchronize."""
+    import random
+    from cc_extract.corpusgen import _tiff_lzw_encode
+    from cc_extract.extractors.tiff import _lzw_decode_tiff
+
+    rng = random.Random(5)
+    data = bytes(rng.randrange(256) for _ in range(40000))
+    enc = _tiff_lzw_encode(data)
+    assert _lzw_decode_tiff(enc, len(data)) == data
+
+
+def test_tiff_lzw_dispatch_ok_ocr():
+    from cc_extract.corpusgen import _tiff_gray
+    from cc_extract.glyphs import render_raster
+
+    text = "LZW DISPATCH CHECK."
+    w, h, raster = render_raster(text)
+    t = _tiff_gray(w, h, bytes(raster), lzw=True, predictor=2)
+    res = extract_document(t, "https://x/scan.tif")
+    assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
+    assert res["text"] == text
+
+
+def test_tiff_ccitt_still_quarantined():
+    import struct as _s
+    e = "<"
+    ifd = (_s.pack(e + "H", 3)
+           + _s.pack(e + "HHI", 256, 3, 1) + _s.pack(e + "HH", 64, 0)
+           + _s.pack(e + "HHI", 257, 3, 1) + _s.pack(e + "HH", 64, 0)
+           + _s.pack(e + "HHI", 259, 3, 1) + _s.pack(e + "HH", 4, 0)
+           + _s.pack(e + "I", 0))
+    payload = b"II*\x00" + _s.pack(e + "I", 8) + ifd
+    res = extract_document(payload, "https://x/fax.tif")
+    assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
+
+
+def test_pdf_differences_encoding():
+    """Simple font with /Encoding /Differences: bytes 0x80.. must map
+    through the AGL glyph names back to the accented chars; unmapped
+    bytes keep the latin-1 path (PDF 32000-1 §9.6.6)."""
+    import zlib
+    from cc_extract.extractors.pdf import extract_pdf
+
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (caf\x80 touch\x80 d\x81j\x82 "
+        b"stra\x83e se\x84or gar\x85on plain.) Tj ET"
+    )
+    comp = zlib.compress(content)
+    objs = []
+
+    def add(body):
+        objs.append(body)
+        return len(objs)
+
+    cid = add(b"<< /Length " + str(len(comp)).encode()
+              + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream")
+    f1 = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+             b" /Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding"
+             b" /Differences [ 128 /eacute /agrave /agrave /germandbls"
+             b" /ntilde /ccedilla ] >> >>")
+    pages = add(b"PLACEHOLDER")
+    page = add(f"<< /Type /Page /Parent {pages} 0 R /MediaBox [0 0 612 792] "
+               f"/Resources << /Font << /F1 {f1} 0 R >> >> "
+               f"/Contents {cid} 0 R >>".encode())
+    objs[pages - 1] = f"<< /Type /Pages /Count 1 /Kids [{page} 0 R] >>".encode()
+    cat = add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+    buf = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, start=1):
+        buf += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    buf += f"trailer\n<< /Root {cat} 0 R >>\n%%EOF".encode()
+
+    text = extract_pdf(bytes(buf))
+    # 0x80->eacute 0x81->agrave(!) 0x82->agrave 0x83->germandbls ...
+    assert text == "café touché dàjà straße señor garçon plain."
+
+
+def test_pdf_differences_corpus_round_trip():
+    """Corpus diff-font PDFs (forced via the rng draws) extract to the
+    same text a plain-encoding PDF of the same seed would."""
+    import random
+    from cc_extract.corpusgen import _gen_pdf, PDF_DIFF_FRACTION
+    from cc_extract.extractors.pdf import extract_pdf
+
+    found = 0
+    for i in range(400):
+        rng = random.Random(990000 + i)
+        peek = random.Random(990000 + i)
+        _ = peek.random()           # xref draw
+        uni = peek.random() < 0.12  # unicode_font draw
+        diff = peek.random() < PDF_DIFF_FRACTION and not uni
+        empty = peek.random() < 0.03
+        if not diff or empty or uni:
+            continue
+        payload = _gen_pdf(rng)
+        text = extract_pdf(payload)
+        assert text and "\x80" not in text and "\x85" not in text
+        found += 1
+        if found >= 5:
+            break
+    assert found >= 5, "rng never produced a diff-font pdf in 400 draws"
+
+
+def test_glyph_names_table():
+    from cc_extract.extractors.pdf import _glyph_to_char
+
+    assert _glyph_to_char("eacute", 0x80) == "é"
+    assert _glyph_to_char("Euro", 0x80) == "€"
+    assert _glyph_to_char("uni0416", 0x80) == "Ж"
+    assert _glyph_to_char("u1F600", 0x80) == "😀"
+    assert _glyph_to_char("nosuchglyph", 0x41) == "A"  # latin-1 fallback
