@@ -876,10 +876,49 @@ class _JpegBitWriter:
         return bytes(self.out)
 
 
+def _jpeg_encode_block(writer: "_JpegBitWriter", blk, pred: int,
+                       dc_codes, ac_codes, quant_zz) -> int:
+    """FDCT + zigzag quantize + category/run-size entropy code ONE 8x8
+    block of level-shifted floats; returns the new DC predictor."""
+    cos = _jpeg_tables()
+    # separable FDCT: rows (x->u) then columns (y->v)
+    tmp = [[sum(blk[y][x] * cos[u][x] for x in range(8))
+            for u in range(8)] for y in range(8)]
+    coef = [
+        sum(tmp[y][u] * cos[v][y] for y in range(8))
+        for v in range(8) for u in range(8)
+    ]
+    zz = [
+        int(round(coef[_JPEG_ZIGZAG[i]] / quant_zz[i]))
+        for i in range(64)
+    ]
+    diff = zz[0] - pred
+    size = abs(diff).bit_length()
+    writer.write(*dc_codes[size])
+    if size:
+        writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            writer.write(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        v = zz[i]
+        s = abs(v).bit_length()
+        writer.write(*ac_codes[(run << 4) | s])
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        writer.write(*ac_codes[0x00])  # EOB
+    return zz[0]
+
+
 def _jpeg_gray(w: int, h: int, raster: bytes) -> bytes:
     """Valid baseline JFIF: 8-bit grayscale, single component, Annex K
     Huffman tables, near-lossless custom quant table."""
-    cos = _jpeg_tables()
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw, bh = (w + 7) // 8, (h + 7) // 8
@@ -893,39 +932,8 @@ def _jpeg_gray(w: int, h: int, raster: bytes) -> bytes:
         for bx in range(bw):
             blk = [[float(px(bx * 8 + x, by * 8 + y)) for x in range(8)]
                    for y in range(8)]
-            # separable FDCT: rows (x->u) then columns (y->v)
-            tmp = [[sum(blk[y][x] * cos[u][x] for x in range(8))
-                    for u in range(8)] for y in range(8)]
-            coef = [
-                sum(tmp[y][u] * cos[v][y] for y in range(8))
-                for v in range(8) for u in range(8)
-            ]
-            zz = [
-                int(round(coef[_JPEG_ZIGZAG[i]] / _JPEG_QUANT_ZZ[i]))
-                for i in range(64)
-            ]
-            diff = zz[0] - pred
-            pred = zz[0]
-            size = abs(diff).bit_length()
-            writer.write(*dc_codes[size])
-            if size:
-                writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    writer.write(*ac_codes[0xF0])  # ZRL
-                    run -= 16
-                v = zz[i]
-                s = abs(v).bit_length()
-                writer.write(*ac_codes[(run << 4) | s])
-                writer.write(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                writer.write(*ac_codes[0x00])  # EOB
+            pred = _jpeg_encode_block(
+                writer, blk, pred, dc_codes, ac_codes, _JPEG_QUANT_ZZ)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -938,6 +946,77 @@ def _jpeg_gray(w: int, h: int, raster: bytes) -> bytes:
         + b"\x10" + bytes(_JPEG_AC_BITS) + _JPEG_AC_VALS,
     )
     sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (b"\xff\xd8" + app0 + dqt + sof + dht + sos
+            + writer.flush() + b"\xff\xd9")
+
+
+def _jpeg_color(w: int, h: int, raster: bytes,
+                sampling: tuple[int, int] = (2, 2)) -> bytes:
+    """Valid baseline color JFIF: YCbCr with luma sampling *sampling*
+    ((2,2) = 4:2:0, (2,1) = 4:2:2, (1,1) = 4:4:4), interleaved single
+    scan, separate luma/chroma Huffman table ids and quant tables.  Y is
+    the page raster; Cb/Cr carry a content-derived tint (a real chroma
+    signal, exercising subsampling + the chroma entropy path) that the
+    grayscale decoder must skip over without desyncing."""
+    sh, sv = sampling
+    dc_l = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_l = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    # chroma tables: same Annex K contents under table id 1 (the decoder
+    # must build them from the DHT declarations, not assume id 0)
+    dc_c, ac_c = dc_l, ac_l
+    chroma_quant = [1] + [8] * 63
+
+    def y_px(x: int, y: int) -> float:
+        return float(raster[min(y, h - 1) * w + min(x, w - 1)] - 128)
+
+    def cb_px(x: int, y: int) -> float:
+        # subsampled tint: ink leans blue, background stays warm
+        sx, sy = min(sh * x, w - 1), min(sv * y, h - 1)
+        v = raster[min(sy, h - 1) * w + min(sx, w - 1)]
+        return float(((255 - v) >> 3))  # 0 (white) .. ~31 (ink)
+
+    def cr_px(x: int, y: int) -> float:
+        sx, sy = min(sh * x, w - 1), min(sv * y, h - 1)
+        v = raster[min(sy, h - 1) * w + min(sx, w - 1)]
+        return float(-((255 - v) >> 4))
+
+    mcux = (w + 8 * sh - 1) // (8 * sh)
+    mcuy = (h + 8 * sv - 1) // (8 * sv)
+    writer = _JpegBitWriter()
+    pred_y = pred_cb = pred_cr = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for v in range(sv):
+                for hb in range(sh):
+                    blk = [[y_px((mx * sh + hb) * 8 + x, (my * sv + v) * 8 + y)
+                            for x in range(8)] for y in range(8)]
+                    pred_y = _jpeg_encode_block(
+                        writer, blk, pred_y, dc_l, ac_l, _JPEG_QUANT_ZZ)
+            blk = [[cb_px(mx * 8 + x, my * 8 + y) for x in range(8)]
+                   for y in range(8)]
+            pred_cb = _jpeg_encode_block(
+                writer, blk, pred_cb, dc_c, ac_c, chroma_quant)
+            blk = [[cr_px(mx * 8 + x, my * 8 + y) for x in range(8)]
+                   for y in range(8)]
+            pred_cr = _jpeg_encode_block(
+                writer, blk, pred_cr, dc_c, ac_c, chroma_quant)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes(_JPEG_QUANT_ZZ)
+              + b"\x01" + bytes(chroma_quant))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+              + bytes([1, (sh << 4) | sv, 0]) + b"\x02\x11\x01" + b"\x03\x11\x01")
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS
+        + b"\x10" + bytes(_JPEG_AC_BITS) + _JPEG_AC_VALS
+        + b"\x01" + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS
+        + b"\x11" + bytes(_JPEG_AC_BITS) + _JPEG_AC_VALS,
+    )
+    sos = seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     return (b"\xff\xd8" + app0 + dqt + sof + dht + sos
             + writer.flush() + b"\xff\xd9")
@@ -1015,34 +1094,47 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _hpredict(row: bytes) -> bytes:
-    """TIFF Predictor 2 forward: horizontal differencing mod 256."""
-    return bytes([row[0]] + [(row[i] - row[i - 1]) & 0xFF for i in range(1, len(row))]) if row else row
+def _hpredict_n(row: bytes, spp: int) -> bytes:
+    """TIFF Predictor 2 forward, per sample channel."""
+    out = bytearray(row)
+    for i in range(len(out) - 1, spp - 1, -1):
+        out[i] = (out[i] - out[i - spp]) & 0xFF
+    return bytes(out)
 
 
 def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
                white_is_zero: bool = False, packbits: bool = False,
-               lzw: bool = False, predictor: int = 1) -> bytes:
-    """Valid baseline TIFF 6.0: 8-bit grayscale, uncompressed, PackBits
-    (encoded per row, per spec) or LZW (per strip, optional horizontal
-    Predictor 2), two strips (exercises the strip table), either byte
-    order, either grayscale photometric.  Independent twin of
-    extractors/tiff.py."""
+               lzw: bool = False, predictor: int = 1,
+               rgb: bool = False) -> bytes:
+    """Valid baseline TIFF 6.0: 8-bit grayscale or RGB (ink/bg colors
+    whose BT.601 luminances land on the right side of the OCR
+    threshold), uncompressed, PackBits (encoded per row, per spec) or
+    LZW (per strip, optional per-channel horizontal Predictor 2), two
+    strips (exercises the strip table), either byte order, either
+    grayscale photometric.  Independent twin of extractors/tiff.py."""
     e = ">" if big_endian else "<"
-    px = bytes(255 - b for b in raster) if white_is_zero else bytes(raster)
+    spp = 3 if rgb else 1
+    if rgb:
+        ink, bg = bytes([20, 30, 180]), bytes([250, 245, 200])
+        px = b"".join(ink if b < 128 else bg for b in raster)
+    elif white_is_zero:
+        px = bytes(255 - b for b in raster)
+    else:
+        px = bytes(raster)
+    rw = w * spp  # row stride in bytes
     rps = (h + 1) // 2 if h >= 2 else max(h, 1)
-    strips = [px[i * rps * w:(i + 1) * rps * w]
+    strips = [px[i * rps * rw:(i + 1) * rps * rw]
               for i in range((h + rps - 1) // rps)] or [b""]
     if predictor == 2:
         strips = [
-            b"".join(_hpredict(s[r * w:(r + 1) * w])
-                     for r in range((len(s) + w - 1) // w))
+            b"".join(_hpredict_n(s[r * rw:(r + 1) * rw], spp)
+                     for r in range((len(s) + rw - 1) // rw))
             for s in strips
         ]
     if packbits:
         strips = [
-            b"".join(_packbits(s[r * w:(r + 1) * w])
-                     for r in range((len(s) + w - 1) // w))
+            b"".join(_packbits(s[r * rw:(r + 1) * rw])
+                     for r in range((len(s) + rw - 1) // rw))
             for s in strips
         ]
     elif lzw:
@@ -1063,6 +1155,11 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
         ext.extend(struct.pack(e + "I" * len(vals), *vals))
         return struct.pack(e + "I", off)
 
+    def short3_field(vals: list[int]) -> bytes:
+        off = ext_base + len(ext)
+        ext.extend(struct.pack(e + "H" * len(vals), *vals))
+        return struct.pack(e + "I", off)
+
     short = lambda v: struct.pack(e + "HH", v, 0)  # noqa: E731
     long_ = lambda v: struct.pack(e + "I", v)      # noqa: E731
     entries = []
@@ -1072,11 +1169,14 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
 
     add(256, 3, 1, short(w))
     add(257, 3, 1, short(h))
-    add(258, 3, 1, short(8))
+    if rgb:
+        add(258, 3, 3, short3_field([8, 8, 8]))
+    else:
+        add(258, 3, 1, short(8))
     add(259, 3, 1, short(32773 if packbits else (5 if lzw else 1)))
-    add(262, 3, 1, short(0 if white_is_zero else 1))
+    add(262, 3, 1, short(2 if rgb else (0 if white_is_zero else 1)))
     add(273, 4, n, long_(offs[0]) if n == 1 else arr_field(offs))
-    add(277, 3, 1, short(1))
+    add(277, 3, 1, short(spp))
     add(278, 4, 1, long_(rps))
     add(279, 4, n,
         long_(len(strips[0])) if n == 1 else arr_field([len(s) for s in strips]))
@@ -1188,16 +1288,21 @@ def _gen_image(rng: random.Random) -> bytes:
         if p < 0.25:
             return _png_gray(w, h, bytes(raster))
         if p < 0.45:
+            if rng.random() < 0.35:
+                samp = rng.choice([(2, 2), (2, 2), (2, 1), (1, 1)])
+                return _jpeg_color(w, h, bytes(raster), sampling=samp)
             return _jpeg_gray(w, h, bytes(raster))
         if p < 0.6:
             comp = rng.random()
+            rgb = rng.random() < 0.25
             return _tiff_gray(w, h, bytes(raster),
                               big_endian=rng.random() < 0.5,
-                              white_is_zero=rng.random() < 0.5,
+                              white_is_zero=(not rgb) and rng.random() < 0.5,
                               packbits=comp < 0.3,
                               lzw=0.3 <= comp < 0.65,
                               predictor=2 if (0.3 <= comp < 0.65
-                                              and rng.random() < 0.5) else 1)
+                                              and rng.random() < 0.5) else 1,
+                              rgb=rgb)
         return _gif_gray(w, h, bytes(raster),
                          interlaced=rng.random() < 0.3,
                          color=rng.random() < 0.4,

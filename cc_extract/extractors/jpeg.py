@@ -1,5 +1,5 @@
-"""Baseline-JFIF grayscale decoder for the OCR-lite route (X14 stretch,
-round-2 verdict #9).
+"""Baseline-JFIF decoder (to grayscale) for the OCR-lite route (X14
+stretch, round-2 verdict #9; color/interleaved support round 4).
 
 Reference analogue: the ``ocr`` Lambda handed JPEG scans to Tesseract,
 which decodes them via libjpeg [R: functions/ocr/main.py ⚠].  No imaging
@@ -7,19 +7,23 @@ library exists in this sandbox, so this is a from-scratch implementation
 of the baseline sequential DCT process from the JPEG standard (ITU-T T.81):
 marker segment parse -> canonical Huffman decode (DC diff categories + AC
 run/size with EOB/ZRL) -> dequantize -> inverse zigzag -> float IDCT ->
-level shift.  Deliberately narrow, failing loudly for anything beyond what
-a grayscale page scan needs — the dispatcher turns every raise into the
-honest ``needs_ocr`` quarantine:
+level shift.  Supported:
 
-- single-component (grayscale) baseline SOF0 only, 8-bit precision;
-- no subsampling (1x1), no progressive/arithmetic/hierarchical modes;
-- no restart markers (DRI with nonzero interval rejected).
+- baseline SOF0, 8-bit precision, 1 (grayscale) or 3 (YCbCr) components;
+- interleaved single scan with sampling factors in {1, 2} per axis —
+  4:4:4, 4:2:2 and 4:2:0 covered.  OCR needs luminance only, so chroma
+  blocks are entropy-decoded (mandatory to stay in bitstream sync) but
+  skip dequantize/IDCT — the returned raster IS the Y plane;
+- no progressive/arithmetic/hierarchical modes, no restart markers (DRI
+  with nonzero interval rejected) — the dispatcher turns every raise
+  into the honest ``needs_ocr`` quarantine.
 
-The corpus writer (corpusgen._jpeg_gray) is an independent implementation
-of the same standard — writer and reader share ONLY the spec constants
-(zigzag order; writer uses the Annex K example Huffman tables, the decoder
-builds whatever tables the DHT segments declare), so the closed loop
-validates both against T.81 rather than against each other's quirks.
+The corpus writer (corpusgen._jpeg_gray / _jpeg_color) is an independent
+implementation of the same standard — writer and reader share ONLY the
+spec constants (zigzag order; writer uses the Annex K example Huffman
+tables, the decoder builds whatever tables the DHT segments declare), so
+the closed loop validates both against T.81 rather than against each
+other's quirks.
 """
 
 from __future__ import annotations
@@ -117,17 +121,20 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
-    """Minimal baseline JFIF decode: 8-bit single-component sequential DCT.
-    Returns (width, height, raster) row-major grayscale."""
+    """Baseline JFIF decode to grayscale: 8-bit sequential DCT, 1 or 3
+    components (interleaved scan, sampling factors 1-2 per axis).  For
+    color images the returned raster is the luminance (Y) plane — chroma
+    blocks are entropy-decoded for bitstream sync and discarded.
+    Returns (width, height, raster) row-major."""
     if not payload.startswith(JPEG_MAGIC):
         raise OcrError("not a JPEG")
     pos = 2
     n = len(payload)
     qtables: dict[int, list[int]] = {}
-    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> table
     w = h = -1
-    comp_q = 0
-    scan_dc = scan_ac = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    scan: list[tuple[int, int, int]] = []  # per scan comp: (comp idx, td, ta)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise OcrError("jpeg: lost marker sync")
@@ -152,14 +159,16 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
                 i += 64
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise OcrError(
                     f"jpeg: unsupported SOF0 (precision={prec} components={ncomp})"
                 )
-            sampling = seg[7]
-            if sampling != 0x11:
-                raise OcrError("jpeg: subsampling unsupported")
-            comp_q = seg[8]
+            for c in range(ncomp):
+                cid = seg[6 + 3 * c]
+                hs, vs = seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise OcrError(f"jpeg: sampling {hs}x{vs} unsupported")
+                comps.append((cid, hs, vs, seg[8 + 3 * c]))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise OcrError(f"jpeg: non-baseline SOF 0xff{marker:02x}")
@@ -178,70 +187,70 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
             if struct.unpack_from(">H", seg, 0)[0] != 0:
                 raise OcrError("jpeg: restart intervals unsupported")
         elif marker == 0xDA:  # SOS
-            if seg[0] != 1:
-                raise OcrError("jpeg: multi-component scan unsupported")
-            td, ta = seg[2] >> 4, seg[2] & 0x0F
-            scan_dc = huff.get((0, td))
-            scan_ac = huff.get((1, ta))
+            ns = seg[0]
+            if ns != len(comps) or ns == 0:
+                raise OcrError("jpeg: non-interleaved scan unsupported")
+            for s_i in range(ns):
+                cs = seg[1 + 2 * s_i]
+                tdta = seg[2 + 2 * s_i]
+                idxs = [ci for ci, c in enumerate(comps) if c[0] == cs]
+                if not idxs:
+                    raise OcrError("jpeg: scan references unknown component")
+                scan.append((idxs[0], tdta >> 4, tdta & 0x0F))
             pos = pos + 2 + seglen
             break
         # APPn/COM/anything else: skipped
         pos = pos + 2 + seglen
-    if w <= 0 or h <= 0 or scan_dc is None or scan_ac is None:
+    if w <= 0 or h <= 0 or not scan:
         raise OcrError("jpeg: missing SOF/DHT/SOS")
-    quant = qtables.get(comp_q)
-    if quant is None:
-        raise OcrError("jpeg: missing quant table")
+
+    # luma = first scan component (JFIF: Y first); per-component decode
+    # parameters + the per-MCU block schedule in T.81 interleave order
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    luma_idx = scan[0][0]
+    params = []
+    for ci, td, ta in scan:
+        _cid, hs, vs, tq = comps[ci]
+        dc = huff.get((0, td))
+        ac = huff.get((1, ta))
+        quant = qtables.get(tq)
+        if dc is None or ac is None or quant is None:
+            raise OcrError("jpeg: missing huffman/quant table")
+        params.append((ci, hs, vs, dc, ac, quant))
+    schedule = []  # (param idx, block row, block col, is_luma)
+    for pi, (ci, hs, vs, _dc, _ac, _q) in enumerate(params):
+        for v in range(vs):
+            for hb in range(hs):
+                schedule.append((pi, v, hb, ci == luma_idx))
+    luma_hs, luma_vs = comps[luma_idx][1], comps[luma_idx][2]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # luma plane dims (luma sampling is hmax/vmax in practice; if not,
+    # the plane is smaller and cropped accordingly)
+    lw, lh = mcux * luma_hs * 8, mcuy * luma_vs * 8
+    img = np.zeros((lh, lw), dtype=np.float64)
+    if (w * comps[luma_idx][1]) // hmax > lw or (h * comps[luma_idx][2]) // vmax > lh:
+        raise OcrError("jpeg: inconsistent sampling geometry")
 
     ecs = _unstuff_scan(payload, pos)
     ne = len(ecs)
-    dc_min, dc_max, dc_ptr, dc_vals = scan_dc
-    ac_min, ac_max, ac_ptr, ac_vals = scan_ac
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
-    img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-    pred = 0
+    preds = [0] * len(params)
     # bit cursor: low `have` bits of `buf` are unread (local ints — the
     # per-bit method-call reader was ~60% of decode time)
     buf = 0
     have = 0
     bp = 0
     zz = np.zeros(64, dtype=np.float64)
-    for by in range(bh):
-        for bx in range(bw):
-            zz[:] = 0.0
-            # --- DC: canonical-table Huffman decode, then EXTEND
-            code = 0
-            length = 0
-            while True:
-                if have == 0:
-                    if bp >= ne:
-                        raise OcrError("jpeg: bit underrun")
-                    buf = ecs[bp]
-                    bp += 1
-                    have = 8
-                have -= 1
-                code = (code << 1) | ((buf >> have) & 1)
-                length += 1
-                if length > 16:
-                    raise OcrError("jpeg: invalid huffman code")
-                if code <= dc_max[length]:
-                    size = dc_vals[dc_ptr[length] + code - dc_min[length]]
-                    break
-            if size:
-                while have < size:
-                    if bp >= ne:
-                        raise OcrError("jpeg: bit underrun")
-                    buf = ((buf & ((1 << have) - 1)) << 8) | ecs[bp]
-                    bp += 1
-                    have += 8
-                have -= size
-                v = (buf >> have) & ((1 << size) - 1)
-                pred += _extend(v, size)
-            zz[0] = pred * quant[0]
-            # --- ACs: run/size with EOB/ZRL
-            k = 1
-            while k < 64:
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for pi, v, hb, is_luma in schedule:
+                _ci, _hs, _vs, dc_t, ac_t, quant = params[pi]
+                dc_min, dc_max, dc_ptr, dc_vals = dc_t
+                ac_min, ac_max, ac_ptr, ac_vals = ac_t
+                if is_luma:
+                    zz[:] = 0.0
+                # --- DC: canonical-table Huffman decode, then EXTEND
                 code = 0
                 length = 0
                 while True:
@@ -256,33 +265,68 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
                     length += 1
                     if length > 16:
                         raise OcrError("jpeg: invalid huffman code")
-                    if code <= ac_max[length]:
-                        rs = ac_vals[ac_ptr[length] + code - ac_min[length]]
+                    if code <= dc_max[length]:
+                        size = dc_vals[dc_ptr[length] + code - dc_min[length]]
                         break
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:  # ZRL: sixteen zeros
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise OcrError("jpeg: AC index overrun")
-                while have < s:
-                    if bp >= ne:
-                        raise OcrError("jpeg: bit underrun")
-                    buf = ((buf & ((1 << have) - 1)) << 8) | ecs[bp]
-                    bp += 1
-                    have += 8
-                have -= s
-                v = (buf >> have) & ((1 << s) - 1)
-                zz[k] = _extend(v, s) * quant[k]
-                k += 1
-            # --- dezigzag + 2-D IDCT as two matmuls (+128 level shift)
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_ZZ_POS] = zz
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                _A.T @ coef.reshape(8, 8) @ _A
-            )
+                if size:
+                    while have < size:
+                        if bp >= ne:
+                            raise OcrError("jpeg: bit underrun")
+                        buf = ((buf & ((1 << have) - 1)) << 8) | ecs[bp]
+                        bp += 1
+                        have += 8
+                    have -= size
+                    val = (buf >> have) & ((1 << size) - 1)
+                    preds[pi] += _extend(val, size)
+                if is_luma:
+                    zz[0] = preds[pi] * quant[0]
+                # --- ACs: run/size with EOB/ZRL
+                k = 1
+                while k < 64:
+                    code = 0
+                    length = 0
+                    while True:
+                        if have == 0:
+                            if bp >= ne:
+                                raise OcrError("jpeg: bit underrun")
+                            buf = ecs[bp]
+                            bp += 1
+                            have = 8
+                        have -= 1
+                        code = (code << 1) | ((buf >> have) & 1)
+                        length += 1
+                        if length > 16:
+                            raise OcrError("jpeg: invalid huffman code")
+                        if code <= ac_max[length]:
+                            rs = ac_vals[ac_ptr[length] + code - ac_min[length]]
+                            break
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise OcrError("jpeg: AC index overrun")
+                    while have < s:
+                        if bp >= ne:
+                            raise OcrError("jpeg: bit underrun")
+                        buf = ((buf & ((1 << have) - 1)) << 8) | ecs[bp]
+                        bp += 1
+                        have += 8
+                    have -= s
+                    val = (buf >> have) & ((1 << s) - 1)
+                    if is_luma:
+                        zz[k] = _extend(val, s) * quant[k]
+                    k += 1
+                if not is_luma:
+                    continue  # chroma: sync-decoded, nothing to render
+                # --- dezigzag + 2-D IDCT as two matmuls (+128 level shift)
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZZ_POS] = zz
+                y0 = (my * luma_vs + v) * 8
+                x0 = (mx * luma_hs + hb) * 8
+                img[y0 : y0 + 8, x0 : x0 + 8] = _A.T @ coef.reshape(8, 8) @ _A
     out = np.clip(np.rint(img[:h, :w]) + 128.0, 0, 255).astype(np.uint8)
     return w, h, bytearray(out.tobytes())

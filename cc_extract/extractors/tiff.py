@@ -2,15 +2,16 @@
 
 Reference analogue: Tesseract accepts TIFF scans via libtiff
 [R: functions/ocr/main.py ⚠].  This is a from-scratch reader for the
-subset a grayscale page scan needs — TIFF 6.0 baseline, both byte
-orders, first IFD only, 8-bit single-sample, Compression 1 (none), 5
-(LZW with the spec's EarlyChange and optional horizontal Predictor 2 —
-the most common real scan encoding) or 32773 (PackBits RLE),
-PhotometricInterpretation 0/1 (WhiteIsZero inverted to BlackIsZero),
-strip-organized.  Everything else (CCITT, tiles, RGB, multi-page)
-raises, which the dispatcher turns into the honest ``needs_ocr``
-quarantine.  The corpus writer (corpusgen._tiff_gray) is an
-independent implementation of the same spec.
+subset a page scan needs — TIFF 6.0 baseline, both byte orders, first
+IFD only, 8-bit grayscale or RGB (collapsed to BT.601 luminance),
+Compression 1 (none), 5 (LZW with the spec's EarlyChange and optional
+per-channel horizontal Predictor 2 — the most common real scan
+encoding) or 32773 (PackBits RLE), PhotometricInterpretation 0/1/2
+(WhiteIsZero inverted to BlackIsZero), strip-organized.  Everything
+else (CCITT, tiles, multi-page) raises, which the dispatcher turns
+into the honest ``needs_ocr`` quarantine.  The corpus writer
+(corpusgen._tiff_gray) is an independent implementation of the same
+spec.
 """
 
 from __future__ import annotations
@@ -104,21 +105,23 @@ def _lzw_decode_tiff(data: bytes, max_out: int) -> bytes:
     return bytes(out)
 
 
-def _undo_horizontal_predictor(strip: bytes, w: int) -> bytes:
-    """TIFF Predictor 2 inverse: cumulative sum mod 256 along each row
-    (vectorized: one uint8 cumsum per strip with natural wraparound)."""
+def _undo_horizontal_predictor(strip: bytes, w: int, spp: int = 1) -> bytes:
+    """TIFF Predictor 2 inverse: cumulative sum mod 256 along each row,
+    per sample channel (vectorized: one uint8 cumsum per strip with
+    natural wraparound)."""
     import numpy as np
 
-    n_rows = (len(strip) + w - 1) // w
-    if len(strip) == n_rows * w:
-        a = np.frombuffer(strip, dtype=np.uint8).reshape(n_rows, w)
+    row_bytes = w * spp
+    n_rows = (len(strip) + row_bytes - 1) // row_bytes
+    if len(strip) == n_rows * row_bytes:
+        a = np.frombuffer(strip, dtype=np.uint8).reshape(n_rows, w, spp)
         return np.cumsum(a, axis=1, dtype=np.uint8).tobytes()
     # ragged tail (malformed strip): per-row fallback
     out = bytearray(strip)
     for r in range(n_rows):
-        base = r * w
-        for i in range(base + 1, min(base + w, len(out))):
-            out[i] = (out[i] + out[i - 1]) & 0xFF
+        base = r * row_bytes
+        for i in range(base + spp, min(base + row_bytes, len(out))):
+            out[i] = (out[i] + out[i - spp]) & 0xFF
     return bytes(out)
 
 
@@ -181,11 +184,13 @@ def decode_tiff_gray(payload: bytes) -> tuple[int, int, bytearray]:
         raise OcrError(
             "tiff: only uncompressed (1), LZW (5) and PackBits (32773) supported"
         )
-    if one(_BITS, 8) != 8 or one(_SAMPLES, 1) != 1:
-        raise OcrError("tiff: only 8-bit single-sample grayscale supported")
+    spp = one(_SAMPLES, 1)
+    bits = tags.get(_BITS, [8])
+    if spp not in (1, 3) or any(b != 8 for b in bits):
+        raise OcrError("tiff: only 8-bit gray or RGB supported")
     photo = one(_PHOTO, 1)
-    if photo not in (0, 1):
-        raise OcrError("tiff: only grayscale photometric supported")
+    if photo not in (0, 1, 2) or (photo == 2) != (spp == 3):
+        raise OcrError("tiff: unsupported photometric/samples combination")
     predictor = one(_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise OcrError("tiff: only predictor 1/2 supported")
@@ -201,17 +206,23 @@ def decode_tiff_gray(payload: bytes) -> tuple[int, int, bytearray]:
             raise OcrError("tiff: truncated strip")
         if comp == 5:
             n_rows = min(rps, h - si * rps)
-            strip = _lzw_decode_tiff(chunk, max(n_rows, 1) * w)
+            strip = _lzw_decode_tiff(chunk, max(n_rows, 1) * w * spp)
         elif comp == 32773:
             strip = _unpackbits(chunk)
         else:
             strip = chunk
         if predictor == 2:
-            strip = _undo_horizontal_predictor(strip, w)
+            strip = _undo_horizontal_predictor(strip, w, spp)
         raster += strip
-    if len(raster) < w * h:
+    if len(raster) < w * h * spp:
         raise OcrError("tiff: short pixel data")
-    raster = raster[: w * h]
+    raster = raster[: w * h * spp]
+    if spp == 3:  # RGB -> BT.601 luminance (vectorized)
+        import numpy as np
+
+        a = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(-1, 3)
+        luma = (a @ np.array([299, 587, 114], dtype=np.int64)) // 1000
+        raster = bytearray(luma.astype(np.uint8).tobytes())
     if photo == 0:  # WhiteIsZero -> invert to BlackIsZero (C-speed table)
         raster = bytearray(bytes(raster).translate(bytes(255 - i for i in range(256))))
     return w, h, raster

@@ -1194,3 +1194,80 @@ def test_glyph_names_table():
     assert _glyph_to_char("uni0416", 0x80) == "Ж"
     assert _glyph_to_char("u1F600", 0x80) == "😀"
     assert _glyph_to_char("nosuchglyph", 0x41) == "A"  # latin-1 fallback
+
+
+def test_jpeg_color_round_trip_all_samplings():
+    """Round 4: YCbCr color JPEGs (content-derived chroma tint) decode to
+    the Y plane across 4:2:0 / 4:2:2 / 4:4:4 — chroma blocks are entropy
+    decoded for sync and discarded; the OCR raster must survive."""
+    from cc_extract.corpusgen import _jpeg_color
+    from cc_extract.extractors.jpeg import decode_jpeg_gray
+    from cc_extract.glyphs import render_raster, ocr_raster
+
+    text = "COLOR JPEG 420 422 444."
+    w, h, raster = render_raster(text)
+    for samp in [(2, 2), (2, 1), (1, 1), (1, 2)]:
+        j = _jpeg_color(w, h, bytes(raster), sampling=samp)
+        w2, h2, out = decode_jpeg_gray(j)
+        assert (w2, h2) == (w, h), samp
+        assert ocr_raster(w2, h2, out) == text, samp
+
+
+def test_jpeg_color_dispatch_ok_ocr():
+    from cc_extract.corpusgen import _jpeg_color
+    from cc_extract.glyphs import render_raster
+
+    text = "COLOR DISPATCH 7."
+    w, h, raster = render_raster(text)
+    res = extract_document(_jpeg_color(w, h, bytes(raster)), "https://x/scan.jpg")
+    assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
+    assert res["text"] == text
+
+
+def test_jpeg_color_desync_guard():
+    """A color JPEG whose SOS references a missing chroma table must
+    raise (quarantine), not silently decode garbage."""
+    import pytest
+    from cc_extract.corpusgen import _jpeg_color
+    from cc_extract.extractors.jpeg import decode_jpeg_gray
+    from cc_extract.extractors.ocr import OcrError
+    from cc_extract.glyphs import render_raster
+
+    w, h, raster = render_raster("X")
+    j = bytearray(_jpeg_color(w, h, bytes(raster)))
+    # flip the chroma DHT class/id byte so table (0,1) vanishes
+    i = bytes(j).find(b"\xff\xc4")
+    assert i != -1
+    seg_end = i + 4 + int.from_bytes(j[i + 2 : i + 4], "big") - 2
+    # find the third table header (chroma DC, class 0 id 1) inside DHT
+    # simpler: truncate the DHT to only the two luma tables
+    with pytest.raises(OcrError):
+        # remove chroma tables by copying a gray-style DHT over: easiest
+        # robust corruption — reference a bogus table id in SOS instead
+        sos = bytes(j).find(b"\xff\xda")
+        j2 = bytearray(j)
+        j2[sos + 6 + 3] = 0x33  # comp 2's td/ta -> nonexistent tables
+        decode_jpeg_gray(bytes(j2))
+
+
+def test_tiff_rgb_round_trip():
+    """Round 4: RGB TIFFs (SamplesPerPixel 3, Photometric 2) collapse to
+    BT.601 luminance; per-channel Predictor 2 and both compressions."""
+    from cc_extract.corpusgen import _tiff_gray
+    from cc_extract.extractors.tiff import decode_tiff_gray
+    from cc_extract.glyphs import render_raster, ocr_raster
+
+    text = "RGB TIFF 99."
+    w, h, raster = render_raster(text)
+    for kw in [dict(rgb=True), dict(rgb=True, lzw=True),
+               dict(rgb=True, lzw=True, predictor=2),
+               dict(rgb=True, packbits=True, big_endian=True)]:
+        t = _tiff_gray(w, h, bytes(raster), **kw)
+        w2, h2, out = decode_tiff_gray(t)
+        assert (w2, h2) == (w, h), kw
+        assert ocr_raster(w2, h2, out) == text, kw
+    res = extract_document(
+        _tiff_gray(w, h, bytes(raster), rgb=True, lzw=True, predictor=2),
+        "https://x/scan.tif")
+    assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
+    assert res["text"] == text

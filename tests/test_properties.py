@@ -52,7 +52,11 @@ def test_normalize_idempotent_and_nfc(s):
     assert "\r" not in once
     assert "\n\n\n" not in once
     assert once == once.strip()
-    assert all(not ln[-1:].isspace() or ln[-1] == "\n" for ln in once.split("\n"))
+    # spec step 2 strips trailing SPACES/TABS only — exotic trailing
+    # whitespace (NBSP etc.) is content and survives, so assert exactly
+    # the pinned invariant, not str.isspace()'s wider class (a hypothesis
+    # run found '0\xa0\r0' falsifying the over-strict version)
+    assert all(not ln.endswith((" ", "\t")) for ln in once.split("\n"))
 
 
 @settings(max_examples=50, deadline=None)
