@@ -869,6 +869,14 @@ class _JpegBitWriter:
                 self.out.append(0x00)  # byte stuffing
         self.acc &= (1 << self.n) - 1
 
+    def restart(self, mnum: int) -> None:
+        """Byte-align (1-pad) and emit RSTn — marker bytes are written
+        raw, outside the stuffing path, per T.81 E.1.2."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (mnum % 8)])
+
     def flush(self) -> bytes:
         if self.n:
             pad = 8 - self.n
@@ -916,20 +924,31 @@ def _jpeg_encode_block(writer: "_JpegBitWriter", blk, pred: int,
     return zz[0]
 
 
-def _jpeg_gray(w: int, h: int, raster: bytes) -> bytes:
+def _jpeg_gray(w: int, h: int, raster: bytes,
+               restart_interval: int = 0) -> bytes:
     """Valid baseline JFIF: 8-bit grayscale, single component, Annex K
-    Huffman tables, near-lossless custom quant table."""
+    Huffman tables, near-lossless custom quant table.  With
+    *restart_interval* > 0 a DRI segment is emitted and every interval
+    MCUs the writer byte-aligns, drops an RSTn marker (sequence number
+    mod 8) and resets the DC predictor, per T.81 E.1.2/E.2.4."""
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw, bh = (w + 7) // 8, (h + 7) // 8
     writer = _JpegBitWriter()
     pred = 0
+    mcu_done = 0
+    rst = 0
 
     def px(x: int, y: int) -> int:  # edge-replicated sample, level-shifted
         return raster[min(y, h - 1) * w + min(x, w - 1)] - 128
 
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu_done and mcu_done % restart_interval == 0:
+                writer.restart(rst)
+                rst += 1
+                pred = 0
+            mcu_done += 1
             blk = [[float(px(bx * 8 + x, by * 8 + y)) for x in range(8)]
                    for y in range(8)]
             pred = _jpeg_encode_block(
@@ -945,20 +964,24 @@ def _jpeg_gray(w: int, h: int, raster: bytes) -> bytes:
         b"\x00" + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS
         + b"\x10" + bytes(_JPEG_AC_BITS) + _JPEG_AC_VALS,
     )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    return (b"\xff\xd8" + app0 + dqt + sof + dht + sos
+    return (b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos
             + writer.flush() + b"\xff\xd9")
 
 
 def _jpeg_color(w: int, h: int, raster: bytes,
-                sampling: tuple[int, int] = (2, 2)) -> bytes:
+                sampling: tuple[int, int] = (2, 2),
+                restart_interval: int = 0) -> bytes:
     """Valid baseline color JFIF: YCbCr with luma sampling *sampling*
     ((2,2) = 4:2:0, (2,1) = 4:2:2, (1,1) = 4:4:4), interleaved single
     scan, separate luma/chroma Huffman table ids and quant tables.  Y is
     the page raster; Cb/Cr carry a content-derived tint (a real chroma
     signal, exercising subsampling + the chroma entropy path) that the
-    grayscale decoder must skip over without desyncing."""
+    grayscale decoder must skip over without desyncing.  Optional DRI /
+    RSTn restart markers as in _jpeg_gray (all three DC predictors
+    reset)."""
     sh, sv = sampling
     dc_l = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_l = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
@@ -985,8 +1008,15 @@ def _jpeg_color(w: int, h: int, raster: bytes,
     mcuy = (h + 8 * sv - 1) // (8 * sv)
     writer = _JpegBitWriter()
     pred_y = pred_cb = pred_cr = 0
+    mcu_done = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_done and mcu_done % restart_interval == 0:
+                writer.restart(rst)
+                rst += 1
+                pred_y = pred_cb = pred_cr = 0
+            mcu_done += 1
             for v in range(sv):
                 for hb in range(sh):
                     blk = [[y_px((mx * sh + hb) * 8 + x, (my * sv + v) * 8 + y)
@@ -1016,9 +1046,10 @@ def _jpeg_color(w: int, h: int, raster: bytes,
         + b"\x01" + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS
         + b"\x11" + bytes(_JPEG_AC_BITS) + _JPEG_AC_VALS,
     )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos = seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    return (b"\xff\xd8" + app0 + dqt + sof + dht + sos
+    return (b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos
             + writer.flush() + b"\xff\xd9")
 
 
@@ -1105,88 +1136,97 @@ def _hpredict_n(row: bytes, spp: int) -> bytes:
 def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
                white_is_zero: bool = False, packbits: bool = False,
                lzw: bool = False, predictor: int = 1,
-               rgb: bool = False) -> bytes:
+               rgb: bool = False,
+               extra_pages: list[tuple[int, int, bytes]] | None = None) -> bytes:
     """Valid baseline TIFF 6.0: 8-bit grayscale or RGB (ink/bg colors
     whose BT.601 luminances land on the right side of the OCR
     threshold), uncompressed, PackBits (encoded per row, per spec) or
     LZW (per strip, optional per-channel horizontal Predictor 2), two
     strips (exercises the strip table), either byte order, either
-    grayscale photometric.  Independent twin of extractors/tiff.py."""
+    grayscale photometric, multi-page via the chained-IFD layout when
+    *extra_pages* carries more (w, h, raster) tuples (round 4).
+    Independent twin of extractors/tiff.py."""
     e = ">" if big_endian else "<"
     spp = 3 if rgb else 1
-    if rgb:
-        ink, bg = bytes([20, 30, 180]), bytes([250, 245, 200])
-        px = b"".join(ink if b < 128 else bg for b in raster)
-    elif white_is_zero:
-        px = bytes(255 - b for b in raster)
-    else:
-        px = bytes(raster)
-    rw = w * spp  # row stride in bytes
-    rps = (h + 1) // 2 if h >= 2 else max(h, 1)
-    strips = [px[i * rps * rw:(i + 1) * rps * rw]
-              for i in range((h + rps - 1) // rps)] or [b""]
-    if predictor == 2:
-        strips = [
-            b"".join(_hpredict_n(s[r * rw:(r + 1) * rw], spp)
-                     for r in range((len(s) + rw - 1) // rw))
-            for s in strips
-        ]
-    if packbits:
-        strips = [
-            b"".join(_packbits(s[r * rw:(r + 1) * rw])
-                     for r in range((len(s) + rw - 1) // rw))
-            for s in strips
-        ]
-    elif lzw:
-        strips = [_tiff_lzw_encode(s) for s in strips]
-    n = len(strips)
-    offs = []
-    o = 8
-    for s in strips:
-        offs.append(o)
-        o += len(s)
-    ifd_off = o
-    n_entries = 9 + (1 if predictor == 2 else 0)
-    ext = bytearray()
-    ext_base = ifd_off + 2 + n_entries * 12 + 4
+    pages = [(w, h, raster)] + list(extra_pages or [])
+    buf = bytearray(b"MM\x00*" if big_endian else b"II*\x00")
+    ifd_ptr_pos = len(buf)  # header's first-IFD pointer, patched per page
+    buf += struct.pack(e + "I", 0)
+    for pw, ph, praster in pages:
+        if rgb:
+            ink, bg = bytes([20, 30, 180]), bytes([250, 245, 200])
+            px = b"".join(ink if b < 128 else bg for b in praster)
+        elif white_is_zero:
+            px = bytes(255 - b for b in praster)
+        else:
+            px = bytes(praster)
+        rw = pw * spp  # row stride in bytes
+        rps = (ph + 1) // 2 if ph >= 2 else max(ph, 1)
+        strips = [px[i * rps * rw:(i + 1) * rps * rw]
+                  for i in range((ph + rps - 1) // rps)] or [b""]
+        if predictor == 2:
+            strips = [
+                b"".join(_hpredict_n(s[r * rw:(r + 1) * rw], spp)
+                         for r in range((len(s) + rw - 1) // rw))
+                for s in strips
+            ]
+        if packbits:
+            strips = [
+                b"".join(_packbits(s[r * rw:(r + 1) * rw])
+                         for r in range((len(s) + rw - 1) // rw))
+                for s in strips
+            ]
+        elif lzw:
+            strips = [_tiff_lzw_encode(s) for s in strips]
+        n = len(strips)
+        offs = []
+        o = len(buf)
+        for s in strips:
+            offs.append(o)
+            o += len(s)
+        ifd_off = o
+        struct.pack_into(e + "I", buf, ifd_ptr_pos, ifd_off)
+        buf += b"".join(strips)
+        n_entries = 9 + (1 if predictor == 2 else 0)
+        ext = bytearray()
+        ext_base = ifd_off + 2 + n_entries * 12 + 4
 
-    def arr_field(vals: list[int]) -> bytes:
-        off = ext_base + len(ext)
-        ext.extend(struct.pack(e + "I" * len(vals), *vals))
-        return struct.pack(e + "I", off)
+        def arr_field(vals: list[int]) -> bytes:
+            off = ext_base + len(ext)
+            ext.extend(struct.pack(e + "I" * len(vals), *vals))
+            return struct.pack(e + "I", off)
 
-    def short3_field(vals: list[int]) -> bytes:
-        off = ext_base + len(ext)
-        ext.extend(struct.pack(e + "H" * len(vals), *vals))
-        return struct.pack(e + "I", off)
+        def short3_field(vals: list[int]) -> bytes:
+            off = ext_base + len(ext)
+            ext.extend(struct.pack(e + "H" * len(vals), *vals))
+            return struct.pack(e + "I", off)
 
-    short = lambda v: struct.pack(e + "HH", v, 0)  # noqa: E731
-    long_ = lambda v: struct.pack(e + "I", v)      # noqa: E731
-    entries = []
+        short = lambda v: struct.pack(e + "HH", v, 0)  # noqa: E731
+        long_ = lambda v: struct.pack(e + "I", v)      # noqa: E731
+        entries = []
 
-    def add(tag: int, typ: int, cnt: int, field: bytes) -> None:
-        entries.append(struct.pack(e + "HHI", tag, typ, cnt) + field)
+        def add(tag: int, typ: int, cnt: int, field: bytes) -> None:
+            entries.append(struct.pack(e + "HHI", tag, typ, cnt) + field)
 
-    add(256, 3, 1, short(w))
-    add(257, 3, 1, short(h))
-    if rgb:
-        add(258, 3, 3, short3_field([8, 8, 8]))
-    else:
-        add(258, 3, 1, short(8))
-    add(259, 3, 1, short(32773 if packbits else (5 if lzw else 1)))
-    add(262, 3, 1, short(2 if rgb else (0 if white_is_zero else 1)))
-    add(273, 4, n, long_(offs[0]) if n == 1 else arr_field(offs))
-    add(277, 3, 1, short(spp))
-    add(278, 4, 1, long_(rps))
-    add(279, 4, n,
-        long_(len(strips[0])) if n == 1 else arr_field([len(s) for s in strips]))
-    if predictor == 2:
-        add(317, 3, 1, short(2))
-    buf = bytearray()
-    buf += (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(e + "I", ifd_off)
-    buf += b"".join(strips)
-    buf += struct.pack(e + "H", n_entries) + b"".join(entries) + struct.pack(e + "I", 0)
-    buf += ext
+        add(256, 3, 1, short(pw))
+        add(257, 3, 1, short(ph))
+        if rgb:
+            add(258, 3, 3, short3_field([8, 8, 8]))
+        else:
+            add(258, 3, 1, short(8))
+        add(259, 3, 1, short(32773 if packbits else (5 if lzw else 1)))
+        add(262, 3, 1, short(2 if rgb else (0 if white_is_zero else 1)))
+        add(273, 4, n, long_(offs[0]) if n == 1 else arr_field(offs))
+        add(277, 3, 1, short(spp))
+        add(278, 4, 1, long_(rps))
+        add(279, 4, n,
+            long_(len(strips[0])) if n == 1 else arr_field([len(s) for s in strips]))
+        if predictor == 2:
+            add(317, 3, 1, short(2))
+        buf += struct.pack(e + "H", n_entries) + b"".join(entries)
+        ifd_ptr_pos = len(buf)  # next-IFD pointer: 0 unless another page follows
+        buf += struct.pack(e + "I", 0)
+        buf += ext
     return bytes(buf)
 
 
@@ -1288,13 +1328,25 @@ def _gen_image(rng: random.Random) -> bytes:
         if p < 0.25:
             return _png_gray(w, h, bytes(raster))
         if p < 0.45:
+            # restart markers in ~30% (round 4) — common in real camera
+            # and scanner output
+            ri = rng.choice([1, 2, 4, 8]) if rng.random() < 0.3 else 0
             if rng.random() < 0.35:
                 samp = rng.choice([(2, 2), (2, 2), (2, 1), (1, 1)])
-                return _jpeg_color(w, h, bytes(raster), sampling=samp)
-            return _jpeg_gray(w, h, bytes(raster))
+                return _jpeg_color(w, h, bytes(raster), sampling=samp,
+                                   restart_interval=ri)
+            return _jpeg_gray(w, h, bytes(raster), restart_interval=ri)
         if p < 0.6:
             comp = rng.random()
             rgb = rng.random() < 0.25
+            extra = None
+            if rng.random() < 0.25:  # multi-page scan (round 4)
+                extra = []
+                for _ in range(rng.randint(1, 2)):
+                    ptext = "\n".join(_sentences(rng, rng.randint(1, 2))
+                                      for _ in range(rng.randint(1, 2)))
+                    pw, ph, praster = render_raster(ptext)
+                    extra.append((pw, ph, bytes(praster)))
             return _tiff_gray(w, h, bytes(raster),
                               big_endian=rng.random() < 0.5,
                               white_is_zero=(not rgb) and rng.random() < 0.5,
@@ -1302,7 +1354,8 @@ def _gen_image(rng: random.Random) -> bytes:
                               lzw=0.3 <= comp < 0.65,
                               predictor=2 if (0.3 <= comp < 0.65
                                               and rng.random() < 0.5) else 1,
-                              rgb=rgb)
+                              rgb=rgb,
+                              extra_pages=extra)
         return _gif_gray(w, h, bytes(raster),
                          interlaced=rng.random() < 0.3,
                          color=rng.random() < 0.4,

@@ -14,9 +14,11 @@ level shift.  Supported:
   4:4:4, 4:2:2 and 4:2:0 covered.  OCR needs luminance only, so chroma
   blocks are entropy-decoded (mandatory to stay in bitstream sync) but
   skip dequantize/IDCT — the returned raster IS the Y plane;
-- no progressive/arithmetic/hierarchical modes, no restart markers (DRI
-  with nonzero interval rejected) — the dispatcher turns every raise
-  into the honest ``needs_ocr`` quarantine.
+- restart markers (DRI + RST0..7, round 4): at each restart boundary the
+  bit reader realigns to the byte after the marker, DC predictors reset,
+  and the marker's modulo-8 sequence number is verified;
+- no progressive/arithmetic/hierarchical modes — the dispatcher turns
+  every raise into the honest ``needs_ocr`` quarantine.
 
 The corpus writer (corpusgen._jpeg_gray / _jpeg_color) is an independent
 implementation of the same standard — writer and reader share ONLY the
@@ -61,11 +63,15 @@ _A = np.array(
 _ZZ_POS = np.array(ZIGZAG)
 
 
-def _unstuff_scan(data: bytes, pos: int) -> bytes:
+def _unstuff_scan(data: bytes, pos: int) -> tuple[bytes, list[tuple[int, int]]]:
     """Entropy-coded segment with T.81 byte unstuffing applied once up
-    front (0xFF 0x00 -> 0xFF; any other 0xFF-marker ends the scan) —
-    per-bit stuffing checks were the decoder's hot spot."""
+    front (0xFF 0x00 -> 0xFF; RST0..7 markers are recorded and elided;
+    any other 0xFF-marker ends the scan) — per-bit stuffing checks were
+    the decoder's hot spot.  Returns (unstuffed bytes, restarts) where
+    each restart is (offset in the unstuffed stream where the next
+    restart interval begins, marker number 0..7)."""
     out = bytearray()
+    restarts: list[tuple[int, int]] = []
     n = len(data)
     i = pos
     while i < n:
@@ -81,12 +87,16 @@ def _unstuff_scan(data: bytes, pos: int) -> bytes:
             continue
         if i + 1 >= n:
             break
-        if data[i + 1] == 0x00:
+        nxt = data[i + 1]
+        if nxt == 0x00:
             out.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: resync point, not scan end
+            restarts.append((len(out), nxt - 0xD0))
             i += 2
         else:
             break  # a real marker ends the scan
-    return bytes(out)
+    return bytes(out), restarts
 
 
 def _build_huffman(bits: list[int], vals: bytes):
@@ -133,6 +143,7 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> table
     w = h = -1
+    restart_interval = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     scan: list[tuple[int, int, int]] = []  # per scan comp: (comp idx, td, ta)
     while pos + 4 <= n:
@@ -183,9 +194,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
                     raise OcrError("jpeg: short DHT")
                 huff[(tc, th)] = _build_huffman(bits, vals)
                 i += 17 + nv
-        elif marker == 0xDD:  # DRI
-            if struct.unpack_from(">H", seg, 0)[0] != 0:
-                raise OcrError("jpeg: restart intervals unsupported")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs (0 = none)
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             if ns != len(comps) or ns == 0:
@@ -233,7 +243,7 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
     if (w * comps[luma_idx][1]) // hmax > lw or (h * comps[luma_idx][2]) // vmax > lh:
         raise OcrError("jpeg: inconsistent sampling geometry")
 
-    ecs = _unstuff_scan(payload, pos)
+    ecs, restarts = _unstuff_scan(payload, pos)
     ne = len(ecs)
     preds = [0] * len(params)
     # bit cursor: low `have` bits of `buf` are unread (local ints — the
@@ -241,9 +251,25 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
     buf = 0
     have = 0
     bp = 0
+    mcu_done = 0
+    rst_idx = 0
     zz = np.zeros(64, dtype=np.float64)
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_done and mcu_done % restart_interval == 0:
+                # T.81 E.2.4: byte-align past the RSTn marker, reset DC
+                # predictions, verify the marker's modulo-8 sequence
+                if rst_idx >= len(restarts):
+                    raise OcrError("jpeg: missing restart marker")
+                off, mnum = restarts[rst_idx]
+                if mnum != rst_idx % 8:
+                    raise OcrError("jpeg: restart marker out of sequence")
+                rst_idx += 1
+                bp = off
+                buf = 0
+                have = 0
+                preds = [0] * len(params)
+            mcu_done += 1
             for pi, v, hb, is_luma in schedule:
                 _ci, _hs, _vs, dc_t, ac_t, quant = params[pi]
                 dc_min, dc_max, dc_ptr, dc_vals = dc_t

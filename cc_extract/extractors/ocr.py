@@ -112,10 +112,11 @@ def extract_image_ocr(payload: bytes) -> str:
         w, h, raster = decode_jpeg_gray(payload)
         return normalize_text(ocr_raster(w, h, raster))
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
-        from .tiff import decode_tiff_gray
+        from .tiff import decode_tiff_pages
 
-        w, h, raster = decode_tiff_gray(payload)
-        return normalize_text(ocr_raster(w, h, raster))
+        texts = [ocr_raster(w, h, raster)
+                 for w, h, raster in decode_tiff_pages(payload)]
+        return normalize_text("\n\n".join(t for t in texts if t.strip()))
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import decode_gif_gray
 

@@ -2,14 +2,15 @@
 
 Reference analogue: Tesseract accepts TIFF scans via libtiff
 [R: functions/ocr/main.py ⚠].  This is a from-scratch reader for the
-subset a page scan needs — TIFF 6.0 baseline, both byte orders, first
-IFD only, 8-bit grayscale or RGB (collapsed to BT.601 luminance),
-Compression 1 (none), 5 (LZW with the spec's EarlyChange and optional
-per-channel horizontal Predictor 2 — the most common real scan
-encoding) or 32773 (PackBits RLE), PhotometricInterpretation 0/1/2
-(WhiteIsZero inverted to BlackIsZero), strip-organized.  Everything
-else (CCITT, tiles, multi-page) raises, which the dispatcher turns
-into the honest ``needs_ocr`` quarantine.  The corpus writer
+subset a page scan needs — TIFF 6.0 baseline, both byte orders,
+multi-page via the IFD chain (round 4; cycle-guarded), 8-bit grayscale
+or RGB (collapsed to BT.601 luminance), Compression 1 (none), 5 (LZW
+with the spec's EarlyChange and optional per-channel horizontal
+Predictor 2 — the most common real scan encoding) or 32773 (PackBits
+RLE), PhotometricInterpretation 0/1/2 (WhiteIsZero inverted to
+BlackIsZero), strip-organized.  Everything else (CCITT, tiles) raises,
+which the dispatcher turns into the honest ``needs_ocr`` quarantine.
+The corpus writer
 (corpusgen._tiff_gray) is an independent implementation of the same
 spec.
 """
@@ -147,13 +148,9 @@ def _unpackbits(data: bytes) -> bytes:
     return bytes(out)
 
 
-def decode_tiff_gray(payload: bytes) -> tuple[int, int, bytearray]:
-    """Minimal TIFF decode: 8-bit grayscale, uncompressed, stripped.
-    Returns (width, height, raster) row-major, BlackIsZero."""
-    if payload[:4] not in TIFF_MAGICS:
-        raise OcrError("not a TIFF")
-    e = "<" if payload[:2] == b"II" else ">"
-    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearray, int]:
+    """Decode ONE image file directory.  Returns (width, height, raster,
+    next IFD offset — 0 when this was the last page)."""
     if ifd_off + 2 > len(payload):
         raise OcrError("tiff: truncated IFD offset")
     (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
@@ -167,6 +164,10 @@ def decode_tiff_gray(payload: bytes) -> tuple[int, int, bytearray]:
                    _ROWS_PER_STRIP, _STRIP_CNT, _SAMPLES, _PREDICTOR):
             tags[tag] = _read_values(payload, e, typ, count, payload[pos + 8 : pos + 12])
         pos += 12
+    if pos + 4 <= len(payload):
+        (next_off,) = struct.unpack_from(e + "I", payload, pos)
+    else:
+        next_off = 0
 
     def one(tag: int, default=None):
         v = tags.get(tag)
@@ -225,4 +226,41 @@ def decode_tiff_gray(payload: bytes) -> tuple[int, int, bytearray]:
         raster = bytearray(luma.astype(np.uint8).tobytes())
     if photo == 0:  # WhiteIsZero -> invert to BlackIsZero (C-speed table)
         raster = bytearray(bytes(raster).translate(bytes(255 - i for i in range(256))))
+    return w, h, raster, next_off
+
+
+def decode_tiff_pages(payload: bytes, max_pages: int = 64) -> list[tuple[int, int, bytearray]]:
+    """Walk the IFD chain (multi-page TIFF, round 4): decode every page,
+    cycle-guarded by the visited-offset set and capped at *max_pages*
+    against hostile chains.  Pages may differ in geometry — each is
+    returned as its own (width, height, raster)."""
+    if payload[:4] not in TIFF_MAGICS:
+        raise OcrError("not a TIFF")
+    e = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    pages: list[tuple[int, int, bytearray]] = []
+    seen: set[int] = set()
+    while ifd_off:
+        if ifd_off in seen:
+            raise OcrError("tiff: IFD chain cycle")
+        if len(pages) >= max_pages:
+            raise OcrError("tiff: too many pages")
+        seen.add(ifd_off)
+        w, h, raster, ifd_off = _decode_ifd(payload, e, ifd_off)
+        pages.append((w, h, raster))
+    if not pages:
+        raise OcrError("tiff: empty IFD chain")
+    return pages
+
+
+def decode_tiff_gray(payload: bytes) -> tuple[int, int, bytearray]:
+    """First-page-only TIFF decode (the single-raster surface).  Returns
+    (width, height, raster) row-major, BlackIsZero."""
+    if payload[:4] not in TIFF_MAGICS:
+        raise OcrError("not a TIFF")
+    e = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    if not ifd_off:
+        raise OcrError("tiff: empty IFD chain")
+    w, h, raster, _next = _decode_ifd(payload, e, ifd_off)
     return w, h, raster

@@ -1271,3 +1271,95 @@ def test_tiff_rgb_round_trip():
         "https://x/scan.tif")
     assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
     assert res["text"] == text
+
+def test_jpeg_restart_markers_round_trip():
+    """Round 4: DRI/RSTn restart intervals — at each boundary the decoder
+    byte-aligns past the marker, resets all DC predictors, and verifies
+    the modulo-8 marker sequence.  Both writers exercise it (gray +
+    color, all samplings); interval=1 restarts at every MCU, the
+    harshest case for predictor-reset correctness."""
+    from cc_extract.corpusgen import _jpeg_color, _jpeg_gray
+    from cc_extract.extractors.jpeg import decode_jpeg_gray
+    from cc_extract.glyphs import render_raster, ocr_raster
+
+    text = "RESTART MARKERS 0123456789.\nSECOND SCAN LINE"
+    w, h, raster = render_raster(text)
+    for ri in (1, 2, 7, 100):
+        j = _jpeg_gray(w, h, bytes(raster), restart_interval=ri)
+        assert j.count(b"\xff\xdd") == 1  # DRI present
+        w2, h2, out = decode_jpeg_gray(j)
+        assert (w2, h2) == (w, h) and ocr_raster(w2, h2, out) == text, ri
+    # >8 restarts proves the mod-8 sequence wraps correctly
+    j = _jpeg_gray(w, h, bytes(raster), restart_interval=1)
+    assert sum(j.count(bytes([0xFF, 0xD0 + m])) for m in range(8)) > 8
+    for samp in [(2, 2), (2, 1), (1, 1)]:
+        j = _jpeg_color(w, h, bytes(raster), sampling=samp, restart_interval=3)
+        w2, h2, out = decode_jpeg_gray(j)
+        assert ocr_raster(w2, h2, out) == text, samp
+
+
+def test_jpeg_restart_marker_out_of_sequence_raises():
+    """A corrupted restart sequence (RST number skipped) must raise, not
+    desync into garbage pixels."""
+    import pytest
+    from cc_extract.corpusgen import _jpeg_gray
+    from cc_extract.extractors.jpeg import decode_jpeg_gray
+    from cc_extract.extractors.ocr import OcrError
+    from cc_extract.glyphs import render_raster
+
+    w, h, raster = render_raster("SEQUENCE CHECK LINE")
+    j = bytearray(_jpeg_gray(w, h, bytes(raster), restart_interval=1))
+    i = bytes(j).find(b"\xff\xd0")  # first restart: RST0 -> RST5
+    assert i != -1
+    j[i + 1] = 0xD5
+    with pytest.raises(OcrError):
+        decode_jpeg_gray(bytes(j))
+
+
+def test_tiff_multipage_round_trip():
+    """Round 4: the IFD chain — every page decodes, the OCR route joins
+    page texts, and the single-page surface still reads page one.  Pages
+    may differ in geometry; all compression variants chain."""
+    from cc_extract.corpusgen import _tiff_gray
+    from cc_extract.extractors.tiff import decode_tiff_gray, decode_tiff_pages
+    from cc_extract.glyphs import render_raster, ocr_raster
+
+    t1, t2, t3 = "MULTI PAGE ONE.", "PAGE TWO 22.", "THIRD PAGE 333."
+    w1, h1, r1 = render_raster(t1)
+    w2, h2, r2 = render_raster(t2)
+    w3, h3, r3 = render_raster(t3)
+    extra = [(w2, h2, bytes(r2)), (w3, h3, bytes(r3))]
+    for kw in [dict(), dict(lzw=True, predictor=2),
+               dict(packbits=True, big_endian=True, white_is_zero=True)]:
+        t = _tiff_gray(w1, h1, bytes(r1), extra_pages=extra, **kw)
+        pages = decode_tiff_pages(t)
+        assert [ocr_raster(*p) for p in pages] == [t1, t2, t3], kw
+        assert ocr_raster(*decode_tiff_gray(t)) == t1, kw
+    res = extract_document(
+        _tiff_gray(w1, h1, bytes(r1), extra_pages=extra, lzw=True),
+        "https://x/scan.tif")
+    assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
+    assert res["text"] == t1 + "\n\n" + t2 + "\n\n" + t3
+
+
+def test_tiff_ifd_cycle_is_quarantined():
+    """A hostile IFD chain that loops back on itself must raise (cycle
+    guard), which the dispatcher turns into needs_ocr — never a hang."""
+    import struct as _s
+
+    import pytest
+    from cc_extract.corpusgen import _tiff_gray
+    from cc_extract.extractors.ocr import OcrError
+    from cc_extract.extractors.tiff import decode_tiff_pages
+    from cc_extract.glyphs import render_raster
+
+    w, h, raster = render_raster("CYCLE")
+    t = bytearray(_tiff_gray(w, h, bytes(raster)))
+    (first_ifd,) = _s.unpack_from("<I", t, 4)
+    # next-IFD pointer sits right after the entry array -> point it home
+    (n_entries,) = _s.unpack_from("<H", t, first_ifd)
+    _s.pack_into("<I", t, first_ifd + 2 + n_entries * 12, first_ifd)
+    with pytest.raises(OcrError):
+        decode_tiff_pages(bytes(t))
+    res = extract_document(bytes(t), "https://x/scan.tif")
+    assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
