@@ -884,10 +884,9 @@ class _JpegBitWriter:
         return bytes(self.out)
 
 
-def _jpeg_encode_block(writer: "_JpegBitWriter", blk, pred: int,
-                       dc_codes, ac_codes, quant_zz) -> int:
-    """FDCT + zigzag quantize + category/run-size entropy code ONE 8x8
-    block of level-shifted floats; returns the new DC predictor."""
+def _jpeg_block_zz(blk, quant_zz) -> list[int]:
+    """FDCT + zigzag quantize ONE 8x8 block of level-shifted floats ->
+    64 quantized coefficients in zigzag order."""
     cos = _jpeg_tables()
     # separable FDCT: rows (x->u) then columns (y->v)
     tmp = [[sum(blk[y][x] * cos[u][x] for x in range(8))
@@ -896,10 +895,17 @@ def _jpeg_encode_block(writer: "_JpegBitWriter", blk, pred: int,
         sum(tmp[y][u] * cos[v][y] for y in range(8))
         for v in range(8) for u in range(8)
     ]
-    zz = [
+    return [
         int(round(coef[_JPEG_ZIGZAG[i]] / quant_zz[i]))
         for i in range(64)
     ]
+
+
+def _jpeg_encode_block(writer: "_JpegBitWriter", blk, pred: int,
+                       dc_codes, ac_codes, quant_zz) -> int:
+    """FDCT + zigzag quantize + category/run-size entropy code ONE 8x8
+    block of level-shifted floats; returns the new DC predictor."""
+    zz = _jpeg_block_zz(blk, quant_zz)
     diff = zz[0] - pred
     size = abs(diff).bit_length()
     writer.write(*dc_codes[size])
@@ -1051,6 +1057,261 @@ def _jpeg_color(w: int, h: int, raster: bytes,
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     return (b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos
             + writer.flush() + b"\xff\xd9")
+
+
+
+# Progressive JPEG writer (SOF2, T.81 Annex G) — independent twin of the
+# progressive decoder in extractors/jpeg.py.  Scan scripts mirror the
+# libjpeg defaults (6 scans gray, 10 scans color): spectral selection +
+# two-level successive approximation, EOB-run accumulation in first AC
+# scans, correction-bit buffering in refinement scans.  The AC scans use
+# a custom flat 9-bit Huffman table because the Annex K example tables
+# lack the EOBn symbols (r<<4 for r>=1) progressive coding needs.
+
+_PROG_AC_SYMBOLS = bytes(
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+)
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[8] = len(_PROG_AC_SYMBOLS)  # every symbol at 9 bits
+
+
+def _prog_flush_eobrun(writer, ac_codes, eobrun, br_bits):
+    """Emit a pending EOB run (EOBn symbol + extension bits) followed by
+    any buffered correction bits, per G.1.2.2/G.1.2.3."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        writer.write(*ac_codes[r << 4])
+        if r:
+            writer.write(eobrun - (1 << r), r)
+    for b in br_bits:
+        writer.write(b, 1)
+    br_bits.clear()
+    return 0
+
+
+def _prog_ac_first(writer, blocks, ss, se, al, ac_codes):
+    """First AC scan of a band: run/size coding of the point-transformed
+    coefficients with cross-block EOB-run accumulation."""
+    eobrun = 0
+    br: list[int] = []
+    for zz in blocks:
+        vals = [(abs(zz[k]) >> al) * (1 if zz[k] >= 0 else -1)
+                for k in range(ss, se + 1)]
+        last_nz = -1
+        for i, v in enumerate(vals):
+            if v:
+                last_nz = i
+        if last_nz < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _prog_flush_eobrun(writer, ac_codes, eobrun, br)
+            continue
+        eobrun = _prog_flush_eobrun(writer, ac_codes, eobrun, br)
+        run = 0
+        for i in range(last_nz + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                writer.write(*ac_codes[0xF0])
+                run -= 16
+            s = abs(v).bit_length()
+            writer.write(*ac_codes[(run << 4) | s])
+            writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _prog_flush_eobrun(writer, ac_codes, eobrun, br)
+    _prog_flush_eobrun(writer, ac_codes, eobrun, br)
+
+
+def _prog_ac_refine(writer, blocks, ss, se, al, ac_codes):
+    """AC refinement scan (G.1.2.3, the libjpeg encode_mcu_AC_refine
+    shape).  Two correction-bit buffers, exactly like libjpeg: *be*
+    holds bits travelling with the pending EOB run (emitted after the
+    EOBn symbol), *br* holds the current block's bits since the last
+    emitted symbol (emitted after that symbol + sign).  A single shared
+    buffer emits current-block corrections before their symbol and
+    desyncs every decoder."""
+    eobrun = 0
+    be: list[int] = []  # bits owned by the pending EOB run
+    br: list[int] = []  # bits since the last symbol in the current block
+    for zz in blocks:
+        absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        eob = -1  # index of the LAST newly-nonzero coefficient
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r = 0
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            # Fold ZRLs FIRST — for corrections too, not just new
+            # nonzeros (libjpeg's loop order).  Deferring the fold past a
+            # correction buffers its bit outside the 16-zero window the
+            # decoder's ZRL advance covers, desyncing the stream.  Folds
+            # only while another new nonzero is still coming (i <= eob);
+            # otherwise the tail joins the EOB run.
+            while r > 15 and i <= eob:
+                eobrun = _prog_flush_eobrun(writer, ac_codes, eobrun, be)
+                writer.write(*ac_codes[0xF0])
+                r -= 16
+                for b in br:
+                    writer.write(b, 1)
+                br.clear()
+            if t > 1:  # history coefficient: correction bit
+                br.append(t & 1)
+                continue
+            # newly nonzero
+            eobrun = _prog_flush_eobrun(writer, ac_codes, eobrun, be)
+            writer.write(*ac_codes[(r << 4) | 1])
+            writer.write(1 if zz[ss + i] >= 0 else 0, 1)
+            for b in br:
+                writer.write(b, 1)
+            br.clear()
+            r = 0
+        if r > 0 or br:  # block tail joins the EOB run; its bits move to be
+            eobrun += 1
+            be.extend(br)
+            br.clear()
+            if eobrun == 0x7FFF or len(be) > 900:
+                eobrun = _prog_flush_eobrun(writer, ac_codes, eobrun, be)
+    _prog_flush_eobrun(writer, ac_codes, eobrun, be)
+
+
+def _jpeg_progressive(w: int, h: int, raster: bytes, color: bool = False,
+                      sampling: tuple[int, int] = (2, 2)) -> bytes:
+    """Valid progressive JFIF (SOF2): grayscale 6-scan or YCbCr 10-scan
+    libjpeg-style script.  Y carries the page raster; color mode adds
+    the same content-derived chroma tint as _jpeg_color."""
+    chroma_quant = [1] + [8] * 63
+    sh, sv = sampling if color else (1, 1)
+
+    def y_px(x: int, y: int) -> float:
+        return float(raster[min(y, h - 1) * w + min(x, w - 1)] - 128)
+
+    def cb_px(x: int, y: int) -> float:
+        sx, sy = min(sh * x, w - 1), min(sv * y, h - 1)
+        return float((255 - raster[sy * w + sx]) >> 3)
+
+    def cr_px(x: int, y: int) -> float:
+        sx, sy = min(sh * x, w - 1), min(sv * y, h - 1)
+        return float(-((255 - raster[sy * w + sx]) >> 4))
+
+    if color:
+        comps = [(1, sh, sv, 0, y_px, _JPEG_QUANT_ZZ),
+                 (2, 1, 1, 1, cb_px, chroma_quant),
+                 (3, 1, 1, 1, cr_px, chroma_quant)]
+    else:
+        comps = [(1, 1, 1, 0, y_px, _JPEG_QUANT_ZZ)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # quantized coefficient grids, padded to the MCU structure (the
+    # interleaved DC scan covers padding blocks; AC scans cover only the
+    # component's real cbw x cbh grid, per G.1.1.1.1)
+    grids = []
+    for _cid, hs, vs, _tq, px, quant in comps:
+        grid = [[None] * (mcux * hs) for _ in range(mcuy * vs)]
+        for by in range(mcuy * vs):
+            for bx in range(mcux * hs):
+                blk = [[px(bx * 8 + x, by * 8 + y) for x in range(8)]
+                       for y in range(8)]
+                grid[by][bx] = _jpeg_block_zz(blk, quant)
+        grids.append(grid)
+
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_PROG_AC_BITS, _PROG_AC_SYMBOLS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def real_grid(ci):
+        _cid, hs, vs, _tq, _px, _q = comps[ci]
+        cbw = ((w * hs + hmax - 1) // hmax + 7) // 8
+        cbh = ((h * vs + vmax - 1) // vmax + 7) // 8
+        return [grids[ci][by][bx] for by in range(cbh) for bx in range(cbw)]
+
+    def sos(comp_tables: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_tables)])
+        for cid, td, ta in comp_tables:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    def dc_scan(ah, al) -> bytes:
+        writer = _JpegBitWriter()
+        preds = [0] * len(comps)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for si, (_cid, hs, vs, _tq, _px, _q) in enumerate(comps):
+                    for v in range(vs):
+                        for hb in range(hs):
+                            zz0 = grids[si][my * vs + v][mx * hs + hb][0]
+                            if ah == 0:
+                                val = zz0 >> al  # arithmetic shift per G.1.2.1
+                                diff = val - preds[si]
+                                preds[si] = val
+                                s = abs(diff).bit_length()
+                                writer.write(*dc_codes[s])
+                                if s:
+                                    writer.write(
+                                        diff if diff >= 0 else diff + (1 << s) - 1, s)
+                            else:
+                                writer.write((zz0 >> al) & 1, 1)
+        tables = [(c[0], 0, 0) for c in comps]
+        return sos(tables, 0, 0, ah, al) + writer.flush()
+
+    def ac_scan(ci, ss, se, ah, al) -> bytes:
+        writer = _JpegBitWriter()
+        blocks = real_grid(ci)
+        if ah == 0:
+            _prog_ac_first(writer, blocks, ss, se, al, ac_codes)
+        else:
+            _prog_ac_refine(writer, blocks, ss, se, al, ac_codes)
+        ta = 0 if comps[ci][3] == 0 else 1
+        return sos([(comps[ci][0], 0, ta)], ss, se, ah, al) + writer.flush()
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if color:
+        dqt = seg(0xDB, b"\x00" + bytes(_JPEG_QUANT_ZZ)
+                  + b"\x01" + bytes(chroma_quant))
+        sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, 3)
+                  + bytes([1, (sh << 4) | sv, 0]) + b"\x02\x11\x01"
+                  + b"\x03\x11\x01")
+        dht = seg(0xC4,
+                  b"\x00" + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS
+                  + b"\x10" + bytes(_PROG_AC_BITS) + _PROG_AC_SYMBOLS
+                  + b"\x11" + bytes(_PROG_AC_BITS) + _PROG_AC_SYMBOLS)
+        scans = (dc_scan(0, 1)
+                 + ac_scan(0, 1, 5, 0, 2)
+                 + ac_scan(1, 1, 63, 0, 1)
+                 + ac_scan(2, 1, 63, 0, 1)
+                 + ac_scan(0, 6, 63, 0, 2)
+                 + ac_scan(0, 1, 63, 2, 1)
+                 + dc_scan(1, 0)
+                 + ac_scan(1, 1, 63, 1, 0)
+                 + ac_scan(2, 1, 63, 1, 0)
+                 + ac_scan(0, 1, 63, 1, 0))
+    else:
+        dqt = seg(0xDB, b"\x00" + bytes(_JPEG_QUANT_ZZ))
+        sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+        dht = seg(0xC4,
+                  b"\x00" + bytes(_JPEG_DC_BITS) + _JPEG_DC_VALS
+                  + b"\x10" + bytes(_PROG_AC_BITS) + _PROG_AC_SYMBOLS)
+        scans = (dc_scan(0, 1)
+                 + ac_scan(0, 1, 5, 0, 2)
+                 + ac_scan(0, 6, 63, 0, 2)
+                 + ac_scan(0, 1, 63, 2, 1)
+                 + ac_scan(0, 1, 63, 1, 0)
+                 + dc_scan(1, 0))
+    return b"\xff\xd8" + app0 + dqt + sof + dht + scans + b"\xff\xd9"
 
 
 def _packbits(row: bytes) -> bytes:
@@ -1328,6 +1589,12 @@ def _gen_image(rng: random.Random) -> bytes:
         if p < 0.25:
             return _png_gray(w, h, bytes(raster))
         if p < 0.45:
+            if rng.random() < 0.25:  # progressive SOF2 (round 4)
+                if rng.random() < 0.4:
+                    samp = rng.choice([(2, 2), (2, 1), (1, 1)])
+                    return _jpeg_progressive(w, h, bytes(raster),
+                                             color=True, sampling=samp)
+                return _jpeg_progressive(w, h, bytes(raster))
             # restart markers in ~30% (round 4) — common in real camera
             # and scanner output
             ri = rng.choice([1, 2, 4, 8]) if rng.random() < 0.3 else 0

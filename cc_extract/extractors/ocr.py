@@ -99,10 +99,12 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytearray]:
 
 def extract_image_ocr(payload: bytes) -> str:
     """Image document -> recognized text.  Raises OcrError for containers
-    OCR-lite cannot decode (TIFF/GIF, progressive/color JPEG, corrupt
+    OCR-lite cannot decode (CCITT/tiled TIFF, arithmetic JPEG, corrupt
     payloads) — the dispatcher turns that into the needs_ocr quarantine
-    row.  Decoders: the PNG reader below; baseline grayscale JFIF via the
-    from-scratch T.81 decoder (extractors/jpeg.py)."""
+    row.  Decoders: the PNG reader below; baseline AND progressive JFIF
+    (gray + YCbCr, restart markers) via the from-scratch T.81 decoder
+    (extractors/jpeg.py); multi-page TIFF (extractors/tiff.py); GIF
+    (extractors/gif.py)."""
     if payload.startswith(PNG_MAGIC):
         w, h, raster = decode_png_gray(payload)
         return normalize_text(ocr_raster(w, h, raster))
