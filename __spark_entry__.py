@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnowing_fingerprints": textops.winnowing_fingerprints,
         "doc_token_entropy": textops.token_entropy,
         "doc_dedup_keep_decision": textops.dedup_keep_decision,
+        "doc_benchmark_decontamination": textops.benchmark_decontamination,
         "event_sessions": relops.event_sessions,
         # similarity search (embeddings table)
         "emb_knn_bruteforce": embedops.knn_bruteforce,
@@ -633,6 +634,25 @@ SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) AS sample_key,
        length(text) AS n_chars
 FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) < '28f5c'
+"""
+
+    sql["doc_benchmark_decontamination"] = f"""
+WITH toks AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '1' AS is_bench,
+         {_TOKENS} AS tokens
+  FROM documents WHERE len({_TOKENS}) >= 8
+),
+grams AS (
+  SELECT DISTINCT doc_id, is_bench,
+         unnest(list_distinct(list_transform(range(len(tokens) - 7),
+                i -> array_to_string(tokens[i+1:i+8], ' ')))) AS gram
+  FROM toks
+)
+SELECT c.doc_id, count(*) AS n_shared_ngrams
+FROM grams c
+JOIN (SELECT DISTINCT gram FROM grams WHERE is_bench) b USING (gram)
+WHERE NOT c.is_bench
+GROUP BY c.doc_id ORDER BY doc_id
 """
 
     sql["doc_exact_dedup"] = """

@@ -683,6 +683,54 @@ def deterministic_sample(spark, sf_dir: str, rate_hex: str = "28f5c") -> DataFra
     )
 
 
+def benchmark_decontamination(spark, sf_dir: str, bench_hex: str = "1",
+                              ngram_n: int = 8) -> DataFrame:
+    """Benchmark decontamination — the eval-set hygiene pass every serious
+    training-data pipeline runs (the GPT-3 13-gram / PaLM / Llama n-gram
+    overlap check): flag corpus documents that share any *ngram_n*-token
+    shingle with a held-out benchmark set, so evaluation examples can be
+    dropped from training data before the leaderboard lies.
+
+    The benchmark split is content-addressed (first hex digit of
+    md5(doc_id) < *bench_hex*, ~1/16 of docs) — deterministic across
+    engines, the same trick as doc_deterministic_sample.  Output: one row
+    per CONTAMINATED corpus document with its shared-distinct-ngram count
+    (clean docs are implicit — at 10^12 docs the flagged set is the only
+    thing worth materializing).
+
+    100 TB plan shape: per-doc ``array_distinct`` BEFORE the explode keeps
+    exploded rows minimal; the benchmark n-gram relation is tiny next to
+    the corpus (real benchmarks are fixed eval sets), so the shingle
+    equi-join broadcasts by statistics — no hint, AQE decides, the
+    repo-wide policy for relations that scale with the data; the final
+    groupBy(doc_id) count is partial-aggregable map-side."""
+    df = load_documents(spark, sf_dir)
+    is_bench = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        < F.lit(bench_hex)
+    )
+    toks = (
+        with_tokens(df)
+        .select("doc_id", "tokens", is_bench.alias("is_bench"))
+        .filter(F.size("tokens") >= ngram_n)
+    )
+    idx = F.sequence(F.lit(0), F.size("tokens") - ngram_n)
+    grams = F.array_distinct(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, ngram_n))
+        )
+    )
+    sh = toks.select("doc_id", "is_bench", F.explode(grams).alias("gram"))
+    bench_grams = sh.filter(F.col("is_bench")).select("gram").distinct()
+    corpus = sh.filter(~F.col("is_bench"))
+    return (
+        corpus.join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
 def dup_clusters(spark, sf_dir: str, threshold: float = 0.5,
                  max_iters: int = 20) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the LSH-verified
