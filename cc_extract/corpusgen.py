@@ -1338,6 +1338,91 @@ def _packbits(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _g4_encode(w: int, h: int, bilevel: bytes) -> bytes:
+    """CCITT Group 4 (T.6) encoder — independent twin of
+    extractors/ccitt.py (shares only the published T.4 run-length code
+    tables, the same stance as the LZW pairs).  *bilevel* is one byte
+    per pixel, 1 = black.  Per T.6: vertical mode when |a1-b1| <= 3,
+    pass when b2 < a1, horizontal otherwise; EOFB terminates."""
+    from bisect import bisect_right
+
+    from .extractors.ccitt import _BLACK_CODES, _WHITE_CODES
+    wh = {run: (ln, code) for (ln, code), run in _WHITE_CODES.items()}
+    bl = {run: (ln, code) for (ln, code), run in _BLACK_CODES.items()}
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, ln: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << ln) | code
+        nbits += ln
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    def emit_run(run: int, table) -> None:
+        while run >= 2624:  # keep a terminating code reachable
+            ln, code = table[2560]
+            emit(code, ln)
+            run -= 2560
+        if run >= 64:
+            m = (run // 64) * 64
+            ln, code = table[m]
+            emit(code, ln)
+            run -= m
+        ln, code = table[run]
+        emit(code, ln)
+
+    _V = {0: (1, 0b1), 1: (3, 0b011), -1: (3, 0b010), 2: (6, 0b000011),
+          -2: (6, 0b000010), 3: (7, 0b0000011), -3: (7, 0b0000010)}
+    ref: list[int] = []
+    for y in range(h):
+        row = bilevel[y * w:(y + 1) * w]
+        cur: list[int] = []
+        prev = 0
+        for x in range(w):
+            if row[x] != prev:
+                cur.append(x)
+                prev = row[x]
+        a0 = -1
+        color = 0
+        i = 0
+        while True:
+            a1 = cur[i] if i < len(cur) else w
+            j = bisect_right(ref, a0)
+            if (j & 1) != color:
+                j += 1
+            b1 = ref[j] if j < len(ref) else w
+            b2 = ref[j + 1] if j + 1 < len(ref) else w
+            if b2 < a1:  # pass mode
+                emit(0b0001, 4)
+                a0 = b2
+            elif abs(a1 - b1) <= 3:  # vertical mode
+                ln, code = _V[a1 - b1]
+                emit(code, ln)
+                a0 = a1
+                color ^= 1
+                i += 1
+            else:  # horizontal mode: two runs from max(a0, 0)
+                a2 = cur[i + 1] if i + 1 < len(cur) else w
+                emit(0b001, 3)
+                start = a0 if a0 > 0 else 0
+                emit_run(a1 - start, bl if color else wh)
+                emit_run(a2 - a1, wh if color else bl)
+                a0 = a2
+                i += 2
+            if a0 >= w:
+                break
+        ref = cur
+    emit(0b000000000001, 12)  # EOFB
+    emit(0b000000000001, 12)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _tiff_lzw_encode(data: bytes) -> bytes:
     """TIFF 6.0 §13 LZW writer: Clear=256, EOI=257, MSB-first packing,
     widths 9->12 with the spec's EarlyChange — the encoder's table leads
@@ -1397,7 +1482,7 @@ def _hpredict_n(row: bytes, spp: int) -> bytes:
 def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
                white_is_zero: bool = False, packbits: bool = False,
                lzw: bool = False, predictor: int = 1,
-               rgb: bool = False,
+               rgb: bool = False, g4: bool = False,
                extra_pages: list[tuple[int, int, bytes]] | None = None) -> bytes:
     """Valid baseline TIFF 6.0: 8-bit grayscale or RGB (ink/bg colors
     whose BT.601 luminances land on the right side of the OCR
@@ -1405,8 +1490,9 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
     LZW (per strip, optional per-channel horizontal Predictor 2), two
     strips (exercises the strip table), either byte order, either
     grayscale photometric, multi-page via the chained-IFD layout when
-    *extra_pages* carries more (w, h, raster) tuples (round 4).
-    Independent twin of extractors/tiff.py."""
+    *extra_pages* carries more (w, h, raster) tuples (round 4), or a
+    fax-style CCITT Group 4 page (``g4``: 1-bit MinIsWhite, Compression
+    4, single strip — round 4).  Independent twin of extractors/tiff.py."""
     e = ">" if big_endian else "<"
     spp = 3 if rgb else 1
     pages = [(w, h, raster)] + list(extra_pages or [])
@@ -1414,31 +1500,36 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
     ifd_ptr_pos = len(buf)  # header's first-IFD pointer, patched per page
     buf += struct.pack(e + "I", 0)
     for pw, ph, praster in pages:
-        if rgb:
+        if g4:
+            bilevel = bytes(1 if b < 128 else 0 for b in praster)
+            strips = [_g4_encode(pw, ph, bilevel)]
+            rps = ph
+        elif rgb:
             ink, bg = bytes([20, 30, 180]), bytes([250, 245, 200])
             px = b"".join(ink if b < 128 else bg for b in praster)
         elif white_is_zero:
             px = bytes(255 - b for b in praster)
         else:
             px = bytes(praster)
-        rw = pw * spp  # row stride in bytes
-        rps = (ph + 1) // 2 if ph >= 2 else max(ph, 1)
-        strips = [px[i * rps * rw:(i + 1) * rps * rw]
-                  for i in range((ph + rps - 1) // rps)] or [b""]
-        if predictor == 2:
-            strips = [
-                b"".join(_hpredict_n(s[r * rw:(r + 1) * rw], spp)
-                         for r in range((len(s) + rw - 1) // rw))
-                for s in strips
-            ]
-        if packbits:
-            strips = [
-                b"".join(_packbits(s[r * rw:(r + 1) * rw])
-                         for r in range((len(s) + rw - 1) // rw))
-                for s in strips
-            ]
-        elif lzw:
-            strips = [_tiff_lzw_encode(s) for s in strips]
+        if not g4:
+            rw = pw * spp  # row stride in bytes
+            rps = (ph + 1) // 2 if ph >= 2 else max(ph, 1)
+            strips = [px[i * rps * rw:(i + 1) * rps * rw]
+                      for i in range((ph + rps - 1) // rps)] or [b""]
+            if predictor == 2:
+                strips = [
+                    b"".join(_hpredict_n(s[r * rw:(r + 1) * rw], spp)
+                             for r in range((len(s) + rw - 1) // rw))
+                    for s in strips
+                ]
+            if packbits:
+                strips = [
+                    b"".join(_packbits(s[r * rw:(r + 1) * rw])
+                             for r in range((len(s) + rw - 1) // rw))
+                    for s in strips
+                ]
+            elif lzw:
+                strips = [_tiff_lzw_encode(s) for s in strips]
         n = len(strips)
         offs = []
         o = len(buf)
@@ -1474,9 +1565,11 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
         if rgb:
             add(258, 3, 3, short3_field([8, 8, 8]))
         else:
-            add(258, 3, 1, short(8))
-        add(259, 3, 1, short(32773 if packbits else (5 if lzw else 1)))
-        add(262, 3, 1, short(2 if rgb else (0 if white_is_zero else 1)))
+            add(258, 3, 1, short(1 if g4 else 8))
+        add(259, 3, 1, short(4 if g4 else
+                             (32773 if packbits else (5 if lzw else 1))))
+        add(262, 3, 1, short(0 if g4 else
+                             (2 if rgb else (0 if white_is_zero else 1))))
         add(273, 4, n, long_(offs[0]) if n == 1 else arr_field(offs))
         add(277, 3, 1, short(spp))
         add(278, 4, 1, long_(rps))
@@ -1627,14 +1720,24 @@ def _gen_image(rng: random.Random) -> bytes:
                          interlaced=rng.random() < 0.3,
                          color=rng.random() < 0.4,
                          local_table=rng.random() < 0.25)
+    if p < 0.75:
+        # fax-style CCITT Group 4 scan — decoded for real since round 4
+        # (the T.6 codec pair); bilevel is the native fax regime, so the
+        # rendered page raster round-trips exactly
+        from .glyphs import render_raster
+        text = "\n".join(
+            _sentences(rng, rng.randint(1, 3)) for _ in range(rng.randint(1, 2))
+        )
+        w, h, raster = render_raster(text)
+        return _tiff_gray(w, h, bytes(raster), g4=True)
     if p < 0.78:
-        # CCITT Group-4 TIFF: honestly quarantined (fax codecs out of
-        # scope; LZW graduated to the decoded set in round 4)
+        # tiled TIFF (tag 322): the remaining honest TIFF quarantine
         e = "<"
-        ifd = (struct.pack(e + "H", 3)
+        ifd = (struct.pack(e + "H", 4)
                + struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "HH", 64, 0)
                + struct.pack(e + "HHI", 257, 3, 1) + struct.pack(e + "HH", 64, 0)
-               + struct.pack(e + "HHI", 259, 3, 1) + struct.pack(e + "HH", 4, 0)
+               + struct.pack(e + "HHI", 259, 3, 1) + struct.pack(e + "HH", 1, 0)
+               + struct.pack(e + "HHI", 322, 3, 1) + struct.pack(e + "HH", 64, 0)
                + struct.pack(e + "I", 0))
         return b"II*\x00" + struct.pack(e + "I", 8) + ifd
     if p < 0.87:

@@ -4,13 +4,14 @@ Reference analogue: Tesseract accepts TIFF scans via libtiff
 [R: functions/ocr/main.py ⚠].  This is a from-scratch reader for the
 subset a page scan needs — TIFF 6.0 baseline, both byte orders,
 multi-page via the IFD chain (round 4; cycle-guarded), 8-bit grayscale
-or RGB (collapsed to BT.601 luminance), Compression 1 (none), 5 (LZW
-with the spec's EarlyChange and optional per-channel horizontal
-Predictor 2 — the most common real scan encoding) or 32773 (PackBits
-RLE), PhotometricInterpretation 0/1/2 (WhiteIsZero inverted to
-BlackIsZero), strip-organized.  Everything else (CCITT, tiles) raises,
-which the dispatcher turns into the honest ``needs_ocr`` quarantine.
-The corpus writer
+/ RGB / RGBA (collapsed to BT.601 luminance, alpha ignored),
+Compression 1 (none), 4 (CCITT Group 4 fax via the from-scratch T.6
+codec in ccitt.py — round 4), 5 (LZW with the spec's EarlyChange and
+optional per-channel horizontal Predictor 2 — the most common real
+scan encoding) or 32773 (PackBits RLE),
+PhotometricInterpretation 0/1/2 (WhiteIsZero inverted to BlackIsZero),
+strip-organized.  Tiled layouts raise, which the dispatcher turns into
+the honest ``needs_ocr`` quarantine.  The corpus writer
 (corpusgen._tiff_gray) is an independent implementation of the same
 spec.
 """
@@ -26,7 +27,7 @@ TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
 # tag ids
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _ROWS_PER_STRIP, _STRIP_CNT, _SAMPLES = 273, 278, 279, 277
-_PREDICTOR = 317
+_PREDICTOR, _TILE_W = 317, 322
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -161,7 +162,8 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
             raise OcrError("tiff: truncated IFD")
         tag, typ, count = struct.unpack_from(e + "HHI", payload, pos)
         if tag in (_W, _H, _BITS, _COMP, _PHOTO, _STRIP_OFF,
-                   _ROWS_PER_STRIP, _STRIP_CNT, _SAMPLES, _PREDICTOR):
+                   _ROWS_PER_STRIP, _STRIP_CNT, _SAMPLES, _PREDICTOR,
+                   _TILE_W):
             tags[tag] = _read_values(payload, e, typ, count, payload[pos + 8 : pos + 12])
         pos += 12
     if pos + 4 <= len(payload):
@@ -181,20 +183,28 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
     if not (0 < w < 1 << 20 and 0 < h < 1 << 20):
         raise OcrError("tiff: absurd dimensions")
     comp = one(_COMP, 1)
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 4, 5, 32773):
         raise OcrError(
-            "tiff: only uncompressed (1), LZW (5) and PackBits (32773) supported"
+            "tiff: only uncompressed (1), G4 (4), LZW (5) and "
+            "PackBits (32773) supported"
         )
     spp = one(_SAMPLES, 1)
     bits = tags.get(_BITS, [8])
-    if spp not in (1, 3) or any(b != 8 for b in bits):
-        raise OcrError("tiff: only 8-bit gray or RGB supported")
     photo = one(_PHOTO, 1)
-    if photo not in (0, 1, 2) or (photo == 2) != (spp == 3):
-        raise OcrError("tiff: unsupported photometric/samples combination")
     predictor = one(_PREDICTOR, 1)
-    if predictor not in (1, 2):
-        raise OcrError("tiff: only predictor 1/2 supported")
+    if comp == 4:
+        # fax page: 1-bit MinIsWhite bilevel per the G4 convention
+        if spp != 1 or bits != [1] or photo != 0 or predictor != 1:
+            raise OcrError("tiff: G4 must be 1-bit single-sample MinIsWhite")
+    else:
+        if spp not in (1, 3, 4) or any(b != 8 for b in bits):
+            raise OcrError("tiff: only 8-bit gray/RGB/RGBA supported")
+        if photo not in (0, 1, 2) or (photo == 2) != (spp in (3, 4)):
+            raise OcrError("tiff: unsupported photometric/samples combination")
+        if predictor not in (1, 2):
+            raise OcrError("tiff: only predictor 1/2 supported")
+    if _TILE_W in tags:
+        raise OcrError("tiff: tiled layout unsupported")
     rps = one(_ROWS_PER_STRIP, h)
     offs = tags.get(_STRIP_OFF)
     cnts = tags.get(_STRIP_CNT)
@@ -205,8 +215,14 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
         chunk = payload[off : off + cnt]
         if len(chunk) < cnt:
             raise OcrError("tiff: truncated strip")
-        if comp == 5:
-            n_rows = min(rps, h - si * rps)
+        n_rows = min(rps, h - si * rps)
+        if comp == 4:
+            # each strip is an independently coded T.6 block; the decode
+            # already emits final 8-bit BlackIsZero rows
+            from .ccitt import g4_decode
+
+            strip = bytes(g4_decode(chunk, w, max(n_rows, 1)))
+        elif comp == 5:
             strip = _lzw_decode_tiff(chunk, max(n_rows, 1) * w * spp)
         elif comp == 32773:
             strip = _unpackbits(chunk)
@@ -215,14 +231,16 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
         if predictor == 2:
             strip = _undo_horizontal_predictor(strip, w, spp)
         raster += strip
-    if len(raster) < w * h * spp:
+    if len(raster) < w * h * (1 if comp == 4 else spp):
         raise OcrError("tiff: short pixel data")
+    if comp == 4:
+        return w, h, raster[: w * h], next_off
     raster = raster[: w * h * spp]
-    if spp == 3:  # RGB -> BT.601 luminance (vectorized)
+    if spp in (3, 4):  # RGB(A) -> BT.601 luminance, alpha ignored (vectorized)
         import numpy as np
 
-        a = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(-1, 3)
-        luma = (a @ np.array([299, 587, 114], dtype=np.int64)) // 1000
+        a = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(-1, spp)
+        luma = (a[:, :3] @ np.array([299, 587, 114], dtype=np.int64)) // 1000
         raster = bytearray(luma.astype(np.uint8).tobytes())
     if photo == 0:  # WhiteIsZero -> invert to BlackIsZero (C-speed table)
         raster = bytearray(bytes(raster).translate(bytes(255 - i for i in range(256))))

@@ -1471,3 +1471,128 @@ def test_jpeg_progressive_dispatch_and_quarantine():
     p = _jpeg_progressive(w, h, bytes(raster))
     res = extract_document(p[: int(len(p) * 0.6)], "https://x/scan.jpg")
     assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
+
+
+# ----------------------------------------------- CCITT Group 4 TIFF (X14)
+
+def test_g4_spec_pinned_bitstreams():
+    """The encoder's output checked code-by-code against hand-derived
+    T.6/T.4 bitstreams — the closed loop cannot hide a shared table typo
+    for these codes.  An all-white page is one V0 bit per row + EOFB; a
+    '4 white, 8 black' row is horizontal mode 001 + white-4 (1011) +
+    black-8 (000101)."""
+    from cc_extract.corpusgen import _g4_encode
+    from cc_extract.extractors.ccitt import g4_decode
+
+    enc = _g4_encode(64, 3, bytes(64 * 3))
+    bits = "".join(f"{b:08b}" for b in enc)
+    assert bits.startswith("111" + "000000000001" * 2)
+
+    row = bytes([0] * 4 + [1] * 8 + [0] * 52)
+    enc = _g4_encode(64, 1, row)
+    bits = "".join(f"{b:08b}" for b in enc)
+    assert bits.startswith("001" + "1011" + "000101")
+    assert bytes(g4_decode(enc, 64, 1)) == bytes(
+        255 if b == 0 else 0 for b in row)
+
+
+def test_g4_tiff_round_trip_and_dispatch():
+    """Full fax-style page: G4 TIFF (1-bit MinIsWhite, Compression 4)
+    encodes the rendered raster ~8x smaller and OCRs back exactly;
+    multi-page G4 chains IFDs."""
+    from cc_extract.corpusgen import _tiff_gray
+    from cc_extract.extractors.tiff import decode_tiff_gray, decode_tiff_pages
+    from cc_extract.glyphs import render_raster, ocr_raster
+
+    text = "CCITT GROUP 4 FAX 0123456789.\nSECOND LINE OF THE SCAN"
+    w, h, raster = render_raster(text)
+    t = _tiff_gray(w, h, bytes(raster), g4=True)
+    assert len(t) < w * h // 4  # fax compression actually compresses
+    w2, h2, out = decode_tiff_gray(t)
+    assert (w2, h2) == (w, h)
+    assert ocr_raster(w2, h2, out) == text
+    t2 = "G4 PAGE TWO."
+    w3, h3, r3 = render_raster(t2)
+    pages = decode_tiff_pages(
+        _tiff_gray(w, h, bytes(raster), g4=True,
+                   extra_pages=[(w3, h3, bytes(r3))]))
+    assert [ocr_raster(*p) for p in pages] == [text, t2]
+    res = extract_document(t, "https://x/fax.tif")
+    assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
+    assert res["text"] == text
+
+
+def test_g4_fuzz_round_trip():
+    """Pattern-regime fuzz over the G4 pair: dense noise (every vertical
+    offset), fax-width runs (makeup codes incl. the 2560 extended
+    makeups), columnar structure (pass mode), tiny geometries."""
+    import random
+
+    from cc_extract.corpusgen import _g4_encode
+    from cc_extract.extractors.ccitt import g4_decode
+
+    rng = random.Random(99)
+    for trial in range(16):
+        kind = trial % 4
+        if kind == 0:
+            w, h = rng.randint(1, 100), rng.randint(1, 12)
+            bi = bytes(rng.randint(0, 1) for _ in range(w * h))
+        elif kind == 1:
+            w, h = rng.randint(2700, 3500), rng.randint(1, 3)
+            bi = bytearray(w * h)
+            for _ in range(rng.randint(0, 6)):
+                s = rng.randrange(w * h)
+                e = min(w * h, s + rng.randint(1, 3000))
+                for i in range(s, e):
+                    bi[i] = 1
+            bi = bytes(bi)
+        elif kind == 2:
+            w, h = rng.randint(10, 60), rng.randint(2, 20)
+            cols = [rng.randint(0, 1) for _ in range(w)]
+            bi = bytes(cols[x] for _ in range(h) for x in range(w))
+        else:
+            w, h = rng.randint(1, 8), rng.randint(1, 8)
+            bi = bytes(rng.randint(0, 1) for _ in range(w * h))
+        dec = g4_decode(_g4_encode(w, h, bi), w, h)
+        assert bytes(dec) == bytes(255 if b == 0 else 0 for b in bi), \
+            f"trial {trial} kind {kind} {w}x{h}"
+
+
+def test_tiff_tiled_and_truncated_g4_quarantined():
+    import struct as _s
+
+    from cc_extract.corpusgen import _tiff_gray
+    from cc_extract.glyphs import render_raster
+
+    # tiled stub (tag 322) -> needs_ocr with a tile-specific reason
+    e = "<"
+    ifd = (_s.pack(e + "H", 4)
+           + _s.pack(e + "HHI", 256, 3, 1) + _s.pack(e + "HH", 64, 0)
+           + _s.pack(e + "HHI", 257, 3, 1) + _s.pack(e + "HH", 64, 0)
+           + _s.pack(e + "HHI", 259, 3, 1) + _s.pack(e + "HH", 1, 0)
+           + _s.pack(e + "HHI", 322, 3, 1) + _s.pack(e + "HH", 64, 0)
+           + _s.pack(e + "I", 0))
+    res = extract_document(b"II*\x00" + _s.pack(e + "I", 8) + ifd,
+                           "https://x/tiled.tif")
+    assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
+    # truncated G4 strip -> raise -> needs_ocr (never a hang/garbage)
+    w, h, raster = render_raster("TRUNCATE ME NOW")
+    t = _tiff_gray(w, h, bytes(raster), g4=True)
+    res = extract_document(t[: len(t) - len(t) // 3], "https://x/fax.tif")
+    assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
+
+
+def test_tiff_real_rgba_fixture_decodes():
+    """Real reference-encoder TIFF (CPython's imghdr test image: 16x16
+    uncompressed RGBA, ExtraSamples alpha): decodes via the RGBA->luma
+    path.  Hash pinned after validating dimensions + plausible stats."""
+    import hashlib
+    import os
+
+    from cc_extract.extractors.tiff import decode_tiff_gray
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "python.tiff")
+    w, h, raster = decode_tiff_gray(open(path, "rb").read())
+    assert (w, h) == (16, 16)
+    assert hashlib.md5(bytes(raster)).hexdigest() == \
+        "44254b2d50b2ae9999da47b27a0417ad"
