@@ -326,7 +326,8 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
         if scanned:
             from .glyphs import render_raster
             w, h, raster = render_raster(_sentences(rng, rng.randint(1, 3)))
-            if rng.random() < 0.4:
+            pick = rng.random()
+            if pick < 0.35:
                 # JPEG scan: the page raster embedded as /DCTDecode (the
                 # JFIF bytes ARE the stream), what real scanners write
                 jfif = _jpeg_gray(w, h, bytes(raster))
@@ -335,6 +336,18 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
                     f"/BitsPerComponent 8 /ColorSpace /DeviceGray "
                     f"/Filter /DCTDecode /Length {len(jfif)} >>".encode()
                     + b"\nstream\n" + jfif + b"\nendstream"
+                )
+            elif pick < 0.65:
+                # fax scan: 1-bit G4 under /CCITTFaxDecode with K=-1 —
+                # the single most common real scanned-PDF encoding
+                g4 = _g4_encode(w, h, bytes(1 if b < 128 else 0 for b in raster))
+                img_id = add(
+                    f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                    f"/BitsPerComponent 1 /ColorSpace /DeviceGray "
+                    f"/Filter /CCITTFaxDecode "
+                    f"/DecodeParms << /K -1 /Columns {w} /Rows {h} >> "
+                    f"/Length {len(g4)} >>".encode()
+                    + b"\nstream\n" + g4 + b"\nendstream"
                 )
             else:
                 comp_img = zlib.compress(bytes(raster))

@@ -723,11 +723,37 @@ def pdf_scan_rasters(payload: bytes) -> list[tuple[int, int, bytes]]:
         w, h = obj_dict.get("Width"), obj_dict.get("Height")
         if not (isinstance(w, int) and isinstance(h, int) and w > 0 and h > 0):
             continue
-        if obj_dict.get("BitsPerComponent") != 8:
-            continue
         if obj_dict.get("ColorSpace") != "DeviceGray":
             continue
         filt = obj_dict.get("Filter")
+        if filt == "CCITTFaxDecode" or (
+            isinstance(filt, list) and filt[-1:] == ["CCITTFaxDecode"]
+        ):
+            # fax-in-PDF, what most real scanned PDFs embed (round 4):
+            # K < 0 selects pure G4 (T.6); G3 (K >= 0) stays quarantined.
+            # BlackIs1 only flips the 1-bit representation — the decoder
+            # emits 8-bit BlackIsZero pixels directly, so both settings
+            # land on the same raster.
+            parms = obj_dict.get("DecodeParms") or {}
+            if isinstance(parms, list):
+                parms = parms[-1] if parms and isinstance(parms[-1], dict) else {}
+            if not isinstance(parms, dict):
+                continue
+            if obj_dict.get("BitsPerComponent", 1) != 1:
+                continue
+            if parms.get("K", 0) >= 0 or parms.get("Columns", 1728) != w:
+                continue
+            from .ccitt import g4_decode
+            from .ocr import OcrError
+
+            try:
+                raster = g4_decode(bytes(stream), w, h)
+            except OcrError:
+                continue
+            out.append((w, h, bytes(raster)))
+            continue
+        if obj_dict.get("BitsPerComponent") != 8:
+            continue
         if filt == "DCTDecode" or (isinstance(filt, list) and filt[-1:] == ["DCTDecode"]):
             from .jpeg import decode_jpeg_gray
             from .ocr import OcrError

@@ -1596,3 +1596,48 @@ def test_tiff_real_rgba_fixture_decodes():
     assert (w, h) == (16, 16)
     assert hashlib.md5(bytes(raster)).hexdigest() == \
         "44254b2d50b2ae9999da47b27a0417ad"
+
+
+def test_pdf_ccitt_scan_ocr():
+    """Scanned-style PDF with a /CCITTFaxDecode (K=-1, pure G4) page
+    image — the most common real scanned-PDF encoding — OCRs end to end;
+    a G3 (K>=0) variant stays honestly quarantined."""
+    import zlib as _zlib
+
+    from cc_extract.corpusgen import _g4_encode
+    from cc_extract.glyphs import render_raster
+
+    text = "CCITT IN PDF 42."
+    w, h, raster = render_raster(text)
+    g4 = _g4_encode(w, h, bytes(1 if b < 128 else 0 for b in raster))
+
+    def pdf_with(k: int) -> bytes:
+        objs = []
+
+        def add(b):
+            objs.append(b)
+            return len(objs)
+
+        img = add(
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/BitsPerComponent 1 /ColorSpace /DeviceGray "
+            f"/Filter /CCITTFaxDecode "
+            f"/DecodeParms << /K {k} /Columns {w} /Rows {h} >> "
+            f"/Length {len(g4)} >>".encode()
+            + b"\nstream\n" + g4 + b"\nendstream")
+        raw = f"q {w} 0 0 {h} 72 400 cm /Im{img} Do Q".encode()
+        comp = _zlib.compress(raw)
+        cid = add(b"<< /Length " + str(len(comp)).encode()
+                  + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream")
+        pg = add(f"<< /Type /Page /Parent 9 0 R /Contents {cid} 0 R >>".encode())
+        out = bytearray(b"%PDF-1.4\n")
+        for i, body in enumerate(objs, 1):
+            out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+        out += b"%%EOF"
+        return bytes(out)
+
+    res = extract_document(pdf_with(-1), "https://x/scan.pdf")
+    assert (res["fmt"], res["status"]) == ("pdf", "ok_ocr")
+    assert res["text"] == text
+    res = extract_document(pdf_with(0), "https://x/scan.pdf")  # G3: quarantine
+    assert (res["fmt"], res["status"]) == ("pdf", "needs_ocr")
