@@ -1495,7 +1495,7 @@ def _hpredict_n(row: bytes, spp: int) -> bytes:
 def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
                white_is_zero: bool = False, packbits: bool = False,
                lzw: bool = False, predictor: int = 1,
-               rgb: bool = False, g4: bool = False,
+               rgb: bool = False, g4: bool = False, tiled: bool = False,
                extra_pages: list[tuple[int, int, bytes]] | None = None) -> bytes:
     """Valid baseline TIFF 6.0: 8-bit grayscale or RGB (ink/bg colors
     whose BT.601 luminances land on the right side of the OCR
@@ -1505,9 +1505,15 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
     grayscale photometric, multi-page via the chained-IFD layout when
     *extra_pages* carries more (w, h, raster) tuples (round 4), or a
     fax-style CCITT Group 4 page (``g4``: 1-bit MinIsWhite, Compression
-    4, single strip — round 4).  Independent twin of extractors/tiff.py."""
+    4, single strip — round 4), or a tiled layout (``tiled``: 16-multiple
+    tile grid under tags 322-325, edge tiles padded, each tile
+    independently compressed — round 4).  Independent twin of
+    extractors/tiff.py."""
+    if g4 and tiled:
+        raise ValueError("g4 tiles not emitted by this writer")
     e = ">" if big_endian else "<"
     spp = 3 if rgb else 1
+    TILE = 32  # tile edge (spec: multiple of 16)
     pages = [(w, h, raster)] + list(extra_pages or [])
     buf = bytearray(b"MM\x00*" if big_endian else b"II*\x00")
     ifd_ptr_pos = len(buf)  # header's first-IFD pointer, patched per page
@@ -1524,7 +1530,32 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
             px = bytes(255 - b for b in praster)
         else:
             px = bytes(praster)
-        if not g4:
+        if tiled:
+            rw = pw * spp
+            tiles_x = (pw + TILE - 1) // TILE
+            tiles_y = (ph + TILE - 1) // TILE
+            strips = []  # tile chunks, row-major tile order
+            for ty in range(tiles_y):
+                for tx in range(tiles_x):
+                    tile = bytearray(b"\xff" * (TILE * TILE * spp))
+                    cw = min(TILE, pw - tx * TILE) * spp
+                    for r in range(min(TILE, ph - ty * TILE)):
+                        src = (ty * TILE + r) * rw + tx * TILE * spp
+                        tile[r * TILE * spp : r * TILE * spp + cw] = \
+                            px[src : src + cw]
+                    t = bytes(tile)
+                    trw = TILE * spp
+                    if predictor == 2:
+                        t = b"".join(_hpredict_n(t[r * trw:(r + 1) * trw], spp)
+                                     for r in range(TILE))
+                    if packbits:
+                        t = b"".join(_packbits(t[r * trw:(r + 1) * trw])
+                                     for r in range(TILE))
+                    elif lzw:
+                        t = _tiff_lzw_encode(t)
+                    strips.append(t)
+            rps = ph
+        elif not g4:
             rw = pw * spp  # row stride in bytes
             rps = (ph + 1) // 2 if ph >= 2 else max(ph, 1)
             strips = [px[i * rps * rw:(i + 1) * rps * rw]
@@ -1552,7 +1583,7 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
         ifd_off = o
         struct.pack_into(e + "I", buf, ifd_ptr_pos, ifd_off)
         buf += b"".join(strips)
-        n_entries = 9 + (1 if predictor == 2 else 0)
+        n_entries = (10 if tiled else 9) + (1 if predictor == 2 else 0)
         ext = bytearray()
         ext_base = ifd_off + 2 + n_entries * 12 + 4
 
@@ -1583,13 +1614,23 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
                              (32773 if packbits else (5 if lzw else 1))))
         add(262, 3, 1, short(0 if g4 else
                              (2 if rgb else (0 if white_is_zero else 1))))
-        add(273, 4, n, long_(offs[0]) if n == 1 else arr_field(offs))
+        if not tiled:
+            add(273, 4, n, long_(offs[0]) if n == 1 else arr_field(offs))
         add(277, 3, 1, short(spp))
-        add(278, 4, 1, long_(rps))
-        add(279, 4, n,
-            long_(len(strips[0])) if n == 1 else arr_field([len(s) for s in strips]))
+        if not tiled:
+            add(278, 4, 1, long_(rps))
+            add(279, 4, n,
+                long_(len(strips[0])) if n == 1
+                else arr_field([len(s) for s in strips]))
         if predictor == 2:
             add(317, 3, 1, short(2))
+        if tiled:  # tags stay in ascending order per spec
+            add(322, 3, 1, short(TILE))
+            add(323, 3, 1, short(TILE))
+            add(324, 4, n, long_(offs[0]) if n == 1 else arr_field(offs))
+            add(325, 4, n,
+                long_(len(strips[0])) if n == 1
+                else arr_field([len(s) for s in strips]))
         buf += struct.pack(e + "H", n_entries) + b"".join(entries)
         ifd_ptr_pos = len(buf)  # next-IFD pointer: 0 unless another page follows
         buf += struct.pack(e + "I", 0)
@@ -1728,6 +1769,7 @@ def _gen_image(rng: random.Random) -> bytes:
                               predictor=2 if (0.3 <= comp < 0.65
                                               and rng.random() < 0.5) else 1,
                               rgb=rgb,
+                              tiled=rng.random() < 0.2,
                               extra_pages=extra)
         return _gif_gray(w, h, bytes(raster),
                          interlaced=rng.random() < 0.3,
@@ -1744,13 +1786,13 @@ def _gen_image(rng: random.Random) -> bytes:
         w, h, raster = render_raster(text)
         return _tiff_gray(w, h, bytes(raster), g4=True)
     if p < 0.78:
-        # tiled TIFF (tag 322): the remaining honest TIFF quarantine
+        # CCITT Group 3 TIFF (Compression 3, EOL-framed 1-D/2-D): the
+        # remaining honest fax quarantine — G4 decodes since round 4
         e = "<"
-        ifd = (struct.pack(e + "H", 4)
+        ifd = (struct.pack(e + "H", 3)
                + struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "HH", 64, 0)
                + struct.pack(e + "HHI", 257, 3, 1) + struct.pack(e + "HH", 64, 0)
-               + struct.pack(e + "HHI", 259, 3, 1) + struct.pack(e + "HH", 1, 0)
-               + struct.pack(e + "HHI", 322, 3, 1) + struct.pack(e + "HH", 64, 0)
+               + struct.pack(e + "HHI", 259, 3, 1) + struct.pack(e + "HH", 3, 0)
                + struct.pack(e + "I", 0))
         return b"II*\x00" + struct.pack(e + "I", 8) + ifd
     if p < 0.87:

@@ -10,8 +10,10 @@ codec in ccitt.py — round 4), 5 (LZW with the spec's EarlyChange and
 optional per-channel horizontal Predictor 2 — the most common real
 scan encoding) or 32773 (PackBits RLE),
 PhotometricInterpretation 0/1/2 (WhiteIsZero inverted to BlackIsZero),
-strip-organized.  Tiled layouts raise, which the dispatcher turns into
-the honest ``needs_ocr`` quarantine.  The corpus writer
+strip- or tile-organized (tags 322-325, per-tile compression, edge
+padding cropped — round 4).  G3 fax (Compression 3) and other exotics
+raise, which the dispatcher turns into the honest ``needs_ocr``
+quarantine.  The corpus writer
 (corpusgen._tiff_gray) is an independent implementation of the same
 spec.
 """
@@ -27,7 +29,8 @@ TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
 # tag ids
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _ROWS_PER_STRIP, _STRIP_CNT, _SAMPLES = 273, 278, 279, 277
-_PREDICTOR, _TILE_W = 317, 322
+_PREDICTOR = 317
+_TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -163,7 +166,7 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
         tag, typ, count = struct.unpack_from(e + "HHI", payload, pos)
         if tag in (_W, _H, _BITS, _COMP, _PHOTO, _STRIP_OFF,
                    _ROWS_PER_STRIP, _STRIP_CNT, _SAMPLES, _PREDICTOR,
-                   _TILE_W):
+                   _TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT):
             tags[tag] = _read_values(payload, e, typ, count, payload[pos + 8 : pos + 12])
         pos += 12
     if pos + 4 <= len(payload):
@@ -203,35 +206,76 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
             raise OcrError("tiff: unsupported photometric/samples combination")
         if predictor not in (1, 2):
             raise OcrError("tiff: only predictor 1/2 supported")
+    pxw = 1 if comp == 4 else spp  # bytes per pixel after codec decode
     if _TILE_W in tags:
-        raise OcrError("tiff: tiled layout unsupported")
-    rps = one(_ROWS_PER_STRIP, h)
-    offs = tags.get(_STRIP_OFF)
-    cnts = tags.get(_STRIP_CNT)
-    if not offs or not cnts or len(offs) != len(cnts):
-        raise OcrError("tiff: missing/mismatched strip tables")
-    raster = bytearray()
-    for si, (off, cnt) in enumerate(zip(offs, cnts)):
-        chunk = payload[off : off + cnt]
-        if len(chunk) < cnt:
-            raise OcrError("tiff: truncated strip")
-        n_rows = min(rps, h - si * rps)
-        if comp == 4:
-            # each strip is an independently coded T.6 block; the decode
-            # already emits final 8-bit BlackIsZero rows
-            from .ccitt import g4_decode
+        # tiled layout (round 4): independently compressed tw x tl tiles
+        # in row-major tile order, edge tiles padded to full size
+        tw_, tl_ = one(_TILE_W), one(_TILE_H)
+        if tw_ <= 0 or tl_ <= 0 or tw_ % 16 or tl_ % 16:
+            raise OcrError("tiff: bad tile geometry")
+        offs = tags.get(_TILE_OFF)
+        cnts = tags.get(_TILE_CNT)
+        if not offs or not cnts or len(offs) != len(cnts):
+            raise OcrError("tiff: missing/mismatched tile tables")
+        tiles_x = (w + tw_ - 1) // tw_
+        tiles_y = (h + tl_ - 1) // tl_
+        if len(offs) < tiles_x * tiles_y:
+            raise OcrError("tiff: short tile table")
+        raster = bytearray(w * h * pxw)
+        rowbytes = w * pxw
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                idx = ty * tiles_x + tx
+                chunk = payload[offs[idx] : offs[idx] + cnts[idx]]
+                if len(chunk) < cnts[idx]:
+                    raise OcrError("tiff: truncated tile")
+                if comp == 4:
+                    from .ccitt import g4_decode
 
-            strip = bytes(g4_decode(chunk, w, max(n_rows, 1)))
-        elif comp == 5:
-            strip = _lzw_decode_tiff(chunk, max(n_rows, 1) * w * spp)
-        elif comp == 32773:
-            strip = _unpackbits(chunk)
-        else:
-            strip = chunk
-        if predictor == 2:
-            strip = _undo_horizontal_predictor(strip, w, spp)
-        raster += strip
-    if len(raster) < w * h * (1 if comp == 4 else spp):
+                    tile = bytes(g4_decode(chunk, tw_, tl_))
+                elif comp == 5:
+                    tile = _lzw_decode_tiff(chunk, tw_ * tl_ * spp)
+                elif comp == 32773:
+                    tile = _unpackbits(chunk)
+                else:
+                    tile = chunk
+                if predictor == 2:
+                    tile = _undo_horizontal_predictor(tile, tw_, spp)
+                if len(tile) < tw_ * tl_ * pxw:
+                    raise OcrError("tiff: short tile data")
+                cw = min(tw_, w - tx * tw_) * pxw
+                for r in range(min(tl_, h - ty * tl_)):
+                    src = r * tw_ * pxw
+                    dst = (ty * tl_ + r) * rowbytes + tx * tw_ * pxw
+                    raster[dst : dst + cw] = tile[src : src + cw]
+    else:
+        rps = one(_ROWS_PER_STRIP, h)
+        offs = tags.get(_STRIP_OFF)
+        cnts = tags.get(_STRIP_CNT)
+        if not offs or not cnts or len(offs) != len(cnts):
+            raise OcrError("tiff: missing/mismatched strip tables")
+        raster = bytearray()
+        for si, (off, cnt) in enumerate(zip(offs, cnts)):
+            chunk = payload[off : off + cnt]
+            if len(chunk) < cnt:
+                raise OcrError("tiff: truncated strip")
+            n_rows = min(rps, h - si * rps)
+            if comp == 4:
+                # each strip is an independently coded T.6 block; the
+                # decode already emits final 8-bit BlackIsZero rows
+                from .ccitt import g4_decode
+
+                strip = bytes(g4_decode(chunk, w, max(n_rows, 1)))
+            elif comp == 5:
+                strip = _lzw_decode_tiff(chunk, max(n_rows, 1) * w * spp)
+            elif comp == 32773:
+                strip = _unpackbits(chunk)
+            else:
+                strip = chunk
+            if predictor == 2:
+                strip = _undo_horizontal_predictor(strip, w, spp)
+            raster += strip
+    if len(raster) < w * h * pxw:
         raise OcrError("tiff: short pixel data")
     if comp == 4:
         return w, h, raster[: w * h], next_off

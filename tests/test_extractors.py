@@ -1564,8 +1564,17 @@ def test_tiff_tiled_and_truncated_g4_quarantined():
     from cc_extract.corpusgen import _tiff_gray
     from cc_extract.glyphs import render_raster
 
-    # tiled stub (tag 322) -> needs_ocr with a tile-specific reason
+    # G3 fax stub (Compression 3) -> honest quarantine (only G4 decodes)
     e = "<"
+    ifd = (_s.pack(e + "H", 3)
+           + _s.pack(e + "HHI", 256, 3, 1) + _s.pack(e + "HH", 64, 0)
+           + _s.pack(e + "HHI", 257, 3, 1) + _s.pack(e + "HH", 64, 0)
+           + _s.pack(e + "HHI", 259, 3, 1) + _s.pack(e + "HH", 3, 0)
+           + _s.pack(e + "I", 0))
+    res = extract_document(b"II*\x00" + _s.pack(e + "I", 8) + ifd,
+                           "https://x/fax_g3.tif")
+    assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
+    # tiled dir missing its tile tables -> corrupt quarantine, no hang
     ifd = (_s.pack(e + "H", 4)
            + _s.pack(e + "HHI", 256, 3, 1) + _s.pack(e + "HH", 64, 0)
            + _s.pack(e + "HHI", 257, 3, 1) + _s.pack(e + "HH", 64, 0)
@@ -1580,7 +1589,6 @@ def test_tiff_tiled_and_truncated_g4_quarantined():
     t = _tiff_gray(w, h, bytes(raster), g4=True)
     res = extract_document(t[: len(t) - len(t) // 3], "https://x/fax.tif")
     assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
-
 
 def test_tiff_real_rgba_fixture_decodes():
     """Real reference-encoder TIFF (CPython's imghdr test image: 16x16
@@ -1641,3 +1649,41 @@ def test_pdf_ccitt_scan_ocr():
     assert res["text"] == text
     res = extract_document(pdf_with(0), "https://x/scan.pdf")  # G3: quarantine
     assert (res["fmt"], res["status"]) == ("pdf", "needs_ocr")
+
+
+def test_tiff_tiled_round_trip():
+    """Round 4: tiled layout (tags 322-325) — per-tile compression with
+    edge-tile padding cropped on stitch, all compressions + multipage;
+    pixel-exact across geometries that do and don't divide the tile."""
+    import random
+
+    from cc_extract.corpusgen import _tiff_gray
+    from cc_extract.extractors.tiff import decode_tiff_gray, decode_tiff_pages
+    from cc_extract.glyphs import render_raster, ocr_raster
+
+    text = "TILED TIFF LAYOUT 0123456789.\nSECOND SCAN LINE"
+    w, h, raster = render_raster(text)
+    for kw in [dict(), dict(lzw=True, predictor=2), dict(packbits=True),
+               dict(big_endian=True, white_is_zero=True),
+               dict(rgb=True, lzw=True, predictor=2)]:
+        t = _tiff_gray(w, h, bytes(raster), tiled=True, **kw)
+        w2, h2, out = decode_tiff_gray(t)
+        assert (w2, h2) == (w, h), kw
+        assert ocr_raster(w2, h2, out) == text, kw
+    t2 = "TILED PAGE TWO."
+    w3, h3, r3 = render_raster(t2)
+    pages = decode_tiff_pages(
+        _tiff_gray(w, h, bytes(raster), tiled=True, lzw=True,
+                   extra_pages=[(w3, h3, bytes(r3))]))
+    assert [ocr_raster(*p) for p in pages] == [text, t2]
+    rng = random.Random(3)
+    for tw, th in [(32, 32), (64, 32), (31, 33), (1, 1), (33, 65)]:
+        r = bytes(rng.randrange(256) for _ in range(tw * th))
+        t = _tiff_gray(tw, th, r, tiled=True, lzw=True, predictor=2)
+        w2, h2, out = decode_tiff_gray(t)
+        assert (w2, h2) == (tw, th) and bytes(out) == r, (tw, th)
+    res = extract_document(
+        _tiff_gray(w, h, bytes(raster), tiled=True, lzw=True),
+        "https://x/tiled.tif")
+    assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
+    assert res["text"] == text
