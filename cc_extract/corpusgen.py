@@ -1351,12 +1351,14 @@ def _packbits(row: bytes) -> bytes:
     return bytes(out)
 
 
-def _g4_encode(w: int, h: int, bilevel: bytes) -> bytes:
-    """CCITT Group 4 (T.6) encoder — independent twin of
-    extractors/ccitt.py (shares only the published T.4 run-length code
-    tables, the same stance as the LZW pairs).  *bilevel* is one byte
-    per pixel, 1 = black.  Per T.6: vertical mode when |a1-b1| <= 3,
-    pass when b2 < a1, horizontal otherwise; EOFB terminates."""
+def _ccitt_encode(w: int, h: int, bilevel: bytes, mode: str = "g4") -> bytes:
+    """CCITT fax encoder — independent twin of extractors/ccitt.py
+    (shares only the published T.4 run-length code tables, the same
+    stance as the LZW pairs).  *bilevel* is one byte per pixel,
+    1 = black.  Modes: ``g4`` (T.6: every row 2-D, EOFB trailer),
+    ``g3_1d`` (T.4: EOL before each row, 1-D modified-Huffman rows, RTC
+    trailer), ``g3_2d`` (T.4 2-D: EOL + tag bit per row, a 1-D anchor
+    row every 4th, RTC of EOL+tag1)."""
     from bisect import bisect_right
 
     from .extractors.ccitt import _BLACK_CODES, _WHITE_CODES
@@ -1390,15 +1392,18 @@ def _g4_encode(w: int, h: int, bilevel: bytes) -> bytes:
 
     _V = {0: (1, 0b1), 1: (3, 0b011), -1: (3, 0b010), 2: (6, 0b000011),
           -2: (6, 0b000010), 3: (7, 0b0000011), -3: (7, 0b0000010)}
-    ref: list[int] = []
-    for y in range(h):
+
+    def transitions(y: int) -> list[int]:
         row = bilevel[y * w:(y + 1) * w]
-        cur: list[int] = []
+        t: list[int] = []
         prev = 0
         for x in range(w):
             if row[x] != prev:
-                cur.append(x)
+                t.append(x)
                 prev = row[x]
+        return t
+
+    def encode_2d(cur: list[int], ref: list[int]) -> None:
         a0 = -1
         color = 0
         i = 0
@@ -1428,12 +1433,55 @@ def _g4_encode(w: int, h: int, bilevel: bytes) -> bytes:
                 i += 2
             if a0 >= w:
                 break
+
+    def encode_1d(cur: list[int]) -> None:
+        # alternating runs from the transition list, leading white first
+        prev = 0
+        color = 0
+        for t in cur + [w]:
+            emit_run(t - prev, bl if color else wh)
+            prev = t
+            color ^= 1
+            if prev >= w:
+                break
+        # a row ending mid-color needs no closing zero run: the loop
+        # above always emits through position w
+
+    EOL = (0b000000000001, 12)
+    ref: list[int] = []
+    for y in range(h):
+        cur = transitions(y)
+        if mode == "g4":
+            encode_2d(cur, ref)
+        elif mode == "g3_1d":
+            emit(*EOL)
+            encode_1d(cur)
+        else:  # g3_2d: tag bit after EOL, 1-D anchor every 4th row
+            emit(*EOL)
+            if y % 4 == 0:
+                emit(1, 1)
+                encode_1d(cur)
+            else:
+                emit(0, 1)
+                encode_2d(cur, ref)
         ref = cur
-    emit(0b000000000001, 12)  # EOFB
-    emit(0b000000000001, 12)
+    if mode == "g4":
+        emit(*EOL)  # EOFB
+        emit(*EOL)
+    elif mode == "g3_1d":
+        for _ in range(6):  # RTC
+            emit(*EOL)
+    else:
+        for _ in range(6):  # RTC with tag bits
+            emit(*EOL)
+            emit(1, 1)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
+
+
+def _g4_encode(w: int, h: int, bilevel: bytes) -> bytes:
+    return _ccitt_encode(w, h, bilevel, mode="g4")
 
 
 def _tiff_lzw_encode(data: bytes) -> bytes:
@@ -1495,7 +1543,8 @@ def _hpredict_n(row: bytes, spp: int) -> bytes:
 def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
                white_is_zero: bool = False, packbits: bool = False,
                lzw: bool = False, predictor: int = 1,
-               rgb: bool = False, g4: bool = False, tiled: bool = False,
+               rgb: bool = False, g4: bool = False, g3: str | None = None,
+               tiled: bool = False,
                extra_pages: list[tuple[int, int, bytes]] | None = None) -> bytes:
     """Valid baseline TIFF 6.0: 8-bit grayscale or RGB (ink/bg colors
     whose BT.601 luminances land on the right side of the OCR
@@ -1505,12 +1554,14 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
     grayscale photometric, multi-page via the chained-IFD layout when
     *extra_pages* carries more (w, h, raster) tuples (round 4), or a
     fax-style CCITT Group 4 page (``g4``: 1-bit MinIsWhite, Compression
-    4, single strip — round 4), or a tiled layout (``tiled``: 16-multiple
-    tile grid under tags 322-325, edge tiles padded, each tile
-    independently compressed — round 4).  Independent twin of
-    extractors/tiff.py."""
-    if g4 and tiled:
-        raise ValueError("g4 tiles not emitted by this writer")
+    4, single strip — round 4), a Group 3 page (``g3``: "1d" or "2d",
+    Compression 3 with T4Options — round 4), or a tiled layout
+    (``tiled``: 16-multiple tile grid under tags 322-325, edge tiles
+    padded, each tile independently compressed — round 4).  Independent
+    twin of extractors/tiff.py."""
+    fax = g4 or g3 is not None
+    if fax and tiled:
+        raise ValueError("fax tiles not emitted by this writer")
     e = ">" if big_endian else "<"
     spp = 3 if rgb else 1
     TILE = 32  # tile edge (spec: multiple of 16)
@@ -1519,9 +1570,10 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
     ifd_ptr_pos = len(buf)  # header's first-IFD pointer, patched per page
     buf += struct.pack(e + "I", 0)
     for pw, ph, praster in pages:
-        if g4:
+        if fax:
             bilevel = bytes(1 if b < 128 else 0 for b in praster)
-            strips = [_g4_encode(pw, ph, bilevel)]
+            mode = "g4" if g4 else ("g3_2d" if g3 == "2d" else "g3_1d")
+            strips = [_ccitt_encode(pw, ph, bilevel, mode)]
             rps = ph
         elif rgb:
             ink, bg = bytes([20, 30, 180]), bytes([250, 245, 200])
@@ -1555,7 +1607,7 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
                         t = _tiff_lzw_encode(t)
                     strips.append(t)
             rps = ph
-        elif not g4:
+        elif not fax:
             rw = pw * spp  # row stride in bytes
             rps = (ph + 1) // 2 if ph >= 2 else max(ph, 1)
             strips = [px[i * rps * rw:(i + 1) * rps * rw]
@@ -1583,7 +1635,8 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
         ifd_off = o
         struct.pack_into(e + "I", buf, ifd_ptr_pos, ifd_off)
         buf += b"".join(strips)
-        n_entries = (10 if tiled else 9) + (1 if predictor == 2 else 0)
+        n_entries = ((10 if tiled else 9) + (1 if predictor == 2 else 0)
+                     + (1 if g3 else 0))
         ext = bytearray()
         ext_base = ifd_off + 2 + n_entries * 12 + 4
 
@@ -1609,10 +1662,10 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
         if rgb:
             add(258, 3, 3, short3_field([8, 8, 8]))
         else:
-            add(258, 3, 1, short(1 if g4 else 8))
-        add(259, 3, 1, short(4 if g4 else
-                             (32773 if packbits else (5 if lzw else 1))))
-        add(262, 3, 1, short(0 if g4 else
+            add(258, 3, 1, short(1 if fax else 8))
+        add(259, 3, 1, short(4 if g4 else (3 if g3 else
+                             (32773 if packbits else (5 if lzw else 1)))))
+        add(262, 3, 1, short(0 if fax else
                              (2 if rgb else (0 if white_is_zero else 1))))
         if not tiled:
             add(273, 4, n, long_(offs[0]) if n == 1 else arr_field(offs))
@@ -1622,6 +1675,8 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
             add(279, 4, n,
                 long_(len(strips[0])) if n == 1
                 else arr_field([len(s) for s in strips]))
+        if g3:
+            add(292, 4, 1, long_(1 if g3 == "2d" else 0))
         if predictor == 2:
             add(317, 3, 1, short(2))
         if tiled:  # tags stay in ascending order per spec
@@ -1776,23 +1831,27 @@ def _gen_image(rng: random.Random) -> bytes:
                          color=rng.random() < 0.4,
                          local_table=rng.random() < 0.25)
     if p < 0.75:
-        # fax-style CCITT Group 4 scan — decoded for real since round 4
-        # (the T.6 codec pair); bilevel is the native fax regime, so the
-        # rendered page raster round-trips exactly
+        # fax-style CCITT scan — G4 and G3 (1-D and 2-D) all decode for
+        # real since round 4 (the T.4/T.6 codec pair); bilevel is the
+        # native fax regime, so the rendered page round-trips exactly
         from .glyphs import render_raster
         text = "\n".join(
             _sentences(rng, rng.randint(1, 3)) for _ in range(rng.randint(1, 2))
         )
         w, h, raster = render_raster(text)
-        return _tiff_gray(w, h, bytes(raster), g4=True)
+        fk = rng.random()
+        if fk < 0.5:
+            return _tiff_gray(w, h, bytes(raster), g4=True)
+        return _tiff_gray(w, h, bytes(raster),
+                          g3="2d" if fk < 0.75 else "1d")
     if p < 0.78:
-        # CCITT Group 3 TIFF (Compression 3, EOL-framed 1-D/2-D): the
-        # remaining honest fax quarantine — G4 decodes since round 4
+        # CCITT RLE (Compression 2, MH without EOL framing): the
+        # remaining honest fax quarantine — G3/G4 decode since round 4
         e = "<"
         ifd = (struct.pack(e + "H", 3)
                + struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "HH", 64, 0)
                + struct.pack(e + "HHI", 257, 3, 1) + struct.pack(e + "HH", 64, 0)
-               + struct.pack(e + "HHI", 259, 3, 1) + struct.pack(e + "HH", 3, 0)
+               + struct.pack(e + "HHI", 259, 3, 1) + struct.pack(e + "HH", 2, 0)
                + struct.pack(e + "I", 0))
         return b"II*\x00" + struct.pack(e + "I", 8) + ifd
     if p < 0.87:

@@ -167,6 +167,95 @@ def _read_run(bits: _Bits, table) -> int:
             return total
 
 
+def _decode_2d_row(bits: _Bits, ref: list[int], w: int) -> list[int]:
+    """One 2-D coded row (T.6, also T.4 2-D) against the reference line's
+    changing elements.  Returns the row's transition positions."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0  # white
+
+    def b1b2() -> tuple[int, int]:
+        i = bisect_right(ref, a0)
+        if (i & 1) != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else w
+        b2 = ref[i + 1] if i + 1 < len(ref) else w
+        return b1, b2
+
+    while (a0 if a0 > 0 else 0) < w:
+        b1, b2 = b1b2()
+        # mode decode
+        if bits.bit():  # 1 -> V0
+            a1 = b1
+            mode = "v"
+        elif bits.bit():  # 01x
+            a1 = b1 + 1 if bits.bit() else b1 - 1  # 011 VR1 / 010 VL1
+            mode = "v"
+        elif bits.bit():  # 001 -> horizontal
+            mode = "h"
+        elif bits.bit():  # 0001 -> pass
+            mode = "p"
+        elif bits.bit():  # 00001x
+            a1 = b1 + 2 if bits.bit() else b1 - 2  # VR2 / VL2
+            mode = "v"
+        elif bits.bit():  # 000001x
+            a1 = b1 + 3 if bits.bit() else b1 - 3  # VR3 / VL3
+            mode = "v"
+        else:  # 000000... -> EOL territory mid-row = corrupt
+            raise OcrError("ccitt: premature EOL/EOFB")
+        if mode == "p":
+            a0 = b2
+            continue
+        if mode == "h":
+            start = a0 if a0 > 0 else 0
+            r1 = _read_run(bits, _BLACK_CODES if color else _WHITE_CODES)
+            r2 = _read_run(bits, _WHITE_CODES if color else _BLACK_CODES)
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > w or a1 > w:
+                raise OcrError("ccitt: run past row end")
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+            continue
+        # vertical
+        if a1 < 0 or a1 > w:
+            raise OcrError("ccitt: vertical move past row bounds")
+        cur.append(a1)
+        a0 = a1
+        color ^= 1
+    return cur
+
+
+def _decode_1d_row(bits: _Bits, w: int) -> list[int]:
+    """One 1-D modified-Huffman row (T.4): alternating white/black runs
+    starting with white (a zero-length white run leads a black edge).
+    Each color flip below the row width is a transition."""
+    cur: list[int] = []
+    total = 0
+    color = 0
+    while total < w:
+        run = _read_run(bits, _BLACK_CODES if color else _WHITE_CODES)
+        total += run
+        if total > w:
+            raise OcrError("ccitt: run past row end")
+        if total < w:
+            cur.append(total)
+        color ^= 1
+    return cur
+
+
+def _render_row(cur: list[int], w: int) -> bytearray:
+    """Transitions (alternating white->black from white) -> 8-bit row."""
+    row = bytearray(b"\xff" * w)
+    for i in range(0, len(cur) - 1, 2):
+        s, e = cur[i], cur[i + 1]
+        row[s:e] = b"\x00" * (e - s)
+    if len(cur) % 2 == 1:  # trailing black run to row end
+        row[cur[-1]:] = b"\x00" * (w - cur[-1])
+    return row
+
+
 def g4_decode(data: bytes, w: int, h: int) -> bytearray:
     """T.6 decode to an 8-bit BlackIsZero raster (ink 0, background 255).
     TIFF G4 strips carry no EOL codes; EOFB (two EOLs) may terminate the
@@ -176,68 +265,64 @@ def g4_decode(data: bytes, w: int, h: int) -> bytearray:
     bits = _Bits(data)
     out = bytearray()
     ref: list[int] = []  # previous row's transitions (imaginary all-white)
-
-    def b1b2(a0: int, color: int) -> tuple[int, int]:
-        i = bisect_right(ref, a0)
-        if (i & 1) != color:
-            i += 1
-        b1 = ref[i] if i < len(ref) else w
-        b2 = ref[i + 1] if i + 1 < len(ref) else w
-        return b1, b2
-
     for _row in range(h):
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # white
-        while (a0 if a0 > 0 else 0) < w:
-            b1, b2 = b1b2(a0, color)
-            # mode decode
-            if bits.bit():  # 1 -> V0
-                a1 = b1
-                mode = "v"
-            elif bits.bit():  # 01x
-                a1 = b1 + 1 if bits.bit() else b1 - 1  # 011 VR1 / 010 VL1
-                mode = "v"
-            elif bits.bit():  # 001 -> horizontal
-                mode = "h"
-            elif bits.bit():  # 0001 -> pass
-                mode = "p"
-            elif bits.bit():  # 00001x
-                a1 = b1 + 2 if bits.bit() else b1 - 2  # VR2 / VL2
-                mode = "v"
-            elif bits.bit():  # 000001x
-                a1 = b1 + 3 if bits.bit() else b1 - 3  # VR3 / VL3
-                mode = "v"
-            else:  # 000000... -> EOL territory (EOFB) = premature end
-                raise OcrError("g4: premature EOFB/EOL")
-            if mode == "p":
-                a0 = b2
-                continue
-            if mode == "h":
-                start = a0 if a0 > 0 else 0
-                r1 = _read_run(bits, _BLACK_CODES if color else _WHITE_CODES)
-                r2 = _read_run(bits, _WHITE_CODES if color else _BLACK_CODES)
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 > w or a1 > w:
-                    raise OcrError("g4: run past row end")
-                cur.append(a1)
-                cur.append(a2)
-                a0 = a2
-                continue
-            # vertical
-            if a1 < 0 or a1 > w:
-                raise OcrError("g4: vertical move past row bounds")
-            cur.append(a1)
-            a0 = a1
-            color ^= 1
-        # render the row: transitions alternate white->black starting white
-        row = bytearray(b"\xff" * w)
-        for i in range(0, len(cur) - 1, 2):
-            s, e = cur[i], cur[i + 1] if i + 1 < len(cur) else w
-            row[s:e] = b"\x00" * (e - s)
-        if len(cur) % 2 == 1:  # trailing black run to row end
-            row[cur[-1]:] = b"\x00" * (w - cur[-1])
-        out += row
+        cur = _decode_2d_row(bits, ref, w)
+        out += _render_row(cur, w)
+        ref = cur
+    return out
+
+
+def _consume_eol(bits: _Bits, optional: bool = False) -> bool:
+    """Consume fill zeros + the 000000000001 EOL.  T.4 rows are framed by
+    EOLs with optional zero fill before them; returns False when
+    *optional* and the next bits are not an EOL (nothing consumed --
+    only valid at a position where data may start directly)."""
+    if optional:
+        # peek 12 bits without consuming
+        save = bits.pos
+        try:
+            zeros = 0
+            while not bits.bit():
+                zeros += 1
+                if zeros > 64:
+                    break
+            ok = zeros >= 11
+        except OcrError:
+            ok = False
+        if not ok:
+            bits.pos = save
+            return False
+        return True
+    zeros = 0
+    while not bits.bit():
+        zeros += 1
+        if zeros > 4096:
+            raise OcrError("g3: runaway fill")
+    if zeros < 11:
+        raise OcrError("g3: expected EOL")
+    return True
+
+
+def g3_decode(data: bytes, w: int, h: int, two_d: bool = False) -> bytearray:
+    """CCITT Group 3 (T.4) decode: EOL-framed rows, 1-D modified-Huffman
+    or (``two_d``, T4Options bit 0) mixed 1-D/2-D where a tag bit after
+    each EOL picks the coding of the next row.  Decodes exactly *h* rows;
+    the RTC trailer, if present, is simply not read."""
+    if w <= 0 or h <= 0:
+        raise OcrError("g3: bad dimensions")
+    bits = _Bits(data)
+    out = bytearray()
+    ref: list[int] = []
+    _consume_eol(bits, optional=True)  # leading EOL is customary, optional
+    for row_i in range(h):
+        if row_i:
+            _consume_eol(bits)
+        if two_d:
+            one_d = bits.bit()  # tag bit: 1 = next row is 1-D
+            cur = (_decode_1d_row(bits, w) if one_d
+                   else _decode_2d_row(bits, ref, w))
+        else:
+            cur = _decode_1d_row(bits, w)
+        out += _render_row(cur, w)
         ref = cur
     return out

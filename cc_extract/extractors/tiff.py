@@ -29,7 +29,7 @@ TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
 # tag ids
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _ROWS_PER_STRIP, _STRIP_CNT, _SAMPLES = 273, 278, 279, 277
-_PREDICTOR = 317
+_PREDICTOR, _T4OPTIONS = 317, 292
 _TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
@@ -166,7 +166,7 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
         tag, typ, count = struct.unpack_from(e + "HHI", payload, pos)
         if tag in (_W, _H, _BITS, _COMP, _PHOTO, _STRIP_OFF,
                    _ROWS_PER_STRIP, _STRIP_CNT, _SAMPLES, _PREDICTOR,
-                   _TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT):
+                   _T4OPTIONS, _TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT):
             tags[tag] = _read_values(payload, e, typ, count, payload[pos + 8 : pos + 12])
         pos += 12
     if pos + 4 <= len(payload):
@@ -186,19 +186,25 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
     if not (0 < w < 1 << 20 and 0 < h < 1 << 20):
         raise OcrError("tiff: absurd dimensions")
     comp = one(_COMP, 1)
-    if comp not in (1, 4, 5, 32773):
+    if comp not in (1, 3, 4, 5, 32773):
         raise OcrError(
-            "tiff: only uncompressed (1), G4 (4), LZW (5) and "
+            "tiff: only uncompressed (1), G3 (3), G4 (4), LZW (5) and "
             "PackBits (32773) supported"
         )
     spp = one(_SAMPLES, 1)
     bits = tags.get(_BITS, [8])
     photo = one(_PHOTO, 1)
     predictor = one(_PREDICTOR, 1)
-    if comp == 4:
-        # fax page: 1-bit MinIsWhite bilevel per the G4 convention
+    g3_2d = False
+    if comp == 3:
+        opts = one(_T4OPTIONS, 0)
+        if opts & 2:
+            raise OcrError("tiff: G3 uncompressed mode unsupported")
+        g3_2d = bool(opts & 1)
+    if comp in (3, 4):
+        # fax page: 1-bit MinIsWhite bilevel per the G3/G4 convention
         if spp != 1 or bits != [1] or photo != 0 or predictor != 1:
-            raise OcrError("tiff: G4 must be 1-bit single-sample MinIsWhite")
+            raise OcrError("tiff: fax must be 1-bit single-sample MinIsWhite")
     else:
         if spp not in (1, 3, 4) or any(b != 8 for b in bits):
             raise OcrError("tiff: only 8-bit gray/RGB/RGBA supported")
@@ -206,7 +212,7 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
             raise OcrError("tiff: unsupported photometric/samples combination")
         if predictor not in (1, 2):
             raise OcrError("tiff: only predictor 1/2 supported")
-    pxw = 1 if comp == 4 else spp  # bytes per pixel after codec decode
+    pxw = 1 if comp in (3, 4) else spp  # bytes per pixel after codec decode
     if _TILE_W in tags:
         # tiled layout (round 4): independently compressed tw x tl tiles
         # in row-major tile order, edge tiles padded to full size
@@ -233,6 +239,10 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
                     from .ccitt import g4_decode
 
                     tile = bytes(g4_decode(chunk, tw_, tl_))
+                elif comp == 3:
+                    from .ccitt import g3_decode
+
+                    tile = bytes(g3_decode(chunk, tw_, tl_, two_d=g3_2d))
                 elif comp == 5:
                     tile = _lzw_decode_tiff(chunk, tw_ * tl_ * spp)
                 elif comp == 32773:
@@ -266,6 +276,10 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
                 from .ccitt import g4_decode
 
                 strip = bytes(g4_decode(chunk, w, max(n_rows, 1)))
+            elif comp == 3:
+                from .ccitt import g3_decode
+
+                strip = bytes(g3_decode(chunk, w, max(n_rows, 1), two_d=g3_2d))
             elif comp == 5:
                 strip = _lzw_decode_tiff(chunk, max(n_rows, 1) * w * spp)
             elif comp == 32773:
@@ -277,7 +291,7 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
             raster += strip
     if len(raster) < w * h * pxw:
         raise OcrError("tiff: short pixel data")
-    if comp == 4:
+    if comp in (3, 4):
         return w, h, raster[: w * h], next_off
     raster = raster[: w * h * spp]
     if spp in (3, 4):  # RGB(A) -> BT.601 luminance, alpha ignored (vectorized)

@@ -1564,15 +1564,15 @@ def test_tiff_tiled_and_truncated_g4_quarantined():
     from cc_extract.corpusgen import _tiff_gray
     from cc_extract.glyphs import render_raster
 
-    # G3 fax stub (Compression 3) -> honest quarantine (only G4 decodes)
+    # CCITT RLE stub (Compression 2) -> honest quarantine (G3/G4 decode)
     e = "<"
     ifd = (_s.pack(e + "H", 3)
            + _s.pack(e + "HHI", 256, 3, 1) + _s.pack(e + "HH", 64, 0)
            + _s.pack(e + "HHI", 257, 3, 1) + _s.pack(e + "HH", 64, 0)
-           + _s.pack(e + "HHI", 259, 3, 1) + _s.pack(e + "HH", 3, 0)
+           + _s.pack(e + "HHI", 259, 3, 1) + _s.pack(e + "HH", 2, 0)
            + _s.pack(e + "I", 0))
     res = extract_document(b"II*\x00" + _s.pack(e + "I", 8) + ifd,
-                           "https://x/fax_g3.tif")
+                           "https://x/fax_rle.tif")
     assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
     # tiled dir missing its tile tables -> corrupt quarantine, no hang
     ifd = (_s.pack(e + "H", 4)
@@ -1687,3 +1687,31 @@ def test_tiff_tiled_round_trip():
         "https://x/tiled.tif")
     assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
     assert res["text"] == text
+
+
+def test_g3_tiff_round_trip_both_modes():
+    """Round 4: CCITT Group 3 — EOL-framed 1-D modified-Huffman rows and
+    the 2-D variant (T4Options bit 0, tag bit per row, 1-D anchor rows);
+    fuzz plus full-page OCR through the dispatcher."""
+    import random
+
+    from cc_extract.corpusgen import _ccitt_encode, _tiff_gray
+    from cc_extract.extractors.ccitt import g3_decode
+    from cc_extract.glyphs import render_raster, ocr_raster
+
+    rng = random.Random(11)
+    for trial in range(10):
+        w, h = rng.randint(1, 90), rng.randint(1, 12)
+        bi = bytes(rng.randint(0, 1) for _ in range(w * h))
+        want = bytes(255 if b == 0 else 0 for b in bi)
+        assert bytes(g3_decode(_ccitt_encode(w, h, bi, "g3_1d"),
+                               w, h, two_d=False)) == want, (trial, "1d")
+        assert bytes(g3_decode(_ccitt_encode(w, h, bi, "g3_2d"),
+                               w, h, two_d=True)) == want, (trial, "2d")
+    text = "GROUP 3 FAX 0123456789.\nSECOND LINE OF THE SCAN"
+    w, h, raster = render_raster(text)
+    for g3 in ("1d", "2d"):
+        res = extract_document(_tiff_gray(w, h, bytes(raster), g3=g3),
+                               "https://x/fax.tif")
+        assert (res["fmt"], res["status"]) == ("image", "ok_ocr"), g3
+        assert res["text"] == text, g3
