@@ -138,6 +138,8 @@ def decode_gif_gray(payload: bytes) -> tuple[int, int, bytearray]:
             raise OcrError("gif: truncated image descriptor")
         left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
+        if w * h > 1 << 26:
+            raise OcrError("gif: raster too large")
         if iflags & 0x80:  # local color table overrides the global one
             palette, pos = _read_palette(payload, pos, 2 << (iflags & 0x07))
         interlaced = bool(iflags & 0x40)

@@ -224,6 +224,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytearray]:
     if w <= 0 or h <= 0 or not scan:
         raise OcrError("jpeg: missing SOF/DHT/SOS")
 
+    if w * h > 1 << 24:
+        raise OcrError("jpeg: raster too large")
     # luma = first scan component (JFIF: Y first); per-component decode
     # parameters + the per-MCU block schedule in T.81 interleave order
     hmax = max(c[1] for c in comps)
@@ -486,6 +488,8 @@ def _decode_progressive_gray(payload: bytes) -> tuple[int, int, bytearray]:
                 raise OcrError(
                     f"jpeg: unsupported SOF2 (precision={prec} components={ncomp})"
                 )
+            if w * h > 1 << 24:
+                raise OcrError("jpeg: raster too large")
             for c in range(ncomp):
                 cid = seg[6 + 3 * c]
                 hs, vs = seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 0x0F

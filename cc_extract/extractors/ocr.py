@@ -68,6 +68,8 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytearray]:
         pos += 12 + length  # length + type + data + crc
     if w <= 0 or h <= 0 or not idat:
         raise OcrError("missing IHDR/IDAT")
+    if w * h > 1 << 26:
+        raise OcrError("png: raster too large")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:

@@ -743,6 +743,8 @@ def pdf_scan_rasters(payload: bytes) -> list[tuple[int, int, bytes]]:
                 continue
             if parms.get("K", 0) >= 0 or parms.get("Columns", 1728) != w:
                 continue
+            if w * h > 1 << 26:  # crafted dims: T.6 expands ~w*h/8 bits
+                continue
             from .ccitt import g4_decode
             from .ocr import OcrError
 

@@ -183,7 +183,7 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
         return v[0]
 
     w, h = one(_W), one(_H)
-    if not (0 < w < 1 << 20 and 0 < h < 1 << 20):
+    if not (0 < w < 1 << 20 and 0 < h < 1 << 20) or w * h > 1 << 26:
         raise OcrError("tiff: absurd dimensions")
     comp = one(_COMP, 1)
     if comp not in (1, 3, 4, 5, 32773):

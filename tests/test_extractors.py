@@ -1715,3 +1715,43 @@ def test_g3_tiff_round_trip_both_modes():
                                "https://x/fax.tif")
         assert (res["fmt"], res["status"]) == ("image", "ok_ocr"), g3
         assert res["text"] == text, g3
+
+
+def test_image_decompression_bombs_quarantined():
+    """Crafted headers declaring huge rasters (a few-KB G4/GIF/PNG/SOF2
+    stream can legally expand to TBs — 1 bit per all-white fax row) must
+    quarantine via the pixel-count caps instead of allocating."""
+    import struct as _s
+
+    e = "<"
+
+    def tag(t, typ, cnt, val):
+        return _s.pack(e + "HHI", t, typ, cnt) + _s.pack(e + "HH", val, 0)
+
+    ifd = (_s.pack(e + "H", 7)
+           + tag(256, 3, 1, 65000) + tag(257, 3, 1, 65000)
+           + tag(258, 3, 1, 1) + tag(259, 3, 1, 4) + tag(262, 3, 1, 0)
+           + _s.pack(e + "HHI", 273, 4, 1) + _s.pack(e + "I", 8)
+           + _s.pack(e + "HHI", 279, 4, 1) + _s.pack(e + "I", 4)
+           + _s.pack(e + "I", 0))
+    doc = b"II*\x00" + _s.pack(e + "I", 12) + b"\xff\xff\xff\xff" + ifd
+    assert extract_document(doc, "https://x/b.tif")["status"] == "needs_ocr"
+
+    png = (b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR"
+           + _s.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0) + b"\0\0\0\0"
+           + _s.pack(">I", 4) + b"IDAT" + b"\x78\x9c\x03\x00" + b"\0\0\0\0")
+    res = extract_document(png, "https://x/b.png")
+    assert res["status"] == "needs_ocr" and "too large" in res["error"]
+
+    seg = lambda m, b: _s.pack(">BBH", 0xFF, m, len(b) + 2) + b  # noqa: E731
+    j = (b"\xff\xd8"
+         + seg(0xC2, _s.pack(">BHHB", 8, 60000, 60000, 1) + b"\x01\x11\x00")
+         + b"\xff\xd9")
+    res = extract_document(j, "https://x/b.jpg")
+    assert res["status"] == "needs_ocr" and "too large" in res["error"]
+
+    g = (b"GIF87a" + _s.pack("<HHBBB", 60000, 60000, 0x80, 0, 0) + b"\0" * 6
+         + b"\x2c" + _s.pack("<HHHHB", 0, 0, 60000, 60000, 0)
+         + b"\x02" + b"\x01\x00" + b"\x00\x3b")
+    res = extract_document(g, "https://x/b.gif")
+    assert res["status"] == "needs_ocr" and "too large" in res["error"]
