@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_entropy": textops.token_entropy,
         "doc_dedup_keep_decision": textops.dedup_keep_decision,
         "doc_benchmark_decontamination": textops.benchmark_decontamination,
+        "doc_corpus_filter": textops.corpus_filter,
         "event_sessions": relops.event_sessions,
         # similarity search (embeddings table)
         "emb_knn_bruteforce": embedops.knn_bruteforce,
@@ -634,6 +635,34 @@ SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) AS sample_key,
        length(text) AS n_chars
 FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) < '28f5c'
+"""
+
+    sql["doc_corpus_filter"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS tokens FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(tokens) AS n_tokens,
+         coalesce(list_aggregate(list_transform(tokens, tk -> length(tk)), 'sum'), 0)
+           * 1.0 / greatest(len(tokens), 1) AS mtl,
+         len(list_filter(tokens, tk -> tk IN ({_stop_list(textops.EN_STOP)})))
+           * 1.0 / greatest(len(tokens), 1) AS sr
+  FROM t
+),
+r AS (
+  SELECT doc_id, n_tokens, mtl, sr,
+         CASE WHEN n_tokens < 20 THEN 'too_short'
+              WHEN n_tokens > 10000 THEN 'too_long'
+              WHEN mtl < 3.0 OR mtl > 5.0 THEN 'word_len'
+              WHEN sr < 0.01 THEN 'low_stopword'
+              ELSE '' END AS reject_reason
+  FROM m
+)
+SELECT doc_id, n_tokens, round(mtl, 4) AS mean_token_len,
+       round(sr, 4) AS stopword_ratio,
+       reject_reason = '' AS keep, reject_reason
+FROM r
 """
 
     sql["doc_benchmark_decontamination"] = f"""

@@ -1358,7 +1358,8 @@ def _ccitt_encode(w: int, h: int, bilevel: bytes, mode: str = "g4") -> bytes:
     1 = black.  Modes: ``g4`` (T.6: every row 2-D, EOFB trailer),
     ``g3_1d`` (T.4: EOL before each row, 1-D modified-Huffman rows, RTC
     trailer), ``g3_2d`` (T.4 2-D: EOL + tag bit per row, a 1-D anchor
-    row every 4th, RTC of EOL+tag1)."""
+    row every 4th, RTC of EOL+tag1), ``mh`` (TIFF Compression 2 CCITT
+    RLE: 1-D rows, no EOLs, each row byte-aligned)."""
     from bisect import bisect_right
 
     from .extractors.ccitt import _BLACK_CODES, _WHITE_CODES
@@ -1456,6 +1457,10 @@ def _ccitt_encode(w: int, h: int, bilevel: bytes, mode: str = "g4") -> bytes:
         elif mode == "g3_1d":
             emit(*EOL)
             encode_1d(cur)
+        elif mode == "mh":  # Compression 2: no EOLs, byte-aligned rows
+            encode_1d(cur)
+            if nbits:
+                emit(0, 8 - nbits)
         else:  # g3_2d: tag bit after EOL, 1-D anchor every 4th row
             emit(*EOL)
             if y % 4 == 0:
@@ -1471,7 +1476,7 @@ def _ccitt_encode(w: int, h: int, bilevel: bytes, mode: str = "g4") -> bytes:
     elif mode == "g3_1d":
         for _ in range(6):  # RTC
             emit(*EOL)
-    else:
+    elif mode == "g3_2d":
         for _ in range(6):  # RTC with tag bits
             emit(*EOL)
             emit(1, 1)
@@ -1572,7 +1577,8 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
     for pw, ph, praster in pages:
         if fax:
             bilevel = bytes(1 if b < 128 else 0 for b in praster)
-            mode = "g4" if g4 else ("g3_2d" if g3 == "2d" else "g3_1d")
+            mode = ("g4" if g4 else
+                    {"2d": "g3_2d", "1d": "g3_1d", "mh": "mh"}[g3])
             strips = [_ccitt_encode(pw, ph, bilevel, mode)]
             rps = ph
         elif rgb:
@@ -1636,7 +1642,7 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
         struct.pack_into(e + "I", buf, ifd_ptr_pos, ifd_off)
         buf += b"".join(strips)
         n_entries = ((10 if tiled else 9) + (1 if predictor == 2 else 0)
-                     + (1 if g3 else 0))
+                     + (1 if g3 and g3 != "mh" else 0))
         ext = bytearray()
         ext_base = ifd_off + 2 + n_entries * 12 + 4
 
@@ -1663,8 +1669,8 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
             add(258, 3, 3, short3_field([8, 8, 8]))
         else:
             add(258, 3, 1, short(1 if fax else 8))
-        add(259, 3, 1, short(4 if g4 else (3 if g3 else
-                             (32773 if packbits else (5 if lzw else 1)))))
+        add(259, 3, 1, short(4 if g4 else (2 if g3 == "mh" else (3 if g3 else
+                             (32773 if packbits else (5 if lzw else 1))))))
         add(262, 3, 1, short(0 if fax else
                              (2 if rgb else (0 if white_is_zero else 1))))
         if not tiled:
@@ -1675,7 +1681,7 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
             add(279, 4, n,
                 long_(len(strips[0])) if n == 1
                 else arr_field([len(s) for s in strips]))
-        if g3:
+        if g3 and g3 != "mh":  # T4Options applies to Compression 3 only
             add(292, 4, 1, long_(1 if g3 == "2d" else 0))
         if predictor == 2:
             add(317, 3, 1, short(2))
@@ -1840,18 +1846,20 @@ def _gen_image(rng: random.Random) -> bytes:
         )
         w, h, raster = render_raster(text)
         fk = rng.random()
-        if fk < 0.5:
+        if fk < 0.45:
             return _tiff_gray(w, h, bytes(raster), g4=True)
         return _tiff_gray(w, h, bytes(raster),
-                          g3="2d" if fk < 0.75 else "1d")
+                          g3="2d" if fk < 0.65 else ("1d" if fk < 0.85
+                                                     else "mh"))
     if p < 0.78:
-        # CCITT RLE (Compression 2, MH without EOL framing): the
-        # remaining honest fax quarantine — G3/G4 decode since round 4
+        # G3 with the T4Options UNCOMPRESSED-mode bit: the remaining
+        # honest fax quarantine — RLE/G3/G4 all decode since round 4
         e = "<"
-        ifd = (struct.pack(e + "H", 3)
+        ifd = (struct.pack(e + "H", 4)
                + struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "HH", 64, 0)
                + struct.pack(e + "HHI", 257, 3, 1) + struct.pack(e + "HH", 64, 0)
-               + struct.pack(e + "HHI", 259, 3, 1) + struct.pack(e + "HH", 2, 0)
+               + struct.pack(e + "HHI", 259, 3, 1) + struct.pack(e + "HH", 3, 0)
+               + struct.pack(e + "HHI", 292, 4, 1) + struct.pack(e + "I", 2)
                + struct.pack(e + "I", 0))
         return b"II*\x00" + struct.pack(e + "I", 8) + ifd
     if p < 0.87:

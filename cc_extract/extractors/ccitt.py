@@ -303,6 +303,20 @@ def _consume_eol(bits: _Bits, optional: bool = False) -> bool:
     return True
 
 
+def mh_decode(data: bytes, w: int, h: int) -> bytearray:
+    """CCITT RLE (TIFF Compression 2): modified-Huffman 1-D rows with NO
+    EOL framing; per TIFF 6.0 each row begins on a byte boundary."""
+    if w <= 0 or h <= 0:
+        raise OcrError("mh: bad dimensions")
+    bits = _Bits(data)
+    out = bytearray()
+    for _row in range(h):
+        cur = _decode_1d_row(bits, w)
+        out += _render_row(cur, w)
+        bits.pos = (bits.pos + 7) & ~7  # next row is byte-aligned
+    return out
+
+
 def g3_decode(data: bytes, w: int, h: int, two_d: bool = False) -> bytearray:
     """CCITT Group 3 (T.4) decode: EOL-framed rows, 1-D modified-Huffman
     or (``two_d``, T4Options bit 0) mixed 1-D/2-D where a tag bit after

@@ -500,9 +500,14 @@ def _decode_progressive_gray(payload: bytes) -> tuple[int, int, bytearray]:
             vmax = max(c[2] for c in comps)
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
             mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            # only the luma plane (component 0 per JFIF) is rendered —
+            # chroma scans are either skipped wholesale or, in interleaved
+            # DC scans, bit-consumed for sync with no storage, so chroma
+            # grids stay None (3x less transient memory on color files)
             coef = [
-                [[[0] * 64 for _ in range(mcux * hs)] for _ in range(mcuy * vs)]
-                for (_cid, hs, vs, _tq) in comps
+                ([[[0] * 64 for _ in range(mcux * hs)]
+                  for _ in range(mcuy * vs)] if ci == 0 else None)
+                for ci, (_cid, hs, vs, _tq) in enumerate(comps)
             ]
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -606,14 +611,16 @@ def _decode_prog_scan(ecs, restarts, restart_interval, comps, coef, scomps,
                 preds = [0] * ns
             for si, by, bx in blocks:
                 ci = scomps[si][0]
-                cb = coef[ci][by][bx]
+                grid = coef[ci]
                 if ah == 0:  # first DC scan
                     size = br.huff(dc_tables[si])
                     preds[si] += _extend(br.receive(size), size) if size else 0
-                    cb[0] = preds[si] << al
+                    if grid is not None:
+                        grid[by][bx][0] = preds[si] << al
                 else:  # refinement: one correction bit
-                    if br.bit():
-                        cb[0] |= 1 << al
+                    bit = br.bit()
+                    if bit and grid is not None:
+                        grid[by][bx][0] |= 1 << al
         return
     # AC scan: single component per T.81 G.1.1.1.1
     if ns != 1:
@@ -621,6 +628,8 @@ def _decode_prog_scan(ecs, restarts, restart_interval, comps, coef, scomps,
     if se > 63 or ss > se:
         raise OcrError("jpeg: bad spectral range")
     ci, _td, ta = scomps[0]
+    if coef[ci] is None:  # non-luma AC scans never reach here
+        raise OcrError("jpeg: AC scan for unstored component")
     ac = huff.get((1, ta))
     if ac is None:
         raise OcrError("jpeg: missing AC huffman table")

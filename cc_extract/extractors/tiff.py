@@ -186,10 +186,10 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
     if not (0 < w < 1 << 20 and 0 < h < 1 << 20) or w * h > 1 << 26:
         raise OcrError("tiff: absurd dimensions")
     comp = one(_COMP, 1)
-    if comp not in (1, 3, 4, 5, 32773):
+    if comp not in (1, 2, 3, 4, 5, 32773):
         raise OcrError(
-            "tiff: only uncompressed (1), G3 (3), G4 (4), LZW (5) and "
-            "PackBits (32773) supported"
+            "tiff: only uncompressed (1), CCITT RLE (2), G3 (3), G4 (4), "
+            "LZW (5) and PackBits (32773) supported"
         )
     spp = one(_SAMPLES, 1)
     bits = tags.get(_BITS, [8])
@@ -201,8 +201,8 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
         if opts & 2:
             raise OcrError("tiff: G3 uncompressed mode unsupported")
         g3_2d = bool(opts & 1)
-    if comp in (3, 4):
-        # fax page: 1-bit MinIsWhite bilevel per the G3/G4 convention
+    if comp in (2, 3, 4):
+        # fax page: 1-bit MinIsWhite bilevel per the CCITT convention
         if spp != 1 or bits != [1] or photo != 0 or predictor != 1:
             raise OcrError("tiff: fax must be 1-bit single-sample MinIsWhite")
     else:
@@ -212,7 +212,7 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
             raise OcrError("tiff: unsupported photometric/samples combination")
         if predictor not in (1, 2):
             raise OcrError("tiff: only predictor 1/2 supported")
-    pxw = 1 if comp in (3, 4) else spp  # bytes per pixel after codec decode
+    pxw = 1 if comp in (2, 3, 4) else spp  # bytes per pixel after codec decode
     if _TILE_W in tags:
         # tiled layout (round 4): independently compressed tw x tl tiles
         # in row-major tile order, edge tiles padded to full size
@@ -243,6 +243,10 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
                     from .ccitt import g3_decode
 
                     tile = bytes(g3_decode(chunk, tw_, tl_, two_d=g3_2d))
+                elif comp == 2:
+                    from .ccitt import mh_decode
+
+                    tile = bytes(mh_decode(chunk, tw_, tl_))
                 elif comp == 5:
                     tile = _lzw_decode_tiff(chunk, tw_ * tl_ * spp)
                 elif comp == 32773:
@@ -280,6 +284,10 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
                 from .ccitt import g3_decode
 
                 strip = bytes(g3_decode(chunk, w, max(n_rows, 1), two_d=g3_2d))
+            elif comp == 2:
+                from .ccitt import mh_decode
+
+                strip = bytes(mh_decode(chunk, w, max(n_rows, 1)))
             elif comp == 5:
                 strip = _lzw_decode_tiff(chunk, max(n_rows, 1) * w * spp)
             elif comp == 32773:
@@ -291,7 +299,7 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
             raster += strip
     if len(raster) < w * h * pxw:
         raise OcrError("tiff: short pixel data")
-    if comp in (3, 4):
+    if comp in (2, 3, 4):
         return w, h, raster[: w * h], next_off
     raster = raster[: w * h * spp]
     if spp in (3, 4):  # RGB(A) -> BT.601 luminance, alpha ignored (vectorized)

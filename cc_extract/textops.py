@@ -683,6 +683,47 @@ def deterministic_sample(spark, sf_dir: str, rate_hex: str = "28f5c") -> DataFra
     )
 
 
+def corpus_filter(spark, sf_dir: str, min_tokens: int = 20,
+                  max_tokens: int = 10_000,
+                  mean_len_lo: float = 3.0, mean_len_hi: float = 5.0,
+                  min_stop_ratio: float = 0.01) -> DataFrame:
+    """C4/Gopher-style corpus filter DECISION: compose the cheap quality
+    heuristics into the auditable per-document keep/drop every
+    training-data pipeline actually ships — with the FIRST failing rule
+    named, so the drop set can be monitored per-reason (the C4 paper's
+    per-filter accounting).  Rules, in order: token-count band
+    (too_short/too_long), mean-token-length band (word_len — Gopher's
+    (3, 10) tightened to this corpus's observed spread), minimum
+    stopword ratio (low_stopword — the natural-language test).
+
+    100 TB plan shape: pure per-row projection over one scan — zero
+    shuffles, fully pushdown-friendly; the decision column is exactly
+    what a downstream anti-join or partition filter consumes."""
+    df = with_tokens(load_documents(spark, sf_dir))
+    n_tokens = F.size("tokens")
+    mean_tok_len = F.aggregate(
+        "tokens", F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tokens, F.lit(1))
+    stop_hits = F.size(F.filter("tokens", lambda t: t.isin(EN_STOP)))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    reason = (
+        F.when(n_tokens < min_tokens, "too_short")
+        .when(n_tokens > max_tokens, "too_long")
+        .when((mean_tok_len < mean_len_lo) | (mean_tok_len > mean_len_hi),
+              "word_len")
+        .when(stop_ratio < min_stop_ratio, "low_stopword")
+        .otherwise("")
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        (reason == "").alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
 def benchmark_decontamination(spark, sf_dir: str, bench_hex: str = "1",
                               ngram_n: int = 8) -> DataFrame:
     """Benchmark decontamination — the eval-set hygiene pass every serious

@@ -1564,15 +1564,17 @@ def test_tiff_tiled_and_truncated_g4_quarantined():
     from cc_extract.corpusgen import _tiff_gray
     from cc_extract.glyphs import render_raster
 
-    # CCITT RLE stub (Compression 2) -> honest quarantine (G3/G4 decode)
+    # G3 + T4Options uncompressed-mode bit -> honest quarantine
+    # (RLE/G3/G4 all decode since round 4)
     e = "<"
-    ifd = (_s.pack(e + "H", 3)
+    ifd = (_s.pack(e + "H", 4)
            + _s.pack(e + "HHI", 256, 3, 1) + _s.pack(e + "HH", 64, 0)
            + _s.pack(e + "HHI", 257, 3, 1) + _s.pack(e + "HH", 64, 0)
-           + _s.pack(e + "HHI", 259, 3, 1) + _s.pack(e + "HH", 2, 0)
+           + _s.pack(e + "HHI", 259, 3, 1) + _s.pack(e + "HH", 3, 0)
+           + _s.pack(e + "HHI", 292, 4, 1) + _s.pack(e + "I", 2)
            + _s.pack(e + "I", 0))
     res = extract_document(b"II*\x00" + _s.pack(e + "I", 8) + ifd,
-                           "https://x/fax_rle.tif")
+                           "https://x/fax_uncmp.tif")
     assert (res["fmt"], res["status"]) == ("image", "needs_ocr")
     # tiled dir missing its tile tables -> corrupt quarantine, no hang
     ifd = (_s.pack(e + "H", 4)
@@ -1755,3 +1757,26 @@ def test_image_decompression_bombs_quarantined():
          + b"\x02" + b"\x01\x00" + b"\x00\x3b")
     res = extract_document(g, "https://x/b.gif")
     assert res["status"] == "needs_ocr" and "too large" in res["error"]
+
+
+def test_ccitt_rle_round_trip():
+    """Round 4: TIFF Compression 2 (CCITT RLE) — 1-D modified-Huffman
+    rows, no EOL framing, every row byte-aligned."""
+    import random
+
+    from cc_extract.corpusgen import _ccitt_encode, _tiff_gray
+    from cc_extract.extractors.ccitt import mh_decode
+    from cc_extract.glyphs import render_raster, ocr_raster
+
+    rng = random.Random(21)
+    for trial in range(8):
+        w, h = rng.randint(1, 90), rng.randint(1, 12)
+        bi = bytes(rng.randint(0, 1) for _ in range(w * h))
+        want = bytes(255 if b == 0 else 0 for b in bi)
+        assert bytes(mh_decode(_ccitt_encode(w, h, bi, "mh"), w, h)) == want
+    text = "CCITT RLE COMPRESSION 2."
+    w, h, raster = render_raster(text)
+    res = extract_document(_tiff_gray(w, h, bytes(raster), g3="mh"),
+                           "https://x/fax.tif")
+    assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
+    assert res["text"] == text
