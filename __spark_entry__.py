@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_keep_decision": textops.dedup_keep_decision,
         "doc_benchmark_decontamination": textops.benchmark_decontamination,
         "doc_corpus_filter": textops.corpus_filter,
+        "doc_incremental_dedup": textops.incremental_dedup,
         "event_sessions": relops.event_sessions,
         # similarity search (embeddings table)
         "emb_knn_bruteforce": embedops.knn_bruteforce,
@@ -635,6 +636,49 @@ SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) AS sample_key,
        length(text) AS n_chars
 FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 5) < '28f5c'
+"""
+
+    sql["doc_incremental_dedup"] = f"""
+WITH {_sh_cte()},
+sig AS ({_minhash_select()}),
+bands AS ({_lsh_bands_sql()}),
+split AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS is_corpus
+  FROM documents
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_old
+  FROM bands n
+  JOIN split sn ON n.doc_id = sn.doc_id AND NOT sn.is_corpus
+  JOIN bands c ON n.band = c.band AND n.key = c.key
+  JOIN split sc ON c.doc_id = sc.doc_id AND sc.is_corpus
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT cand.doc_new, cand.doc_old, count(*) AS i
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_new
+  JOIN sh sb ON sb.doc_id = cand.doc_old AND sb.shingle = sa.shingle
+  GROUP BY cand.doc_new, cand.doc_old
+),
+j AS (
+  SELECT doc_new, doc_old,
+         round(i * 1.0 / (na.n_sh + nb.n_sh - i), 6) AS jac
+  FROM inter
+  JOIN sizes na ON na.doc_id = doc_new
+  JOIN sizes nb ON nb.doc_id = doc_old
+),
+m AS (
+  SELECT doc_new, min(doc_old) AS dup_of, max(jac) AS best_jaccard
+  FROM j WHERE jac >= 0.5 GROUP BY doc_new
+)
+SELECT d.doc_id, m.doc_new IS NOT NULL AS is_dup,
+       coalesce(m.dup_of, -1) AS dup_of,
+       coalesce(m.best_jaccard, 0.0) AS best_jaccard
+FROM documents d
+JOIN split s ON d.doc_id = s.doc_id AND NOT s.is_corpus
+LEFT JOIN m ON m.doc_new = d.doc_id
+ORDER BY d.doc_id
 """
 
     sql["doc_corpus_filter"] = f"""

@@ -871,6 +871,101 @@ def lsh_verified_near_dups(spark, sf_dir: str, threshold: float = 0.5) -> DataFr
     )
 
 
+def incremental_dedup(spark, sf_dir: str, threshold: float = 0.5,
+                      corpus_hex: str = "c") -> DataFrame:
+    """Incremental (cross-snapshot) dedup — the production shape for a
+    continuously ingested crawl: a NEW batch is deduplicated against the
+    EXISTING corpus's stored MinHash fingerprints without ever re-reading
+    corpus text.  The split is content-addressed (first md5 hex digit of
+    doc_id < *corpus_hex* ~ 75% = already-indexed corpus, the rest = the
+    arriving batch).
+
+    Per new-batch document: (is_dup, dup_of = smallest matching corpus
+    doc, best_jaccard), where a match is an LSH band collision verified
+    by exact Jaccard >= *threshold* — verification touches only
+    candidates, and the band join moves constant-size signature rows
+    (here both sides' signatures are derived in-query so DuckDB can
+    oracle the whole computation; at 10^12 docs the corpus side is a
+    one-column READ of the persisted signature index, which is the entire
+    point — new-batch ingest cost is O(batch), not O(corpus)).
+
+    No broadcast hints anywhere: the batch relation is usually the small
+    side and AQE broadcasts it by statistics; a dup-heavy batch degrades
+    to a partitioned hash join instead of an OOM."""
+    docs = load_documents(spark, sf_dir)
+    is_corpus = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        < F.lit(corpus_hex)
+    )
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("key"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key", is_corpus.alias("is_corpus"))
+    cand = (
+        bands.filter(~F.col("is_corpus")).alias("n")
+        .join(
+            bands.filter(F.col("is_corpus")).alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.key") == F.col("c.key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"),
+            F.col("c.doc_id").alias("doc_old"),
+        )
+        .distinct()
+    )
+    sh = shingles_df(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("sa")
+        .join(cand, F.col("sa.doc_id") == F.col("doc_new"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("doc_old"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_new", "doc_old")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_new")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_new")
+        .join(sizes.withColumnRenamed("doc_id", "doc_old")
+              .withColumnRenamed("n_sh", "n_b"), "doc_old")
+        .withColumn(
+            "jac",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+    matches = j.groupBy("doc_new").agg(
+        F.min("doc_old").alias("dup_of"),
+        F.max("jac").alias("best_jaccard"),
+    )
+    batch = docs.filter(~is_corpus).select("doc_id")
+    return (
+        batch.join(matches, batch.doc_id == matches.doc_new, "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias("dup_of"),
+            F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------- token entropy
 
 def token_entropy(spark, sf_dir: str) -> DataFrame:
