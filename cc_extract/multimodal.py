@@ -3,15 +3,18 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 What's REAL here (and tested): the Spark-side plumbing — schemas, the
 deterministic synthetic media generator, container-header metadata parsing
-(PNG IHDR, JPEG SOF, WAV fmt — pure byte arithmetic), batch shapes, and a
+(PNG IHDR, JPEG SOF, WAV fmt — pure byte arithmetic), batch shapes, a
 deterministic feature extractor (byte-histogram embedding) that stands in
-for a model forward pass.
+for a model forward pass, and — since round 4 — ACTUAL pixel decode:
+``decode_image`` dispatches to the repo's own from-scratch
+PNG/JPEG/TIFF/GIF decoders (the container ships no imaging libs, so the
+engine brings its own), and the media generator emits real decodable
+images alongside header-only stubs so the decoded and quarantined paths
+are both exercised.
 
-What's STUBBED (this container has no image/audio libs): pixel/sample
-decode.  ``decode_image`` raises ``NotImplementedError`` unless PIL is
-importable — the gate is the documented seam where a real decoder drops
-in; everything downstream consumes the deterministic fake features so the
-pipeline shape is fully exercised.
+Still stubbed: audio sample decode and video frame decode (no
+codec implementations for WAV-beyond-header/MP4) — ``frame_sample``
+models the row-expansion shape only.
 """
 
 from __future__ import annotations
@@ -50,7 +53,29 @@ def gen_media(i: int, seed: int = 42) -> dict:
     elif kind == "video":
         # minimal MP4-ish ftyp box; frame decode is out of scope
         payload = struct.pack(">I", 20) + b"ftypisom" + bytes(rng.randrange(256) for _ in range(64))
+    elif rng.random() < 0.5:
+        # REAL decodable image (round 4): a rendered raster through one
+        # of the repo's own writers — decode_image round-trips these
+        from .glyphs import render_raster
+
+        from . import corpusgen as cg
+
+        w, h, raster = render_raster(f"MEDIA {i} SAMPLE {rng.randint(0, 999)}")
+        pick = rng.random()
+        if pick < 0.3:
+            payload = cg._png_gray(w, h, bytes(raster))
+        elif pick < 0.5:
+            payload = cg._jpeg_gray(w, h, bytes(raster))
+        elif pick < 0.65:
+            payload = cg._jpeg_progressive(w, h, bytes(raster))
+        elif pick < 0.8:
+            payload = cg._tiff_gray(w, h, bytes(raster), lzw=True, predictor=2)
+        elif pick < 0.9:
+            payload = cg._tiff_gray(w, h, bytes(raster), g4=True)
+        else:
+            payload = cg._gif_gray(w, h, bytes(raster), color=True)
     elif rng.random() < 0.6:
+        # header-only stub: valid IHDR, noise body -> the quarantined path
         w, h = rng.randint(1, 4096), rng.randint(1, 4096)
         ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
         chunk = b"IHDR" + ihdr
@@ -105,6 +130,25 @@ def parse_media_meta(payload: bytes) -> dict:
                 pos += 2 + seglen
             else:
                 out.update(container="jpeg")
+        elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+            e = "<" if payload[:2] == b"II" else ">"
+            (ifd,) = struct.unpack_from(e + "I", payload, 4)
+            (n_tags,) = struct.unpack_from(e + "H", payload, ifd)
+            w = h = None
+            for t in range(n_tags):
+                tag, typ, _cnt, val = struct.unpack_from(
+                    e + "HHII", payload, ifd + 2 + t * 12)
+                if typ == 3:  # SHORT lives in the value field's first half
+                    val = (val & 0xFFFF) if e == "<" else (val >> 16)
+                if tag == 256:
+                    w = val
+                elif tag == 257:
+                    h = val
+            out.update(container="tiff", width=w, height=h,
+                       parse_ok=w is not None and h is not None)
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack_from("<HH", payload, 6)
+            out.update(container="gif", width=w, height=h, parse_ok=True)
         elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
             rate = struct.unpack("<I", payload[24:28])[0]
             out.update(container="wav", sample_rate=rate, parse_ok=True)
@@ -135,19 +179,104 @@ def media_metadata(df: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------- features
 
-def decode_image(payload: bytes):
-    """The REAL decode seam.  No imaging libs ship in this container, so
-    this is gated: plug in PIL (or a JNI decoder) in production."""
+def image_container(payload: bytes) -> str:
+    """Container tag by magic — shared by the Spark path and the oracle."""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if payload.startswith(b"\xff\xd8"):
+        return "jpeg"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    return "other"
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytearray]:
+    """REAL pixel decode (round 4, formerly the repo's one gated stub):
+    dispatches to the from-scratch PNG / JPEG (baseline + progressive +
+    restart) / TIFF (LZW, PackBits, fax, tiled, multi-page) / GIF
+    decoders under ``extractors/``.  Returns (width, height, grayscale
+    raster); raises ``OcrError`` for non-image or undecodable payloads —
+    callers count those, the same honest quarantine as the OCR route.
+    A production deployment could still swap in a JNI/PIL decoder here;
+    nothing downstream would notice."""
+    from .extractors.ocr import OcrError, decode_png_gray
+
+    tag = image_container(payload)
+    if tag == "png":
+        return decode_png_gray(payload)
+    if tag == "jpeg":
+        from .extractors.jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(payload)
+    if tag == "tiff":
+        from .extractors.tiff import decode_tiff_gray
+
+        return decode_tiff_gray(payload)
+    if tag == "gif":
+        from .extractors.gif import decode_gif_gray
+
+        return decode_gif_gray(payload)
+    raise OcrError("no image decoder for this container")
+
+
+def image_row_stats(payload: bytes) -> dict:
+    """Per-row decode outcome + raster statistics — the single normative
+    implementation both the Spark mapInPandas path and the single-process
+    oracle table call."""
+    out = {"container": image_container(payload), "dec_ok": False,
+           "dec_w": None, "dec_h": None, "dec_mean_luma": None,
+           "dec_ink_frac": None}
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "pixel decode requires an imaging library; this environment "
-            "ships none (SURVEY.md §0.3) — byte-level ops only"
-        ) from e
-    import io
-    from PIL import Image
-    return Image.open(io.BytesIO(payload))
+        w, h, raster = decode_image(payload)
+    except Exception:
+        return out
+    arr = np.frombuffer(bytes(raster), dtype=np.uint8)
+    out.update(
+        dec_ok=True, dec_w=w, dec_h=h,
+        dec_mean_luma=float(arr.mean()) if arr.size else 0.0,
+        dec_ink_frac=float((arr < 128).mean()) if arr.size else 0.0,
+    )
+    return out
+
+
+def image_decode_stats(df: DataFrame) -> DataFrame:
+    """Decode every image payload (Arrow-batched mapInPandas) and roll up
+    per container: decode rate + raster statistics over the decoded
+    subset.  The undecodable rows (header-only stubs, corrupt) are
+    counted, not hidden."""
+    def dec_batches(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "image":
+                    continue
+                s = image_row_stats(bytes(p))
+                rows.append({"media_id": mid, **s})
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "container", "dec_ok", "dec_w",
+                         "dec_h", "dec_mean_luma", "dec_ink_frac"],
+            )
+
+    per = df.mapInPandas(
+        dec_batches,
+        "media_id long, container string, dec_ok boolean, dec_w int, "
+        "dec_h int, dec_mean_luma double, dec_ink_frac double",
+    )
+    return (
+        per.groupBy("container")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("dec_ok").cast("long")).alias("n_decoded"),
+            F.round(F.avg(F.when(F.col("dec_ok"), F.col("dec_w"))), 4).alias("avg_width"),
+            F.round(F.avg(F.when(F.col("dec_ok"), F.col("dec_h"))), 4).alias("avg_height"),
+            F.round(F.avg(F.when(F.col("dec_ok"), F.col("dec_mean_luma"))), 4).alias("avg_mean_luma"),
+            F.round(F.avg(F.when(F.col("dec_ok"), F.col("dec_ink_frac"))), 4).alias("avg_ink_frac"),
+        )
+        .orderBy("container")
+    )
 
 
 def media_features(df: DataFrame) -> DataFrame:

@@ -84,10 +84,15 @@ def media_table(n: int = 400) -> str:
     import numpy as np
     import pyarrow as pa
 
-    from .multimodal import FEATURE_DIM, gen_media, parse_media_meta
+    from .multimodal import (FEATURE_DIM, gen_media, image_row_stats,
+                             parse_media_meta)
 
     rows = [gen_media(i) for i in range(n)]
     metas = [parse_media_meta(r["payload"]) for r in rows]
+    # decode columns for image rows (multimodal.image_row_stats is the
+    # single normative implementation used by both engines)
+    decs = [image_row_stats(r["payload"]) if r["kind"] == "image" else None
+            for r in rows]
     feats = []
     for r in rows:
         arr = np.frombuffer(r["payload"], dtype=np.uint8)
@@ -106,6 +111,18 @@ def media_table(n: int = 400) -> str:
         "n_bytes": pa.array([len(r["payload"]) for r in rows], pa.int64()),
         "parse_ok": pa.array([m["parse_ok"] for m in metas], pa.bool_()),
         "feature": pa.array(feats, pa.list_(pa.float64())),
+        "img_container": pa.array(
+            [d["container"] if d else None for d in decs], pa.string()),
+        "dec_ok": pa.array(
+            [d["dec_ok"] if d else None for d in decs], pa.bool_()),
+        "dec_w": pa.array(
+            [d["dec_w"] if d else None for d in decs], pa.int32()),
+        "dec_h": pa.array(
+            [d["dec_h"] if d else None for d in decs], pa.int32()),
+        "dec_mean_luma": pa.array(
+            [d["dec_mean_luma"] if d else None for d in decs], pa.float64()),
+        "dec_ink_frac": pa.array(
+            [d["dec_ink_frac"] if d else None for d in decs], pa.float64()),
     })
     path = os.path.join(_ORACLE_DIR, f"media_{n}.parquet")
     _atomic_write_table(table, path)

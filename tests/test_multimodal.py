@@ -45,9 +45,33 @@ def test_parse_garbage_never_raises():
     assert mm.parse_media_meta(b"RIFFxxxx")["parse_ok"] is False
 
 
-def test_decode_seam_is_gated():
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG\r\n\x1a\n")
+def test_decode_image_is_real():
+    """Round 4: the decode seam is no longer a stub — the repo's own
+    codecs decode PNG/JPEG(baseline+progressive)/TIFF(LZW/G4)/GIF image
+    payloads to rasters; undecodable payloads raise OcrError (counted as
+    quarantine, never hidden)."""
+    from cc_extract.corpusgen import (_gif_gray, _jpeg_gray,
+                                      _jpeg_progressive, _png_gray,
+                                      _tiff_gray)
+    from cc_extract.extractors.ocr import OcrError
+    from cc_extract.glyphs import render_raster
+
+    w, h, raster = render_raster("DECODE SEAM 42")
+    encoders = [
+        lambda: _png_gray(w, h, bytes(raster)),
+        lambda: _jpeg_gray(w, h, bytes(raster)),
+        lambda: _jpeg_progressive(w, h, bytes(raster)),
+        lambda: _tiff_gray(w, h, bytes(raster), lzw=True, predictor=2),
+        lambda: _tiff_gray(w, h, bytes(raster), g4=True),
+        lambda: _gif_gray(w, h, bytes(raster), color=True),
+    ]
+    for enc in encoders:
+        dw, dh, _r = mm.decode_image(enc())
+        assert (dw, dh) == (w, h)
+    with pytest.raises(OcrError):
+        mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"junk")
+    with pytest.raises(OcrError):
+        mm.decode_image(b"RIFF....WAVE")
 
 
 def test_media_pipeline_on_spark(spark):
