@@ -203,6 +203,26 @@ def _mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_decode_stats(df)
 
 
+def _mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL audio sample decode (round 4): RIFF/WAVE PCM 16-bit chunks
+    decoded in Arrow batches, rolled up per sample rate with duration and
+    RMS level — the screens an audio-pretraining pipeline runs."""
+    from cc_extract import multimodal as mm
+
+    df = mm.media_df(spark, 400, partitions=8)
+    return mm.audio_decode_stats(df)
+
+
+def _mm_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL video frame decode (round 4): animated-GIF clips decode
+    frame by frame (per-clip frame counts, luma, inter-frame delta);
+    MP4 stubs are counted undecodable — the one remaining honest stub."""
+    from cc_extract import multimodal as mm
+
+    df = mm.media_df(spark, 400, partitions=8)
+    return mm.video_decode_stats(df)
+
+
 def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing (mapInPandas row expansion): every
     10th frame of each media payload's deterministic pseudo frame count —
@@ -276,6 +296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_feature_norms": _mm_feature_norms,
         "mm_frame_sample": _mm_frame_sample,
         "mm_image_stats": _mm_image_stats,
+        "mm_audio_stats": _mm_audio_stats,
+        "mm_video_stats": _mm_video_stats,
     }
 
 
@@ -1150,9 +1172,29 @@ WHERE kind = 'image'
 GROUP BY img_container ORDER BY img_container
 """
 
+    sql["mm_audio_stats"] = f"""
+SELECT aud_rate, count(*) AS n_clips,
+       CAST(sum(CASE WHEN aud_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+       round(avg(aud_duration_s), 4) AS avg_duration_s,
+       round(avg(aud_rms), 4) AS avg_rms
+FROM read_parquet('{media}')
+WHERE kind = 'audio'
+GROUP BY aud_rate ORDER BY aud_rate
+"""
+
+    sql["mm_video_stats"] = f"""
+SELECT vid_ok, count(*) AS n_videos,
+       round(avg(vid_n_frames), 4) AS avg_n_frames,
+       round(avg(vid_avg_frame_luma), 4) AS avg_frame_luma,
+       round(avg(vid_mean_frame_delta), 4) AS avg_frame_delta
+FROM read_parquet('{media}')
+WHERE kind = 'video'
+GROUP BY vid_ok ORDER BY vid_ok
+"""
+
     sql["mm_frame_sample"] = f"""
 SELECT media_id,
-       CAST(unnest(range(0, greatest(1, n_bytes % 97), 10)) AS INT) AS frame_idx
+       CAST(unnest(range(0, coalesce(vid_n_frames, 0), 10)) AS INT) AS frame_idx
 FROM read_parquet('{media}')
 WHERE kind = 'video'
 """

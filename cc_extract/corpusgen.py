@@ -1751,36 +1751,55 @@ def _gif_lzw_encode(mcs: int, indices: bytes) -> bytes:
 
 
 def _gif_gray(w: int, h: int, raster: bytes, interlaced: bool = False,
-              color: bool = False, local_table: bool = False) -> bytes:
-    """Valid GIF87a: 4-entry color table (ink/bg; grayscale, or a real
-    color pair whose BT.601 luminances land on the right side of the OCR
-    threshold when ``color``), global or per-image local table, real LZW,
-    optionally interlaced (rows written in the 8/8/4/2 pass order)."""
-    idx = bytes(0 if b < 128 else 1 for b in raster)
-    if interlaced:
-        rows = [idx[r * w:(r + 1) * w] for r in range(h)]
-        order = [r for first, step in ((0, 8), (4, 8), (2, 4), (1, 2))
-                 for r in range(first, h, step)]
-        idx = b"".join(rows[r] for r in order)
+              color: bool = False, local_table: bool = False,
+              extra_frames: list[tuple[int, int, bytes]] | None = None) -> bytes:
+    """Valid GIF87a (or, with *extra_frames*, an ANIMATED GIF89a with the
+    NETSCAPE loop extension and a graphic-control block per frame — the
+    real video container the multimodal pipeline decodes): 4-entry color
+    table (ink/bg; grayscale, or a real color pair whose BT.601
+    luminances land on the right side of the OCR threshold when
+    ``color``), global or per-image local table, real LZW, optionally
+    interlaced (rows written in the 8/8/4/2 pass order)."""
+    def image_block(fw: int, fh: int, fraster: bytes) -> bytes:
+        idx = bytes(0 if b < 128 else 1 for b in fraster)
+        if interlaced:
+            rows = [idx[r * fw:(r + 1) * fw] for r in range(fh)]
+            order = [r for first, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                     for r in range(first, fh, step)]
+            idx = b"".join(rows[r] for r in order)
+        iflags = (0x40 if interlaced else 0) | (0x80 | 0x01 if local_table else 0)
+        desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, fw, fh, iflags)
+        if local_table:
+            desc += pal
+        mcs = 2
+        data = _gif_lzw_encode(mcs, idx)
+        blocks = b"".join(
+            bytes([min(255, len(data) - i)]) + data[i : i + 255]
+            for i in range(0, len(data), 255)
+        )
+        return desc + bytes([mcs]) + blocks + b"\x00"
+
     if color:
         # dark blue ink (luma 44) on warm white bg (luma 241)
         pal = bytes([20, 30, 180, 250, 245, 200, 0, 0, 0, 0, 0, 0])
     else:
         pal = bytes([0, 0, 0, 255, 255, 255, 0, 0, 0, 0, 0, 0])
+    frames = [(w, h, bytes(raster))] + list(extra_frames or [])
+    sw = max(f[0] for f in frames)
+    sh = max(f[1] for f in frames)
+    animated = len(frames) > 1
     gflags = 0x01 if local_table else (0x80 | 0x01)
-    header = b"GIF87a" + struct.pack("<HHBBB", w, h, gflags, 0, 0)
-    iflags = (0x40 if interlaced else 0) | (0x80 | 0x01 if local_table else 0)
-    imgdesc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
-    if local_table:
-        imgdesc += pal
-    mcs = 2
-    data = _gif_lzw_encode(mcs, idx)
-    blocks = b"".join(
-        bytes([min(255, len(data) - i)]) + data[i : i + 255]
-        for i in range(0, len(data), 255)
-    )
-    body = (pal if not local_table else b"") + imgdesc
-    return header + body + bytes([mcs]) + blocks + b"\x00\x3b"
+    header = (b"GIF89a" if animated else b"GIF87a") + struct.pack(
+        "<HHBBB", sw, sh, gflags, 0, 0)
+    body = bytearray(pal if not local_table else b"")
+    if animated:
+        body += (b"\x21\xff\x0bNETSCAPE2.0"
+                 + b"\x03\x01" + struct.pack("<H", 0) + b"\x00")  # loop forever
+    for fw, fh, fraster in frames:
+        if animated:  # graphic control: 4/100 s delay, no transparency
+            body += b"\x21\xf9\x04\x00" + struct.pack("<H", 4) + b"\x00\x00"
+        body += image_block(fw, fh, fraster)
+    return header + bytes(body) + b"\x3b"
 
 
 def _gen_image(rng: random.Random) -> bytes:

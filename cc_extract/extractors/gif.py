@@ -108,15 +108,58 @@ def _deinterlace(idx: bytearray, w: int, h: int) -> bytearray:
     return out
 
 
-def decode_gif_gray(payload: bytes) -> tuple[int, int, bytearray]:
-    """GIF decode to a grayscale raster: first image block, global or
-    local color table (collapsed to luminance), interlaced or sequential.
-    Returns (width, height, raster)."""
+def _decode_image_block(payload: bytes, pos: int,
+                        global_palette: list[int]) -> tuple[int, int, bytearray, int]:
+    """One image block starting at its descriptor body (*pos* just after
+    the 0x2C separator).  A local color table applies to THIS image only.
+    Returns (w, h, luminance raster, position after the block)."""
+    if pos + 9 > len(payload):
+        raise OcrError("gif: truncated image descriptor")
+    _left, _top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+    pos += 9
+    if w * h > 1 << 26:
+        raise OcrError("gif: raster too large")
+    palette = global_palette
+    if iflags & 0x80:  # local color table overrides for this image only
+        palette, pos = _read_palette(payload, pos, 2 << (iflags & 0x07))
+    interlaced = bool(iflags & 0x40)
+    if not palette:
+        raise OcrError("gif: no color table")
+    if pos >= len(payload):
+        raise OcrError("gif: truncated image block")
+    min_code_size = payload[pos]
+    pos += 1
+    if not (2 <= min_code_size <= 8):
+        raise OcrError("gif: bad LZW min code size")
+    sub = bytearray()
+    while pos < len(payload) and payload[pos] != 0:
+        ln = payload[pos]
+        sub += payload[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    pos += 1
+    if w == 0 or h == 0:
+        raise OcrError("gif: zero-sized image")
+    idx = _lzw_decode(min_code_size, bytes(sub), w * h)
+    if len(idx) < w * h:
+        raise OcrError("gif: short pixel data")
+    idx = idx[: w * h]
+    if interlaced:
+        idx = _deinterlace(idx, w, h)
+    if max(idx) >= len(palette):
+        raise OcrError("gif: palette index out of range")
+    # palette application as one C-speed table lookup
+    table = bytes(palette) + bytes(256 - len(palette))
+    return w, h, bytearray(bytes(idx).translate(table)), pos
+
+
+def _walk_blocks(payload: bytes):
+    """Yield (block position after the separator, global palette) for each
+    image block, handling header/palette/extension skipping."""
     if payload[:6] not in GIF_MAGICS:
         raise OcrError("not a GIF")
     if len(payload) < 13:
         raise OcrError("gif: truncated header")
-    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     palette: list[int] = []
     if flags & 0x80:
@@ -125,7 +168,7 @@ def decode_gif_gray(payload: bytes) -> tuple[int, int, bytearray]:
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
-            break
+            return
         if block == 0x21:  # extension: label + sub-blocks
             pos += 1
             while pos < len(payload) and payload[pos] != 0:
@@ -134,40 +177,68 @@ def decode_gif_gray(payload: bytes) -> tuple[int, int, bytearray]:
             continue
         if block != 0x2C:
             raise OcrError(f"gif: unexpected block 0x{block:02x}")
-        if pos + 9 > len(payload):
-            raise OcrError("gif: truncated image descriptor")
-        left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
-        pos += 9
-        if w * h > 1 << 26:
-            raise OcrError("gif: raster too large")
-        if iflags & 0x80:  # local color table overrides the global one
-            palette, pos = _read_palette(payload, pos, 2 << (iflags & 0x07))
-        interlaced = bool(iflags & 0x40)
-        if not palette:
-            raise OcrError("gif: no color table")
-        if pos >= len(payload):
-            raise OcrError("gif: truncated image block")
-        min_code_size = payload[pos]
-        pos += 1
-        if not (2 <= min_code_size <= 8):
-            raise OcrError("gif: bad LZW min code size")
-        sub = bytearray()
-        while pos < len(payload) and payload[pos] != 0:
-            ln = payload[pos]
-            sub += payload[pos + 1 : pos + 1 + ln]
-            pos += 1 + ln
-        pos += 1
-        if w == 0 or h == 0:
-            raise OcrError("gif: zero-sized image")
-        idx = _lzw_decode(min_code_size, bytes(sub), w * h)
-        if len(idx) < w * h:
-            raise OcrError("gif: short pixel data")
-        idx = idx[: w * h]
-        if interlaced:
-            idx = _deinterlace(idx, w, h)
-        if max(idx) >= len(palette):
-            raise OcrError("gif: palette index out of range")
-        # palette application as one C-speed table lookup
-        table = bytes(palette) + bytes(256 - len(palette))
-        return w, h, bytearray(bytes(idx).translate(table))
-    raise OcrError("gif: no image block")
+        pos = yield pos, palette
+
+
+def gif_frame_count(payload: bytes, max_frames: int = 4096) -> int:
+    """Number of image blocks WITHOUT LZW-decoding them (descriptor +
+    sub-block length walk only) — the cheap header-level frame counter a
+    frame sampler uses before deciding what to decode."""
+    n = 0
+    walker = _walk_blocks(payload)
+    try:
+        item = walker.send(None)
+        while True:
+            pos, _pal = item
+            if pos + 9 > len(payload):
+                raise OcrError("gif: truncated image descriptor")
+            _l, _t, _w, _h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            if iflags & 0x80:
+                pos += 3 * (2 << (iflags & 0x07))
+            pos += 1  # LZW min code size
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            n += 1
+            if n > max_frames:
+                raise OcrError("gif: too many frames")
+            item = walker.send(pos)
+    except StopIteration:
+        return n
+
+
+def decode_gif_frames(payload: bytes, max_frames: int = 64) -> list[tuple[int, int, bytearray]]:
+    """ALL image blocks (round 4 — animated GIF as the real video
+    container): each frame decoded standalone to its own luminance
+    raster.  Disposal/offsets are not composited — frame statistics, not
+    playback."""
+    frames: list[tuple[int, int, bytearray]] = []
+    walker = _walk_blocks(payload)
+    try:
+        item = walker.send(None)
+        while True:
+            pos, palette = item
+            w, h, raster, pos = _decode_image_block(payload, pos, palette)
+            frames.append((w, h, raster))
+            if len(frames) > max_frames:
+                raise OcrError("gif: too many frames")
+            item = walker.send(pos)
+    except StopIteration:
+        pass
+    if not frames:
+        raise OcrError("gif: no image block")
+    return frames
+
+
+def decode_gif_gray(payload: bytes) -> tuple[int, int, bytearray]:
+    """GIF decode to a grayscale raster: first image block, global or
+    local color table (collapsed to luminance), interlaced or sequential.
+    Returns (width, height, raster)."""
+    walker = _walk_blocks(payload)
+    try:
+        pos, palette = walker.send(None)
+    except StopIteration:
+        raise OcrError("gif: no image block") from None
+    w, h, raster, _pos = _decode_image_block(payload, pos, palette)
+    return w, h, raster

@@ -84,14 +84,19 @@ def media_table(n: int = 400) -> str:
     import numpy as np
     import pyarrow as pa
 
-    from .multimodal import (FEATURE_DIM, gen_media, image_row_stats,
-                             parse_media_meta)
+    from .multimodal import (FEATURE_DIM, audio_row_stats, gen_media,
+                             image_row_stats, parse_media_meta,
+                             video_row_stats)
 
     rows = [gen_media(i) for i in range(n)]
     metas = [parse_media_meta(r["payload"]) for r in rows]
     # decode columns for image rows (multimodal.image_row_stats is the
     # single normative implementation used by both engines)
     decs = [image_row_stats(r["payload"]) if r["kind"] == "image" else None
+            for r in rows]
+    auds = [audio_row_stats(r["payload"]) if r["kind"] == "audio" else None
+            for r in rows]
+    vids = [video_row_stats(r["payload"]) if r["kind"] == "video" else None
             for r in rows]
     feats = []
     for r in rows:
@@ -123,6 +128,24 @@ def media_table(n: int = 400) -> str:
             [d["dec_mean_luma"] if d else None for d in decs], pa.float64()),
         "dec_ink_frac": pa.array(
             [d["dec_ink_frac"] if d else None for d in decs], pa.float64()),
+        "aud_ok": pa.array(
+            [a["aud_ok"] if a else None for a in auds], pa.bool_()),
+        "aud_rate": pa.array(
+            [a["aud_rate"] if a else None for a in auds], pa.int32()),
+        "aud_n_samples": pa.array(
+            [a["aud_n_samples"] if a else None for a in auds], pa.int32()),
+        "aud_duration_s": pa.array(
+            [a["aud_duration_s"] if a else None for a in auds], pa.float64()),
+        "aud_rms": pa.array(
+            [a["aud_rms"] if a else None for a in auds], pa.float64()),
+        "vid_ok": pa.array(
+            [v["vid_ok"] if v else None for v in vids], pa.bool_()),
+        "vid_n_frames": pa.array(
+            [v["vid_n_frames"] if v else None for v in vids], pa.int32()),
+        "vid_avg_frame_luma": pa.array(
+            [v["vid_avg_frame_luma"] if v else None for v in vids], pa.float64()),
+        "vid_mean_frame_delta": pa.array(
+            [v["vid_mean_frame_delta"] if v else None for v in vids], pa.float64()),
     })
     path = os.path.join(_ORACLE_DIR, f"media_{n}.parquet")
     _atomic_write_table(table, path)
