@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": relops.q5_local_supplier_volume,
         "q6_forecast_revenue": relops.q6_forecast_revenue,
         "q18_large_volume_customers": relops.q18_large_volume_customers,
+        "q4_order_priority": relops.q4_order_priority,
+        "parts_never_shipped": relops.parts_never_shipped,
         "top_orders": relops.top_orders,
         "latest_event_per_user": relops.latest_event_per_user,
         "daily_event_stats": relops.daily_event_stats,
@@ -413,6 +415,24 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
 ORDER BY revenue DESC
+"""
+
+    sql["q4_order_priority"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount >= 0.06)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+    sql["parts_never_shipped"] = """
+SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey
+                    AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01')
+GROUP BY p_brand ORDER BY p_brand
 """
 
     sql["q6_forecast_revenue"] = """

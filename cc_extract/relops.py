@@ -280,6 +280,55 @@ def q18_large_volume_customers(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- semi / anti joins (R18)
+
+def q4_order_priority(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS as an explicit LEFT SEMI join: orders in a
+    quarter having at least one heavily discounted lineitem, counted per
+    priority.  The semi-join never materializes lineitem columns (probe
+    side is keys only) and both filters push to their scans; at scale the
+    discounted-lineitem key set shuffles by orderkey, the standard
+    semi-join plan."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    discounted = li.filter(F.col("l_discount") >= 0.06).select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01"))
+        )
+        .join(discounted, orders.o_orderkey == discounted.l_orderkey,
+              "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def parts_never_shipped(spark, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as an explicit LEFT ANTI join (the Q16-family shape):
+    parts with no lineitem in a ship-date window, counted per brand —
+    the dead-inventory report.  Anti-join is the dedup/retention
+    workhorse at 100 TB (resume pruning, tombstone filtering); here it
+    is a first-class oracled operator rather than only the resume path's
+    internal step."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    shipped = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_partkey")
+    return (
+        part.join(shipped, part.p_partkey == shipped.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 # ----------------------------------------------------------- sessionization
 
 def event_sessions(spark, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
