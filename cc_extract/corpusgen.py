@@ -60,6 +60,7 @@ PDF_HUGE_FRACTION = 0.01     # pdfs >= 1 MiB (skew head)
 PDF_XREF_STREAM_FRACTION = 0.2  # PDF 1.5+ layout: ObjStm + XRef stream
 PDF_UNICODE_FRACTION = 0.12  # Identity-H composite font + ToUnicode CMap
 PDF_DIFF_FRACTION = 0.12     # simple font with /Encoding /Differences
+PDF_ENCRYPT_FRACTION = 0.10  # RC4 standard security handler, empty user pw
 
 # the /Differences remap exercised by the corpus: the accented chars the
 # word list carries, re-coded to 0x80.. and named via AGL glyph names
@@ -126,6 +127,30 @@ def _gen_html(rng: random.Random) -> bytes:
 
 def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+_PDF_PW_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])  # standard security handler padding (ISO 32000-1, public constant)
+
+
+def _rc4_cg(key: bytes, data: bytes) -> bytes:
+    """Writer-side RC4 (independent of the extractor's copy)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
 
 
 def _gen_pdf_content_stream(rng: random.Random, n_lines: int,
@@ -430,6 +455,40 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
     if xref_stream:
         return _serialize_pdf_xref_stream(objs, catalog_id)
 
+    # RC4 standard security handler (V1/R2, 40-bit, empty passwords) on a
+    # slice of classic-layout PDFs — the "restrictions-only" encryption a
+    # real crawl constantly hits.  /O, /U per Algorithms 3/4; every
+    # object's stream RC4'd with its per-object key (Algorithm 1).
+    encrypted = rng.random() < PDF_ENCRYPT_FRACTION
+    trailer_extra = ""
+    if encrypted:
+        import hashlib
+
+        id0 = bytes(rng.randrange(256) for _ in range(16))
+        perms = -44  # typical restrictions mask, any int is honored
+        o_val = _rc4_cg(hashlib.md5(_PDF_PW_PAD).digest()[:5], _PDF_PW_PAD)
+        key = hashlib.md5(
+            _PDF_PW_PAD + o_val + struct.pack("<i", perms) + id0
+        ).digest()[:5]
+        u_val = _rc4_cg(key, _PDF_PW_PAD)
+        for num in range(1, len(objs) + 1):
+            body = objs[num - 1]
+            si = body.find(b"\nstream\n")
+            if si == -1:
+                continue
+            send = body.rfind(b"\nendstream")
+            stream = body[si + 8 : send]
+            objkey = hashlib.md5(
+                key + struct.pack("<I", num)[:3] + b"\x00\x00"
+            ).digest()[:10]
+            objs[num - 1] = (body[:si + 8] + _rc4_cg(objkey, stream)
+                             + body[send:])
+        enc_id = add(
+            ("<< /Filter /Standard /V 1 /R 2 /P {} /O <{}> /U <{}> >>"
+             .format(perms, o_val.hex(), u_val.hex())).encode()
+        )
+        trailer_extra = f" /Encrypt {enc_id} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
+
     buf = io.BytesIO()
     buf.write(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
@@ -442,7 +501,7 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
     for off in offsets[1:]:
         buf.write(f"{off:010d} 00000 n \n".encode())
     buf.write(
-        f"trailer\n<< /Size {len(objs)+1} /Root {catalog_id} 0 R >>\n"
+        f"trailer\n<< /Size {len(objs)+1} /Root {catalog_id} 0 R{trailer_extra} >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n".encode()
     )
     return buf.getvalue()

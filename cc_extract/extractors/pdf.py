@@ -229,6 +229,107 @@ def _expand_object_streams(objects: dict[int, tuple[dict, bytes | None]]) -> Non
             objects.setdefault(onum, (val if isinstance(val, dict) else {}, None))
 
 
+# ------------------------------------------- standard security handler
+
+# the 32-byte padding string of the PDF standard security handler
+# (ISO 32000-1 7.6.3.3, public constant)
+_PW_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (KSA + PRGA) — ~30 lines of public algorithm, used only
+    for the PDF standard security handler."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _str_bytes(v) -> bytes | None:
+    if isinstance(v, tuple) and len(v) == 2 and v[0] == "str":
+        return v[1].encode("latin-1")
+    return None
+
+
+def _decrypt_objects(data: bytes, objects) -> None:
+    """RC4 standard security handler (V1/V2, R2/R3) with the EMPTY user
+    password — the overwhelmingly common "encrypted" PDF in a web crawl
+    (restrictions-only).  Derives the file key (Algorithm 2), verifies it
+    against /U (Algorithms 4/5), and RC4-decrypts every object stream
+    with its per-object key (Algorithm 1).  Real passwords, AES (V4+) and
+    crypt filters raise — the dispatcher turns that into the honest
+    error row."""
+    import hashlib
+    import struct as _s
+
+    m = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data)
+    if not m:
+        return
+    enc_num = int(m.group(1))
+    entry = objects.get(enc_num)
+    if entry is None:
+        raise _PdfError("encrypted: /Encrypt dict not found")
+    ed = entry[0]
+    if ed.get("Filter") != "Standard":
+        raise _PdfError("encrypted: unsupported security handler")
+    v = ed.get("V", 0)
+    r = ed.get("R", 2)
+    if v not in (1, 2) or r not in (2, 3):
+        raise _PdfError(f"encrypted: unsupported V={v} R={r} (AES?)")
+    o = _str_bytes(ed.get("O"))
+    u = _str_bytes(ed.get("U"))
+    p = ed.get("P")
+    if o is None or u is None or not isinstance(p, int):
+        raise _PdfError("encrypted: malformed /Encrypt dict")
+    n = (ed.get("Length", 40) // 8) if r == 3 else 5
+    if not (5 <= n <= 16):
+        raise _PdfError("encrypted: bad key length")
+    idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
+    id0 = b""
+    if idm:
+        id0 = bytes.fromhex(re.sub(rb"\s", b"", idm.group(1)).decode("ascii"))
+    # Algorithm 2 with the empty user password
+    h = hashlib.md5(_PW_PAD + o[:32] + _s.pack("<i", p) + id0)
+    if r == 3:
+        digest = h.digest()
+        for _ in range(50):
+            digest = hashlib.md5(digest[:n]).digest()
+        key = digest[:n]
+    else:
+        key = h.digest()[:5]
+    # verify the empty user password against /U
+    if r == 2:
+        ok = _rc4(key, _PW_PAD) == u[:32]
+    else:
+        x = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = x == u[:16]
+    if not ok:
+        raise _PdfError("encrypted: non-empty user password required")
+    for num, (od, stream) in list(objects.items()):
+        if stream is None or num == enc_num or od.get("Type") == "XRef":
+            continue  # xref streams are never encrypted
+        objkey = hashlib.md5(
+            key + _s.pack("<I", num)[:3] + b"\x00\x00"
+        ).digest()[: min(n + 5, 16)]
+        objects[num] = (od, _rc4(objkey, stream))
+
+
 def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
     """Map obj number -> (dict, stream_bytes|None) by brute scan, then
     expand PDF 1.5+ object streams so compressed catalogs/page trees
@@ -283,7 +384,8 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
                 continue
             stream = data[sstart:send].rstrip(b"\r\n")
         objects[num] = (obj_dict, stream)
-    _expand_object_streams(objects)
+    _decrypt_objects(data, objects)  # before ObjStm expansion: those
+    _expand_object_streams(objects)  # streams are themselves encrypted
     return objects
 
 

@@ -1780,3 +1780,37 @@ def test_ccitt_rle_round_trip():
                            "https://x/fax.tif")
     assert (res["fmt"], res["status"]) == ("image", "ok_ocr")
     assert res["text"] == text
+
+
+def test_pdf_rc4_encrypted_extracts():
+    """Restrictions-only encrypted PDFs (RC4 standard security handler,
+    empty user password — the common crawl case) decrypt and extract;
+    a wrong /U (real password) and AES (V4) refuse honestly."""
+    import random
+    import re as _re
+
+    from cc_extract.corpusgen import _gen_pdf
+
+    rng = random.Random(77)
+    seen = 0
+    for _ in range(400):
+        p = _gen_pdf(rng)
+        if b"/Encrypt" not in p:
+            continue
+        seen += 1
+        res = extract_document(p, "https://x/enc.pdf")
+        assert res["status"] in ("ok", "ok_ocr", "needs_ocr"), res
+        if res["status"] == "ok":
+            assert len(res["text"]) > 10
+        if seen == 1:
+            # corrupt /U -> the empty-password check must fail -> error
+            bad = _re.sub(rb"/U <([0-9a-f]{8})", rb"/U <deadbeef", p, count=1)
+            assert bad != p
+            res2 = extract_document(bad, "https://x/enc.pdf")
+            assert res2["status"] == "error"
+            assert "password" in res2["error"]
+            # AES (V4) declared -> honest unsupported error
+            aes = p.replace(b"/V 1 /R 2", b"/V 4 /R 4", 1)
+            res3 = extract_document(aes, "https://x/enc.pdf")
+            assert res3["status"] == "error"
+    assert seen >= 10, f"only {seen} encrypted PDFs generated"
