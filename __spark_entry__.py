@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": relops.q6_forecast_revenue,
         "q18_large_volume_customers": relops.q18_large_volume_customers,
         "q4_order_priority": relops.q4_order_priority,
+        "q10_returned_items": relops.q10_returned_items,
         "parts_never_shipped": relops.parts_never_shipped,
         "top_orders": relops.top_orders,
         "latest_event_per_user": relops.latest_event_per_user,
@@ -415,6 +416,19 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
 ORDER BY revenue DESC
+"""
+
+    sql["q10_returned_items"] = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
 """
 
     sql["q4_order_priority"] = """

@@ -280,6 +280,35 @@ def q18_large_volume_customers(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- TPC-H Q10
+
+def q10_returned_items(spark, sf_dir: str, top_k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in a
+    quarter — a 4-relation join (lineitem filter -> orders date window ->
+    customer -> nation dim) with a top-k.  Plan: both filters push to
+    their scans; nation (25 rows) broadcasts by hint as a true dimension,
+    the customer join is left to AQE per the repo policy for scaling
+    relations; the final top-k is TakeOrderedAndProject, never a global
+    sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(top_k)
+    )
+
+
 # -------------------------------------------------- semi / anti joins (R18)
 
 def q4_order_priority(spark, sf_dir: str) -> DataFrame:
