@@ -819,13 +819,18 @@ ORDER BY doc_a, doc_b
 """
 
     simhash_sums = ", ".join(
-        f"sum(CASE WHEN (strpos('0123456789abcdef', substr(h, {b+1}, 1)) - 1) % 2 = 1 "
-        f"THEN 1 ELSE -1 END) AS s{b}"
+        f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1) "
+        f"& {1 << (b % 4)}) != 0 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(textops.SIMHASH_BITS)
     )
-    simhash_pack = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)"
-        for b in range(textops.SIMHASH_BITS)
+    # bit 63 is the sign bit: added as the two's-complement constant so the
+    # BIGINT pack matches Spark's long exactly
+    simhash_pack = (
+        "(CASE WHEN s63 > 0 THEN -9223372036854775808 ELSE 0 END) + "
+        + " + ".join(
+            f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)"
+            for b in range(textops.SIMHASH_BITS - 1)
+        )
     )
     sql["doc_lsh_verified_near_dups"] = f"""
 WITH {_sh_cte()},
