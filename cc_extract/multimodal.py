@@ -462,6 +462,8 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     stubs) emit no rows; at every_n=1 each emitted frame_idx is an
     actually decodable frame."""
     def frames(batches):
+        from .extractors.gif import gif_frame_count
+
         for pdf in batches:
             out_ids, out_idx = [], []
             for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
@@ -471,8 +473,6 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
                 if b[:6] not in (b"GIF87a", b"GIF89a"):
                     continue
                 try:
-                    from .extractors.gif import gif_frame_count
-
                     n_frames = gif_frame_count(b)
                 except Exception:
                     continue
