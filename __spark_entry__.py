@@ -133,6 +133,28 @@ def _cc_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain extraction accounting over the deduped pipeline output:
+    doc counts, ok/error splits and extracted-text volume keyed by the
+    url's host — the table a crawl pipeline feeds domain-level filtering
+    (blocklists, quality priors, robots audits).  Pure projection +
+    one partial-aggregable groupBy on ~O(domains) keys; the regexp stays
+    Java-and-RE2-compatible so both engines extract identical hosts."""
+    _, res = _cc_corpus_and_extracted(spark)
+    domain = F.regexp_extract("url", r"^https://([^/]+)", 1)
+    return (
+        res.select(domain.alias("domain"), "status", "text_out")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+            F.sum((F.col("status") == "error").cast("long")).alias("n_error"),
+            F.sum(F.length("text_out")).alias("total_chars"),
+        )
+        .orderBy("domain")
+    )
+
+
 def _cc_ocr_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXECUTED OCR route (X14): per-url recognized text hashes for
     documents that went through OCR-lite (scanned PNGs + scanned-style
@@ -216,18 +238,32 @@ def _mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mm_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACTUAL video frame decode (round 4): animated-GIF clips decode
     frame by frame (per-clip frame counts, luma, inter-frame delta);
-    MP4 stubs are counted undecodable — the one remaining honest stub."""
+    MP4 clips count as pixel-undecodable here (H.264 entropy decode is
+    out of scope) — their container structure is covered by
+    mm_mp4_stats instead."""
     from cc_extract import multimodal as mm
 
     df = mm.media_df(spark, 400, partitions=8)
     return mm.video_decode_stats(df)
 
 
+def _mm_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 container structure (round 4, continued): real ISO BMFF box
+    walk — brand/codec clip counts, parse rate, mean duration / frame
+    count / dims from mvhd + the video track's stsd/stsz tables.
+    Truncated ftyp-only stubs land in the NULL-codec bucket.  Ref:
+    multimodal.parse_mp4_meta."""
+    from cc_extract import multimodal as mm
+
+    df = mm.media_df(spark, 400, partitions=8)
+    return mm.mp4_structure_stats(df)
+
+
 def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing (mapInPandas row expansion): every
-    10th frame of each media payload's deterministic pseudo frame count —
-    the schema/batch shape of a real frame sampler with decode behind the
-    documented seam."""
+    10th frame of each clip's REAL container frame count — GIF image
+    blocks walked without LZW decode, MP4 stsz sample count — the cheap
+    structural pass a sampler runs before shipping work to a decoder."""
     from cc_extract import multimodal as mm
 
     df = mm.media_df(spark, 400, partitions=8)
@@ -276,6 +312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_keep_decision": textops.dedup_keep_decision,
         "doc_benchmark_decontamination": textops.benchmark_decontamination,
         "doc_corpus_filter": textops.corpus_filter,
+        "doc_segment_boilerplate": textops.segment_boilerplate,
+        "doc_token_budget_selection": textops.token_budget_selection,
+        "doc_source_mixture": textops.source_mixture_weights,
         "doc_incremental_dedup": textops.incremental_dedup,
         "event_sessions": relops.event_sessions,
         # similarity search (embeddings table)
@@ -294,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_dedup_effect": _cc_dedup_effect,
         "cc_ocr_text": _cc_ocr_text,
         "cc_pii_stats": _cc_pii_stats,
+        "cc_domain_stats": _cc_domain_stats,
         # multimodal plumbing (oracled; parsing unit-tested)
         "mm_metadata_stats": _mm_metadata_stats,
         "mm_feature_norms": _mm_feature_norms,
@@ -301,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_stats": _mm_image_stats,
         "mm_audio_stats": _mm_audio_stats,
         "mm_video_stats": _mm_video_stats,
+        "mm_mp4_stats": _mm_mp4_stats,
     }
 
 
@@ -751,6 +792,71 @@ LEFT JOIN m ON m.doc_new = d.doc_id
 ORDER BY d.doc_id
 """
 
+    _EN_STOP_SQL = "['the','and','of','to','a','in','is','it','that','for']"
+    sql["doc_token_budget_selection"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+scored AS (
+  SELECT doc_id,
+         CAST(len(tokens) AS BIGINT) AS n_tokens,
+         round(len(list_intersect(list_distinct(tokens), {_EN_STOP_SQL})) * 1.0
+               / greatest(len(list_distinct(tokens)), 1), 6) AS quality
+  FROM t
+),
+ranked AS (
+  SELECT *, CAST(sum(n_tokens) OVER (
+      ORDER BY quality DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, n_tokens, quality, cum_tokens,
+       cum_tokens <= 20000 AS selected
+FROM ranked ORDER BY doc_id
+"""
+
+    sql["doc_source_mixture"] = f"""
+WITH t AS (SELECT source, CAST(len({_TOKENS}) AS BIGINT) AS n FROM documents),
+per_src AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+  FROM t GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         count(*) AS n_sources
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens * 1.0 / total_tokens, 6) AS actual_share,
+       round(1.0 / n_sources, 6) AS target_share,
+       round((total_tokens * 1.0 / n_sources) / n_tokens, 6) AS sample_weight
+FROM per_src, tot ORDER BY source
+"""
+
+    sql["doc_segment_boilerplate"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+  WHERE len({_TOKENS}) > 0
+),
+segs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, CAST(ceil(len(t) / 10.0) AS INT)),
+           i -> md5(array_to_string(t[i*10+1 : i*10+10], ' ')))) AS segs
+  FROM toks
+),
+pairs AS (SELECT doc_id, unnest(segs) AS seg FROM segs),
+common AS (SELECT seg FROM pairs GROUP BY seg HAVING count(*) >= 2),
+counts AS (
+  SELECT doc_id, count(*) AS n_common FROM pairs
+  WHERE seg IN (SELECT seg FROM common) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.segs) AS BIGINT) AS n_distinct_segs,
+       CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common_segs,
+       round(coalesce(c.n_common, 0) * 1.0 / len(s.segs), 6) AS boiler_frac
+FROM segs s LEFT JOIN counts c USING (doc_id) ORDER BY s.doc_id
+"""
+
     sql["doc_corpus_filter"] = f"""
 WITH t AS (
   SELECT doc_id, {_TOKENS} AS tokens FROM documents
@@ -1164,6 +1270,16 @@ SELECT url, fmt, text_sha256
 FROM d WHERE status = 'ok_ocr' ORDER BY url
 """
 
+    sql["cc_domain_stats"] = f"""
+WITH {dedup_cte}
+SELECT regexp_extract(url, '^https://([^/]+)', 1) AS domain,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(length(text_out)) AS BIGINT) AS total_chars
+FROM d GROUP BY domain ORDER BY domain
+"""
+
     sql["cc_pii_stats"] = f"""
 WITH {dedup_cte},
 p AS (
@@ -1231,9 +1347,21 @@ WHERE kind = 'video'
 GROUP BY vid_ok ORDER BY vid_ok
 """
 
+    sql["mm_mp4_stats"] = f"""
+SELECT mp4_brand, mp4_codec, count(*) AS n_clips,
+       CAST(sum(CASE WHEN mp4_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+       round(avg(mp4_duration_s), 4) AS avg_duration_s,
+       round(avg(mp4_n_frames), 4) AS avg_n_frames,
+       round(avg(mp4_w), 4) AS avg_width,
+       round(avg(mp4_n_tracks), 4) AS avg_n_tracks
+FROM read_parquet('{media}')
+WHERE kind = 'video' AND mp4_ok IS NOT NULL
+GROUP BY mp4_brand, mp4_codec ORDER BY mp4_brand, mp4_codec
+"""
+
     sql["mm_frame_sample"] = f"""
 SELECT media_id,
-       CAST(unnest(range(0, coalesce(vid_n_frames, 0), 10)) AS INT) AS frame_idx
+       CAST(unnest(range(0, coalesce(vid_n_frames, mp4_n_frames, 0), 10)) AS INT) AS frame_idx
 FROM read_parquet('{media}')
 WHERE kind = 'video'
 """

@@ -60,7 +60,10 @@ PDF_HUGE_FRACTION = 0.01     # pdfs >= 1 MiB (skew head)
 PDF_XREF_STREAM_FRACTION = 0.2  # PDF 1.5+ layout: ObjStm + XRef stream
 PDF_UNICODE_FRACTION = 0.12  # Identity-H composite font + ToUnicode CMap
 PDF_DIFF_FRACTION = 0.12     # simple font with /Encoding /Differences
-PDF_ENCRYPT_FRACTION = 0.10  # RC4 standard security handler, empty user pw
+PDF_ENCRYPT_FRACTION = 0.06  # standard security handler, empty user pw
+# (real-crawl incidence of restrictions-only encryption is low single
+# digits; 6% keeps ~100 encrypted PDFs in the 20k golden across all
+# three handler generations without the R6 KDF dominating wall time)
 
 # the /Differences remap exercised by the corpus: the accented chars the
 # word list carries, re-coded to 0x80.. and named via AGL glyph names
@@ -151,6 +154,53 @@ def _rc4_cg(key: bytes, data: bytes) -> bytes:
         s[i], s[j] = s[j], s[i]
         out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
     return bytes(out)
+
+
+def _hash_2b_cg(pwd: bytes, salt: bytes, udata: bytes) -> bytes:
+    """Writer-side transcription of ISO 32000-2 Algorithm 2.B (the R6
+    password hash), independent of the extractor's copy — they share only
+    the FIPS-vector-pinned AES primitive, so a transcription slip on
+    either side fails the round trip instead of hiding."""
+    import hashlib
+
+    from .extractors import aes as _aes
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    rnd = 0
+    while True:
+        block = (pwd + k + udata) * 64
+        e = _aes.cbc_encrypt(k[:16], k[16:32], block)
+        digest = {0: hashlib.sha256, 1: hashlib.sha384,
+                  2: hashlib.sha512}[sum(e[:16]) % 3]
+        k = digest(e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _encrypt_obj_streams(objs: list, enc_fn) -> None:
+    """Re-encrypt every stream body in the object list in place; AES
+    grows streams (IV + PKCS#7), so the dict's /Length is rewritten when
+    the transform changes the byte count."""
+    import re as _re
+
+    for num in range(1, len(objs) + 1):
+        body = objs[num - 1]
+        si = body.find(b"\nstream\n")
+        if si == -1:
+            continue
+        send = body.rfind(b"\nendstream")
+        stream = body[si + 8: send]
+        new = enc_fn(num, stream)
+        head = body[:si]
+        if len(new) != len(stream):
+            ref = _re.search(rb"/Length (\d+) 0 R", head)
+            if ref:  # indirect length: the integer object carries it
+                objs[int(ref.group(1)) - 1] = b"%d" % len(new)
+            else:
+                head = _re.sub(rb"/Length \d+", b"/Length %d" % len(new),
+                               head, count=1)
+        objs[num - 1] = head + b"\nstream\n" + new + b"\nendstream"
 
 
 def _gen_pdf_content_stream(rng: random.Random, n_lines: int,
@@ -455,39 +505,119 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
     if xref_stream:
         return _serialize_pdf_xref_stream(objs, catalog_id)
 
-    # RC4 standard security handler (V1/R2, 40-bit, empty passwords) on a
-    # slice of classic-layout PDFs — the "restrictions-only" encryption a
-    # real crawl constantly hits.  /O, /U per Algorithms 3/4; every
-    # object's stream RC4'd with its per-object key (Algorithm 1).
+    # Standard security handler (empty passwords) on a slice of
+    # classic-layout PDFs — the "restrictions-only" encryption a real
+    # crawl constantly hits, across all three generations: RC4 V1/R2
+    # (Algorithms 1/2/3/4), AES-128 crypt filters V4/R4 (/AESV2), and
+    # AES-256 V5/R6 (/AESV3 with the Algorithm-2.B hash + /Perms block).
     encrypted = rng.random() < PDF_ENCRYPT_FRACTION
     trailer_extra = ""
     if encrypted:
         import hashlib
 
-        id0 = bytes(rng.randrange(256) for _ in range(16))
-        perms = -44  # typical restrictions mask, any int is honored
-        o_val = _rc4_cg(hashlib.md5(_PDF_PW_PAD).digest()[:5], _PDF_PW_PAD)
-        key = hashlib.md5(
-            _PDF_PW_PAD + o_val + struct.pack("<i", perms) + id0
-        ).digest()[:5]
-        u_val = _rc4_cg(key, _PDF_PW_PAD)
-        for num in range(1, len(objs) + 1):
-            body = objs[num - 1]
-            si = body.find(b"\nstream\n")
-            if si == -1:
-                continue
-            send = body.rfind(b"\nendstream")
-            stream = body[si + 8 : send]
-            objkey = hashlib.md5(
-                key + struct.pack("<I", num)[:3] + b"\x00\x00"
-            ).digest()[:10]
-            objs[num - 1] = (body[:si + 8] + _rc4_cg(objkey, stream)
-                             + body[send:])
-        enc_id = add(
-            ("<< /Filter /Standard /V 1 /R 2 /P {} /O <{}> /U <{}> >>"
-             .format(perms, o_val.hex(), u_val.hex())).encode()
-        )
-        trailer_extra = f" /Encrypt {enc_id} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
+        from .extractors import aes as _aes
+
+        pick = rng.random()
+        # R6's Algorithm-2.B KDF deliberately burns ~10^4 AES blocks per
+        # hash (6 per doc across writer+reader) — representative at 15%
+        # of encrypted PDFs without dominating corpus generation time
+        kind = "rc4" if pick < 0.45 else ("aesv2" if pick < 0.85 else "aesv3")
+        if kind == "rc4":
+            id0 = bytes(rng.randrange(256) for _ in range(16))
+            perms = -44  # typical restrictions mask, any int is honored
+            o_val = _rc4_cg(hashlib.md5(_PDF_PW_PAD).digest()[:5], _PDF_PW_PAD)
+            key = hashlib.md5(
+                _PDF_PW_PAD + o_val + struct.pack("<i", perms) + id0
+            ).digest()[:5]
+            u_val = _rc4_cg(key, _PDF_PW_PAD)
+
+            def _enc(num, stream, _key=key):
+                objkey = hashlib.md5(
+                    _key + struct.pack("<I", num)[:3] + b"\x00\x00"
+                ).digest()[:10]
+                return _rc4_cg(objkey, stream)
+
+            _encrypt_obj_streams(objs, _enc)
+            enc_id = add(
+                ("<< /Filter /Standard /V 1 /R 2 /P {} /O <{}> /U <{}> >>"
+                 .format(perms, o_val.hex(), u_val.hex())).encode()
+            )
+            trailer_extra = (f" /Encrypt {enc_id} 0 R"
+                             f" /ID [<{id0.hex()}> <{id0.hex()}>]")
+        elif kind == "aesv2":
+            id0 = bytes(rng.randrange(256) for _ in range(16))
+            perms = -3904  # high-security restrictions mask
+            # Algorithm 3 (R4): /O from the (empty) owner password
+            d = hashlib.md5(_PDF_PW_PAD).digest()
+            for _ in range(50):
+                d = hashlib.md5(d).digest()
+            rc4key = d[:16]
+            o_val = _rc4_cg(rc4key, _PDF_PW_PAD)
+            for i in range(1, 20):
+                o_val = _rc4_cg(bytes(b ^ i for b in rc4key), o_val)
+            # Algorithm 2 (128-bit, 50-fold md5)
+            d = hashlib.md5(
+                _PDF_PW_PAD + o_val + struct.pack("<i", perms) + id0
+            ).digest()
+            for _ in range(50):
+                d = hashlib.md5(d[:16]).digest()
+            key = d[:16]
+            # Algorithm 5: /U (first 16 bytes significant, 16 pad)
+            u_val = _rc4_cg(key, hashlib.md5(_PDF_PW_PAD + id0).digest())
+            for i in range(1, 20):
+                u_val = _rc4_cg(bytes(b ^ i for b in key), u_val)
+            u_val += bytes(16)
+
+            def _enc(num, stream, _key=key):
+                objkey = hashlib.md5(
+                    _key + struct.pack("<I", num)[:3] + b"\x00\x00sAlT"
+                ).digest()[:16]
+                iv = bytes(rng.randrange(256) for _ in range(16))
+                pad = 16 - len(stream) % 16
+                return iv + _aes.cbc_encrypt(
+                    objkey, iv, stream + bytes([pad]) * pad)
+
+            _encrypt_obj_streams(objs, _enc)
+            enc_id = add((
+                "<< /Filter /Standard /V 4 /R 4 /Length 128"
+                " /CF << /StdCF << /AuthEvent /DocOpen /CFM /AESV2"
+                " /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+                f" /P {perms} /O <{o_val.hex()}> /U <{u_val.hex()}> >>"
+            ).encode())
+            trailer_extra = (f" /Encrypt {enc_id} 0 R"
+                             f" /ID [<{id0.hex()}> <{id0.hex()}>]")
+        else:  # AES-256, V5/R6
+            perms = -3904
+            key = bytes(rng.randrange(256) for _ in range(32))
+            vsalt = bytes(rng.randrange(256) for _ in range(8))
+            ksalt = bytes(rng.randrange(256) for _ in range(8))
+            u_val = _hash_2b_cg(b"", vsalt, b"") + vsalt + ksalt
+            ue = _aes.cbc_encrypt(_hash_2b_cg(b"", ksalt, b""),
+                                  bytes(16), key)
+            ovs = bytes(rng.randrange(256) for _ in range(8))
+            oks = bytes(rng.randrange(256) for _ in range(8))
+            o_val = _hash_2b_cg(b"", ovs, u_val) + ovs + oks
+            oe = _aes.cbc_encrypt(_hash_2b_cg(b"", oks, u_val),
+                                  bytes(16), key)
+            pblk = (struct.pack("<i", perms) + b"\xff\xff\xff\xffTadb"
+                    + bytes(rng.randrange(256) for _ in range(4)))
+            pval = _aes.ecb_encrypt(key, pblk)
+
+            def _enc(num, stream, _key=key):
+                iv = bytes(rng.randrange(256) for _ in range(16))
+                pad = 16 - len(stream) % 16
+                return iv + _aes.cbc_encrypt(
+                    _key, iv, stream + bytes([pad]) * pad)
+
+            _encrypt_obj_streams(objs, _enc)
+            enc_id = add((
+                "<< /Filter /Standard /V 5 /R 6 /Length 256"
+                " /CF << /StdCF << /AuthEvent /DocOpen /CFM /AESV3"
+                " /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+                f" /P {perms} /U <{u_val.hex()}> /O <{o_val.hex()}>"
+                f" /UE <{ue.hex()}> /OE <{oe.hex()}> /Perms <{pval.hex()}> >>"
+            ).encode())
+            trailer_extra = f" /Encrypt {enc_id} 0 R"
 
     buf = io.BytesIO()
     buf.write(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")

@@ -265,16 +265,46 @@ def _str_bytes(v) -> bytes | None:
     return None
 
 
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 password hash: SHA-256 seeded,
+    then an iterated AES-128-CBC round whose output picks the next digest
+    (SHA-256/384/512 by sum-mod-3) until round >= 64 and the last byte of
+    the encrypted block is <= round - 32."""
+    import hashlib
+
+    from . import aes as _aes
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _aes.cbc_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 def _decrypt_objects(data: bytes, objects) -> None:
-    """RC4 standard security handler (V1/V2, R2/R3) with the EMPTY user
-    password — the overwhelmingly common "encrypted" PDF in a web crawl
-    (restrictions-only).  Derives the file key (Algorithm 2), verifies it
-    against /U (Algorithms 4/5), and RC4-decrypts every object stream
-    with its per-object key (Algorithm 1).  Real passwords, AES (V4+) and
-    crypt filters raise — the dispatcher turns that into the honest
-    error row."""
+    """Standard security handler with the EMPTY user password — the
+    overwhelmingly common "encrypted" PDF in a web crawl
+    (restrictions-only).  Three generations are handled:
+
+    - V1/V2, R2/R3 — RC4: file key per Algorithm 2, verified against /U
+      (Algorithms 4/5), per-object keys per Algorithm 1.
+    - V4, R4 — crypt filters: /StdCF with /CFM /V2 (RC4) or /AESV2
+      (AES-128-CBC, leading IV, PKCS#7, the "sAlT" per-object suffix).
+    - V5, R5/R6 — /AESV3: AES-256 with the file key used directly; R6
+      validates via Algorithm 2.B, the key unwraps from /UE, and /Perms
+      is decrypted and its 'adb' sentinel checked.
+
+    Non-empty passwords, public-key handlers and unknown CFMs raise —
+    the dispatcher turns that into the honest error row."""
     import hashlib
     import struct as _s
+
+    from . import aes as _aes
 
     m = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data)
     if not m:
@@ -288,46 +318,111 @@ def _decrypt_objects(data: bytes, objects) -> None:
         raise _PdfError("encrypted: unsupported security handler")
     v = ed.get("V", 0)
     r = ed.get("R", 2)
-    if v not in (1, 2) or r not in (2, 3):
-        raise _PdfError(f"encrypted: unsupported V={v} R={r} (AES?)")
     o = _str_bytes(ed.get("O"))
     u = _str_bytes(ed.get("U"))
     p = ed.get("P")
     if o is None or u is None or not isinstance(p, int):
         raise _PdfError("encrypted: malformed /Encrypt dict")
-    n = (ed.get("Length", 40) // 8) if r == 3 else 5
-    if not (5 <= n <= 16):
-        raise _PdfError("encrypted: bad key length")
-    idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
-    id0 = b""
-    if idm:
-        id0 = bytes.fromhex(re.sub(rb"\s", b"", idm.group(1)).decode("ascii"))
-    # Algorithm 2 with the empty user password
-    h = hashlib.md5(_PW_PAD + o[:32] + _s.pack("<i", p) + id0)
-    if r == 3:
-        digest = h.digest()
-        for _ in range(50):
-            digest = hashlib.md5(digest[:n]).digest()
-        key = digest[:n]
+
+    method = "rc4"  # how streams are decrypted: rc4 | aesv2 | aesv3
+    key = b""
+    n = 5
+    if v in (1, 2) or (v == 4 and r == 4):
+        if v in (1, 2) and r not in (2, 3):
+            raise _PdfError(f"encrypted: unsupported V={v} R={r}")
+        if v == 4:
+            # crypt-filter indirection: only /StdCF on streams is in scope
+            cf = ed.get("CF")
+            stmf = ed.get("StmF", "Identity")
+            stdcf = cf.get("StdCF") if isinstance(cf, dict) else None
+            if stmf != "StdCF" or not isinstance(stdcf, dict):
+                raise _PdfError("encrypted: unsupported crypt filter routing")
+            cfm = stdcf.get("CFM")
+            if cfm == "AESV2":
+                method = "aesv2"
+            elif cfm != "V2":
+                raise _PdfError(f"encrypted: unsupported CFM {cfm}")
+        if r == 2:
+            n = 5
+        else:
+            n = ed.get("Length", 40) // 8
+        if method == "aesv2":
+            n = 16
+        if not (5 <= n <= 16):
+            raise _PdfError("encrypted: bad key length")
+        idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
+        id0 = b""
+        if idm:
+            id0 = bytes.fromhex(
+                re.sub(rb"\s", b"", idm.group(1)).decode("ascii"))
+        # Algorithm 2 with the empty user password
+        seed = _PW_PAD + o[:32] + _s.pack("<i", p) + id0
+        if r == 4 and ed.get("EncryptMetadata") is False:
+            seed += b"\xff\xff\xff\xff"
+        h = hashlib.md5(seed)
+        if r >= 3:
+            digest = h.digest()
+            for _ in range(50):
+                digest = hashlib.md5(digest[:n]).digest()
+            key = digest[:n]
+        else:
+            key = h.digest()[:5]
+        # verify the empty user password against /U (Algorithms 4/5)
+        if r == 2:
+            ok = _rc4(key, _PW_PAD) == u[:32]
+        else:
+            x = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+            for i in range(1, 20):
+                x = _rc4(bytes(b ^ i for b in key), x)
+            ok = x == u[:16]
+        if not ok:
+            raise _PdfError("encrypted: non-empty user password required")
+    elif v == 5 and r in (5, 6):
+        method = "aesv3"
+        ue = _str_bytes(ed.get("UE"))
+        if len(u) < 48 or ue is None or len(ue) < 32:
+            raise _PdfError("encrypted: malformed V5 /U or /UE")
+        vsalt, ksalt = u[32:40], u[40:48]
+        if r == 6:
+            ok = _hash_2b(b"", vsalt, b"") == u[:32]
+            ikey = _hash_2b(b"", ksalt, b"")
+        else:  # R5: the deprecated single-SHA-256 draft
+            ok = hashlib.sha256(vsalt).digest() == u[:32]
+            ikey = hashlib.sha256(ksalt).digest()
+        if not ok:
+            raise _PdfError("encrypted: non-empty user password required")
+        key = _aes.cbc_decrypt(ikey, b"\x00" * 16, ue[:32])
+        perms = _str_bytes(ed.get("Perms"))
+        if perms is not None and len(perms) >= 16:
+            pt = _aes.ecb_decrypt(key, perms[:16])
+            if pt[9:12] != b"adb":
+                raise _PdfError("encrypted: /Perms sentinel mismatch")
     else:
-        key = h.digest()[:5]
-    # verify the empty user password against /U
-    if r == 2:
-        ok = _rc4(key, _PW_PAD) == u[:32]
-    else:
-        x = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
-        for i in range(1, 20):
-            x = _rc4(bytes(b ^ i for b in key), x)
-        ok = x == u[:16]
-    if not ok:
-        raise _PdfError("encrypted: non-empty user password required")
+        raise _PdfError(f"encrypted: unsupported V={v} R={r}")
+
     for num, (od, stream) in list(objects.items()):
         if stream is None or num == enc_num or od.get("Type") == "XRef":
             continue  # xref streams are never encrypted
-        objkey = hashlib.md5(
-            key + _s.pack("<I", num)[:3] + b"\x00\x00"
-        ).digest()[: min(n + 5, 16)]
-        objects[num] = (od, _rc4(objkey, stream))
+        try:
+            if method == "rc4":
+                objkey = hashlib.md5(
+                    key + _s.pack("<I", num)[:3] + b"\x00\x00"
+                ).digest()[: min(n + 5, 16)]
+                dec = _rc4(objkey, stream)
+            else:
+                if method == "aesv2":
+                    objkey = hashlib.md5(
+                        key + _s.pack("<I", num)[:3] + b"\x00\x00sAlT"
+                    ).digest()[:16]
+                else:
+                    objkey = key  # V5: the file key, no per-object derivation
+                if len(stream) < 32:
+                    raise ValueError("AES stream too short")
+                dec = _aes.pkcs7_unpad(
+                    _aes.cbc_decrypt(objkey, stream[:16], stream[16:]))
+        except ValueError as exc:
+            raise _PdfError(f"encrypted: stream decrypt failed ({exc})")
+        objects[num] = (od, dec)
 
 
 def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:

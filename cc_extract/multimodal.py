@@ -38,6 +38,89 @@ FEATURE_SCHEMA = f"media_id long, kind string, feature array<float>"
 
 # ----------------------------------------------------------- generation
 
+def _mp4_box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _mp4_container(rng: random.Random, n_frames: int, w: int, h: int,
+                   with_audio: bool = False) -> bytes:
+    """Minimal-but-valid ISO BMFF (MP4) container: ftyp + moov with a
+    real box tree (mvhd, trak/tkhd/mdia/mdhd/hdlr/minf/stbl with
+    stsd/stts/stsc/stsz/stco) + mdat carrying noise sample bytes.  The
+    H.264 *bitstream* inside the samples is out of scope (no avcC /
+    entropy payload) — container structure is what the pipeline reads:
+    frame counts, durations, codec fourcc, dimensions."""
+    timescale = 600
+    fps = rng.choice([12, 24, 30])
+    frame_dur = timescale // fps
+    duration = n_frames * frame_dur
+    sizes = [rng.randint(120, 600) for _ in range(n_frames)]
+    mdat = _mp4_box(b"mdat", bytes(rng.randrange(256)
+                                   for _ in range(sum(sizes))))
+
+    def full(typ, body, version=0, flags=0):
+        return _mp4_box(typ, struct.pack(">B3s", version,
+                                         flags.to_bytes(3, "big")) + body)
+
+    matrix = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                         0x40000000)
+    mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, timescale, duration)
+                + struct.pack(">iH", 0x00010000, 0x0100) + bytes(10)
+                + matrix + bytes(24) + struct.pack(">I", 3))
+
+    def trak(track_id, handler, stsd_entry, media_timescale, media_dur,
+             counts_durs, sample_sizes):
+        tkhd = full(b"tkhd", struct.pack(">IIII", 0, 0, track_id, 0)
+                    + struct.pack(">I", duration) + bytes(8)
+                    + struct.pack(">HHHH", 0, 0,
+                                  0x0100 if handler == b"soun" else 0, 0)
+                    + matrix
+                    + struct.pack(">II", w << 16 if handler == b"vide" else 0,
+                                  h << 16 if handler == b"vide" else 0),
+                    flags=7)
+        mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, media_timescale,
+                                         media_dur, 0x55C4, 0))
+        hdlr = full(b"hdlr", struct.pack(">I4s", 0, handler) + bytes(12)
+                    + b"SyntheticHandler\x00")
+        stsd = full(b"stsd", struct.pack(">I", 1) + stsd_entry)
+        stts = full(b"stts", struct.pack(">I", len(counts_durs))
+                    + b"".join(struct.pack(">II", c, d)
+                               for c, d in counts_durs))
+        stsc = full(b"stsc", struct.pack(">IIII", 1, 1, len(sample_sizes), 1))
+        stsz = full(b"stsz", struct.pack(">II", 0, len(sample_sizes))
+                    + b"".join(struct.pack(">I", s) for s in sample_sizes))
+        stco = full(b"stco", struct.pack(">II", 1, 0))
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        mhd = (full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+               if handler == b"vide"
+               else full(b"smhd", struct.pack(">HH", 0, 0)))
+        dinf = _mp4_box(b"dinf", full(b"dref", struct.pack(">I", 1)
+                                      + full(b"url ", b"", flags=1)))
+        minf = _mp4_box(b"minf", mhd + dinf + stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        return _mp4_box(b"trak", tkhd + mdia)
+
+    avc1 = _mp4_box(b"avc1", bytes(6) + struct.pack(">H", 1) + bytes(16)
+                    + struct.pack(">HH", w, h)
+                    + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+                    + bytes(32) + struct.pack(">Hh", 24, -1))
+    traks = trak(1, b"vide", avc1, timescale, duration,
+                 [(n_frames, frame_dur)], sizes)
+    if with_audio:
+        rate = rng.choice([22050, 44100])
+        n_aud = n_frames * 2
+        aud_sizes = [rng.randint(40, 200) for _ in range(n_aud)]
+        mp4a = _mp4_box(b"mp4a", bytes(6) + struct.pack(">H", 1) + bytes(8)
+                        + struct.pack(">HHHHI", 2, 16, 0, 0, rate << 16))
+        traks += trak(2, b"soun", mp4a, rate,
+                      n_aud * (rate // (fps * 2)),
+                      [(n_aud, rate // (fps * 2))], aud_sizes)
+    moov = _mp4_box(b"moov", mvhd + traks)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                    + b"isomiso2avc1mp41")
+    return ftyp + moov + mdat
+
+
 def gen_media(i: int, seed: int = 42) -> dict:
     """Deterministic synthetic media row: valid PNG / WAV / JPEG-stub
     containers with known header metadata, noise payloads."""
@@ -67,8 +150,16 @@ def gen_media(i: int, seed: int = 42) -> dict:
             payload = cg._gif_gray(
                 w, h, bytes(raster),
                 extra_frames=[(fw, fh, bytes(fr)) for fw, fh, fr in frames[1:]])
+        elif rng.random() < 0.8:
+            # REAL MP4 container (round 4, continued): full ISO BMFF box
+            # tree — structure (frame count, duration, codec, dims) is
+            # readable; the H.264 bitstream inside stays out of scope
+            payload = _mp4_container(
+                rng, n_frames=rng.randint(5, 48),
+                w=rng.choice([320, 640, 1280]), h=rng.choice([240, 480, 720]),
+                with_audio=rng.random() < 0.4)
         else:
-            # MP4 stub: frame decode honestly out of scope (H.264)
+            # truncated MP4 stub: ftyp only, noise tail -> quarantined
             payload = (struct.pack(">I", 20) + b"ftypisom"
                        + bytes(rng.randrange(256) for _ in range(64)))
     elif rng.random() < 0.5:
@@ -126,6 +217,114 @@ def media_df(spark, n: int, seed: int = 42, partitions: int | None = None) -> Da
 
 # ------------------------------------------------------- metadata parse
 
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for the sibling boxes in
+    [start, end).  Defensive: 64-bit largesize handled, zero/short sizes
+    and out-of-range extents terminate the walk instead of looping — a
+    crafted header cannot spin or allocate."""
+    pos = start
+    n = 0
+    while pos + 8 <= end and n < 4096:
+        size, typ = struct.unpack_from(">I4s", data, pos)
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:  # "to end of file"
+            size = end - pos
+        if size < hdr or pos + size > end:
+            return
+        yield typ, pos + hdr, pos + size
+        pos += size
+        n += 1
+
+
+def _mp4_find(data: bytes, start: int, end: int, typ: bytes):
+    for t, s, e in _mp4_boxes(data, start, end):
+        if t == typ:
+            return s, e
+    return None
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """ISO BMFF structural parse — the real MP4 metadata a video pipeline
+    reads before any frame decode: brand, movie duration, track count,
+    and for the first video track its codec fourcc, dimensions and frame
+    count (stsz entry count, cross-checkable against the stts sum)."""
+    out = {"mp4_ok": False, "mp4_brand": None, "mp4_duration_s": None,
+           "mp4_n_tracks": None, "mp4_codec": None, "mp4_w": None,
+           "mp4_h": None, "mp4_n_frames": None}
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        return out
+    try:
+        out["mp4_brand"] = payload[8:12].decode("latin-1")
+        moov = _mp4_find(payload, 0, len(payload), b"moov")
+        if moov is None:
+            return out
+        ms, me = moov
+        mvhd = _mp4_find(payload, ms, me, b"mvhd")
+        if mvhd is None:
+            return out
+        vs = payload[mvhd[0]]
+        off = mvhd[0] + 4 + (16 if vs == 1 else 8)
+        if vs == 1:
+            timescale, = struct.unpack_from(">I", payload, off)
+            duration, = struct.unpack_from(">Q", payload, off + 4)
+        else:
+            timescale, duration = struct.unpack_from(">II", payload, off)
+        out["mp4_duration_s"] = round(duration / timescale, 4) if timescale else None
+        n_tracks = 0
+        for t, s, e in _mp4_boxes(payload, ms, me):
+            if t != b"trak":
+                continue
+            n_tracks += 1
+            mdia = _mp4_find(payload, s, e, b"mdia")
+            if mdia is None:
+                continue
+            hdlr = _mp4_find(payload, mdia[0], mdia[1], b"hdlr")
+            if hdlr is None or payload[hdlr[0] + 8: hdlr[0] + 12] != b"vide":
+                continue
+            if out["mp4_codec"] is not None:
+                continue  # first video track only
+            minf = _mp4_find(payload, mdia[0], mdia[1], b"minf")
+            stbl = minf and _mp4_find(payload, minf[0], minf[1], b"stbl")
+            if not stbl:
+                continue
+            stsd = _mp4_find(payload, stbl[0], stbl[1], b"stsd")
+            if stsd and struct.unpack_from(">I", payload, stsd[0] + 4)[0] >= 1:
+                entry = next(iter(_mp4_boxes(payload, stsd[0] + 8, stsd[1])),
+                             None)
+                if entry:
+                    out["mp4_codec"] = entry[0].decode("latin-1")
+                    # visual sample entry: 6 reserved + dref(2) + 16
+                    # predefined/reserved, then width/height
+                    w, h = struct.unpack_from(">HH", payload, entry[1] + 24)
+                    out["mp4_w"], out["mp4_h"] = w, h
+            stsz = _mp4_find(payload, stbl[0], stbl[1], b"stsz")
+            if stsz:
+                out["mp4_n_frames"] = struct.unpack_from(
+                    ">I", payload, stsz[0] + 8)[0]
+            elif (stts := _mp4_find(payload, stbl[0], stbl[1], b"stts")):
+                cnt, = struct.unpack_from(">I", payload, stts[0] + 4)
+                out["mp4_n_frames"] = sum(
+                    struct.unpack_from(">I", payload, stts[0] + 8 + 8 * k)[0]
+                    for k in range(min(cnt, 1024)))
+        out["mp4_n_tracks"] = n_tracks
+        out["mp4_ok"] = out["mp4_codec"] is not None
+    except (struct.error, IndexError, UnicodeDecodeError):
+        pass
+    return out
+
+
+def mp4_row_stats(payload: bytes) -> dict:
+    """Per-row MP4 structural outcome — the normative implementation
+    shared by the Spark path and the oracle (same contract as
+    image/audio/video_row_stats)."""
+    return parse_mp4_meta(payload)
+
+
 def parse_media_meta(payload: bytes) -> dict:
     """Container-header metadata by byte arithmetic — no decode libs."""
     out = {"container": "unknown", "width": None, "height": None,
@@ -171,7 +370,9 @@ def parse_media_meta(payload: bytes) -> dict:
             rate = struct.unpack("<I", payload[24:28])[0]
             out.update(container="wav", sample_rate=rate, parse_ok=True)
         elif payload[4:8] == b"ftyp":
-            out.update(container="mp4", parse_ok=True)
+            m = parse_mp4_meta(payload)
+            out.update(container="mp4", width=m["mp4_w"],
+                       height=m["mp4_h"], parse_ok=m["mp4_ok"])
     except (struct.error, IndexError):
         pass
     return out
@@ -457,10 +658,9 @@ def video_decode_stats(df: DataFrame) -> DataFrame:
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling — REAL since round 4: the frame count comes
     from the container's own structure (gif_frame_count walks image
-    blocks without LZW-decoding them — the cheap header pass a sampler
-    runs before deciding what to decode).  Undecodable containers (MP4
-    stubs) emit no rows; at every_n=1 each emitted frame_idx is an
-    actually decodable frame."""
+    blocks without LZW-decoding them; MP4 reads the stsz sample table —
+    the cheap header pass a sampler runs before deciding what to
+    decode).  Truncated/corrupt containers emit no rows."""
     def frames(batches):
         from .extractors.gif import gif_frame_count
 
@@ -470,11 +670,17 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
                 if kind != "video":
                     continue
                 b = bytes(p)
-                if b[:6] not in (b"GIF87a", b"GIF89a"):
-                    continue
-                try:
-                    n_frames = gif_frame_count(b)
-                except Exception:
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        n_frames = gif_frame_count(b)
+                    except Exception:
+                        continue
+                elif b[4:8] == b"ftyp":
+                    m = parse_mp4_meta(b)
+                    if not m["mp4_ok"] or m["mp4_n_frames"] is None:
+                        continue
+                    n_frames = m["mp4_n_frames"]
+                else:
                     continue
                 for fi in range(0, n_frames, every_n):
                     out_ids.append(mid)
@@ -482,3 +688,44 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame({"media_id": out_ids, "frame_idx": out_idx})
 
     return df.mapInPandas(frames, "media_id long, frame_idx int")
+
+
+def mp4_structure_stats(df: DataFrame) -> DataFrame:
+    """MP4 container structure over the binary video column (Arrow-batched
+    mapInPandas): per (brand, codec) clip counts, parse rate, mean
+    duration / frame count / dimensions — the container-level triage a
+    video-pretraining pipeline runs before shipping clips to a GPU
+    decoder.  Truncated ftyp-only stubs land in the NULL-codec bucket,
+    counted not hidden."""
+    def mp4_batches(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"],
+                                    pdf["payload"]):
+                b = bytes(p)
+                if kind != "video" or b[4:8] != b"ftyp":
+                    continue
+                rows.append({"media_id": mid, **mp4_row_stats(b)})
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "mp4_ok", "mp4_brand", "mp4_duration_s",
+                         "mp4_n_tracks", "mp4_codec", "mp4_w", "mp4_h",
+                         "mp4_n_frames"])
+
+    per = df.mapInPandas(
+        mp4_batches,
+        "media_id long, mp4_ok boolean, mp4_brand string, "
+        "mp4_duration_s double, mp4_n_tracks int, mp4_codec string, "
+        "mp4_w int, mp4_h int, mp4_n_frames int")
+    return (
+        per.groupBy("mp4_brand", "mp4_codec")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum(F.col("mp4_ok").cast("long")).alias("n_parsed"),
+            F.round(F.avg("mp4_duration_s"), 4).alias("avg_duration_s"),
+            F.round(F.avg("mp4_n_frames"), 4).alias("avg_n_frames"),
+            F.round(F.avg("mp4_w"), 4).alias("avg_width"),
+            F.round(F.avg("mp4_n_tracks"), 4).alias("avg_n_tracks"),
+        )
+        .orderBy("mp4_brand", "mp4_codec")
+    )

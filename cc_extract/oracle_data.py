@@ -85,8 +85,8 @@ def media_table(n: int = 400) -> str:
     import pyarrow as pa
 
     from .multimodal import (FEATURE_DIM, audio_row_stats, gen_media,
-                             image_row_stats, parse_media_meta,
-                             video_row_stats)
+                             image_row_stats, mp4_row_stats,
+                             parse_media_meta, video_row_stats)
 
     rows = [gen_media(i) for i in range(n)]
     metas = [parse_media_meta(r["payload"]) for r in rows]
@@ -97,6 +97,9 @@ def media_table(n: int = 400) -> str:
     auds = [audio_row_stats(r["payload"]) if r["kind"] == "audio" else None
             for r in rows]
     vids = [video_row_stats(r["payload"]) if r["kind"] == "video" else None
+            for r in rows]
+    mp4s = [mp4_row_stats(r["payload"])
+            if r["kind"] == "video" and r["payload"][4:8] == b"ftyp" else None
             for r in rows]
     feats = []
     for r in rows:
@@ -146,6 +149,22 @@ def media_table(n: int = 400) -> str:
             [v["vid_avg_frame_luma"] if v else None for v in vids], pa.float64()),
         "vid_mean_frame_delta": pa.array(
             [v["vid_mean_frame_delta"] if v else None for v in vids], pa.float64()),
+        "mp4_ok": pa.array(
+            [m["mp4_ok"] if m else None for m in mp4s], pa.bool_()),
+        "mp4_brand": pa.array(
+            [m["mp4_brand"] if m else None for m in mp4s], pa.string()),
+        "mp4_duration_s": pa.array(
+            [m["mp4_duration_s"] if m else None for m in mp4s], pa.float64()),
+        "mp4_n_tracks": pa.array(
+            [m["mp4_n_tracks"] if m else None for m in mp4s], pa.int32()),
+        "mp4_codec": pa.array(
+            [m["mp4_codec"] if m else None for m in mp4s], pa.string()),
+        "mp4_w": pa.array(
+            [m["mp4_w"] if m else None for m in mp4s], pa.int32()),
+        "mp4_h": pa.array(
+            [m["mp4_h"] if m else None for m in mp4s], pa.int32()),
+        "mp4_n_frames": pa.array(
+            [m["mp4_n_frames"] if m else None for m in mp4s], pa.int32()),
     })
     path = os.path.join(_ORACLE_DIR, f"media_{n}.parquet")
     _atomic_write_table(table, path)

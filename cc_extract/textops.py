@@ -26,6 +26,7 @@ signatures (bytes/doc) not text; the band join is an equi-join on
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 TOKEN_RX = "[a-z0-9]+"
 
@@ -1032,4 +1033,131 @@ def dedup_keep_decision(spark, sf_dir: str, threshold: float = 0.5) -> DataFrame
         "doc_id",
         cid.alias("cluster_id"),
         (cid == F.col("doc_id")).alias("keep"),
+    )
+
+
+def segment_boilerplate(spark, sf_dir: str, seg_w: int = 10,
+                        common_docs: int = 2) -> DataFrame:
+    """CCNet-style boilerplate removal at segment granularity: hash each
+    non-overlapping ``seg_w``-token segment, count how many documents
+    contain it corpus-wide, and score each document by the fraction of
+    its distinct segments that are "common" (appear in >= ``common_docs``
+    docs) — headers, footers, nav chrome in a real crawl.
+
+    Scale shape (the CCNet paragraph-hash plan re-expressed relationally):
+    segments are built and deduped IN-ROW (transform + array_distinct —
+    no explode until the per-doc set is final), the exploded (doc, seg)
+    pairs are materialized once (localCheckpoint — the same stored-index
+    policy as the MinHash band joins; re-deriving them for both sides of
+    the self-aggregation would re-tokenize the corpus twice), the
+    common-segment table is the output of a partial-aggregable count and
+    is FILTERED before the join back, so AQE broadcasts it at any SF.
+    One wide dataset, two groupBy shuffles, one semi join — no
+    all-pairs anything."""
+    docs = fan_out_scan(load_documents(spark, sf_dir))
+    toks = (
+        with_tokens(docs)
+        .select("doc_id", "tokens")
+        .filter(F.size("tokens") > 0)
+    )
+    n_segs = F.ceil(F.size("tokens") / seg_w).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("tokens", i * seg_w + 1,
+                                                 seg_w))),
+    )
+    per_doc = toks.select(
+        "doc_id", F.array_distinct(seg_arr).alias("segs"))
+    pairs = per_doc.select(
+        "doc_id", F.explode("segs").alias("seg")).localCheckpoint()
+    common = (
+        pairs.groupBy("seg").agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= common_docs)
+        .select("seg")
+    )
+    counts = (
+        pairs.join(common, "seg", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_common_segs"))
+    )
+    return (
+        per_doc.select("doc_id", F.size("segs").alias("n_distinct_segs"))
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_distinct_segs").cast("long").alias("n_distinct_segs"),
+            F.coalesce("n_common_segs", F.lit(0)).alias("n_common_segs"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.round(F.col("n_common_segs") / F.col("n_distinct_segs"), 6))
+        .orderBy("doc_id")
+    )
+
+
+def token_budget_selection(spark, sf_dir: str, budget: int = 20000) -> DataFrame:
+    """Token-budget curation: rank the corpus by a deterministic quality
+    key and keep documents greedily until the running token total reaches
+    ``budget`` — the data-mixing step that assembles a fixed-size
+    training slice from a larger pool.
+
+    The quality key reuses corpus_filter's signals (stopword fraction,
+    length band) collapsed to one score; ties break on doc_id so both
+    engines produce the identical total order.  The running sum is a
+    window cumsum over that order.  At 10^12 docs a single global
+    ordering is the wrong plan — production splits the order into
+    quality *buckets* (e.g. 1000 quantile buckets via approx_percentile),
+    takes whole buckets while they fit, and runs the exact windowed scan
+    only inside the one boundary bucket — the same two-phase shape as
+    TakeOrderedAndProject.  The semantics below are that boundary-bucket
+    scan, exact and oracle-checkable."""
+    docs = fan_out_scan(load_documents(spark, sf_dir))
+    toks = with_tokens(docs).select("doc_id", "tokens")
+    n_tok = F.size("tokens").cast("long")
+    stop_arr = F.array(*[F.lit(t) for t in EN_STOP])
+    stop_frac = F.round(
+        F.size(F.array_intersect(F.array_distinct("tokens"), stop_arr))
+        / F.greatest(F.size(F.array_distinct("tokens")), F.lit(1)), 6)
+    scored = toks.select(
+        "doc_id", n_tok.alias("n_tokens"), stop_frac.alias("quality"))
+    w = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+    ranked = scored.select(
+        "doc_id", "n_tokens", "quality",
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_tokens"))
+    return (
+        ranked.withColumn("selected", F.col("cum_tokens") <= budget)
+        .orderBy("doc_id")
+    )
+
+
+def source_mixture_weights(spark, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (the Pile/DoReMi-style bookkeeping):
+    per ``source`` actual token share vs a uniform target share, and the
+    sampling weight (target/actual) a mixer would apply to hit the
+    target.  One partial-aggregable groupBy over O(sources) keys plus a
+    1-row total — the total is joined back as a literal-free cross join
+    of a single row, which AQE turns into a broadcast at any SF."""
+    docs = fan_out_scan(load_documents(spark, sf_dir))
+    per_src = (
+        with_tokens(docs)
+        .select("source", F.size("tokens").cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+    total = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count("*").alias("n_sources"))
+    return (
+        per_src.crossJoin(total)
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(F.col("n_tokens") / F.col("total_tokens"), 6)
+            .alias("actual_share"),
+            F.round(F.lit(1.0) / F.col("n_sources"), 6).alias("target_share"),
+            F.round(
+                (F.col("total_tokens") / F.col("n_sources"))
+                / F.col("n_tokens"), 6).alias("sample_weight"),
+        )
+        .orderBy("source")
     )

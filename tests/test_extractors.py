@@ -1782,35 +1782,65 @@ def test_ccitt_rle_round_trip():
     assert res["text"] == text
 
 
-def test_pdf_rc4_encrypted_extracts():
-    """Restrictions-only encrypted PDFs (RC4 standard security handler,
-    empty user password — the common crawl case) decrypt and extract;
-    a wrong /U (real password) and AES (V4) refuse honestly."""
+def test_pdf_encrypted_extracts_all_generations():
+    """Restrictions-only encrypted PDFs (standard security handler, empty
+    user password — the common crawl case) decrypt and extract across all
+    three generations the corpus emits: RC4 V1/R2, AES-128 crypt filters
+    V4/R4 (/AESV2) and AES-256 V5/R6 (/AESV3).  A corrupted /U (i.e. a
+    real password) refuses honestly for each generation."""
     import random
     import re as _re
 
     from cc_extract.corpusgen import _gen_pdf
 
     rng = random.Random(77)
-    seen = 0
+    seen = {"rc4": 0, "aesv2": 0, "aesv3": 0}
+    checked_u = set()
     for _ in range(400):
         p = _gen_pdf(rng)
         if b"/Encrypt" not in p:
             continue
-        seen += 1
+        kind = ("aesv2" if b"/AESV2" in p
+                else "aesv3" if b"/AESV3" in p else "rc4")
+        seen[kind] += 1
         res = extract_document(p, "https://x/enc.pdf")
         assert res["status"] in ("ok", "ok_ocr", "needs_ocr"), res
         if res["status"] == "ok":
             assert len(res["text"]) > 10
-        if seen == 1:
+        if kind not in checked_u:
+            checked_u.add(kind)
             # corrupt /U -> the empty-password check must fail -> error
             bad = _re.sub(rb"/U <([0-9a-f]{8})", rb"/U <deadbeef", p, count=1)
             assert bad != p
             res2 = extract_document(bad, "https://x/enc.pdf")
             assert res2["status"] == "error"
             assert "password" in res2["error"]
-            # AES (V4) declared -> honest unsupported error
-            aes = p.replace(b"/V 1 /R 2", b"/V 4 /R 4", 1)
-            res3 = extract_document(aes, "https://x/enc.pdf")
-            assert res3["status"] == "error"
-    assert seen >= 10, f"only {seen} encrypted PDFs generated"
+    assert all(n >= 2 for n in seen.values()), f"kinds too rare: {seen}"
+    assert checked_u == {"rc4", "aesv2", "aesv3"}
+
+
+def test_pdf_encrypted_unsupported_configs_refuse():
+    """Unknown CFMs, missing crypt-filter routing, and malformed V5
+    dictionaries quarantine as honest errors, never as garbage text."""
+    import random
+
+    from cc_extract.corpusgen import _gen_pdf
+
+    rng = random.Random(67)  # seed 67 -> AESV2 (pinned by the smoke sweep)
+    p = _gen_pdf(rng, layout="classic")
+    assert b"/AESV2" in p
+    # unknown CFM
+    bad = p.replace(b"/CFM /AESV2", b"/CFM /AESV9", 1)
+    res = extract_document(bad, "https://x/enc.pdf")
+    assert res["status"] == "error" and "CFM" in res["error"]
+    # streams routed through an Identity filter we don't model
+    bad = p.replace(b"/StmF /StdCF", b"/StmF /Other", 1)
+    res = extract_document(bad, "https://x/enc.pdf")
+    assert res["status"] == "error" and "crypt filter" in res["error"]
+    rng = random.Random(75)  # seed 75 -> AESV3
+    p = _gen_pdf(rng, layout="classic")
+    assert b"/AESV3" in p
+    # truncated /UE -> malformed V5 dict
+    bad = __import__("re").sub(rb"/UE <[0-9a-f]+>", rb"/UE <00>", p, count=1)
+    res = extract_document(bad, "https://x/enc.pdf")
+    assert res["status"] == "error"

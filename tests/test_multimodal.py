@@ -99,3 +99,75 @@ def test_media_pipeline_on_spark(spark):
     assert all(r["frame_idx"] % 10 == 0 for r in frames)
     vids = sum(1 for r in meta if r["kind"] == "video")
     assert len({r["media_id"] for r in frames}) <= vids
+
+
+def test_mp4_container_roundtrip():
+    """Writer/parser pair over the ISO BMFF structure: frame counts,
+    duration, codec fourcc, dims, track count — plus the largesize and
+    size=0 edge encodings a real mux can emit."""
+    import random
+    import struct
+
+    rng = random.Random(11)
+    p = mm._mp4_container(rng, n_frames=30, w=1280, h=720, with_audio=True)
+    m = mm.parse_mp4_meta(p)
+    assert m["mp4_ok"] and m["mp4_codec"] == "avc1"
+    assert (m["mp4_n_frames"], m["mp4_w"], m["mp4_h"]) == (30, 1280, 720)
+    assert m["mp4_n_tracks"] == 2 and m["mp4_brand"] == "isom"
+    assert m["mp4_duration_s"] > 0
+    # video-only variant
+    p2 = mm._mp4_container(random.Random(12), n_frames=5, w=320, h=240)
+    m2 = mm.parse_mp4_meta(p2)
+    assert m2["mp4_n_tracks"] == 1 and m2["mp4_n_frames"] == 5
+    # 64-bit largesize encoding of the mdat box parses identically
+    idx = p2.rfind(b"mdat")
+    assert idx > 0
+    size32 = struct.unpack(">I", p2[idx - 4: idx])[0]
+    p3 = (p2[: idx - 4] + struct.pack(">I", 1) + b"mdat"
+          + struct.pack(">Q", size32 + 8) + p2[idx + 4:])
+    assert mm.parse_mp4_meta(p3)["mp4_n_frames"] == 5
+    # size=0 ("to end of file") on the trailing mdat
+    p4 = p2[: idx - 4] + struct.pack(">I", 0) + p2[idx:]
+    assert mm.parse_mp4_meta(p4)["mp4_n_frames"] == 5
+
+
+def test_mp4_hostile_headers_never_spin():
+    """Crafted sizes (overflowing, tiny, cyclic) terminate the walk and
+    come back unparsed instead of looping or raising."""
+    import struct
+
+    base = b"\x00\x00\x00\x14ftypisom\x00\x00\x02\x00isom"
+    hostile = [
+        base + struct.pack(">I", 0xFFFFFFF0) + b"moov" + b"\x00" * 32,
+        base + struct.pack(">I", 3) + b"moov",          # size < header
+        base + (struct.pack(">I", 8) + b"free") * 9000,  # box-count bomb
+        base + struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 2**63),
+        b"\x00" * 64,
+    ]
+    for p in hostile:
+        m = mm.parse_mp4_meta(p)
+        assert m["mp4_ok"] is False
+    res = mm.parse_media_meta(hostile[0])
+    assert res["container"] == "mp4" and res["parse_ok"] is False
+
+
+def test_mp4_in_media_sweep():
+    """gen_media emits parseable MP4s alongside truncated stubs; the
+    normative row stats agree between direct calls and the metadata
+    path."""
+    ok = bad = 0
+    for i in range(400):
+        r = mm.gen_media(i)
+        if r["kind"] != "video" or r["payload"][4:8] != b"ftyp":
+            continue
+        m = mm.mp4_row_stats(r["payload"])
+        meta = mm.parse_media_meta(r["payload"])
+        assert meta["container"] == "mp4"
+        assert meta["parse_ok"] == m["mp4_ok"]
+        if m["mp4_ok"]:
+            ok += 1
+            assert m["mp4_codec"] == "avc1" and m["mp4_n_frames"] >= 5
+            assert meta["width"] == m["mp4_w"]
+        else:
+            bad += 1
+    assert ok >= 10 and bad >= 2, (ok, bad)
