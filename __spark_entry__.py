@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_segment_boilerplate": textops.segment_boilerplate,
         "doc_token_budget_selection": textops.token_budget_selection,
         "doc_source_mixture": textops.source_mixture_weights,
+        "doc_unigram_logprob": textops.unigram_logprob,
         "doc_incremental_dedup": textops.incremental_dedup,
         "event_sessions": relops.event_sessions,
         # similarity search (embeddings table)
@@ -790,6 +791,22 @@ FROM documents d
 JOIN split s ON d.doc_id = s.doc_id AND NOT s.is_corpus
 LEFT JOIN m ON m.doc_new = d.doc_id
 ORDER BY d.doc_id
+"""
+
+    sql["doc_unigram_logprob"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+pairs AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS token FROM t)
+  GROUP BY doc_id, token
+),
+cnts AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM pairs GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * -log2(cnt * 1.0 / total)) / sum(tf), 4) AS bits_per_token
+FROM pairs JOIN cnts USING (token), tot
+GROUP BY doc_id ORDER BY doc_id
 """
 
     _EN_STOP_SQL = "['the','and','of','to','a','in','is','it','that','for']"

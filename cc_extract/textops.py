@@ -1145,11 +1145,15 @@ def source_mixture_weights(spark, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
     )
-    total = per_src.agg(
-        F.sum("n_tokens").alias("total_tokens"),
-        F.count("*").alias("n_sources"))
+    # corpus totals as a window over the AGGREGATED rows — per_src is
+    # O(sources), so the single-partition window is a no-op-sized
+    # exchange; a separate .agg + crossJoin would re-execute the whole
+    # corpus scan for the second branch (measured: 7 Exchanges -> 4)
+    w_all = Window.partitionBy()
     return (
-        per_src.crossJoin(total)
+        per_src
+        .withColumn("total_tokens", F.sum("n_tokens").over(w_all))
+        .withColumn("n_sources", F.count(F.lit(1)).over(w_all))
         .select(
             "source", "n_docs", "n_tokens",
             F.round(F.col("n_tokens") / F.col("total_tokens"), 6)
@@ -1160,4 +1164,46 @@ def source_mixture_weights(spark, sf_dir: str) -> DataFrame:
                 / F.col("n_tokens"), 6).alias("sample_weight"),
         )
         .orderBy("source")
+    )
+
+
+def unigram_logprob(spark, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM quality score: per-document mean bits/token
+    under the corpus's own unigram distribution — the relational
+    stand-in for the KenLM perplexity filter CCNet-style pipelines run
+    (high bits/token = rare-token soup, low = templated boilerplate;
+    both tails get filtered).
+
+    Scale shape: (doc, token, tf) pairs come from the map-side sorted-run
+    counter (no occurrence explode), the LM itself is one
+    partial-aggregable groupBy(token) whose result is materialized once
+    (localCheckpoint — the LM is a stored artifact in production, same
+    policy as the MinHash signature index), the scalar normalizer is a
+    1-row aggregate over the checkpointed counts (never a corpus
+    re-scan), and the score join is pairs-vs-vocab, which AQE
+    sort-merges or broadcasts by statistics.  Only the log-probability
+    weighted sum shuffles doc-wise — no all-pairs anything."""
+    docs = fan_out_scan(load_documents(spark, sf_dir))
+    pairs = token_tf_pairs(docs)
+    cnts = (
+        pairs.groupBy("token")
+        .agg(F.sum("tf").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    total_df = cnts.agg(F.sum("cnt").alias("total"))
+    joined = pairs.join(cnts, "token").crossJoin(total_df)
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("tf") * -F.log2(F.col("cnt") / F.col("total"))
+            ).alias("bits"),
+        )
+        .select(
+            "doc_id", "n_tokens",
+            F.round(F.col("bits") / F.col("n_tokens"), 4)
+            .alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
     )
