@@ -145,6 +145,8 @@ def main() -> None:
     timed("doc_simhash", textops.simhash)
     timed("doc_simhash_near_dups", textops.simhash_near_dups)
     timed("doc_benchmark_decontamination", textops.benchmark_decontamination)
+    timed("doc_segment_boilerplate", textops.segment_boilerplate)
+    timed("doc_unigram_logprob", textops.unigram_logprob)
     timed("emb_knn_bruteforce", embedops.knn_bruteforce)
     # k-means index build happens in the warm-up call and is cached —
     # the timed window measures the probe, the standard ANN serving metric
