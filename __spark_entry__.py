@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget_selection": textops.token_budget_selection,
         "doc_source_mixture": textops.source_mixture_weights,
         "doc_unigram_logprob": textops.unigram_logprob,
+        "event_funnel": relops.event_funnel,
         "doc_incremental_dedup": textops.incremental_dedup,
         "event_sessions": relops.event_sessions,
         # similarity search (embeddings table)
@@ -791,6 +792,32 @@ FROM documents d
 JOIN split s ON d.doc_id = s.doc_id AND NOT s.is_corpus
 LEFT JOIN m ON m.doc_new = d.doc_id
 ORDER BY d.doc_id
+"""
+
+    sql["event_funnel"] = """
+WITH u1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+u2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= u1.t_view
+  GROUP BY e.user_id
+),
+u3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN u2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= u2.t_click
+  GROUP BY e.user_id
+)
+SELECT CAST(count(t_view) AS BIGINT) AS n_view,
+       CAST(count(t_click) AS BIGINT) AS n_view_click,
+       CAST(count(t_purchase) AS BIGINT) AS n_view_click_purchase,
+       round(count(t_click) * 1.0 / count(t_view), 6) AS click_conv,
+       round(count(t_purchase) * 1.0 / greatest(count(t_click), 1), 6)
+         AS purchase_conv
+FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
 """
 
     sql["doc_unigram_logprob"] = f"""

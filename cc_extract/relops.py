@@ -390,3 +390,46 @@ def event_sessions(spark, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+def event_funnel(spark, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): a user
+    reaches stage k only via an event at-or-after their stage-(k-1)
+    entry time — the classic product-analytics pattern-match, expressed
+    as three conditional min-aggregations chained by equi-joins.
+
+    Scale shape: each stage relation is one filtered scan partially
+    aggregated to <= |users| rows before its join; all joins are
+    user_id equi-joins over same-keyed aggregates (AQE picks broadcast
+    or shuffle by statistics), and the final result is a 1-row
+    aggregate.  No window over the full event stream, no explode."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def stage(ev_type: str, prev, prev_col: str, out_col: str):
+        base = ev.filter(F.col("event_type") == ev_type).select("user_id", "ts")
+        if prev is None:
+            return base.groupBy("user_id").agg(F.min("ts").alias(out_col))
+        return (
+            base.join(prev, "user_id")
+            .filter(F.col("ts") >= F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_col))
+        )
+
+    u1 = stage("view", None, "", "t_view")
+    u2 = stage("click", u1, "t_view", "t_click")
+    u3 = stage("purchase", u2, "t_click", "t_purchase")
+    chained = (
+        u1.join(u2, "user_id", "left")
+        .join(u3, "user_id", "left")
+    )
+    return chained.agg(
+        F.count("t_view").cast("long").alias("n_view"),
+        F.count("t_click").cast("long").alias("n_view_click"),
+        F.count("t_purchase").cast("long").alias("n_view_click_purchase"),
+        F.round(F.count("t_click") / F.count("t_view"), 6)
+        .alias("click_conv"),
+        F.round(F.count("t_purchase")
+                / F.greatest(F.count("t_click"), F.lit(1)), 6)
+        .alias("purchase_conv"),
+    )

@@ -1844,3 +1844,36 @@ def test_pdf_encrypted_unsupported_configs_refuse():
     bad = __import__("re").sub(rb"/UE <[0-9a-f]+>", rb"/UE <00>", p, count=1)
     res = extract_document(bad, "https://x/enc.pdf")
     assert res["status"] == "error"
+
+
+def test_pdf_encrypted_corruption_fuzz_never_raises():
+    """Byte-flip fuzz over encrypted PDFs (all three handler
+    generations): corrupted ciphertext, mangled /Encrypt dicts and
+    truncated tails must land in a status row (error/needs_ocr/ok),
+    never an exception out of the dispatcher — AES padding failures,
+    bad key lengths and misaligned streams all quarantine."""
+    import random
+
+    from cc_extract.corpusgen import _gen_pdf
+
+    rng = random.Random(123)
+    fuzzed = 0
+    for seed in (67, 75, 104):  # aesv2 / aesv3 / rc4 pinned seeds
+        base = _gen_pdf(random.Random(seed), layout="classic")
+        assert b"/Encrypt" in base
+        for _ in range(25):
+            p = bytearray(base)
+            for _k in range(rng.randint(1, 8)):
+                p[rng.randrange(len(p))] = rng.randrange(256)
+            res = extract_document(bytes(p), "https://x/fz.pdf")
+            assert res["status"] in (
+                "ok", "ok_ocr", "needs_ocr", "error", "unsupported"), res
+            fuzzed += 1
+        # truncation at arbitrary points
+        for frac in (0.25, 0.5, 0.9):
+            res = extract_document(base[: int(len(base) * frac)],
+                                   "https://x/tr.pdf")
+            assert res["status"] in (
+                "ok", "ok_ocr", "needs_ocr", "error", "unsupported"), res
+            fuzzed += 1
+    assert fuzzed == 84
