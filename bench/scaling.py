@@ -125,15 +125,22 @@ def main() -> None:
     # making their RATIO robust.  Median efficiency over pairs; the best
     # absolute run per level is reported for throughput.
     pairs = []
+    weather = []  # per-pair (lo, hi) width-matched probe slowdowns
     results = {args.n: None, args.n4: None}
+    from bench.weather import probe
     for k in range(args.runs):
+        w_lo = probe(args.n)
         r_lo = run_level(args.n, corpus)
+        w_hi = probe(args.n4)
         r_hi = run_level(args.n4, corpus)
         pair_eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (args.n4 / args.n)
         pairs.append(round(pair_eff, 3))
+        weather.append((w_lo["slowdown"], w_hi["slowdown"]))
         print(json.dumps({"pair": k, "eff": round(pair_eff, 3),
                           "lo": round(r_lo["wall_sec"], 1),
-                          "hi": round(r_hi["wall_sec"], 1)}))
+                          "hi": round(r_hi["wall_sec"], 1),
+                          "weather_lo": w_lo["slowdown"],
+                          "weather_hi": w_hi["slowdown"]}))
         for cpus, r in ((args.n, r_lo), (args.n4, r_hi)):
             if results[cpus] is None or r["wall_sec"] < results[cpus]["wall_sec"]:
                 results[cpus] = r
@@ -151,6 +158,7 @@ def main() -> None:
         "mb_per_sec_4N": round(results[args.n4]["mb_per_sec"], 1),
         "scaling_efficiency": round(eff, 3),
         "pair_efficiencies": pairs,
+        "pair_weather": weather,  # width-matched probe slowdowns (lo, hi)
         "target": 0.8,
         "pass": eff >= 0.8,
     }
@@ -173,6 +181,9 @@ Campaigns append below (history preserved across rounds).
 
 **Scaling efficiency (median over {len(pairs)} interleaved pairs) = {eff:.3f}**
 (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}); per-pair efficiencies: {pairs}.
+Per-pair CPU-weather probes (width-matched single-JVM md5 slowdown vs
+this host's best-ever, measured immediately before each leg — the
+frequency/neighbor contention steal%% cannot see): {weather}.
 Pairing note: this guest's effective CPU allocation drifts 2-3x over minutes
 (host-shared vCPUs) — back-to-back pairs share weather, so the per-pair
 ratio is the statistically meaningful quantity.

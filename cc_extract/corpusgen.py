@@ -203,6 +203,80 @@ def _encrypt_obj_streams(objs: list, enc_fn) -> None:
         objs[num - 1] = head + b"\nstream\n" + new + b"\nendstream"
 
 
+def _a85_encode_cg(data: bytes) -> bytes:
+    """Writer-side ASCII85 (ISO 32000 7.4.3), independent of the
+    extractor's decoder: 4-byte groups to 5 base-85 digits, 'z' for zero
+    groups, partial tail truncated, '~>' EOD."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        grp = data[i: i + 4]
+        pad = 4 - len(grp)
+        val = int.from_bytes(grp + b"\x00" * pad, "big")
+        if val == 0 and pad == 0:
+            out += b"z"
+            continue
+        digits = bytearray(5)
+        for k in range(4, -1, -1):
+            digits[k] = 33 + val % 85
+            val //= 85
+        out += digits[: 5 - pad]
+    return bytes(out) + b"~>"
+
+
+def _rle_encode_cg(data: bytes) -> bytes:
+    """Writer-side RunLengthDecode encoder: repeat runs >= 3 as repeats,
+    literals chunked at 128, EOD 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = i
+    def flush_literals(upto):
+        j = lit_start
+        while j < upto:
+            chunk = data[j: min(j + 128, upto)]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+            j += len(chunk)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(n)
+    out.append(128)
+    return bytes(out)
+
+
+def _pdf_encode_stream(rng: random.Random, raw: bytes) -> tuple[str, bytes]:
+    """Pick a realistic filter chain for a PDF content stream and encode
+    *raw* with it.  Returns (dict clause, encoded bytes).  Mix: Flate
+    dominates (what real writers emit), with LZW, ASCII85-wrapped Flate,
+    RunLength, ASCIIHex-wrapped Flate and raw streams on the tail — each
+    exercising a distinct decoder path in extractors/pdf.py."""
+    pick = rng.random()
+    if pick < 0.60:
+        return "/Filter /FlateDecode", zlib.compress(raw)
+    if pick < 0.72:
+        return ("/Filter /LZWDecode /DecodeParms << /EarlyChange 1 >>",
+                _tiff_lzw_encode(raw))
+    if pick < 0.82:
+        return ("/Filter [ /ASCII85Decode /FlateDecode ]",
+                _a85_encode_cg(zlib.compress(raw)))
+    if pick < 0.90:
+        return "/Filter /RunLengthDecode", _rle_encode_cg(raw)
+    if pick < 0.96:
+        comp = zlib.compress(raw)
+        return ("/Filter [ /ASCIIHexDecode /FlateDecode ]",
+                comp.hex().encode("ascii") + b">")
+    return "", raw  # no filter at all (legal, rare)
+
+
 def _gen_pdf_content_stream(rng: random.Random, n_lines: int,
                             translate: dict | None = None) -> bytes:
     ops = ["BT /F1 12 Tf 72 720 Td"]
@@ -439,20 +513,21 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
             raw = _gen_pdf_content_stream(
                 rng, rng.randint(4, 20),
                 translate=_PDF_DIFF_TRANS if diff_font else None)
-        comp = zlib.compress(raw)
+        fclause, comp = _pdf_encode_stream(rng, raw)
+        fclause = f" {fclause}" if fclause else ""
         if rng.random() < 0.15:
             # indirect /Length N 0 R (what many real writers emit); the
             # int object precedes the stream here but the parser also
             # resolves forward references
             lid = add(str(len(comp)).encode())
             cid = add(
-                f"<< /Length {lid} 0 R /Filter /FlateDecode >>".encode()
+                f"<< /Length {lid} 0 R{fclause} >>".encode()
                 + b"\nstream\n" + comp + b"\nendstream"
             )
         else:
             cid = add(
-                b"<< /Length " + str(len(comp)).encode()
-                + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream"
+                f"<< /Length {len(comp)}{fclause} >>".encode()
+                + b"\nstream\n" + comp + b"\nendstream"
             )
         content_ids.append(cid)
         page_obj_ids.append(None)  # placeholder; fill after pages node id known

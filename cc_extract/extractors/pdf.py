@@ -497,20 +497,106 @@ def _deref(objects, val):
     return val
 
 
+def _ascii85_decode(data: bytes) -> bytes:
+    """PDF ASCII85Decode (ISO 32000 7.4.3): base-85 groups, 'z' for an
+    all-zero group, '~>' EOD, partial final group padded with 'u'."""
+    end = data.find(b"~>")
+    if end != -1:
+        data = data[:end]
+    data = re.sub(rb"\s", b"", data)
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        if data[i] == 0x7A:  # 'z'
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        grp = data[i: i + 5]
+        i += len(grp)
+        pad = 5 - len(grp)
+        if pad == 4:
+            raise ValueError("a85: lone final digit")
+        val = 0
+        for ch in grp + b"u" * pad:
+            d = ch - 33
+            if not 0 <= d <= 84:
+                raise ValueError("a85: bad digit")
+            val = val * 85 + d
+        if val > 0xFFFFFFFF:
+            raise ValueError("a85: group overflow")
+        out += val.to_bytes(4, "big")[: 4 - pad]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode (7.4.5): length byte 0-127 copies L+1
+    literals, 129-255 repeats the next byte 257-L times, 128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:
+            break
+        if length < 128:
+            chunk = data[i: i + length + 1]
+            if len(chunk) != length + 1:
+                raise ValueError("rle: truncated literal run")
+            out += chunk
+            i += length + 1
+        else:
+            if i >= n:
+                raise ValueError("rle: truncated repeat run")
+            out += bytes([data[i]]) * (257 - length)
+            i += 1
+    return bytes(out)
+
+
 def _decode_stream(obj_dict: dict, stream: bytes) -> bytes | None:
+    """Apply the stream's filter chain in array order.  Covered: Flate,
+    LZW (TIFF-convention MSB-first codes with the spec-default
+    EarlyChange=1 — the decoder is shared with extractors/tiff.py),
+    ASCIIHex, ASCII85, RunLength, and chains thereof.  Predictors,
+    EarlyChange=0 and anything else return None — the stream is then
+    not a text source and the document degrades honestly."""
     filt = obj_dict.get("Filter")
     filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    parms = obj_dict.get("DecodeParms", obj_dict.get("DP"))
+    parms_list = parms if isinstance(parms, list) else [parms]
     data = stream
-    for f in filters:
-        if f == "FlateDecode":
-            try:
+    for i, f in enumerate(filters):
+        pm = parms_list[i] if i < len(parms_list) else None
+        pm = pm if isinstance(pm, dict) else {}
+        try:
+            if f == "FlateDecode":
+                if pm.get("Predictor", 1) != 1:
+                    return None
                 data = zlib.decompress(data)
-            except zlib.error:
-                return None
-        elif f is None:
-            continue
-        else:
-            return None  # unsupported filter -> not a text source for us
+            elif f == "LZWDecode":
+                if pm.get("Predictor", 1) != 1 or pm.get("EarlyChange", 1) != 1:
+                    return None
+                from .ocr import OcrError
+                from .tiff import _lzw_decode_tiff
+
+                try:
+                    data = _lzw_decode_tiff(data, 1 << 24)
+                except OcrError:
+                    return None
+            elif f == "ASCIIHexDecode":
+                hexs = re.sub(rb"\s", b"", data.split(b">")[0])
+                if len(hexs) % 2:
+                    hexs += b"0"
+                data = bytes.fromhex(hexs.decode("ascii"))
+            elif f == "ASCII85Decode":
+                data = _ascii85_decode(data)
+            elif f == "RunLengthDecode":
+                data = _runlength_decode(data)
+            elif f is None:
+                continue
+            else:
+                return None  # unsupported filter -> not a text source
+        except (zlib.error, ValueError, UnicodeDecodeError):
+            return None
     return data
 
 

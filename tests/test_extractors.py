@@ -1796,7 +1796,7 @@ def test_pdf_encrypted_extracts_all_generations():
     rng = random.Random(77)
     seen = {"rc4": 0, "aesv2": 0, "aesv3": 0}
     checked_u = set()
-    for _ in range(400):
+    for _ in range(700):
         p = _gen_pdf(rng)
         if b"/Encrypt" not in p:
             continue
@@ -1826,7 +1826,7 @@ def test_pdf_encrypted_unsupported_configs_refuse():
 
     from cc_extract.corpusgen import _gen_pdf
 
-    rng = random.Random(67)  # seed 67 -> AESV2 (pinned by the smoke sweep)
+    rng = random.Random(7)  # seed 7 -> AESV2 (pinned by the smoke sweep)
     p = _gen_pdf(rng, layout="classic")
     assert b"/AESV2" in p
     # unknown CFM
@@ -1837,7 +1837,7 @@ def test_pdf_encrypted_unsupported_configs_refuse():
     bad = p.replace(b"/StmF /StdCF", b"/StmF /Other", 1)
     res = extract_document(bad, "https://x/enc.pdf")
     assert res["status"] == "error" and "crypt filter" in res["error"]
-    rng = random.Random(75)  # seed 75 -> AESV3
+    rng = random.Random(103)  # seed 103 -> AESV3
     p = _gen_pdf(rng, layout="classic")
     assert b"/AESV3" in p
     # truncated /UE -> malformed V5 dict
@@ -1858,7 +1858,7 @@ def test_pdf_encrypted_corruption_fuzz_never_raises():
 
     rng = random.Random(123)
     fuzzed = 0
-    for seed in (67, 75, 104):  # aesv2 / aesv3 / rc4 pinned seeds
+    for seed in (7, 103, 14):  # aesv2 / aesv3 / rc4 pinned seeds
         base = _gen_pdf(random.Random(seed), layout="classic")
         assert b"/Encrypt" in base
         for _ in range(25):
@@ -1877,3 +1877,78 @@ def test_pdf_encrypted_corruption_fuzz_never_raises():
                 "ok", "ok_ocr", "needs_ocr", "error", "unsupported"), res
             fuzzed += 1
     assert fuzzed == 84
+
+
+def test_pdf_filter_chains_extract_exact_text():
+    """Every content-stream filter the reader claims (Flate, LZW,
+    ASCII85+Flate, RunLength, ASCIIHex+Flate, none) yields the exact
+    page text from a handcrafted one-page document — intent-level check,
+    independent of the generator's own filter mix."""
+    import zlib
+
+    from cc_extract.corpusgen import (_a85_encode_cg, _rle_encode_cg,
+                                      _tiff_lzw_encode)
+    from cc_extract.extractors.pdf import extract_pdf
+
+    raw = b"BT /F1 12 Tf 72 720 Td (Hello filters) Tj ET"
+    cases = [
+        ("/Filter /FlateDecode", zlib.compress(raw)),
+        ("/Filter /LZWDecode", _tiff_lzw_encode(raw)),
+        ("/Filter /LZWDecode /DecodeParms << /EarlyChange 1 >>",
+         _tiff_lzw_encode(raw)),
+        ("/Filter [ /ASCII85Decode /FlateDecode ]",
+         _a85_encode_cg(zlib.compress(raw))),
+        ("/Filter /RunLengthDecode", _rle_encode_cg(raw)),
+        ("/Filter [ /ASCIIHexDecode /FlateDecode ]",
+         zlib.compress(raw).hex().encode() + b">"),
+        ("", raw),
+    ]
+    for clause, body in cases:
+        clause_s = f" {clause}" if clause else ""
+        objs = [
+            f"<< /Length {len(body)}{clause_s} >>".encode()
+            + b"\nstream\n" + body + b"\nendstream",
+            b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 1 0 R >>",
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+        ]
+        import io
+        buf = io.BytesIO()
+        buf.write(b"%PDF-1.4\n")
+        offs = [0]
+        for i, b in enumerate(objs, 1):
+            offs.append(buf.tell())
+            buf.write(f"{i} 0 obj\n".encode() + b + b"\nendobj\n")
+        xref = buf.tell()
+        buf.write(f"xref\n0 {len(objs)+1}\n".encode())
+        buf.write(b"0000000000 65535 f \n")
+        for o in offs[1:]:
+            buf.write(f"{o:010d} 00000 n \n".encode())
+        buf.write(f"trailer\n<< /Size {len(objs)+1} /Root 4 0 R >>\n"
+                  f"startxref\n{xref}\n%%EOF\n".encode())
+        text = extract_pdf(buf.getvalue())
+        assert text.strip() == "Hello filters", (clause, text)
+    # unsupported configs degrade to no text, never raise: predictor on
+    # Flate, EarlyChange=0 LZW, unknown filter
+    for clause in (
+        "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>",
+        "/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+        "/Filter /JBIG2Decode",
+    ):
+        body = zlib.compress(raw)
+        objs0 = (f"<< /Length {len(body)} {clause} >>".encode()
+                 + b"\nstream\n" + body + b"\nendstream")
+        import io
+        buf = io.BytesIO()
+        buf.write(b"%PDF-1.4\n")
+        objs = [objs0,
+                b"<< /Type /Pages /Count 1 /Kids [3 0 R] >>",
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Contents 1 0 R >>",
+                b"<< /Type /Catalog /Pages 2 0 R >>"]
+        for i, b in enumerate(objs, 1):
+            buf.write(f"{i} 0 obj\n".encode() + b + b"\nendobj\n")
+        buf.write(b"trailer\n<< /Size 5 /Root 4 0 R >>\n%%EOF\n")
+        text = extract_pdf(buf.getvalue())
+        assert isinstance(text, str) and "Hello" not in text, (clause, text)
