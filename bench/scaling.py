@@ -115,6 +115,18 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--n", type=int, default=2, help="low parallelism level")
     ap.add_argument("--n4", type=int, default=8, help="4x level")
+    ap.add_argument("--wait-clean", type=float, default=0.0,
+                    help="minutes to wait before each pair for a window "
+                         "where the width-n4 weather probe shows slowdown "
+                         "<= --max-slowdown (the host only intermittently "
+                         "delivers all 32 cores; catching such a window is "
+                         "what makes a pair meaningful)")
+    ap.add_argument("--max-slowdown", type=float, default=1.1)
+    ap.add_argument("--hi-first", action="store_true",
+                    help="run the 4N leg immediately after the gate (the "
+                         "wide leg is the weather-sensitive one and the "
+                         "host's clean windows are shorter than a pair); "
+                         "the N leg is weather-robust at this host")
     args = ap.parse_args()
 
     corpus = ensure_corpus(args.docs)
@@ -127,12 +139,22 @@ def main() -> None:
     pairs = []
     weather = []  # per-pair (lo, hi) width-matched probe slowdowns
     results = {args.n: None, args.n4: None}
-    from bench.weather import probe
+    from bench.weather import probe, wait_for_window
     for k in range(args.runs):
-        w_lo = probe(args.n)
-        r_lo = run_level(args.n, corpus)
-        w_hi = probe(args.n4)
-        r_hi = run_level(args.n4, corpus)
+        if args.wait_clean > 0:
+            gate = wait_for_window(args.n4, args.max_slowdown,
+                                   args.wait_clean, interval_sec=30.0)
+            print(json.dumps({"pair": k, "pre_gate": gate}))
+        if args.hi_first:
+            w_hi = probe(args.n4)
+            r_hi = run_level(args.n4, corpus)
+            w_lo = probe(args.n)
+            r_lo = run_level(args.n, corpus)
+        else:
+            w_lo = probe(args.n)
+            r_lo = run_level(args.n, corpus)
+            w_hi = probe(args.n4)
+            r_hi = run_level(args.n4, corpus)
         pair_eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (args.n4 / args.n)
         pairs.append(round(pair_eff, 3))
         weather.append((w_lo["slowdown"], w_hi["slowdown"]))
