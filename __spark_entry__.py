@@ -280,6 +280,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customers": relops.q18_large_volume_customers,
         "q4_order_priority": relops.q4_order_priority,
         "q10_returned_items": relops.q10_returned_items,
+        "q7_volume_shipping": relops.q7_volume_shipping,
+        "q12_priority_shipping": relops.q12_priority_shipping,
+        "q14_promo_revenue": relops.q14_promo_revenue,
+        "q19_disjunctive_revenue": relops.q19_disjunctive_revenue,
+        "q22_idle_high_balance": relops.q22_idle_high_balance,
         "parts_never_shipped": relops.parts_never_shipped,
         "top_orders": relops.top_orders,
         "latest_event_per_user": relops.latest_event_per_user,
@@ -500,6 +505,77 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
+"""
+
+    sql["q7_volume_shipping"] = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+    sql["q12_priority_shipping"] = """
+SELECT l_linestatus,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+    sql["q14_promo_revenue"] = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1997-03-01' AND l_shipdate < '1997-04-01'
+"""
+
+    sql["q19_disjunctive_revenue"] = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
+       AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 25 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+    sql["q22_idle_high_balance"] = """
+WITH thr AS (SELECT avg(c_acctbal) AS avg_bal
+             FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, count(*) AS n_custs,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer, thr
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '2001-01-01')
+GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
     sql["q18_large_volume_customers"] = """

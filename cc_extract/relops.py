@@ -433,3 +433,187 @@ def event_funnel(spark, sf_dir: str) -> DataFrame:
                 / F.greatest(F.count("t_click"), F.lit(1)), 6)
         .alias("purchase_conv"),
     )
+
+
+# --------------------------------------------------------------- TPC-H Q7
+
+def q7_volume_shipping(spark, sf_dir: str) -> DataFrame:
+    """Two-sided nation flow (TPC-H Q7 shape): revenue shipped between a
+    nation pair in either direction, per ship year.  The fact join chain
+    is lineitem⨝orders (both facts, AQE-planned shuffle join on the
+    order key); supplier and customer attach their nations through
+    explicitly broadcast dims, and the symmetric pair filter
+    ((s=1 ∧ c=2) ∨ (s=2 ∧ c=1)) lands AFTER the dim joins where both
+    names exist — but the one-sided implications (s ∈ {1,2}, c ∈ {1,2})
+    are applied on supplier/customer BEFORE their joins so the fact side
+    shrinks as early as the optimizer can prove.  Reference semantics:
+    lambda-text-extractor has no relational layer; shape is from the
+    TPC-H spec Q7, re-expressed DataFrame-first."""
+    nations = ("NATION_1", "NATION_2")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .filter(F.col("supp_nation").isin(*nations))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .filter(F.col("cust_nation").isin(*nations))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1]))
+            | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q12
+
+def q12_priority_shipping(spark, sf_dir: str) -> DataFrame:
+    """Conditional-count rollup (TPC-H Q12 shape, adapted: the driver's
+    lineitem has no l_shipmode, so the group key is l_linestatus).  For
+    lineitems shipped in a one-year window, count critical-priority
+    (1-URGENT / 2-HIGH) vs other orders per line status.  Both inputs
+    are facts: the join is an AQE-planned equi-join on the order key;
+    the CASE counts are partial-aggregable, so only the tiny per-status
+    rollup crosses the final exchange."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_linestatus")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(crit, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~crit, F.lit(1))).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q14
+
+def q14_promo_revenue(spark, sf_dir: str) -> DataFrame:
+    """Conditional-ratio aggregate over a broadcast dim join (TPC-H Q14
+    shape): share of one month's revenue coming from PROMO-type parts.
+    part is a dimension — explicit broadcast, so the shipdate-windowed
+    lineitem scan (predicates pushed to parquet) never shuffles; the
+    two sums are one partial-aggregable pass; 1-row result."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q19
+
+def q19_disjunctive_revenue(spark, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-branch predicate across the join (TPC-H Q19
+    shape, adapted to the driver's part schema: brand + size band +
+    quantity band per branch).  The OR spans columns of BOTH relations,
+    so no single conjunct pushes through the join — but Catalyst derives
+    the one-sided implications (p_brand IN (..) ∧ size bounds on part;
+    quantity/discount bounds on lineitem) and pushes THOSE into each
+    parquet scan before the broadcast join; the cross-relation OR is
+    evaluated once post-join.  1-row revenue aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    branch = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= s_lo) & (F.col("p_size") <= s_hi)
+        & (F.col("l_quantity") >= q_lo) & (F.col("l_quantity") <= q_hi)
+    )
+    return (
+        j.filter(
+            branch("Brand#1", 1, 15, 1, 11)
+            | branch("Brand#12", 10, 30, 10, 20)
+            | branch("Brand#23", 25, 50, 20, 30)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q22
+
+def q22_idle_high_balance(spark, sf_dir: str) -> DataFrame:
+    """Scalar-subquery threshold + anti-join (TPC-H Q22 shape, adapted:
+    no phone prefixes in the driver schema, so the group key is the
+    nation).  Customers whose balance exceeds the positive-balance mean
+    and who placed NO order on/after 2001-01-01, counted per nation.
+
+    Scale shape: the mean is a 1-row aggregate cross-joined back
+    (Spark plans BroadcastNestedLoopJoin — the 1-row side broadcasts);
+    the NOT-EXISTS is a left_anti join against the date-filtered orders
+    projection (order-key/custkey only, predicate pushed to the scan).
+    At 100 TB the anti-join's right side is one pushed-down scan
+    aggregated to distinct custkeys, not the full orders table."""
+    cust = _t(spark, sf_dir, "customer")
+    mean_row = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(mean_row))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
