@@ -133,6 +133,32 @@ def _cc_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redaction REWRITE pass cc_pii_stats only scans for: every
+    deduped document's extracted text with emails/URLs/long digit runs
+    replaced by typed placeholders, reported as (url, sha256 of redacted
+    text, signed length delta, n matches per class) for documents that
+    carried any indicator.  The hash pins the exact rewritten bytes —
+    both engines must produce the identical redacted string, not just
+    agree something changed.  Per-row projection over the shared cached
+    pipeline output; no extra shuffle beyond the pipeline's own."""
+    _, res = _cc_corpus_and_extracted(spark)
+    red = textops.pii_redacted_col(F.col("text_out"))
+    out = res.select(
+        "url",
+        F.sha2(red, 256).alias("red_sha256"),
+        (F.length(red) - F.length("text_out")).cast("long").alias("delta_chars"),
+        *[c.cast("long").alias(a) for c, a in zip(
+            (x for x in textops.pii_indicator_cols("text_out")),
+            ("n_emails", "n_urls", "n_long_numbers"),
+        )],
+    )
+    return out.filter(
+        (F.col("n_emails") > 0) | (F.col("n_urls") > 0)
+        | (F.col("n_long_numbers") > 0)
+    )
+
+
 def _cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain extraction accounting over the deduped pipeline output:
     doc counts, ok/error splits and extracted-text volume keyed by the
@@ -322,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_mixture": textops.source_mixture_weights,
         "doc_unigram_logprob": textops.unigram_logprob,
         "event_funnel": relops.event_funnel,
+        "cc_pii_redact": _cc_pii_redact,
         "doc_incremental_dedup": textops.incremental_dedup,
         "event_sessions": relops.event_sessions,
         # similarity search (embeddings table)
@@ -1410,6 +1437,30 @@ p AS (
   FROM d
 )
 SELECT * FROM p WHERE n_emails > 0 OR n_urls > 0 OR n_long_numbers > 0
+"""
+
+    sql["cc_pii_redact"] = f"""
+WITH {dedup_cte},
+r AS (
+  SELECT url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text_out, '{textops.EMAIL_RX}', '<EMAIL>', 'g'),
+             '{textops.URL_RX}', '<URL>', 'g'),
+           '{textops.LONGNUM_RX}', '<NUM>', 'g') AS red,
+         text_out,
+         len(regexp_extract_all(text_out, '{textops.EMAIL_RX}')) AS n_emails,
+         len(regexp_extract_all(text_out, '{textops.URL_RX}')) AS n_urls,
+         len(regexp_extract_all(text_out, '{textops.LONGNUM_RX}')) AS n_long_numbers
+  FROM d
+)
+SELECT url, sha256(red) AS red_sha256,
+       CAST(length(red) - length(text_out) AS BIGINT) AS delta_chars,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(n_long_numbers AS BIGINT) AS n_long_numbers
+FROM r
+WHERE n_emails > 0 OR n_urls > 0 OR n_long_numbers > 0
 """
 
     sql["cc_dedup_effect"] = f"""

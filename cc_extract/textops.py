@@ -634,6 +634,21 @@ def pii_indicator_cols(text_col: str) -> list:
     ]
 
 
+def pii_redacted_col(text_col):
+    """The redaction REWRITE the indicators above key: emails, then URLs,
+    then long digit runs are replaced by typed placeholder tokens, in a
+    FIXED order (the order is part of the spec — an email inside a URL
+    query string redacts as <EMAIL> because the email pass runs first,
+    and both engines must agree).  Placeholders contain no digits, no
+    '@', no scheme, so later passes can never re-match an earlier pass's
+    output.  Same Java/RE2-common regex subset as the indicators; pure
+    per-row projection (JVM regexp_replace, no UDF), so the pass is one
+    map over the scan at any corpus size."""
+    red = F.regexp_replace(text_col, EMAIL_RX, "<EMAIL>")
+    red = F.regexp_replace(red, URL_RX, "<URL>")
+    return F.regexp_replace(red, LONGNUM_RX, "<NUM>")
+
+
 # ------------------------------------------------------- length quantiles
 
 def length_quantiles(spark, sf_dir: str) -> DataFrame:
