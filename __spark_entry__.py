@@ -159,6 +159,50 @@ def _cc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WARC/1.0 container round-trip (cc_extract/warc.py): the
+    corpus is grouped into 16 url-hashed segments, each serialized as a
+    genuine ``.warc.gz`` (warcinfo member + one gzip member per response
+    record, Common Crawl layout), then parsed BACK through the
+    ``mapInPandas`` segment reader — member walk, WARC header parse,
+    Content-Length block read, HTTP/1.1 split.  The contract output is
+    one row per response record (url, second-precision crawl ts, payload
+    sha256, byte length); the oracle is the generator-direct corpus
+    table, so any loss or corruption anywhere in writer OR reader breaks
+    the hash.  Reader-independence from the writer is pinned separately
+    by spec-transcribed fixture bytes in tests/test_warc.py."""
+    import pandas as pd
+
+    from cc_extract import warc as W
+
+    docs, _ = _cc_corpus_and_extracted(spark)
+    seg = docs.select(
+        F.pmod(F.xxhash64("url"), F.lit(16)).alias("seg_id"),
+        "url", "warc_ts", "html",
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["url", "warc_ts"])
+        seg_id = int(pdf["seg_id"].iloc[0])
+        blob = W.write_warc_gz(
+            ((u, t.to_pydatetime(), bytes(h)) for u, t, h in
+             zip(pdf["url"], pdf["warc_ts"], pdf["html"])),
+            segment=f"seg{seg_id}",
+        )
+        return pd.DataFrame({"seg_id": [seg_id], "warc": [blob]})
+
+    seg_df = seg.groupBy("seg_id").applyInPandas(
+        build, schema="seg_id long, warc binary"
+    )
+    rec = W.records_df(seg_df).filter(F.col("rec_type") == "response")
+    return rec.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
+        F.sha2("payload", 256).alias("payload_sha256"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
 def _cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain extraction accounting over the deduped pipeline output:
     doc counts, ok/error splits and extracted-text volume keyed by the
@@ -349,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob": textops.unigram_logprob,
         "event_funnel": relops.event_funnel,
         "cc_pii_redact": _cc_pii_redact,
+        "cc_warc_roundtrip": _cc_warc_roundtrip,
         "doc_incremental_dedup": textops.incremental_dedup,
         "event_sessions": relops.event_sessions,
         # similarity search (embeddings table)
@@ -1468,6 +1513,13 @@ WITH {dedup_cte}
 SELECT (SELECT count(*) FROM read_parquet('{ext}')) AS n_input_rows,
        (SELECT count(DISTINCT url) FROM read_parquet('{ext}')) AS n_distinct_urls,
        (SELECT count(*) FROM d) AS n_output_rows
+"""
+
+    corpus = oracle_data.corpus_table(_CC_N_DOCS)
+    sql["cc_warc_roundtrip"] = f"""
+SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
+       payload_sha256, CAST(n_bytes AS BIGINT) AS n_bytes
+FROM read_parquet('{corpus}')
 """
 
     media = oracle_data.media_table(400)

@@ -715,10 +715,19 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
 # ---------------------------------------------------------------- OOXML
 
 def _zip_bytes(entries: list[tuple[str, bytes]]) -> bytes:
+    """Deterministic zip container: member mtimes are PINNED.  Plain
+    ``writestr(name, ...)`` stamps wall-clock into the DOS time fields,
+    which made OOXML/ODT payload BYTES differ between processes (the
+    extracted text never sees zip headers, so only a byte-level check —
+    the WARC round-trip oracle — could catch it).  The corpus contract
+    is 'pure function of (i, seed)'; this restores it."""
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         for name, data in entries:
-            zf.writestr(name, data)
+            zi = zipfile.ZipInfo(name, date_time=(2025, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zi.external_attr = 0o600 << 16
+            zf.writestr(zi, data)
     return buf.getvalue()
 
 

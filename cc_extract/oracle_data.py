@@ -75,6 +75,37 @@ def extraction_table(n_docs: int = 1200) -> str:
     return path
 
 
+def corpus_table(n_docs: int = 1200) -> str:
+    """Per-INPUT-ROW corpus identity (url, crawl ts, payload digest/size)
+    straight from the generator — the oracle side of the WARC round-trip
+    check: if the Spark path (segment assembly -> .warc.gz bytes ->
+    member walk -> record parse -> HTTP split) is lossless, its
+    per-record output equals this table exactly."""
+    key = f"corpus:{n_docs}"
+    if key in _memo:
+        return _memo[key]
+    import pyarrow as pa
+
+    from .corpusgen import gen_corpus
+
+    urls, tss, shas, nbytes = [], [], [], []
+    for r in gen_corpus(n_docs):
+        urls.append(r["url"])
+        tss.append(r["warc_ts"])
+        shas.append(hashlib.sha256(r["html"]).hexdigest())
+        nbytes.append(len(r["html"]))
+    table = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "payload_sha256": pa.array(shas, pa.string()),
+        "n_bytes": pa.array(nbytes, pa.int64()),
+    })
+    path = os.path.join(_ORACLE_DIR, f"corpus_{n_docs}.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path
+
+
 def media_table(n: int = 400) -> str:
     """Per-media-row container metadata + byte-histogram feature, the
     single-process twin of multimodal.media_metadata/media_features."""

@@ -1,0 +1,250 @@
+"""WARC/1.0 container support — the actual Common Crawl interchange
+format (ISO 28500).  The reference pipeline consumes documents the crawl
+already unpacked; this module closes the loop upstream of it: write and
+read real ``.warc.gz`` segments so the engine can ingest a crawl drop
+directly instead of requiring a pre-exploded table.
+
+Format notes (all from the public ISO 28500 spec + the Common Crawl
+convention, NOT from any reference code):
+
+- A ``.warc.gz`` file is a sequence of INDEPENDENT gzip members, one per
+  WARC record — that is what makes the format splittable-ish at scale:
+  a reader can start at any member boundary without history.  We honor
+  it on both sides (one ``gzip.compress`` per record; the reader walks
+  members with ``zlib.decompressobj(wbits=31)`` and ``unused_data``).
+- A record is ``WARC/1.0 CRLF (header CRLF)* CRLF block CRLF CRLF``
+  where ``Content-Length`` gives the exact block byte length.
+- ``WARC-Type: response`` records carry a full HTTP/1.1 message as the
+  block (status line, headers, CRLF CRLF, body); the page bytes are the
+  HTTP body.  ``warcinfo`` / ``request`` / ``metadata`` records are
+  structural and skipped by extraction (but counted).
+
+Scale shape: one WARC segment ≈ 1 GB in a real crawl, so the Spark
+operator maps ONE segment per input row through ``mapInPandas`` —
+per-segment imperative parsing is the honest grain (gzip members are a
+sequential chain within a segment), and parallelism comes from the
+number of segments (tens of thousands per crawl), not from splitting a
+member chain.  All outputs are plain columns; nothing leaves the
+executor except the parsed rows.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import zlib
+from datetime import datetime, timezone
+from typing import Iterator
+
+CRLF = b"\r\n"
+_DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
+
+
+# ------------------------------------------------------------------ writer
+
+def _warc_date(dt: datetime) -> str:
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt.strftime(_DATE_FMT)
+
+
+def build_response_record(url: str, dt: datetime, payload: bytes,
+                          content_type: str = "application/octet-stream") -> bytes:
+    """One uncompressed WARC/1.0 response record (spec §4): the block is
+    a full HTTP/1.1 response message whose body is *payload*.  The
+    record id is deterministic (sha1 of url+date) so corpus generation
+    stays a pure function."""
+    http = (
+        b"HTTP/1.1 200 OK" + CRLF
+        + b"Content-Type: " + content_type.encode("ascii") + CRLF
+        + b"Content-Length: " + str(len(payload)).encode("ascii") + CRLF
+        + CRLF
+        + payload
+    )
+    rid = hashlib.sha1((url + _warc_date(dt)).encode("utf-8")).hexdigest()
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        b"WARC-Record-ID: <urn:uuid:" + rid.encode("ascii") + b">",
+        b"WARC-Date: " + _warc_date(dt).encode("ascii"),
+        b"WARC-Target-URI: " + url.encode("utf-8"),
+        b"Content-Type: application/http; msgtype=response",
+        b"Content-Length: " + str(len(http)).encode("ascii"),
+    ]
+    return CRLF.join(headers) + CRLF + CRLF + http + CRLF + CRLF
+
+
+def build_warcinfo_record(segment: str) -> bytes:
+    """The leading warcinfo record every Common Crawl segment carries."""
+    body = (
+        b"software: cc-extract-corpusgen" + CRLF
+        + b"format: WARC File Format 1.0" + CRLF
+        + b"description: deterministic synthetic segment " + segment.encode("ascii") + CRLF
+    )
+    rid = hashlib.sha1(("warcinfo:" + segment).encode("ascii")).hexdigest()
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: warcinfo",
+        b"WARC-Record-ID: <urn:uuid:" + rid.encode("ascii") + b">",
+        b"WARC-Date: 2025-01-01T00:00:00Z",
+        b"Content-Type: application/warc-fields",
+        b"Content-Length: " + str(len(body)).encode("ascii"),
+    ]
+    return CRLF.join(headers) + CRLF + CRLF + body + CRLF + CRLF
+
+
+def write_warc_gz(records, segment: str = "seg0") -> bytes:
+    """Serialize (url, datetime, payload) triples as a ``.warc.gz``
+    segment: a warcinfo member followed by one gzip member PER record
+    (the Common Crawl layout; mtime=0 keeps the bytes deterministic)."""
+    out = [gzip.compress(build_warcinfo_record(segment), mtime=0)]
+    for url, dt, payload in records:
+        out.append(gzip.compress(build_response_record(url, dt, payload), mtime=0))
+    return b"".join(out)
+
+
+# ------------------------------------------------------------------ reader
+
+class WarcError(ValueError):
+    pass
+
+
+def _gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a concatenation of gzip members one member at a time.
+    Raises WarcError on a corrupt/truncated member (the caller decides
+    how much of the segment survives)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error as e:
+            raise WarcError(f"corrupt gzip member at offset {pos}: {e}") from e
+        if not d.eof:
+            raise WarcError(f"truncated gzip member at offset {pos}")
+        yield chunk
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:  # defensive: zero-length member cannot happen in gzip
+            raise WarcError(f"non-advancing gzip member at offset {pos}")
+        pos += consumed
+
+
+def _parse_record(raw: bytes) -> dict:
+    """Parse one uncompressed WARC record into header dict + block."""
+    sep = raw.find(CRLF + CRLF)
+    if sep < 0:
+        raise WarcError("no header/block separator")
+    head_lines = raw[:sep].split(CRLF)
+    if not head_lines or not head_lines[0].startswith(b"WARC/"):
+        raise WarcError("missing WARC/ version line")
+    headers: dict[str, str] = {}
+    for line in head_lines[1:]:
+        k, _, v = line.partition(b":")
+        if not _:
+            raise WarcError(f"malformed header line {line[:40]!r}")
+        headers[k.strip().decode("ascii", "replace").lower()] = (
+            v.strip().decode("utf-8", "replace")
+        )
+    try:
+        clen = int(headers["content-length"])
+    except (KeyError, ValueError) as e:
+        raise WarcError("bad or missing Content-Length") from e
+    block = raw[sep + 4 : sep + 4 + clen]
+    if len(block) != clen:
+        raise WarcError("block shorter than Content-Length")
+    return {"headers": headers, "block": block}
+
+
+def _parse_http_response(block: bytes) -> tuple[int, bytes]:
+    """Split an HTTP/1.1 response message into (status, body)."""
+    sep = block.find(CRLF + CRLF)
+    if sep < 0:
+        raise WarcError("http message without header terminator")
+    lines = block[:sep].split(CRLF)
+    parts = lines[0].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise WarcError("bad http status line")
+    try:
+        status = int(parts[1])
+    except ValueError as e:
+        raise WarcError("bad http status code") from e
+    return status, block[sep + 4 :]
+
+
+def iter_warc_gz(data: bytes):
+    """Yield one dict per WARC record in a ``.warc.gz`` segment:
+    ``{'rec_type', 'url', 'warc_ts', 'payload', 'http_status', 'error'}``.
+    Non-response records yield with payload=None; a corrupt member or
+    record yields a single ``rec_type='corrupt'`` row carrying the error
+    and STOPS (members form a byte chain — after a corrupt member the
+    next boundary is unknowable), which matches how a crawl reader
+    quarantines a bad segment tail."""
+    try:
+        for raw in _gzip_members(data):
+            try:
+                rec = _parse_record(raw)
+            except WarcError as e:
+                yield {"rec_type": "corrupt", "url": None, "warc_ts": None,
+                       "payload": None, "http_status": None, "error": str(e)}
+                return
+            h = rec["headers"]
+            rtype = h.get("warc-type", "unknown")
+            if rtype != "response":
+                yield {"rec_type": rtype, "url": h.get("warc-target-uri"),
+                       "warc_ts": None, "payload": None,
+                       "http_status": None, "error": None}
+                continue
+            try:
+                ts = datetime.strptime(h.get("warc-date", ""), _DATE_FMT)
+                status, body = _parse_http_response(rec["block"])
+            except (WarcError, ValueError) as e:
+                yield {"rec_type": "corrupt", "url": h.get("warc-target-uri"),
+                       "warc_ts": None, "payload": None,
+                       "http_status": None, "error": str(e)}
+                continue
+            yield {"rec_type": "response", "url": h.get("warc-target-uri"),
+                   "warc_ts": ts, "payload": body,
+                   "http_status": status, "error": None}
+    except WarcError as e:
+        yield {"rec_type": "corrupt", "url": None, "warc_ts": None,
+               "payload": None, "http_status": None, "error": str(e)}
+
+
+# ------------------------------------------------------------- Spark side
+
+RECORDS_SCHEMA = (
+    "seg_id long, rec_type string, url string, warc_ts timestamp, "
+    "payload binary, http_status int, error string"
+)
+
+
+def records_df(seg_df):
+    """Explode a DataFrame of ``(seg_id long, warc binary)`` segments into
+    per-record rows via ``mapInPandas`` — one Arrow batch in, the parsed
+    records out.  The per-SEGMENT grain is the scale contract: a real
+    crawl has O(10^4-10^5) segments of ~1 GB, so partition count tracks
+    segment count and no executor ever holds more than a segment."""
+    import pandas as pd
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for seg_id, blob in zip(pdf["seg_id"], pdf["warc"]):
+                for r in iter_warc_gz(bytes(blob)):
+                    rows.append({
+                        "seg_id": int(seg_id),
+                        "rec_type": r["rec_type"],
+                        "url": r["url"],
+                        "warc_ts": r["warc_ts"],
+                        "payload": r["payload"],
+                        "http_status": r["http_status"],
+                        "error": r["error"],
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["seg_id", "rec_type", "url", "warc_ts",
+                         "payload", "http_status", "error"],
+            )
+
+    return seg_df.mapInPandas(parse, schema=RECORDS_SCHEMA)

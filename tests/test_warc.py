@@ -1,0 +1,156 @@
+"""WARC/1.0 container tests (cc_extract/warc.py).
+
+The contract query cc_warc_roundtrip proves writer->reader losslessness
+against the generator-direct oracle; these tests pin each side
+INDEPENDENTLY so a shared writer/reader quirk cannot hide: the reader is
+fed hand-transcribed spec bytes (ISO 28500 §4 record grammar, Common
+Crawl member layout) that the writer never produced, and the writer's
+exact output bytes are asserted against the grammar, not just re-parsed.
+"""
+
+from __future__ import annotations
+
+import gzip
+from datetime import datetime
+
+import pytest
+
+from cc_extract import warc as W
+
+# --- a hand-transcribed response record (NOT produced by the writer) ----
+# Grammar from ISO 28500: version line, named fields, CRLF CRLF, block of
+# exactly Content-Length bytes, CRLF CRLF.  The block is an HTTP/1.1
+# response whose body is b"hello warc\n" (11 bytes); HTTP head is
+# "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" = 45 bytes.
+_BODY = b"hello warc\n"
+_HTTP = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + _BODY
+_HAND_RECORD = (
+    b"WARC/1.0\r\n"
+    b"WARC-Type: response\r\n"
+    b"WARC-Date: 2017-03-06T04:03:53Z\r\n"
+    b"WARC-Record-ID: <urn:uuid:aa0c8b0e-37e9-4528-9292-7d25b04e7a48>\r\n"
+    b"WARC-Target-URI: http://example.com/a\r\n"
+    b"Content-Type: application/http; msgtype=response\r\n"
+    + b"Content-Length: " + str(len(_HTTP)).encode() + b"\r\n"
+    b"\r\n" + _HTTP + b"\r\n\r\n"
+)
+
+
+def test_hand_transcribed_record_parses():
+    out = list(W.iter_warc_gz(gzip.compress(_HAND_RECORD)))
+    assert len(out) == 1
+    r = out[0]
+    assert r["rec_type"] == "response"
+    assert r["url"] == "http://example.com/a"
+    assert r["warc_ts"] == datetime(2017, 3, 6, 4, 3, 53)
+    assert r["http_status"] == 200
+    assert r["payload"] == _BODY
+
+
+def test_multi_member_chain_and_type_skip():
+    """warcinfo + request + response members: only response carries a
+    payload, all are yielded with their types."""
+    req = _HAND_RECORD.replace(b"WARC-Type: response", b"WARC-Type: request")
+    blob = (
+        gzip.compress(W.build_warcinfo_record("s"))
+        + gzip.compress(req)
+        + gzip.compress(_HAND_RECORD)
+    )
+    out = list(W.iter_warc_gz(blob))
+    assert [r["rec_type"] for r in out] == ["warcinfo", "request", "response"]
+    assert out[1]["payload"] is None
+    assert out[2]["payload"] == _BODY
+
+
+def test_writer_bytes_follow_grammar():
+    """Writer-side spec pin: parse the writer's raw (uncompressed) record
+    with local logic transcribed from the grammar, not with the module's
+    own reader."""
+    rec = W.build_response_record(
+        "https://x.example/p", datetime(2025, 2, 3, 4, 5, 6), b"\x00\xffbin"
+    )
+    head, sep, rest = rec.partition(b"\r\n\r\n")
+    assert sep
+    lines = head.split(b"\r\n")
+    assert lines[0] == b"WARC/1.0"
+    fields = dict(l.split(b": ", 1) for l in lines[1:])
+    assert fields[b"WARC-Type"] == b"response"
+    assert fields[b"WARC-Date"] == b"2025-02-03T04:05:06Z"
+    assert fields[b"WARC-Target-URI"] == b"https://x.example/p"
+    clen = int(fields[b"Content-Length"])
+    block, tail = rest[:clen], rest[clen:]
+    assert tail == b"\r\n\r\n"  # record terminator, nothing extra
+    assert block.endswith(b"\x00\xffbin")
+    assert block.startswith(b"HTTP/1.1 200 OK\r\n")
+
+
+def test_segment_is_one_gzip_member_per_record():
+    blob = W.write_warc_gz(
+        [("u1", datetime(2025, 1, 1), b"a"), ("u2", datetime(2025, 1, 2), b"b")],
+        segment="s",
+    )
+    # count gzip magic at member boundaries by walking the chain
+    members = list(W._gzip_members(blob))
+    assert len(members) == 3  # warcinfo + 2 records
+    assert members[1].startswith(b"WARC/1.0\r\n")
+
+
+def test_binary_payload_roundtrip_all_byte_values():
+    payload = bytes(range(256)) * 5 + b"\r\n\r\nWARC/1.0\r\n"  # hostile body
+    blob = W.write_warc_gz([("u", datetime(2025, 1, 1), payload)])
+    out = [r for r in W.iter_warc_gz(blob) if r["rec_type"] == "response"]
+    assert out[0]["payload"] == payload
+
+
+@pytest.mark.parametrize("case,mangle", [
+    ("truncated_member", lambda b: b[:-20]),
+    ("garbage_tail", lambda b: b + b"\x1f\x8b\x00garbage"),
+    ("not_gzip", lambda b: b"plain bytes, no gzip"),
+])
+def test_corrupt_segment_quarantines(case, mangle):
+    blob = mangle(W.write_warc_gz([("u", datetime(2025, 1, 1), b"x" * 50)]))
+    out = list(W.iter_warc_gz(blob))
+    assert out, case
+    assert out[-1]["rec_type"] == "corrupt"
+    assert out[-1]["error"]
+
+
+def test_corrupt_record_inside_valid_member():
+    bad = _HAND_RECORD.replace(b"Content-Length: " + str(len(_HTTP)).encode(),
+                               b"Content-Length: 99999")
+    out = list(W.iter_warc_gz(gzip.compress(bad)))
+    assert out[0]["rec_type"] == "corrupt"
+    assert "Content-Length" in out[0]["error"] or "shorter" in out[0]["error"]
+
+
+def test_corrupt_member_stops_chain():
+    """After a corrupt gzip member the next boundary is unknowable: the
+    reader must quarantine the tail, not resync on garbage."""
+    good = gzip.compress(_HAND_RECORD)
+    blob = good + good[: len(good) // 2] + good
+    out = list(W.iter_warc_gz(blob))
+    assert out[0]["rec_type"] == "response"
+    assert out[-1]["rec_type"] == "corrupt"
+    assert len(out) == 2
+
+
+def test_corpus_zip_bytes_deterministic_across_processes():
+    """Regression: OOXML/ODT payloads embedded wall-clock zip mtimes, so
+    corpus BYTES (not text) differed between processes — caught by the
+    WARC round-trip oracle, invisible to every text-level check."""
+    import hashlib
+    import subprocess
+    import sys
+
+    from cc_extract.corpusgen import gen_corpus
+
+    local = hashlib.sha256(
+        b"".join(r["html"] for r in gen_corpus(60))
+    ).hexdigest()
+    code = (
+        "import hashlib\nfrom cc_extract.corpusgen import gen_corpus\n"
+        "print(hashlib.sha256(b''.join(r['html'] for r in gen_corpus(60))).hexdigest())"
+    )
+    sub = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd="/root/repo", check=True)
+    assert sub.stdout.strip() == local
