@@ -344,6 +344,9 @@ def main() -> None:
     ap = argparse.ArgumentParser(description="cc_extract pipeline")
     ap.add_argument("--input", help="parquet path of the documents table "
                     "(default: synthetic corpus)")
+    ap.add_argument("--input-warc", help="directory/glob of .warc.gz "
+                    "segment files to ingest instead of a table "
+                    "(cc_extract/warc.py reader)")
     ap.add_argument("--n-docs", type=int, default=2000,
                     help="synthetic corpus size when no --input")
     ap.add_argument("--out", required=True)
@@ -362,7 +365,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     try:
         token = None
-        if args.input:
+        if args.input_warc:
+            from .warc import read_warc_dir
+            docs = read_warc_dir(spark, args.input_warc)
+            token = f"warc|{args.input_warc}"
+        elif args.input:
             docs = spark.read.parquet(args.input)
         else:
             from .corpusgen import corpus_df

@@ -213,6 +213,31 @@ def iter_warc_gz(data: bytes):
 
 # ------------------------------------------------------------- Spark side
 
+def read_warc_dir(spark, path: str):
+    """Load a directory/glob of ``.warc.gz`` segment files as a documents
+    DataFrame ``(url, warc_ts, html)`` — the pipeline's input contract —
+    via Spark's binaryFile source (one row per segment file, which is the
+    correct indivisible unit; see records_df).  Filters to response
+    records: warcinfo/request/metadata are structural, and corrupt rows
+    are dropped here because the pipeline quarantines per-document, not
+    per-container (a corrupt segment tail has no url to key on — its
+    count is observable via records_df directly)."""
+    from pyspark.sql import functions as F
+
+    seg = (
+        spark.read.format("binaryFile").load(path)
+        .select(
+            F.xxhash64("path").alias("seg_id"),
+            F.col("content").alias("warc"),
+        )
+    )
+    rec = records_df(seg)
+    return (
+        rec.filter(F.col("rec_type") == "response")
+        .select("url", "warc_ts", F.col("payload").alias("html"))
+    )
+
+
 RECORDS_SCHEMA = (
     "seg_id long, rec_type string, url string, warc_ts timestamp, "
     "payload binary, http_status int, error string"

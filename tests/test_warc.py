@@ -154,3 +154,42 @@ def test_corpus_zip_bytes_deterministic_across_processes():
     sub = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, cwd="/root/repo", check=True)
     assert sub.stdout.strip() == local
+
+
+def test_warc_ingest_pipeline_equals_table_ingest(spark, tmp_path):
+    """Spark e2e: the SAME documents fed once as .warc.gz segment files
+    (binaryFile -> member walk -> record parse) and once as the in-memory
+    table must extract to identical per-url text hashes through the full
+    pipeline."""
+    import os
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from cc_extract.corpusgen import corpus_df, gen_corpus
+    from cc_extract.job import pipeline_df
+    from cc_extract.warc import read_warc_dir
+
+    n = 200
+    rows = gen_corpus(n)
+    segs = defaultdict(list)
+    for r in rows:
+        segs[hash(r["url"]) % 4].append((r["url"], r["warc_ts"], r["html"]))
+    for k, recs in segs.items():
+        with open(os.path.join(tmp_path, f"seg{k}.warc.gz"), "wb") as f:
+            f.write(W.write_warc_gz(recs, segment=f"seg{k}"))
+
+    via_warc = pipeline_df(read_warc_dir(spark, str(tmp_path)), n_buckets=8)
+    via_table = pipeline_df(
+        corpus_df(spark, n, partitions=4).select("url", "warc_ts", "html"),
+        n_buckets=8,
+    )
+    h = lambda df: {  # noqa: E731
+        r["url"]: (r["status"], r["sha"])
+        for r in df.select(
+            "url", "status", F.sha2("text_out", 256).alias("sha")
+        ).collect()
+    }
+    a, b = h(via_warc), h(via_table)
+    assert a == b
+    assert len(a) > 0
