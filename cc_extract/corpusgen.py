@@ -1081,6 +1081,167 @@ def _png_gray(w: int, h: int, raster: bytes) -> bytes:
             + chunk(b"IDAT", zlib.compress(scan, 6)) + chunk(b"IEND", b""))
 
 
+def _bmp_gray(w: int, h: int, raster: bytes, rng: random.Random) -> bytes:
+    """BMP writer (decoder pair: extractors/bmp.py): 8-bit gray-palette,
+    24-bit BGR, or 32-bit BGRX, bottom-up or top-down, rows padded to 4
+    bytes — independent transcription of the public DIB layout."""
+    import struct
+
+    variant = rng.choice(("pal8", "bgr24", "bgrx32"))
+    top_down = rng.random() < 0.3
+    bpp = {"pal8": 8, "bgr24": 24, "bgrx32": 32}[variant]
+    stride = (w * (bpp // 8) + 3) & ~3
+    palette = b""
+    if variant == "pal8":
+        palette = b"".join(bytes((v, v, v, 0)) for v in range(256))
+    off_bits = 14 + 40 + len(palette)
+    rows = []
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        if variant == "pal8":
+            row = raster[y * w : (y + 1) * w]
+        elif variant == "bgr24":
+            row = b"".join(bytes((raster[y * w + x],) * 3) for x in range(w))
+        else:
+            row = b"".join(
+                bytes((raster[y * w + x],) * 3) + b"\x00" for x in range(w))
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pixels = b"".join(rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp,
+                      0, len(pixels), 2835, 2835,
+                      256 if variant == "pal8" else 0, 0)
+    file_hdr = b"BM" + struct.pack("<IHHI", off_bits + len(pixels), 0, 0,
+                                   off_bits)
+    return file_hdr + dib + palette + pixels
+
+
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_filter_row(row: bytes, prev: bytes | None, ftype: int,
+                    fstep: int) -> bytes:
+    """Forward scanline filter (writer side; the decoder's reverse lives
+    in extractors/png.py — independent transcriptions of spec §9)."""
+    n = len(row)
+    out = bytearray(n)
+    for x in range(n):
+        left = row[x - fstep] if x >= fstep else 0
+        up = prev[x] if prev is not None else 0
+        ul = prev[x - fstep] if (prev is not None and x >= fstep) else 0
+        if ftype == 0:
+            v = row[x]
+        elif ftype == 1:
+            v = row[x] - left
+        elif ftype == 2:
+            v = row[x] - up
+        elif ftype == 3:
+            v = row[x] - ((left + up) >> 1)
+        else:  # Paeth
+            p = left + up - ul
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+            pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            v = row[x] - pred
+        out[x] = v & 0xFF
+    return bytes(out)
+
+
+def _png_scanlines(rows: list[bytes], fstep: int, rng) -> bytes:
+    """Filter a sub-image's rows with a per-row filter type drawn from
+    the full set — every decoder filter path gets exercised."""
+    out = bytearray()
+    prev = None
+    for row in rows:
+        ftype = rng.choice((0, 1, 2, 3, 4)) if prev is not None else rng.choice((0, 1))
+        out.append(ftype)
+        out += _png_filter_row(row, prev, ftype, fstep)
+        prev = row
+    return bytes(out)
+
+
+def _png_color(w: int, h: int, raster: bytes, rng) -> bytes:
+    """PNG writer covering the color-type long tail the decoder handles:
+    palette (8- and 4-bit), truecolor RGB, RGBA, 16-bit gray, gray+alpha,
+    optionally Adam7-interlaced, with Sub/Up/Average/Paeth filters mixed
+    per scanline.  Gray value g encodes so the decoder's integer luma
+    recovers exactly g (R=G=B=g; alpha 255; 16-bit g<<8|g), keeping the
+    OCR round trip byte-exact — except 4-bit palette, which quantizes to
+    17·(g>>4) (still far from the recognizer's binarization threshold)."""
+    import struct
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    variant = rng.choice(
+        ("palette8", "palette4", "rgb", "rgba", "gray16", "graya"))
+    interlaced = variant in ("rgb", "rgba", "palette8") and rng.random() < 0.35
+
+    def px(g: int) -> bytes:
+        if variant == "palette8":
+            return bytes((g,))
+        if variant == "rgb":
+            return bytes((g, g, g))
+        if variant == "rgba":
+            return bytes((g, g, g, 255))
+        if variant == "gray16":
+            return bytes((g, g))
+        return bytes((g, 255))  # graya
+
+    if variant == "palette4":
+        depth, color, plte = 4, 3, b"".join(
+            bytes((v * 17, v * 17, v * 17)) for v in range(16))
+        bits_pp = 4
+    elif variant == "palette8":
+        depth, color, plte = 8, 3, b"".join(
+            bytes((v, v, v)) for v in range(256))
+        bits_pp = 8
+    elif variant == "rgb":
+        depth, color, plte, bits_pp = 8, 2, None, 24
+    elif variant == "rgba":
+        depth, color, plte, bits_pp = 8, 6, None, 32
+    elif variant == "gray16":
+        depth, color, plte, bits_pp = 16, 0, None, 16
+    else:
+        depth, color, plte, bits_pp = 8, 4, None, 16
+    fstep = max(1, bits_pp >> 3)
+
+    def sub_rows(x0: int, y0: int, dx: int, dy: int) -> list[bytes]:
+        rows = []
+        for y in range(y0, h, dy):
+            if variant == "palette4":
+                vals = [raster[y * w + x] >> 4 for x in range(x0, w, dx)]
+                packed = bytearray()
+                for i in range(0, len(vals), 2):
+                    hi = vals[i] << 4
+                    lo = vals[i + 1] if i + 1 < len(vals) else 0
+                    packed.append(hi | lo)
+                rows.append(bytes(packed))
+            else:
+                rows.append(b"".join(px(raster[y * w + x])
+                                     for x in range(x0, w, dx)))
+        return rows
+
+    if interlaced:
+        scan = bytearray()
+        for (x0, y0, dx, dy) in _PNG_ADAM7:
+            rows = sub_rows(x0, y0, dx, dy)
+            if rows and rows[0]:
+                scan += _png_scanlines(rows, fstep, rng)
+        scan = bytes(scan)
+    else:
+        scan = _png_scanlines(sub_rows(0, 0, 1, 1), fstep, rng)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0,
+                       1 if interlaced else 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(scan, 6)) + chunk(b"IEND", b"")
+
+
 # Baseline-JFIF grayscale encoder (writer side of the OCR-lite JPEG loop;
 # the decoder in extractors/jpeg.py is an independent implementation —
 # they share only ITU-T T.81's public constants).  Near-lossless
@@ -2087,6 +2248,8 @@ def _gen_image(rng: random.Random) -> bytes:
         )
         w, h, raster = render_raster(text)
         if p < 0.25:
+            if rng.random() < 0.5:  # round 4: color/paletted/interlaced
+                return _png_color(w, h, bytes(raster), rng)
             return _png_gray(w, h, bytes(raster))
         if p < 0.45:
             if rng.random() < 0.25:  # progressive SOF2 (round 4)
@@ -2124,10 +2287,12 @@ def _gen_image(rng: random.Random) -> bytes:
                               rgb=rgb,
                               tiled=rng.random() < 0.2,
                               extra_pages=extra)
-        return _gif_gray(w, h, bytes(raster),
-                         interlaced=rng.random() < 0.3,
-                         color=rng.random() < 0.4,
-                         local_table=rng.random() < 0.25)
+        if p < 0.66:
+            return _gif_gray(w, h, bytes(raster),
+                             interlaced=rng.random() < 0.3,
+                             color=rng.random() < 0.4,
+                             local_table=rng.random() < 0.25)
+        return _bmp_gray(w, h, bytes(raster), rng)  # round 4: DIB pair
     if p < 0.75:
         # fax-style CCITT scan — G4 and G3 (1-D and 2-D) all decode for
         # real since round 4 (the T.4/T.6 codec pair); bilevel is the

@@ -37,64 +37,17 @@ class OcrError(ValueError):
 # ------------------------------------------------------------- PNG reader
 
 def decode_png_gray(payload: bytes) -> tuple[int, int, bytearray]:
-    """Minimal PNG decode: 8-bit grayscale, non-interlaced, filter types
-    0 (None) / 1 (Sub) / 2 (Up).  Returns (width, height, raster)."""
-    if not payload.startswith(PNG_MAGIC):
-        raise OcrError("not a PNG")
-    pos = len(PNG_MAGIC)
-    w = h = -1
-    idat = bytearray()
-    n = len(payload)
-    while pos + 8 <= n:
-        (length,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if len(data) < length:
-            raise OcrError("truncated chunk")
-        if ctype == b"IHDR":
-            if length != 13:
-                raise OcrError("bad IHDR")
-            w, h, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or color != 0:
-                raise OcrError(f"unsupported PNG (depth={depth} color={color})")
-            if comp != 0 or filt != 0 or interlace != 0:
-                raise OcrError("unsupported PNG encoding")
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # length + type + data + crc
-    if w <= 0 or h <= 0 or not idat:
-        raise OcrError("missing IHDR/IDAT")
-    if w * h > 1 << 26:
-        raise OcrError("png: raster too large")
+    """PNG -> 8-bit luma raster.  Round 4: delegates to the full decoder
+    in extractors/png.py (all five color types, depths 1-16, every
+    scanline filter, Adam7 interlace) — this wrapper only converts the
+    codec error into the OCR-quarantine error the dispatcher keys on.
+    The name is kept for the multimodal/image-stats callers."""
+    from .png import PngError, decode_png
+
     try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise OcrError(f"bad IDAT: {e}") from e
-    stride = w + 1
-    if len(raw) < stride * h:
-        raise OcrError("short pixel data")
-    raster = bytearray(w * h)
-    prev_row_start = None
-    for y in range(h):
-        rs = y * stride
-        ftype = raw[rs]
-        row = bytearray(raw[rs + 1 : rs + 1 + w])
-        if ftype == 1:  # Sub
-            for x in range(1, w):
-                row[x] = (row[x] + row[x - 1]) & 0xFF
-        elif ftype == 2:  # Up
-            if prev_row_start is not None:
-                for x in range(w):
-                    row[x] = (row[x] + raster[prev_row_start + x]) & 0xFF
-        elif ftype != 0:
-            raise OcrError(f"unsupported PNG filter {ftype}")
-        raster[y * w : (y + 1) * w] = row
-        prev_row_start = y * w
-    return w, h, raster
+        return decode_png(payload)
+    except PngError as e:
+        raise OcrError(str(e)) from e
 
 
 # ----------------------------------------------------------------- public
@@ -126,8 +79,17 @@ def extract_image_ocr(payload: bytes) -> str:
 
         w, h, raster = decode_gif_gray(payload)
         return normalize_text(ocr_raster(w, h, raster))
+    if payload[:2] == b"BM":
+        from .bmp import BmpError, decode_bmp
+
+        try:
+            w, h, raster = decode_bmp(payload)
+        except BmpError as e:
+            raise OcrError(str(e)) from e
+        return normalize_text(ocr_raster(w, h, raster))
     raise OcrError(
-        "no decoder for this image container (OCR-lite reads PNG/JPEG/TIFF/GIF)"
+        "no decoder for this image container "
+        "(OCR-lite reads PNG/JPEG/TIFF/GIF/BMP)"
     )
 
 

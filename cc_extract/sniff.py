@@ -79,6 +79,13 @@ def sniff_format(payload: bytes, url: str | None = None) -> str:
         return "image"
     if head.startswith((b"II*\x00", b"MM\x00*")):
         return "image"  # TIFF
+    if head.startswith(b"BM"):
+        # 'BM' is a weak 2-byte magic (text can start with it): require
+        # a known DIB header size + sane bit depth before claiming image
+        from .extractors.bmp import looks_like_bmp
+
+        if looks_like_bmp(payload):
+            return "image"
     stripped = head.lstrip(b" \t\r\n\xef\xbb\xbf")
     if _XML_DECL.match(stripped):
         return "html" if b"<html" in head.lower() else "xml"
@@ -115,6 +122,7 @@ def fmt_hint_col(html_col="html"):
         .when(F.substring(F.col(html_col), 1, 3) == F.lit(b"\xff\xd8\xff"), "image")
         .when((p4 == F.lit(b"II*\x00")) | (p4 == F.lit(b"MM\x00*")), "image")
         .when(p4 == F.lit(b"GIF8"), "image")
+        .when(F.substring(F.col(html_col), 1, 2) == F.lit(b"BM"), "image")
         .when(prefix.cast("string").startswith("<"), "markup")
         .otherwise("text")
     )
