@@ -238,6 +238,36 @@ def read_warc_dir(spark, path: str):
     )
 
 
+def read_warc_stream(spark, path: str):
+    """Streaming twin of read_warc_dir: a crawl-drop directory watched as
+    a Structured Streaming file source (``readStream.format("binaryFile")``)
+    — new ``.warc.gz`` segments appearing in *path* flow through the SAME
+    mapInPandas record reader into the pipeline's (url, warc_ts, html)
+    contract.  Per-segment grain is unchanged: each micro-batch holds
+    whole segments, so exactly-once at the file level comes from the file
+    source's own checkpointed file index."""
+    from pyspark.sql import functions as F
+
+    seg = (
+        spark.readStream.format("binaryFile")
+        # streaming file sources require an explicit schema; binaryFile's
+        # is fixed by the format
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select(
+            F.xxhash64("path").alias("seg_id"),
+            F.col("content").alias("warc"),
+        )
+    )
+    rec = records_df(seg)
+    return (
+        rec.filter(F.col("rec_type") == "response")
+        .select("url", "warc_ts", F.col("payload").alias("html"))
+    )
+
+
 RECORDS_SCHEMA = (
     "seg_id long, rec_type string, url string, warc_ts timestamp, "
     "payload binary, http_status int, error string"

@@ -193,3 +193,56 @@ def test_warc_ingest_pipeline_equals_table_ingest(spark, tmp_path):
     a, b = h(via_warc), h(via_table)
     assert a == b
     assert len(a) > 0
+
+
+def test_warc_stream_ingest_equals_batch(spark, tmp_path):
+    """R17 x S1: a watched crawl-drop directory (readStream binaryFile ->
+    WARC records) processed with availableNow yields exactly the batch
+    reader's rows — including a segment that arrives between triggers."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cc_extract.corpusgen import gen_corpus
+    from cc_extract.warc import read_warc_dir, read_warc_stream
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    rows = gen_corpus(120)
+    half = len(rows) // 2
+    def write_seg(name, recs):
+        with open(drop / name, "wb") as f:
+            f.write(W.write_warc_gz(
+                [(r["url"], r["warc_ts"], r["html"]) for r in recs], name))
+    write_seg("seg0.warc.gz", rows[:half])
+
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def drain():
+        q = (
+            read_warc_stream(spark, str(drop))
+            .select("url", F.sha2("html", 256).alias("sha"))
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    write_seg("seg1.warc.gz", rows[half:])  # late-arriving segment
+    drain()
+
+    got = {
+        (r["url"], r["sha"])
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    want = {
+        (r["url"], r["sha"])
+        for r in read_warc_dir(spark, str(drop))
+        .select("url", F.sha2("html", 256).alias("sha")).collect()
+    }
+    assert got == want
+    assert len(got) == len(rows)
