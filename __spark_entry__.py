@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": relops.q14_promo_revenue,
         "q19_disjunctive_revenue": relops.q19_disjunctive_revenue,
         "q22_idle_high_balance": relops.q22_idle_high_balance,
+        "q8_market_share": relops.q8_market_share,
         "parts_never_shipped": relops.parts_never_shipped,
         "top_orders": relops.top_orders,
         "latest_event_per_user": relops.latest_event_per_user,
@@ -635,6 +636,26 @@ WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
        AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 25 AND 50
        AND l_quantity BETWEEN 20 AND 30)
+"""
+
+    sql["q8_market_share"] = """
+SELECT year(l_shipdate) AS l_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY l_year ORDER BY l_year
 """
 
     sql["q22_idle_high_balance"] = """

@@ -617,3 +617,51 @@ def q22_idle_high_balance(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------- TPC-H Q8
+
+def q8_market_share(spark, sf_dir: str) -> DataFrame:
+    """Two-level conditional-share rollup (TPC-H Q8 shape): of all
+    revenue shipped to customers in one region over two years, the
+    fraction supplied from one nation, per ship year.  The share is a
+    conditional-sum / sum ratio inside ONE partial-aggregable pass over
+    the joined facts — no second scan, no self-join; supplier/customer
+    attach nations through broadcast dims, and the region filter
+    restricts the customer dim BEFORE its join so the fact side shrinks
+    early."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.col("supp_nation") == "NATION_3"
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(target, rev).otherwise(0.0)) / F.sum(rev), 6
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("l_year")
+    )
