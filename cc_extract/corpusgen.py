@@ -89,19 +89,67 @@ def _sentences(rng: random.Random, n_sent: int) -> str:
 
 # ----------------------------------------------------------------- HTML
 
+# Non-Latin language packs: (HTML-declared charset, word pool, joiner).
+# Each pool is encodable in its charset; the declared <meta charset> is
+# what routes decoding through the legacy codec (charset.py tries the
+# declaration BEFORE utf-8), which is exactly how real CC pages in these
+# encodings survive extraction.
+_LANG_PACKS = {
+    "ja": ("Shift_JIS",
+           ["データ", "処理", "分散", "計算", "結果", "高速", "変換",
+            "文書", "解析", "抽出", "並列", "索引"], "、"),
+    "zh": ("GBK",
+           ["数据", "处理", "分布式", "计算", "结果", "快速", "转换",
+            "文档", "分析", "提取", "并行", "索引"], ""),
+    "ru": ("windows-1251",
+           ["данные", "обработка", "таблица", "запрос", "результат",
+            "быстро", "документ", "анализ", "поток", "индекс"], " "),
+    "ko": ("EUC-KR",
+           ["데이터", "처리", "분산", "계산", "결과", "변환", "문서",
+            "분석", "추출", "병렬"], " "),
+    "el": ("ISO-8859-7",
+           ["δεδομένα", "επεξεργασία", "πίνακας", "ερώτημα",
+            "αποτέλεσμα", "έγγραφο", "ανάλυση", "ροή"], " "),
+}
+# sentence-final punctuation per charset family: the ideographic full
+# stop exists in Shift_JIS/GBK/EUC-KR but NOT in windows-1251/ISO-8859-7
+_PACK_STOP = {"Shift_JIS": "。", "GBK": "。", "EUC-KR": "。",
+              "windows-1251": ". ", "ISO-8859-7": ". "}
+
+
 def _gen_html(rng: random.Random) -> bytes:
-    charset = rng.choice(["utf-8", "utf-8", "utf-8", "cp1252"])
+    pack = None
+    if rng.random() < 0.15:
+        pack = _LANG_PACKS[rng.choice(sorted(_LANG_PACKS))]
+        charset = pack[0]
+    else:
+        charset = rng.choice(["utf-8", "utf-8", "utf-8", "cp1252"])
     nav_links = "".join(
         f'<li><a href="/{w}">{w}</a></li>' for w in rng.sample(_WORDS[:30], 8)
     )
     farm = "".join(
         f'<a href="/p{j}">{rng.choice(_WORDS)}</a> ' for j in range(12)
     )
-    paras = "\n".join(
-        f"<p>{_sentences(rng, rng.randint(2, 6))}</p>"
-        for _ in range(rng.randint(3, 10))
-    )
-    lis = "".join(f"<li>{_sentences(rng, 1)}</li>" for _ in range(rng.randint(2, 5)))
+    if pack:
+        _, pool, joiner = pack
+
+        stop = _PACK_STOP[pack[0]]
+
+        def _psent(n_words: int) -> str:
+            return joiner.join(rng.choice(pool) for _ in range(n_words)) + stop
+
+        paras = "\n".join(
+            f"<p>{_psent(rng.randint(6, 18))}</p>"
+            for _ in range(rng.randint(3, 10))
+        )
+        lis = "".join(f"<li>{_psent(rng.randint(3, 6))}</li>"
+                      for _ in range(rng.randint(2, 5)))
+    else:
+        paras = "\n".join(
+            f"<p>{_sentences(rng, rng.randint(2, 6))}</p>"
+            for _ in range(rng.randint(3, 10))
+        )
+        lis = "".join(f"<li>{_sentences(rng, 1)}</li>" for _ in range(rng.randint(2, 5)))
     title = _words(rng, 4)
     doc = f"""<!DOCTYPE html>
 <html><head><meta charset="{charset}"><title>{title}</title>
@@ -120,10 +168,11 @@ def _gen_html(rng: random.Random) -> bytes:
 <footer><p><a href="/about">about</a> <a href="/tos">tos</a> <a href="/priv">priv</a></p></footer>
 <script type="text/javascript">trailer();</script>
 </body></html>"""
-    try:
-        return doc.encode(charset)
-    except UnicodeEncodeError:
-        return doc.encode("utf-8")
+    # errors="replace": a char outside the declared charset transcodes to
+    # '?' exactly as a real lossy publishing pipeline would — the bytes
+    # always MATCH the declaration (the old utf-8 fallback silently
+    # mislabeled the document and manufactured mojibake)
+    return doc.encode(charset, errors="replace")
 
 
 # ------------------------------------------------------------------ PDF

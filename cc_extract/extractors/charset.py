@@ -5,9 +5,11 @@ csv/eml branches [R: functions/simple/main.py ⚠].  Ours is a deterministic
 cascade (no ML detector in the hot path — it would dominate UDF time at
 10^12-doc scale): BOM → utf-8 → cp1252 → latin-1 (never fails).
 
-The fixture corpus (FIXTURES.md §1) only emits utf-8 / utf-8-BOM / cp1252 /
-latin-1 payloads, so the cascade is exact for it; for wild data latin-1 is
-the lossless last resort (every byte maps).
+The fixture corpus (FIXTURES.md §1) emits utf-8 / utf-8-BOM / cp1252 /
+latin-1 payloads plus HTML in declared legacy charsets (Shift_JIS, GBK,
+EUC-KR, windows-1251, ISO-8859-7) — those route through the *declared*
+branch below, exactly how real CC pages in multibyte encodings survive;
+for wild data latin-1 is the lossless last resort (every byte maps).
 """
 
 from __future__ import annotations

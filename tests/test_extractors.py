@@ -65,6 +65,37 @@ def test_html_entities_and_charset():
     assert "café & crème" in out
 
 
+def test_html_legacy_multibyte_charsets():
+    """Declared-charset route for the corpus's non-Latin language packs:
+    Shift_JIS / GBK / EUC-KR / windows-1251 / ISO-8859-7 pages must decode
+    through the <meta> declaration (charset.py tries it before utf-8) with
+    zero mojibake in the non-Latin body."""
+    from cc_extract.corpusgen import _LANG_PACKS, _gen_html
+    import re as _re
+
+    seen = {}
+    for seed in range(4000):
+        b = _gen_html(random.Random(seed))
+        m = _re.search(rb'charset="([^"]+)"', b)
+        cs = m.group(1).decode()
+        if cs in ("utf-8", "cp1252") or cs in seen:
+            continue
+        seen[cs] = b
+        if len(seen) == len(_LANG_PACKS):
+            break
+    assert len(seen) == len(_LANG_PACKS)
+    for lang, (charset, pool, _joiner) in _LANG_PACKS.items():
+        body = extract_html(seen[charset])
+        # at least half the pack's words appear intact — mojibake
+        # (utf-8-bytes-as-latin-1 or '?' floods) would yield zero hits
+        hits = sum(1 for w in pool if w in body)
+        assert hits >= len(pool) // 2, (lang, charset, body[:120])
+        # the non-Latin portion must carry no replacement chars; '?' may
+        # appear only from the intentionally-lossy Latin title words
+        non_latin = "".join(ch for ch in body if ord(ch) > 0x24F)
+        assert non_latin and "�" not in body
+
+
 # ------------------------------------------------------------------- pdf
 
 def test_pdf_roundtrip_synthetic():
