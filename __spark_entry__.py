@@ -356,6 +356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": relops.q19_disjunctive_revenue,
         "q22_idle_high_balance": relops.q22_idle_high_balance,
         "q8_market_share": relops.q8_market_share,
+        "q13_customer_distribution": relops.q13_customer_distribution,
+        "q15_top_supplier": relops.q15_top_supplier,
+        "q17_small_quantity_revenue": relops.q17_small_quantity_revenue,
+        "q21_waiting_suppliers": relops.q21_waiting_suppliers,
         "parts_never_shipped": relops.parts_never_shipped,
         "top_orders": relops.top_orders,
         "latest_event_per_user": relops.latest_event_per_user,
@@ -669,6 +673,69 @@ WHERE c_acctbal > avg_bal
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= '2001-01-01')
 GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+    sql["q13_customer_distribution"] = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n FROM orders
+  WHERE o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY o_custkey
+)
+SELECT coalesce(n, 0) AS c_count, count(*) AS custdist
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+    sql["q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+    sql["q17_small_quantity_revenue"] = """
+WITH lines AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+), per_part AS (
+  SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+  FROM lines GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lines JOIN per_part ON l_partkey = a_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+    sql["q21_waiting_suppliers"] = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 150 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), qual AS (
+  SELECT l_orderkey FROM lo GROUP BY l_orderkey
+  HAVING count(DISTINCT l_suppkey) > 1
+     AND count(DISTINCT CASE WHEN late THEN l_suppkey END) = 1
+)
+SELECT s_name, count(*) AS numwait
+FROM lo
+JOIN qual USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE late AND n_name = 'NATION_2'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
 """
 
     sql["q18_large_volume_customers"] = """

@@ -665,3 +665,183 @@ def q8_market_share(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_year")
     )
+
+
+# -------------------------------------------------------------- TPC-H Q13
+
+def q13_customer_distribution(spark, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join whose unmatched side must survive as count 0, then a second
+    aggregation over the first's result.  Adapted: the reference's
+    comment-pattern exclusion becomes an order-priority exclusion (the
+    driver schema has no comment column).
+
+    Scale shape: orders is aggregated per customer FIRST (partial-
+    aggregable, shrinks the fact to ≤|customers| rows) and only then
+    left-joined to the customer dim — the fact table never joins
+    row-wise.  The second groupBy runs over ≤|customers| rows.  At any
+    SF both joins are equi-joins on the customer key; AQE broadcasts
+    the pre-aggregated side while it fits."""
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# -------------------------------------------------------------- TPC-H Q15
+
+def q15_top_supplier(spark, sf_dir: str) -> DataFrame:
+    """Group-wise max (TPC-H Q15 shape): the supplier(s) whose quarterly
+    revenue equals the maximum over all suppliers.
+
+    Scale shape: revenue is one partial-aggregable hash agg over the
+    date-pushed lineitem scan (≤|suppliers| rows out); the max is a
+    1-row aggregate of THAT result cross-joined back (broadcast nested
+    loop on a 1-row side), never a second fact scan.  Revenue is
+    rounded to 2 dp before the equality compare so both engines
+    resolve the same winner.  The supplier dim attaches to ≤|suppliers|
+    rows — no hint; supplier scales with SF, AQE decides (same policy
+    as q5/q18)."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    best = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# -------------------------------------------------------------- TPC-H Q17
+
+def q17_small_quantity_revenue(spark, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery de-correlated (TPC-H Q17 shape):
+    yearly revenue lost if small-quantity orders (below 20% of the
+    part's own average quantity) for one brand were not taken.
+
+    Scale shape: the correlated ``0.2 * avg(l_quantity where same
+    part)`` becomes one partial-aggregable per-part aggregate over the
+    brand-restricted lineitem (semi-joined to the filtered part dim
+    first, so the agg input shrinks ~|brand|/|part| before shuffling),
+    then an equi-join back to the same restricted lines — two passes
+    over a pushed-down scan, zero correlated execution.  l_quantity is
+    integral so the per-part mean is exactly representable and
+    order-independent: the strict `<` boundary resolves identically in
+    both engines without rounding."""
+    brand_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    lines = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    per_part = lines.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        lines.join(per_part, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# -------------------------------------------------------------- TPC-H Q21
+
+def q21_waiting_suppliers(spark, sf_dir: str) -> DataFrame:
+    """Multi-EXISTS de-correlated (TPC-H Q21 shape): suppliers in one
+    nation who were the SOLE late supplier on a finished multi-supplier
+    order.  Adapted: the driver schema has no commit/receipt dates, so
+    "late" is shipped more than 150 days after the order date.
+
+    Scale shape: the reference query's EXISTS (another supplier) +
+    NOT EXISTS (another late supplier) pair de-correlates into ONE
+    per-order aggregate — count(distinct supplier) and count(distinct
+    late supplier) in the same partial-aggregable pass — joined back to
+    the late lines; no self-join of lineitem against itself, no
+    correlated re-scans.  The joined (line, order-flag) relation feeds
+    both the aggregate and the join-back branch, so it is
+    localCheckpoint-materialized once (the stored-index policy the
+    band joins use) instead of re-executing its upstream join per
+    branch.  Supplier/nation attach to ≤|late suppliers| rows
+    afterwards."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 150 DAYS")
+            ).alias("late"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    qual = (
+        lo.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).alias("n_late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select(F.col("l_orderkey").alias("q_orderkey"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == "NATION_2")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        lo.filter(F.col("late"))
+        .join(qual, F.col("l_orderkey") == F.col("q_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
