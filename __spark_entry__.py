@@ -225,6 +225,30 @@ def _cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-script distribution over EXTRACTED text — the corpus's
+    non-Latin HTML (Shift_JIS/GBK/EUC-KR/windows-1251/ISO-8859-7 pages)
+    must survive declared-charset decoding end-to-end to land in its
+    script bucket; mojibake (utf-8-as-latin-1 or '?' floods) would
+    collapse every row into 'latin' and flip these counts.  Pure
+    projection + one partial-aggregable groupBy on ≤6 keys — the
+    pre-model-routing split a multilingual pipeline shards on."""
+    _, res = _cc_corpus_and_extracted(spark)
+    return (
+        res.filter(F.col("status").isin("ok", "ok_ocr"))
+        .select(
+            textops.script_id_col("text_out").alias("script"),
+            "text_out",
+        )
+        .groupBy("script")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text_out")).alias("total_chars"),
+        )
+        .orderBy("script")
+    )
+
+
 def _cc_ocr_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXECUTED OCR route (X14): per-url recognized text hashes for
     documents that went through OCR-lite (scanned PNGs + scanned-style
@@ -418,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_ocr_text": _cc_ocr_text,
         "cc_pii_stats": _cc_pii_stats,
         "cc_domain_stats": _cc_domain_stats,
+        "cc_script_stats": _cc_script_stats,
         # multimodal plumbing (oracled; parsing unit-tested)
         "mm_metadata_stats": _mm_metadata_stats,
         "mm_feature_norms": _mm_feature_norms,
@@ -1558,6 +1583,31 @@ SELECT regexp_extract(url, '^https://([^/]+)', 1) AS domain,
        CAST(sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
        CAST(sum(length(text_out)) AS BIGINT) AS total_chars
 FROM d GROUP BY domain ORDER BY domain
+"""
+
+    # RE2 spelling of textops.SCRIPT_RANGES / SCRIPT_LADDER: same explicit
+    # codepoint ranges, same >=5-char threshold ladder, latin fallthrough.
+    def _re2_count(lo: str, hi: str) -> str:
+        lo_x, hi_x = lo.replace("\\u", ""), hi.replace("\\u", "")
+        return (f"length(text_out) - length(regexp_replace(text_out, "
+                f"'[\\x{{{lo_x}}}-\\x{{{hi_x}}}]', '', 'g'))")
+
+    script_case = "CASE\n"
+    for _s in textops.SCRIPT_LADDER:
+        _lo, _hi = textops.SCRIPT_RANGES[_s]
+        script_case += (f"  WHEN {_re2_count(_lo, _hi)} >= "
+                        f"{textops.SCRIPT_MIN_CHARS} THEN '{_s}'\n")
+    script_case += "  ELSE 'latin' END"
+
+    sql["cc_script_stats"] = f"""
+WITH {dedup_cte},
+s AS (
+  SELECT {script_case} AS script, text_out
+  FROM d WHERE status IN ('ok', 'ok_ocr')
+)
+SELECT script, count(*) AS n_docs,
+       CAST(sum(length(text_out)) AS BIGINT) AS total_chars
+FROM s GROUP BY script ORDER BY script
 """
 
     sql["cc_pii_stats"] = f"""

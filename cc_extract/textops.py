@@ -1222,3 +1222,47 @@ def unigram_logprob(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------- script identification
+
+# Unicode codepoint ranges for dominant-script classification.  Explicit
+# BMP ranges (not \p{script=...} classes) so Java regex and RE2 classify
+# the identical character set regardless of their Unicode table versions;
+# the oracle SQL re-expresses each range as RE2 [\x{...}-\x{...}].
+SCRIPT_RANGES = {
+    "kana": ("\\u3040", "\\u30FF"),      # Hiragana + Katakana
+    "hangul": ("\\uAC00", "\\uD7AF"),
+    "han": ("\\u4E00", "\\u9FFF"),
+    "cyrillic": ("\\u0400", "\\u04FF"),
+    "greek": ("\\u0370", "\\u03FF"),
+}
+# Classification ladder order IS the spec: kana before han (Japanese text
+# mixes kanji with kana, Chinese has no kana), hangul before han (Korean
+# may carry hanja).  A script wins at >= SCRIPT_MIN_CHARS matching chars
+# so stray symbols can't flip a Latin document.
+SCRIPT_LADDER = ("kana", "hangul", "han", "cyrillic", "greek")
+SCRIPT_MIN_CHARS = 5
+
+
+def script_id_col(text_col: str):
+    """Dominant-script label for *text_col* — the script-level language ID
+    a multilingual crawl pipeline buckets on before per-language models
+    run.  Char counts via length(text) - length(regexp_replace(text,
+    class, '')) — pure JVM projection, no UDF, no shuffle; the threshold
+    ladder resolves mixed-script documents deterministically (see
+    SCRIPT_LADDER).  Latin/everything-else is the fallthrough."""
+    text = F.col(text_col)
+
+    def n_chars(lo: str, hi: str):
+        return F.length(text) - F.length(
+            F.regexp_replace(text, f"[{lo}-{hi}]", "")
+        )
+
+    out = F.lit("latin")
+    for script in reversed(SCRIPT_LADDER):
+        lo, hi = SCRIPT_RANGES[script]
+        out = F.when(
+            n_chars(lo, hi) >= SCRIPT_MIN_CHARS, F.lit(script)
+        ).otherwise(out)
+    return out
