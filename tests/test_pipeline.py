@@ -313,3 +313,48 @@ def test_shuffle_policies_byte_identical(spark):
         .select("url", "text_sha256", "status").collect()
     }
     assert a == b and len(a) == 600
+
+
+def test_script_id_ladder_matches_python_reference(spark):
+    """script_id_col (the cc_script_stats classifier) against an
+    independent pure-Python transcription of the spec: explicit BMP
+    ranges, >=5-char threshold, ladder order kana>hangul>han>cyrillic>
+    greek, latin fallthrough — including mixed-script and
+    just-below-threshold boundary cases."""
+    from cc_extract.textops import (
+        SCRIPT_LADDER, SCRIPT_MIN_CHARS, SCRIPT_RANGES, script_id_col,
+    )
+    import pyspark.sql.functions as F
+
+    ranges = {
+        s: (int(lo[2:], 16), int(hi[2:], 16))
+        for s, (lo, hi) in SCRIPT_RANGES.items()
+    }
+
+    def ref(text: str) -> str:
+        for s in SCRIPT_LADDER:
+            lo, hi = ranges[s]
+            if sum(1 for ch in text if lo <= ord(ch) <= hi) >= SCRIPT_MIN_CHARS:
+                return s
+        return "latin"
+
+    cases = [
+        "plain english text only",
+        "データ処理の分散計算",            # kana + han, kana wins
+        "漢字漢字漢字漢字漢字",            # han only
+        "한국어 데이터 처리 분석",          # hangul
+        "данные обработка запрос",        # cyrillic
+        "δεδομένα επεξεργασία",           # greek
+        "数据处理",                        # 4 han chars: below threshold -> latin
+        "mixed 漢字漢字漢字漢字漢字 and данные обработка таблица",  # han>=5 beats cyrillic in ladder
+        "",
+        "ασδφ",                           # 4 greek: below threshold
+        "カタカナ五文字です漢字漢字漢字漢字漢字",  # both >=5, kana first in ladder
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text_out string")
+    got = {
+        r["text_out"]: r["script"]
+        for r in df.select("text_out", script_id_col("text_out").alias("script")).collect()
+    }
+    for c in cases:
+        assert got[c] == ref(c), (c, got[c], ref(c))
