@@ -209,9 +209,11 @@ def _cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     url's host — the table a crawl pipeline feeds domain-level filtering
     (blocklists, quality priors, robots audits).  Pure projection +
     one partial-aggregable groupBy on ~O(domains) keys; the regexp stays
-    Java-and-RE2-compatible so both engines extract identical hosts."""
+    Java-and-RE2-compatible so both engines extract identical hosts.
+    The host is canonicalized (lowercased, port excluded) so the corpus's
+    decorated-url variants roll up under their real domain."""
     _, res = _cc_corpus_and_extracted(spark)
-    domain = F.regexp_extract("url", r"^https://([^/]+)", 1)
+    domain = F.lower(F.regexp_extract("url", r"^https://([^/:?#]+)", 1))
     return (
         res.select(domain.alias("domain"), "status", "text_out")
         .groupBy("domain")
@@ -222,6 +224,28 @@ def _cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text_out")).alias("total_chars"),
         )
         .orderBy("domain")
+    )
+
+
+def _cc_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup audit over the RAW corpus: canonical
+    groups whose members span >1 distinct raw url — the duplicate class
+    raw-url dedup cannot see (the corpus re-publishes some documents
+    under tracking-decorated variants of the same page).  At 10^12 docs
+    this is the identity key the keep-newest window would partition on;
+    here it is surfaced as its own audit so the raw-url pipeline
+    semantics stay pinned.  Canonicalization is a pure projection
+    (textops.url_canonical_col); one partial-aggregable groupBy."""
+    docs, _ = _cc_corpus_and_extracted(spark)
+    return (
+        docs.select(textops.url_canonical_col("url").alias("canonical"), "url")
+        .groupBy("canonical")
+        .agg(
+            F.countDistinct("url").alias("n_raw"),
+            F.count("*").alias("n_rows"),
+        )
+        .filter(F.col("n_raw") > 1)
+        .orderBy("canonical")
     )
 
 
@@ -443,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_pii_stats": _cc_pii_stats,
         "cc_domain_stats": _cc_domain_stats,
         "cc_script_stats": _cc_script_stats,
+        "cc_url_canonical": _cc_url_canonical,
         # multimodal plumbing (oracled; parsing unit-tested)
         "mm_metadata_stats": _mm_metadata_stats,
         "mm_feature_norms": _mm_feature_norms,
@@ -1577,7 +1602,7 @@ FROM d WHERE status = 'ok_ocr' ORDER BY url
 
     sql["cc_domain_stats"] = f"""
 WITH {dedup_cte}
-SELECT regexp_extract(url, '^https://([^/]+)', 1) AS domain,
+SELECT lower(regexp_extract(url, '^https://([^/:?#]+)', 1)) AS domain,
        count(*) AS n_docs,
        CAST(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
        CAST(sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
@@ -1654,6 +1679,29 @@ SELECT (SELECT count(*) FROM read_parquet('{ext}')) AS n_input_rows,
 """
 
     corpus = oracle_data.corpus_table(_CC_N_DOCS)
+    # same canonicalization spec as textops.url_canonical_col, in RE2/DuckDB
+    sql["cc_url_canonical"] = f"""
+WITH q AS (
+  SELECT url,
+         regexp_replace(lower(regexp_extract(url, '^https://([^/?#]+)', 1)),
+                        ':443$', '') AS h,
+         regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS p,
+         coalesce(array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+             x -> x <> '' AND NOT regexp_matches(x, '{textops.TRACKING_PARAM_RX}'))),
+           '&'), '') AS cq
+  FROM read_parquet('{corpus}')
+)
+SELECT canonical, count(DISTINCT url) AS n_raw, count(*) AS n_rows
+FROM (
+  SELECT url, 'https://' || h || p ||
+         CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical
+  FROM q
+)
+GROUP BY canonical HAVING count(DISTINCT url) > 1
+ORDER BY canonical
+"""
+
     sql["cc_warc_roundtrip"] = f"""
 SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
        payload_sha256, CAST(n_bytes AS BIGINT) AS n_bytes

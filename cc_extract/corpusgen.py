@@ -2400,6 +2400,37 @@ _EXT = {"html": "html", "pdf": "pdf", "txt": "txt", "doc": "doc", "ps": "ps",
         "image": "png", "corrupt": "bin"}
 
 
+_TRACKING_PARAMS = ["utm_source", "utm_medium", "utm_campaign", "fbclid", "gclid"]
+
+
+def _decorate_url(base: str, rng: random.Random, tracking_only: bool = False) -> str:
+    """Real-world URL publishing noise over *base* (which has a lowercase
+    host and no port/query/fragment): mixed-case host, explicit :443,
+    tracking params interleaved with real params, fragment.
+    ``textops.url_canonical_col`` inverts every decoration except real
+    params, which it preserves sorted — so with *tracking_only* the
+    decorated url canonicalizes back to *base* exactly (the property
+    tests pin this, and the dup-row variant relies on it to make
+    canonically-equal raw-distinct pairs)."""
+    scheme, rest = base.split("://", 1)
+    host, path = rest.split("/", 1)
+    if rng.random() < 0.4:
+        host = "".join(c.upper() if rng.random() < 0.5 else c for c in host)
+    if rng.random() < 0.3:
+        host += ":443"
+    params: list[str] = []
+    if not tracking_only and rng.random() < 0.5:
+        for name in rng.sample(["page", "ref", "v"], rng.randint(1, 2)):
+            params.append(f"{name}={rng.randint(1, 99)}")
+    if tracking_only or rng.random() < 0.8:
+        for name in rng.sample(_TRACKING_PARAMS, rng.randint(1, 2)):
+            params.append(f"{name}={rng.choice(_WORDS)}")
+    rng.shuffle(params)
+    q = "&".join(params)
+    frag = f"#s{rng.randint(1, 9)}" if rng.random() < 0.3 else ""
+    return f"{scheme}://{host}/{path}" + (f"?{q}" if q else "") + frag
+
+
 def gen_doc(i: int, seed: int = SEED) -> list[dict]:
     """Rows for document id *i* — usually one, two when it's a dup url.
 
@@ -2412,6 +2443,11 @@ def gen_doc(i: int, seed: int = SEED) -> list[dict]:
     d = rng.random()
     domain = _DOMAINS[0] if d < 0.2 else _DOMAINS[1 + int(d * 49) % 49]
     url = f"https://{domain}/doc{i:08d}.{_EXT[fmt]}"
+    # ~12% of urls carry publishing noise (tracking params, case, :443,
+    # fragments) — cc_url_canonical and cc_domain_stats must see through it
+    decorated = rng.random() < 0.12
+    if decorated:
+        url = _decorate_url(url, rng)
     payload = _GENERATORS[fmt](rng)
     # ~5% of text-ish payloads are stored gzip-transfer-encoded, as real
     # CC-style stores do; the dispatcher must unwrap and re-sniff
@@ -2427,8 +2463,15 @@ def gen_doc(i: int, seed: int = SEED) -> list[dict]:
     if rng.random() < DUP_FRACTION:
         rng2 = random.Random((seed << 21) ^ i)
         payload2 = _GENERATORS[fmt](rng2)
+        # half the dup rows (of undecorated urls) re-publish under a
+        # tracking-decorated variant: raw-DISTINCT urls that canonicalize
+        # equal — the duplicate class raw-url dedup cannot see and
+        # cc_url_canonical exists to surface
+        url2 = url
+        if not decorated and rng.random() < 0.5:
+            url2 = _decorate_url(url, rng, tracking_only=True)
         rows.append({
-            "url": url,
+            "url": url2,
             "warc_ts": ts + timedelta(days=rng.randint(1, 30)),
             "html": payload2, "text": stale, "lang": lang,
         })

@@ -97,9 +97,10 @@ def extract_document(payload: bytes | None, url: str | None = None) -> dict:
         # re-dispatch on the inner content (depth 1 — nested gzip is
         # treated as a corrupt payload)
         import gzip as _gzip
+        import zlib as _zlib
         try:
             inner = _gzip.decompress(payload)
-        except (OSError, EOFError) as e:
+        except (OSError, EOFError, _zlib.error) as e:
             return {"fmt": "gzip", "status": STATUS_ERROR, "text": "",
                     "error": repr(e)[:200]}
         fmt = sniff_format(inner, url)

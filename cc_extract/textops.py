@@ -1266,3 +1266,37 @@ def script_id_col(text_col: str):
             n_chars(lo, hi) >= SCRIPT_MIN_CHARS, F.lit(script)
         ).otherwise(out)
     return out
+
+
+# ---------------------------------------------------- URL canonicalization
+
+# Params dropped by canonicalization (analytics/click-tracking noise).
+TRACKING_PARAM_RX = "^(utm_[a-z]+|fbclid|gclid)="
+
+
+def url_canonical_col(url_col: str):
+    """Canonical form of a crawl URL — the identity key a 10^12-doc
+    pipeline dedups on instead of raw bytes: lowercase host, default
+    :443 port stripped, tracking params dropped, surviving params
+    sorted, fragment dropped.  Entirely JVM-side (regexp + higher-order
+    array fns over the split query string): no UDF, no shuffle — a
+    pure projection the scan absorbs.  The regex subset is
+    Java-and-RE2-common so the DuckDB oracle canonicalizes
+    identically."""
+    u = F.col(url_col)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, "^https://([^/?#]+)", 1)), ":443$", ""
+    )
+    path = F.regexp_extract(u, "^https://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(u, "\\?([^#]*)", 1)
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RX),
+    )
+    canon_q = F.array_join(F.array_sort(keep), "&")
+    return F.concat(
+        F.lit("https://"), host, path,
+        F.when(canon_q == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), canon_q)
+        ),
+    )

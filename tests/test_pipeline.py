@@ -36,14 +36,16 @@ def test_e2e_byte_identity_vs_golden(spark, tmp_path):
     sha256 from the Spark pipeline == single-process golden, 100% match."""
     docs = corpus_df(spark, 20_000, partitions=8)
     stats = J.run(spark, docs, str(tmp_path), n_buckets=16, resume=False)
-    assert stats["n_docs"] == 20_000
+    golden = _golden_rows()
+    # > 20,000: decorated dup urls are raw-DISTINCT (keep-newest dedup on
+    # the raw url keeps both by design — cc_url_canonical surfaces them)
+    assert stats["n_docs"] == len(golden) > 20_000
 
     out = (
         spark.read.parquet(str(tmp_path / "extracted"))
         .select("url", "text_sha256", "status")
         .collect()
     )
-    golden = _golden_rows()
     assert len(out) == len(golden)
     mismatch = [
         (r["url"], r["text_sha256"], golden.get(r["url"]))
@@ -312,7 +314,9 @@ def test_shuffle_policies_byte_identical(spark):
         for r in J.pipeline_df(docs, n_buckets=8, shuffle_policy="full")
         .select("url", "text_sha256", "status").collect()
     }
-    assert a == b and len(a) == 600
+    # post-dedup rows = distinct raw urls (decorated dup urls survive)
+    n_urls = docs.select("url").distinct().count()
+    assert a == b and len(a) == n_urls > 600
 
 
 def test_script_id_ladder_matches_python_reference(spark):
@@ -358,3 +362,47 @@ def test_script_id_ladder_matches_python_reference(spark):
     }
     for c in cases:
         assert got[c] == ref(c), (c, got[c], ref(c))
+
+
+def test_url_canonicalization_inverts_decoration(spark):
+    """canonical(decorate(base)) spec, engine-side: tracking-only
+    decorations canonicalize back to base EXACTLY (the collapse-pair
+    guarantee gen_doc's dup branch relies on); general decorations keep
+    only sorted real params; canonicalization is idempotent."""
+    import random as _random
+
+    import pyspark.sql.functions as F
+    from cc_extract.corpusgen import _decorate_url
+    from cc_extract.textops import url_canonical_col
+
+    bases = [f"https://site{i:02d}.example/doc{i:08d}.html" for i in range(40)]
+    rows = []
+    for i, base in enumerate(bases):
+        rng = _random.Random(i * 7919)
+        rows.append((base, _decorate_url(base, rng, tracking_only=True), "t"))
+        rows.append((base, _decorate_url(base, rng), "g"))
+    df = spark.createDataFrame(rows, "base string, url string, kind string")
+    out = df.select(
+        "base", "kind", "url",
+        url_canonical_col("url").alias("canon"),
+    ).collect()
+    import re as _re
+    for r in out:
+        if r["kind"] == "t":
+            assert r["canon"] == r["base"], (r["url"], r["canon"])
+        else:
+            # general: base plus (optionally) a sorted real-param query
+            m = _re.fullmatch(_re.escape(r["base"]) + r"(\?(.*))?", r["canon"])
+            assert m, (r["url"], r["canon"])
+            if m.group(2):
+                parts = m.group(2).split("&")
+                assert parts == sorted(parts)
+                assert all(p.split("=")[0] in ("page", "ref", "v") for p in parts)
+    # idempotence
+    again = (
+        spark.createDataFrame([(r["canon"],) for r in out], "url string")
+        .select("url", url_canonical_col("url").alias("c2"))
+        .collect()
+    )
+    for r in again:
+        assert r["c2"] == r["url"]

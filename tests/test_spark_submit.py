@@ -26,10 +26,11 @@ from cc_extract.corpusgen import corpus_df     # resolves from the zip
 from cc_extract.job import pipeline_df
 
 docs = corpus_df(spark, 300, partitions=4)
+n_urls = docs.select("url").distinct().count()
 res = pipeline_df(docs, n_buckets=8)
 row = res.agg(F.count("*").alias("n"),
               F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok")).collect()[0]
-print(f"SUBMIT_RESULT n={row['n']} ok={row['ok']}")
+print(f"SUBMIT_RESULT n={row['n']} n_urls={n_urls} ok={row['ok']}")
 spark.stop()
 """
 
@@ -53,4 +54,7 @@ def test_spark_submit_with_py_files(tmp_path):
     assert out.returncode == 0, out.stderr[-3000:]
     marker = [l for l in out.stdout.splitlines() if l.startswith("SUBMIT_RESULT")]
     assert marker, out.stdout[-2000:]
-    assert "n=300" in marker[0], marker[0]
+    # post-dedup rows == distinct raw urls (decorated dup urls are
+    # raw-distinct by design — see corpusgen._decorate_url)
+    m = dict(kv.split("=") for kv in marker[0].split()[1:])
+    assert m["n"] == m["n_urls"] and int(m["n"]) >= 300, marker[0]
