@@ -24,7 +24,7 @@ from __future__ import annotations
 import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from cc_extract import embedops, relops, textops
 
@@ -249,6 +249,37 @@ def _cc_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical-key dedup OPERATOR (the consumer of
+    textops.url_canonical_col): second-stage keep-newest over canonical
+    url applied to the pipeline's raw-url-deduped output — collapsing the
+    tracking-decorated republications raw dedup cannot see.  Same window
+    spec as the pipeline's R3 dedup (newest warc_ts, text_sha256 then raw
+    url as deterministic tie-breaks), partitioned on the canonical key;
+    at 10^12 docs this is one extra shuffle over ~5-10x-smaller
+    post-extraction rows, on a near-unskewed key (canonical groups are
+    tiny).  Returns the full deduped table keyed by canonical url with
+    per-group merge counts — singleton groups included, so the result IS
+    the corpus a canonical-keyed pipeline would ship."""
+    _, res = _cc_corpus_and_extracted(spark)
+    canon = res.withColumn("canonical", textops.url_canonical_col("url"))
+    w = Window.partitionBy("canonical").orderBy(
+        F.desc("warc_ts"), F.desc("text_sha256"), F.desc("url")
+    )
+    return (
+        canon.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_raw", F.count("*").over(Window.partitionBy("canonical")))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "canonical",
+            F.col("url").alias("url_kept"),
+            "text_sha256",
+            F.col("n_raw").cast("long").alias("n_raw"),
+        )
+        .orderBy("canonical")
+    )
+
+
 def _cc_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant-script distribution over EXTRACTED text — the corpus's
     non-Latin HTML (Shift_JIS/GBK/EUC-KR/windows-1251/ISO-8859-7 pages)
@@ -468,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_domain_stats": _cc_domain_stats,
         "cc_script_stats": _cc_script_stats,
         "cc_url_canonical": _cc_url_canonical,
+        "cc_canonical_dedup": _cc_canonical_dedup,
         # multimodal plumbing (oracled; parsing unit-tested)
         "mm_metadata_stats": _mm_metadata_stats,
         "mm_feature_norms": _mm_feature_norms,
@@ -1700,6 +1732,36 @@ FROM (
 )
 GROUP BY canonical HAVING count(DISTINCT url) > 1
 ORDER BY canonical
+"""
+
+    # canonical-key second-stage dedup over the raw-url-deduped output:
+    # same canonicalization spec, same keep-newest window as the pipeline
+    sql["cc_canonical_dedup"] = f"""
+WITH {dedup_cte},
+cq AS (
+  SELECT *, coalesce(array_to_string(list_sort(list_filter(
+        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+        x -> x <> '' AND NOT regexp_matches(x, '{textops.TRACKING_PARAM_RX}'))),
+      '&'), '') AS cq0
+  FROM d
+),
+c AS (
+  SELECT *, 'https://' ||
+         regexp_replace(lower(regexp_extract(url, '^https://([^/?#]+)', 1)),
+                        ':443$', '') ||
+         regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) ||
+         CASE WHEN cq0 = '' THEN '' ELSE '?' || cq0 END AS canonical
+  FROM cq
+),
+r2 AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY canonical
+           ORDER BY warc_ts DESC, text_sha256 DESC, url DESC) AS rn2,
+         count(*) OVER (PARTITION BY canonical) AS n_raw
+  FROM c
+)
+SELECT canonical, url AS url_kept, text_sha256, CAST(n_raw AS BIGINT) AS n_raw
+FROM r2 WHERE rn2 = 1 ORDER BY canonical
 """
 
     sql["cc_warc_roundtrip"] = f"""
