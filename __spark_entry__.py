@@ -460,6 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_token_stats": textops.bpe_token_stats,
         "doc_lsh_verified_near_dups": textops.lsh_verified_near_dups,
         "doc_token_doc_freq": textops.token_doc_freq,
+        "doc_bpe_merge_learn": textops.bpe_merge_learn,
+        "doc_ccnet_buckets": textops.ccnet_buckets,
         "doc_deterministic_sample": textops.deterministic_sample,
         "doc_dup_clusters": textops.dup_clusters,
         "doc_length_quantiles": textops.length_quantiles,
@@ -957,6 +959,49 @@ FROM per_doc GROUP BY token
 ORDER BY df DESC, total_tf DESC, token ASC LIMIT 100
 """
 
+    # BPE merge learning: the oracle replays the identical k rounds as
+    # chained CTEs (the k-means-oracle pattern) — per round an argmax CTE
+    # picks the most frequent pair (ties lexicographic) and a vocab CTE
+    # folds the merge in via list_reduce with the same greedy
+    # left-to-right semantics as textops._apply_merge.
+    _bpe_parts = [f"""wf AS (
+  SELECT token, count(*) AS freq FROM (
+    SELECT unnest({_TOKENS}) AS token FROM documents
+  ) GROUP BY token
+),
+v1 AS (
+  SELECT list_append(regexp_extract_all(token, '.'), '{textops.BPE_EOW}') AS syms,
+         freq
+  FROM wf
+)"""]
+    for _r in range(1, textops.BPE_MERGES + 1):
+        _bpe_parts.append(f"""a{_r} AS (
+  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(freq) AS pair_freq
+  FROM v{_r}, unnest(generate_series(1, length(syms) - 1)) AS t(i)
+  GROUP BY 1, 2
+),
+m{_r} AS (
+  SELECT lhs, rhs, lhs || rhs AS merged, pair_freq
+  FROM a{_r} ORDER BY pair_freq DESC, lhs, rhs LIMIT 1
+),
+v{_r + 1} AS (
+  SELECT CASE WHEN length(syms) < 2 THEN syms ELSE
+    list_reduce(list_transform(syms, s -> [s]),
+      (acc, x) -> CASE WHEN acc[-1] = m{_r}.lhs AND x[1] = m{_r}.rhs
+                  THEN list_append(acc[1:length(acc) - 1], m{_r}.merged)
+                  ELSE list_append(acc, x[1]) END)
+    END AS syms, freq
+  FROM v{_r}, m{_r}
+)""")
+    _bpe_sel = "\nUNION ALL\n".join(
+        f"SELECT {_r} AS merge_rank, lhs, rhs, merged,"
+        f" CAST(pair_freq AS BIGINT) AS pair_freq FROM m{_r}"
+        for _r in range(1, textops.BPE_MERGES + 1)
+    )
+    sql["doc_bpe_merge_learn"] = (
+        "WITH " + ",\n".join(_bpe_parts) + "\n" + _bpe_sel + "\nORDER BY merge_rank"
+    )
+
     sql["doc_length_quantiles"] = f"""
 WITH t AS (SELECT lang, len({_TOKENS}) AS n_tokens FROM documents)
 SELECT lang, count(*) AS n_docs,
@@ -1152,6 +1197,35 @@ SELECT doc_id,
        round(sum(tf * -log2(cnt * 1.0 / total)) / sum(tf), 4) AS bits_per_token
 FROM pairs JOIN cnts USING (token), tot
 GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # CCNet head/middle/tail: same LM CTEs, ntile(3) per language over
+    # the ROUNDED score (+ doc_id tie-break) so both engines rank
+    # identical values into identical terciles
+    sql["doc_ccnet_buckets"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+pairs AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS token FROM t)
+  GROUP BY doc_id, token
+),
+cnts AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM pairs GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts),
+scored AS (
+  SELECT doc_id,
+         round(sum(tf * -log2(cnt * 1.0 / total)) / sum(tf), 4) AS bits_per_token
+  FROM pairs JOIN cnts USING (token), tot
+  GROUP BY doc_id
+),
+b AS (
+  SELECT d.doc_id, d.lang, s.bits_per_token,
+         ntile(3) OVER (
+           PARTITION BY d.lang ORDER BY s.bits_per_token, d.doc_id) AS nt
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, bits_per_token,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM b ORDER BY doc_id
 """
 
     _EN_STOP_SQL = "['the','and','of','to','a','in','is','it','that','for']"

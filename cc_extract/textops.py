@@ -1300,3 +1300,139 @@ def url_canonical_col(url_col: str):
             F.concat(F.lit("?"), canon_q)
         ),
     )
+
+
+# ------------------------------------------------------ BPE merge learning
+
+BPE_EOW = "</w>"      # Sennrich end-of-word marker
+BPE_MERGES = 8        # merge rounds learned by bpe_merge_learn
+
+
+def _apply_merge(syms, lhs: str, rhs: str, merged: str):
+    """Left-to-right non-overlapping application of one BPE merge to a
+    symbol array, as a single in-row fold: walk the symbols, and whenever
+    the accumulator's last element is *lhs* and the next symbol is *rhs*,
+    replace the pair with *merged* — the exact greedy semantics of
+    Sennrich et al.'s learn loop (a freshly merged symbol can itself be
+    the left side of the next match, e.g. (a,a) over 'aaaa' -> aa,aa)."""
+    first = F.slice(syms, 1, 1)
+    rest = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
+    return F.when(F.size(syms) < 2, syms).otherwise(
+        F.aggregate(
+            rest,
+            first,
+            lambda acc, x: F.when(
+                (F.element_at(acc, -1) == F.lit(lhs)) & (x == F.lit(rhs)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+    )
+
+
+def bpe_merge_learn(spark, sf_dir: str, k: int = BPE_MERGES) -> DataFrame:
+    """Learn the first *k* BPE tokenizer merges from the corpus — the
+    training-data pipeline op that BUILDS the tokenizer (Sennrich et al.
+    2016), not just counts with one: per-round, the corpus-weighted most
+    frequent adjacent symbol pair (ties broken lexicographically) is
+    merged everywhere and the next round recounts.
+
+    Scale shape: the corpus is touched ONCE — token_tf_pairs builds
+    (doc, token, tf) map-side and one partial-aggregable groupBy(token)
+    yields the word-frequency table (O(vocab) rows, ~10^7 at 10^12 docs).
+    The k-round learn loop then runs entirely over that vocab relation:
+    pair counting is an in-row transform + explode of O(word_len) pairs,
+    the argmax is a 1-row TakeOrderedAndProject collect (the same
+    driver-side scalar pattern as doc_dup_clusters' convergence witness),
+    and merge application is an in-row fold (_apply_merge).  The vocab is
+    localCheckpointed per round — it is the stored artifact a production
+    tokenizer-training job would materialize anyway — so round r's plan
+    never re-executes rounds 0..r-1 or the corpus scan."""
+    wf = (
+        token_tf_pairs(load_documents(spark, sf_dir))
+        .groupBy("token")
+        .agg(F.sum("tf").alias("freq"))
+    )
+    vocab = wf.select(
+        F.concat(
+            F.regexp_extract_all(F.col("token"), F.lit("."), 0),
+            F.array(F.lit(BPE_EOW)),
+        ).alias("syms"),
+        "freq",
+    ).localCheckpoint()
+
+    merges = []
+    for rank in range(1, k + 1):
+        pairs = vocab.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("lhs"),
+                        F.element_at("syms", i + 1).alias("rhs"),
+                    ),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        merged = b["lhs"] + b["rhs"]
+        merges.append((rank, b["lhs"], b["rhs"], merged, b["pair_freq"]))
+        vocab = vocab.select(
+            _apply_merge(F.col("syms"), b["lhs"], b["rhs"], merged).alias("syms"),
+            "freq",
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string, pair_freq long",
+    ).orderBy("merge_rank")
+
+
+# ------------------------------------------------- CCNet quality buckets
+
+CCNET_BUCKETS = ("head", "middle", "tail")
+
+
+def ccnet_buckets(spark, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    rank each language's documents by LM score and split into
+    head/middle/tail terciles — the partition CCNet ships as its output
+    layout, letting consumers choose a quality floor per language
+    instead of one global threshold (which would starve low-resource
+    languages).
+
+    The score is the corpus-unigram bits/token (unigram_logprob — the
+    repo's KenLM stand-in); the bucket is ntile(3) over
+    (lang | bits asc, doc_id asc), computed on the ROUNDED score so both
+    engines rank identical values.  Scale shape: scoring is
+    unigram_logprob's one-pass plan; bucketing adds a single window sort
+    over O(docs) already-aggregated score rows partitioned by lang —
+    per-language skew is the data's language mix itself, and at 10^12
+    docs the same layout ships as approx-quantile cut points per
+    language (3 scalars each) instead of a full sort; the tercile
+    *assignment* is then a pure projection."""
+    scored = unigram_logprob(spark, sf_dir)
+    docs = load_documents(spark, sf_dir).select("doc_id", "lang")
+    j = scored.join(docs, "doc_id")
+    nt = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(
+            F.asc("bits_per_token"), F.asc("doc_id")
+        )
+    )
+    bucket = F.element_at(
+        F.array(*[F.lit(b) for b in CCNET_BUCKETS]), nt
+    )
+    return j.select(
+        "doc_id", "lang", "bits_per_token", bucket.alias("bucket")
+    ).orderBy("doc_id")

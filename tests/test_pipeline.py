@@ -406,3 +406,66 @@ def test_url_canonicalization_inverts_decoration(spark):
     )
     for r in again:
         assert r["c2"] == r["url"]
+
+
+def test_bpe_merge_learn_matches_python_reference(spark, tmp_path):
+    """bpe_merge_learn against an independent transcription of Sennrich
+    et al.'s learn loop (count pairs over a word-frequency dict, merge
+    the argmax everywhere, repeat) — run on a corpus crafted so ties and
+    re-merge chains ('aaaa' -> aa,aa; merged symbols as left sides) are
+    exercised.  The Spark/DuckDB pair share the fold formulation; this
+    reference shares nothing but the published algorithm."""
+    from cc_extract.textops import BPE_EOW, bpe_merge_learn
+
+    texts = [
+        "banana banana bandana",
+        "aaaa aaa aa banana",
+        "abab abab baba",
+        "the cat and the hat band",
+        "banana band bandana the the",
+    ]
+
+    def ref_merges(texts, k):
+        import re
+        from collections import Counter
+
+        wf = Counter()
+        for t in texts:
+            for w in re.findall("[a-z0-9]+", t.lower()):
+                wf[w] += 1
+        vocab = {w: tuple(list(w) + [BPE_EOW]) for w in wf}
+        out = []
+        for rank in range(1, k + 1):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wf[w]
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            (l, r), c = best
+            out.append((rank, l, r, l + r, c))
+            for w, syms in vocab.items():
+                new, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        new.append(l + r)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                vocab[w] = tuple(new)
+        return out
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_freq"])
+        for r in bpe_merge_learn(spark, str(sf), k=6).collect()
+    ]
+    assert got == ref_merges(texts, 6), got
