@@ -47,6 +47,7 @@ def extract_stream(
     salt: int = DEFAULT_SALT,
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     debug_partition_col: bool = False,
+    dedup_key: str = "url",
 ):
     """streaming scan -> dedup-within-watermark -> size-aware salted
     repartition -> vectorized extraction -> checkpointed parquet sink.
@@ -66,7 +67,22 @@ def extract_stream(
     executing partition id for tests that assert the spread.
     """
     docs = stream_documents(spark, input_dir, max_files=max_files)
-    docs = docs.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
+    docs = docs.withWatermark("warc_ts", watermark)
+    if dedup_key == "canonical":
+        # canonical-key dedup (textops.url_canonical_col): collapses
+        # tracking-decorated republications of the same page inside the
+        # watermark — the streaming twin of cc_canonical_dedup.  The
+        # canonical column is a pure projection, so the only cost vs raw
+        # dedup is the state-store key it replaces.
+        from .textops import url_canonical_col
+
+        docs = (
+            docs.withColumn("_canonical", url_canonical_col("url"))
+            .dropDuplicatesWithinWatermark(["_canonical"])
+            .drop("_canonical")
+        )
+    else:
+        docs = docs.dropDuplicatesWithinWatermark(["url"])
     df = with_bucket(docs.select("url", "warc_ts", "html"), n_buckets)
     df = df.withColumn("n_bytes_in", F.coalesce(F.length("html"), F.lit(0)))
     # the conf may be non-numeric (e.g. "auto" under some AQE setups) —

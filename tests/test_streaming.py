@@ -192,3 +192,51 @@ def test_stateful_domain_stats_across_micro_batches(spark, tmp_path):
     q2.awaitTermination(240)
     totals = {r["n_docs"] for r in spark.read.parquet(out_dir).collect()}
     assert 10 in totals, totals  # 8 + 2, not 2 — state survived the restart
+
+
+def test_stream_canonical_dedup_collapses_decorated_urls(spark, tmp_path):
+    """dedup_key='canonical': a tracking-decorated republication of the
+    same page arriving in a later micro-batch is dropped (raw-url dedup
+    would keep both — the cc_canonical_dedup semantics under streaming)."""
+    import datetime as dt
+    import glob
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    base = "https://stream.example/page.txt"
+    decorated = "https://Stream.EXAMPLE:443/page.txt?utm_source=feed#s1"
+
+    def write_file(name, url, payload, ts, mtime):
+        df = spark.createDataFrame(
+            [(url, ts, bytearray(payload), "", "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(input_dir, f"{name}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    write_file("f1", base, b"original crawl", dt.datetime(2025, 1, 1), 1_700_000_000)
+    write_file("f2", decorated, b"republished crawl", dt.datetime(2025, 1, 1, 6), 1_700_000_100)
+
+    out_dir = str(tmp_path / "out")
+    q = streaming.extract_stream(
+        spark, input_dir, out_dir, str(tmp_path / "ckpt"),
+        n_buckets=4, max_files=1, dedup_key="canonical",
+    )
+    q.awaitTermination(240)
+    assert not q.isActive
+    rows = spark.read.parquet(out_dir).select("url", "text_out").collect()
+    assert len(rows) == 1 and rows[0]["url"] == base, rows
+    assert rows[0]["text_out"] == "original crawl"
+
+    # raw-url dedup keeps BOTH (the class canonical dedup exists for)
+    out2 = str(tmp_path / "out2")
+    q2 = streaming.extract_stream(
+        spark, input_dir, out2, str(tmp_path / "ckpt2"),
+        n_buckets=4, max_files=1,
+    )
+    q2.awaitTermination(240)
+    assert spark.read.parquet(out2).count() == 2
