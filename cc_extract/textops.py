@@ -276,32 +276,47 @@ def tf_structs(arr):
     This replaces the round-3 filter-per-distinct pattern (O(distinct x
     len) equality comparisons per row — effectively quadratic on long
     token-diverse documents; r3 ADVICE low).  Output element ORDER is the
-    sorted-token order; callers must not depend on appearance order."""
-    sorted_ = F.array_sort(arr)
-    n = F.size(sorted_)
-    starts = F.filter(
-        F.transform(sorted_, lambda x, i: F.struct(x.alias("token"), i.alias("i"))),
-        # run start: first element, or differs from its predecessor
-        # (F.get is 0-based and null-safe at index -1, so i==0 is true
-        # via the null-propagating inequality OR)
-        lambda s: (s["i"] == 0) | (F.get(sorted_, s["i"] - 1) != s["token"]),
-    )
-    nexts = F.concat(
-        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
-        F.array(F.struct(F.lit(None).cast("string").alias("token"), n.alias("i"))),
-    )
-    pairs = F.zip_with(
-        starts,
-        nexts,
-        lambda a, b: F.struct(
-            a["token"].alias("token"), (b["i"] - a["i"]).cast("int").alias("tf")
-        ),
-    )
-    # empty input: zip_with would pad the empty starts against the one
-    # sentinel element — guard to a typed empty array instead
-    return F.when(n > 0, pairs).otherwise(
-        F.array().cast("array<struct<token:string,tf:int>>")
-    )
+    sorted-token order; callers must not depend on appearance order.
+
+    The sorted array is bound ONCE as a lambda variable (the
+    single-element-transform let-binding): expressions referenced inside
+    higher-order-function lambdas are re-evaluated per element — Spark's
+    subexpression elimination does not cross lambda boundaries — so
+    inlining ``array_sort`` into the run-start predicate would re-sort
+    the array for every element (O(n^2 log n) per row; measured ~2x on
+    the tf_pairs stage at sf0.1)."""
+
+    def body(sorted_):
+        n = F.size(sorted_)
+        starts = F.filter(
+            F.transform(
+                sorted_, lambda x, i: F.struct(x.alias("token"), i.alias("i"))
+            ),
+            # run start: first element, or differs from its predecessor
+            # (F.get is 0-based and null-safe at index -1, so i==0 is true
+            # via the null-propagating inequality OR)
+            lambda s: (s["i"] == 0) | (F.get(sorted_, s["i"] - 1) != s["token"]),
+        )
+        nexts = F.concat(
+            F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+            F.array(
+                F.struct(F.lit(None).cast("string").alias("token"), n.alias("i"))
+            ),
+        )
+        pairs = F.zip_with(
+            starts,
+            nexts,
+            lambda a, b: F.struct(
+                a["token"].alias("token"), (b["i"] - a["i"]).cast("int").alias("tf")
+            ),
+        )
+        # empty input: zip_with would pad the empty starts against the one
+        # sentinel element — guard to a typed empty array instead
+        return F.when(n > 0, pairs).otherwise(
+            F.array().cast("array<struct<token:string,tf:int>>")
+        )
+
+    return F.get(F.transform(F.array(F.array_sort(arr)), body), 0)
 
 
 def token_tf_pairs(df: DataFrame) -> DataFrame:
