@@ -227,6 +227,45 @@ def _cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cc_domain_filter thresholds — the domain-level analogue of
+# doc_corpus_filter's per-document rule ladder
+DOMAIN_MIN_DOCS = 3          # too few docs to trust the domain's stats
+DOMAIN_MAX_ERROR_RATE = 0.3  # extraction failing this often = broken host
+DOMAIN_MIN_AVG_CHARS = 40    # near-empty extractions = link farm / chrome
+
+
+def _cc_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level keep/drop decision — the CONSUMER of cc_domain_stats
+    (its docstring names this exact pipeline stage): apply a rule ladder
+    over each domain's extraction record and emit the verdict with the
+    FIRST failing rule named, the same auditable shape as
+    doc_corpus_filter.  Rules: enough docs to judge (>= DOMAIN_MIN_DOCS),
+    error rate below DOMAIN_MAX_ERROR_RATE, mean extracted chars over
+    kept docs >= DOMAIN_MIN_AVG_CHARS.  At 10^12 docs this table is
+    O(domains) (~10^8) and the keep set joins back to the corpus as a
+    broadcast/bucketed dim — the cheapest coarse filter a crawl pipeline
+    applies before any per-document scoring."""
+    stats = _cc_domain_stats(spark, sf_dir)
+    err_rate = F.col("n_error") / F.col("n_docs")
+    avg_chars = F.col("total_chars") / F.greatest(F.col("n_docs"), F.lit(1))
+    rule = (
+        F.when(F.col("n_docs") < DOMAIN_MIN_DOCS, F.lit("min_docs"))
+        .when(err_rate > DOMAIN_MAX_ERROR_RATE, F.lit("error_rate"))
+        .when(avg_chars < DOMAIN_MIN_AVG_CHARS, F.lit("avg_chars"))
+        .otherwise(F.lit(""))
+    )
+    return (
+        stats.select(
+            "domain", "n_docs",
+            F.round(err_rate, 6).alias("error_rate"),
+            F.round(avg_chars, 2).alias("avg_chars"),
+            rule.alias("drop_rule"),
+            (rule == "").alias("keep"),
+        )
+        .orderBy("domain")
+    )
+
+
 def _cc_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup audit over the RAW corpus: canonical
     groups whose members span >1 distinct raw url — the duplicate class
@@ -462,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_doc_freq": textops.token_doc_freq,
         "doc_bpe_merge_learn": textops.bpe_merge_learn,
         "doc_ccnet_buckets": textops.ccnet_buckets,
+        "doc_bpe_encode_stats": textops.bpe_encode_stats,
         "doc_deterministic_sample": textops.deterministic_sample,
         "doc_dup_clusters": textops.dup_clusters,
         "doc_length_quantiles": textops.length_quantiles,
@@ -502,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_script_stats": _cc_script_stats,
         "cc_url_canonical": _cc_url_canonical,
         "cc_canonical_dedup": _cc_canonical_dedup,
+        "cc_domain_filter": _cc_domain_filter,
         # multimodal plumbing (oracled; parsing unit-tested)
         "mm_metadata_stats": _mm_metadata_stats,
         "mm_feature_norms": _mm_feature_norms,
@@ -970,7 +1011,8 @@ ORDER BY df DESC, total_tf DESC, token ASC LIMIT 100
   ) GROUP BY token
 ),
 v1 AS (
-  SELECT list_append(regexp_extract_all(token, '.'), '{textops.BPE_EOW}') AS syms,
+  SELECT token,
+         list_append(regexp_extract_all(token, '.'), '{textops.BPE_EOW}') AS syms,
          freq
   FROM wf
 )"""]
@@ -985,7 +1027,7 @@ m{_r} AS (
   FROM a{_r} ORDER BY pair_freq DESC, lhs, rhs LIMIT 1
 ),
 v{_r + 1} AS (
-  SELECT CASE WHEN length(syms) < 2 THEN syms ELSE
+  SELECT token, CASE WHEN length(syms) < 2 THEN syms ELSE
     list_reduce(list_transform(syms, s -> [s]),
       (acc, x) -> CASE WHEN acc[-1] = m{_r}.lhs AND x[1] = m{_r}.rhs
                   THEN list_append(acc[1:length(acc) - 1], m{_r}.merged)
@@ -1000,6 +1042,24 @@ v{_r + 1} AS (
     )
     sql["doc_bpe_merge_learn"] = (
         "WITH " + ",\n".join(_bpe_parts) + "\n" + _bpe_sel + "\nORDER BY merge_rank"
+    )
+
+    # encode with the learned merges: same chain, final vocab joined back
+    # to the per-doc (token, tf) pairs
+    sql["doc_bpe_encode_stats"] = (
+        "WITH " + ",\n".join(_bpe_parts) + f""",
+units AS (SELECT token, length(syms) AS units FROM v{textops.BPE_MERGES + 1}),
+occ AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents)
+  GROUP BY doc_id, token
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(tf * units) AS BIGINT) AS n_bpe_units,
+       round(sum(tf * units) * 1.0 / sum(tf), 4) AS units_per_token
+FROM occ JOIN units USING (token)
+GROUP BY doc_id ORDER BY doc_id
+"""
     )
 
     sql["doc_length_quantiles"] = f"""
@@ -1714,6 +1774,36 @@ SELECT lower(regexp_extract(url, '^https://([^/:?#]+)', 1)) AS domain,
        CAST(sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
        CAST(sum(length(text_out)) AS BIGINT) AS total_chars
 FROM d GROUP BY domain ORDER BY domain
+"""
+
+    # same rule ladder as _cc_domain_filter, re-derived from the per-row
+    # extraction table through the identical keep-newest dedup
+    sql["cc_domain_filter"] = f"""
+WITH {dedup_cte},
+s AS (
+  SELECT lower(regexp_extract(url, '^https://([^/:?#]+)', 1)) AS domain,
+         count(*) AS n_docs,
+         sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS n_error,
+         sum(length(text_out)) AS total_chars
+  FROM d GROUP BY domain
+),
+r AS (
+  SELECT domain, n_docs,
+         n_error * 1.0 / n_docs AS err_rate,
+         total_chars * 1.0 / greatest(n_docs, 1) AS avg_chars,
+         CASE WHEN n_docs < {DOMAIN_MIN_DOCS} THEN 'min_docs'
+              WHEN n_error * 1.0 / n_docs > {DOMAIN_MAX_ERROR_RATE}
+                THEN 'error_rate'
+              WHEN total_chars * 1.0 / greatest(n_docs, 1)
+                   < {DOMAIN_MIN_AVG_CHARS} THEN 'avg_chars'
+              ELSE '' END AS drop_rule
+  FROM s
+)
+SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+       round(err_rate, 6) AS error_rate,
+       round(avg_chars, 2) AS avg_chars,
+       drop_rule, drop_rule = '' AS keep
+FROM r ORDER BY domain
 """
 
     # RE2 spelling of textops.SCRIPT_RANGES / SCRIPT_LADDER: same explicit

@@ -1364,12 +1364,25 @@ def bpe_merge_learn(spark, sf_dir: str, k: int = BPE_MERGES) -> DataFrame:
     localCheckpointed per round — it is the stored artifact a production
     tokenizer-training job would materialize anyway — so round r's plan
     never re-executes rounds 0..r-1 or the corpus scan."""
+    merges, _ = _bpe_learn_state(spark, sf_dir, k)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string, pair_freq long",
+    ).orderBy("merge_rank")
+
+
+def _bpe_learn_state(spark, sf_dir: str, k: int):
+    """The learn loop shared by bpe_merge_learn (returns the merges) and
+    bpe_encode_stats (needs the final per-token segmentation): returns
+    (merges list, vocab DataFrame of (token, syms, freq) after all k
+    rounds)."""
     wf = (
         token_tf_pairs(load_documents(spark, sf_dir))
         .groupBy("token")
         .agg(F.sum("tf").alias("freq"))
     )
     vocab = wf.select(
+        "token",
         F.concat(
             F.regexp_extract_all(F.col("token"), F.lit("."), 0),
             F.array(F.lit(BPE_EOW)),
@@ -1404,14 +1417,42 @@ def bpe_merge_learn(spark, sf_dir: str, k: int = BPE_MERGES) -> DataFrame:
         merged = b["lhs"] + b["rhs"]
         merges.append((rank, b["lhs"], b["rhs"], merged, b["pair_freq"]))
         vocab = vocab.select(
+            "token",
             _apply_merge(F.col("syms"), b["lhs"], b["rhs"], merged).alias("syms"),
             "freq",
         ).localCheckpoint()
+    return merges, vocab
 
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, lhs string, rhs string, merged string, pair_freq long",
-    ).orderBy("merge_rank")
+
+def bpe_encode_stats(spark, sf_dir: str, k: int = BPE_MERGES) -> DataFrame:
+    """ENCODE the corpus with the learned BPE merges — the consumer that
+    turns bpe_merge_learn from a table into a tokenizer: per document,
+    the subword-unit count and the units-per-word compression the learned
+    vocabulary achieves (the number a tokenizer-training pipeline tracks
+    per merge budget).
+
+    Scale shape: merges are applied to the VOCAB (O(vocab) rows), never
+    per occurrence — each corpus token's final segmentation length comes
+    from one join of the map-side (doc, token, tf) pairs against the
+    post-learn vocab (AQE broadcasts the vocab by statistics), then one
+    partial-aggregable groupBy(doc_id):
+    n_bpe_units = sum(tf * units(token))."""
+    _, vocab = _bpe_learn_state(spark, sf_dir, k)
+    units = vocab.select("token", F.size("syms").alias("units"))
+    pairs = token_tf_pairs(load_documents(spark, sf_dir))
+    return (
+        pairs.join(units, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("units")).cast("long").alias("n_bpe_units"),
+        )
+        .withColumn(
+            "units_per_token",
+            F.round(F.col("n_bpe_units") / F.col("n_tokens"), 4),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ------------------------------------------------- CCNet quality buckets
