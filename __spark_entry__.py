@@ -227,6 +227,121 @@ def _cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def _cc_host(col) -> "F.Column":
+    return F.lower(F.regexp_extract(col, "^https://([^/:?#]+)", 1))
+
+
+def _cc_links(spark: SparkSession) -> DataFrame:
+    """Deduped cross-domain link relation (src_domain, dst_domain), one
+    row per absolute href in the NEWEST crawl of each url.  Link spec
+    (independently transcribed in oracle_data.links_table over raw
+    bytes): plain-HTML payloads only (leading '<!DOCTYPE html'; the
+    latin-1 decode is byte-transparent, so the ASCII href attributes are
+    charset-independent), links are href="https://..." attributes,
+    domains the lowercased host up to /:?#.  Keep-newest needs no
+    tie-break: dup crawls are generated 1-30 days apart, never equal."""
+    docs, _ = _cc_corpus_and_extracted(spark)
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    newest = docs.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    t = F.decode(F.col("html"), "ISO-8859-1")
+    html = newest.select("url", t.alias("t")).filter(
+        F.col("t").startswith("<!DOCTYPE html")
+    )
+    return html.select(
+        _cc_host(F.col("url")).alias("src_domain"),
+        F.explode(
+            F.regexp_extract_all(F.col("t"), F.lit('href="(https://[^"]+)"'), 1)
+        ).alias("link"),
+    ).select("src_domain", _cc_host(F.col("link")).alias("dst_domain"))
+
+
+def _cc_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The domain-level link graph — the edge list a crawl pipeline
+    derives for frontier prioritization and rank seeding: per
+    (src, dst) domain pair, how many links the deduped corpus carries.
+    Scale shape: link extraction is a projection on the scanned payload
+    (no second payload pass at production — the extractor would emit
+    links alongside text), and the edge rollup is one partial-aggregable
+    groupBy on O(domains^2) keys."""
+    return (
+        _cc_links(spark)
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").alias("n_links"))
+        .orderBy("src_domain", "dst_domain")
+    )
+
+
+def _cc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the domain link graph — the canonical
+    iterative web-scale computation, run as PAGERANK_ITERS rounds of
+    pure DataFrame joins/aggregations (no GraphX, no RDDs): contribution
+    = rank * w / out_w along each edge, damping 0.85, dangling-node mass
+    redistributed uniformly, every iteration's ranks rounded to 9 dp so
+    both engines iterate in bit-lockstep (the k-means-oracle float
+    policy).  The dangling mass is a per-round 1-row collect (the
+    dup_clusters scalar pattern).
+
+    Scale shape: nodes/edges are O(domains)/O(domains^2) relations —
+    already tiny next to the corpus; each round is one equi-join of
+    edges against ranks plus a groupBy(dst), exactly the shuffle
+    pattern a 10^8-node production PageRank runs, with ranks
+    localCheckpointed per round (lineage truncation, as dup_clusters)."""
+    edges = (
+        _cc_links(spark)
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").cast("double").alias("w"))
+        .localCheckpoint()
+    )
+    docs, _ = _cc_corpus_and_extracted(spark)
+    nodes = docs.select(_cc_host(F.col("url")).alias("domain")).distinct() \
+        .localCheckpoint()
+    n = nodes.count()
+    out_w = edges.groupBy("src_domain").agg(F.sum("w").alias("out_w"))
+    d = PAGERANK_DAMPING
+    ranks = nodes.select(
+        "domain", F.round(F.lit(1.0) / F.lit(n), 9).alias("rank")
+    ).localCheckpoint()
+    for _ in range(PAGERANK_ITERS):
+        dangling = (
+            ranks.join(out_w, ranks.domain == out_w.src_domain, "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            edges.join(out_w, "src_domain")
+            .join(ranks, edges.src_domain == ranks.domain)
+            .select(
+                F.col("dst_domain").alias("domain"),
+                (F.col("rank") * F.col("w") / F.col("out_w")).alias("c"),
+            )
+            .groupBy("domain")
+            .agg(F.sum("c").alias("in_c"))
+        )
+        ranks = (
+            nodes.join(contrib, "domain", "left")
+            .select(
+                "domain",
+                F.round(
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (F.coalesce("in_c", F.lit(0.0)) + F.lit(dangling / n)),
+                    9,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "domain", F.round("rank", 6).alias("pagerank")
+    ).orderBy("domain")
+
+
 # cc_domain_filter thresholds — the domain-level analogue of
 # doc_corpus_filter's per-document rule ladder
 DOMAIN_MIN_DOCS = 3          # too few docs to trust the domain's stats
@@ -543,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_url_canonical": _cc_url_canonical,
         "cc_canonical_dedup": _cc_canonical_dedup,
         "cc_domain_filter": _cc_domain_filter,
+        "cc_link_graph": _cc_link_graph,
+        "cc_pagerank": _cc_pagerank,
         # multimodal plumbing (oracled; parsing unit-tested)
         "mm_metadata_stats": _mm_metadata_stats,
         "mm_feature_norms": _mm_feature_norms,
@@ -1897,6 +2014,68 @@ FROM (
 GROUP BY canonical HAVING count(DISTINCT url) > 1
 ORDER BY canonical
 """
+
+    # link graph + PageRank: link rows come from the single-process
+    # normative extractor (oracle_data.links_table); the SQL performs the
+    # keep-newest crawl dedup, the edge rollup, and the identical
+    # PAGERANK_ITERS damped-and-9dp-rounded iterations as chained CTEs
+    links = oracle_data.links_table(_CC_N_DOCS)
+    _lg_ctes = f"""crawls AS (
+  SELECT url, warc_ts,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+  FROM read_parquet('{corpus}')
+),
+kept AS (SELECT url, warc_ts FROM crawls WHERE rn = 1),
+lk AS (
+  SELECT l.src_domain, l.dst_domain
+  FROM read_parquet('{links}') l JOIN kept USING (url, warc_ts)
+)"""
+    sql["cc_link_graph"] = f"""
+WITH {_lg_ctes}
+SELECT src_domain, dst_domain, count(*) AS n_links
+FROM lk GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+    _d = PAGERANK_DAMPING
+    _pr_parts = [_lg_ctes + f""",
+edges AS (
+  SELECT src_domain, dst_domain, CAST(count(*) AS DOUBLE) AS w
+  FROM lk GROUP BY 1, 2
+),
+nodes AS (
+  SELECT DISTINCT lower(regexp_extract(url, '^https://([^/:?#]+)', 1)) AS domain
+  FROM read_parquet('{corpus}')
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT src_domain, sum(w) AS out_w FROM edges GROUP BY 1),
+r0 AS (SELECT domain, round(CAST(1.0 AS DOUBLE) / nn.n, 9) AS pr
+       FROM nodes, nn)"""]
+    for _t in range(1, PAGERANK_ITERS + 1):
+        _pr_parts.append(f"""dg{_t} AS (
+  SELECT coalesce(sum(pr), CAST(0 AS DOUBLE)) AS dang
+  FROM r{_t - 1} LEFT JOIN outw ON r{_t - 1}.domain = outw.src_domain
+  WHERE outw.src_domain IS NULL
+),
+c{_t} AS (
+  SELECT e.dst_domain AS domain, sum(r.pr * e.w / o.out_w) AS in_c
+  FROM edges e JOIN outw o USING (src_domain)
+       JOIN r{_t - 1} r ON r.domain = e.src_domain
+  GROUP BY 1
+),
+r{_t} AS (
+  SELECT n.domain,
+         round((CAST(1 AS DOUBLE) - CAST({_d} AS DOUBLE)) / nn.n
+               + CAST({_d} AS DOUBLE)
+                 * (coalesce(c.in_c, CAST(0 AS DOUBLE)) + dg{_t}.dang / nn.n),
+               9) AS pr
+  FROM nodes n CROSS JOIN nn CROSS JOIN dg{_t}
+       LEFT JOIN c{_t} c ON n.domain = c.domain
+)""")
+    sql["cc_pagerank"] = (
+        "WITH " + ",\n".join(_pr_parts)
+        + f"\nSELECT domain, round(pr, 6) AS pagerank FROM r{PAGERANK_ITERS}"
+        + "\nORDER BY domain"
+    )
 
     # canonical-key second-stage dedup over the raw-url-deduped output:
     # same canonicalization spec, same keep-newest window as the pipeline

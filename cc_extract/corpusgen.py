@@ -130,6 +130,16 @@ def _gen_html(rng: random.Random) -> bytes:
     farm = "".join(
         f'<a href="/p{j}">{rng.choice(_WORDS)}</a> ' for j in range(12)
     )
+    # cross-domain "related sites" links: the only ABSOLUTE hrefs the
+    # corpus emits — the edges cc_link_graph/cc_pagerank consume.  They
+    # live in the <aside> boilerplate region, so extracted TEXT is
+    # unaffected; the domain choice is rng-driven, so the graph is a
+    # deterministic function of (i, seed) like everything else.
+    related = "".join(
+        f'<a href="https://{rng.choice(_DOMAINS)}/ref{j}.html">'
+        f"{rng.choice(_WORDS)}</a> "
+        for j in range(rng.randint(2, 5))
+    )
     if pack:
         _, pool, joiner = pack
 
@@ -164,7 +174,7 @@ def _gen_html(rng: random.Random) -> bytes:
 <h2>{_words(rng, 3)}</h2>
 <ul>{lis}</ul>
 </div>
-<aside><div>{farm}</div></aside>
+<aside><div>{farm}</div><div class="related">{related}</div></aside>
 <footer><p><a href="/about">about</a> <a href="/tos">tos</a> <a href="/priv">priv</a></p></footer>
 <script type="text/javascript">trailer();</script>
 </body></html>"""

@@ -201,3 +201,51 @@ def media_table(n: int = 400) -> str:
     _atomic_write_table(table, path)
     _memo[key] = path
     return path
+
+
+def links_table(n_docs: int = 1200) -> str:
+    """Per-LINK rows (url, warc_ts, src_domain, dst_domain) extracted from
+    every corpus crawl row — the oracle side of the link-graph queries.
+
+    Link spec (shared with the Spark side, independently transcribed
+    there over decode(payload,'ISO-8859-1')): a row contributes links iff
+    its payload starts with b'<!DOCTYPE html' (plain HTML — gzip-wrapped
+    bodies are excluded by construction); links are the absolute
+    ``href="https://..."`` attributes; domains are the lowercased host up
+    to the first of ``/:?#``.  Rows for ALL crawls are emitted — the SQL
+    performs the keep-newest-crawl dedup itself, mirroring the pipeline."""
+    key = f"links:{n_docs}"
+    if key in _memo:
+        return _memo[key]
+    import re
+
+    import pyarrow as pa
+
+    from .corpusgen import gen_corpus
+
+    href_rx = re.compile(rb'href="(https://[^"]+)"')
+    host_rx = re.compile(r"^https://([^/:?#]+)")
+    urls, tss, srcs, dsts = [], [], [], []
+    for r in gen_corpus(n_docs):
+        if not r["html"] or not bytes(r["html"]).startswith(b"<!DOCTYPE html"):
+            continue
+        src = host_rx.match(r["url"]).group(1).lower()
+        for m in href_rx.finditer(bytes(r["html"])):
+            link = m.group(1).decode("latin-1")
+            dst = host_rx.match(link)
+            if not dst:
+                continue
+            urls.append(r["url"])
+            tss.append(r["warc_ts"])
+            srcs.append(src)
+            dsts.append(dst.group(1).lower())
+    table = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "src_domain": pa.array(srcs, pa.string()),
+        "dst_domain": pa.array(dsts, pa.string()),
+    })
+    path = os.path.join(_ORACLE_DIR, f"links_{n_docs}.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path
