@@ -236,14 +236,15 @@ def _cc_host(col) -> "F.Column":
 
 
 def _cc_links(spark: SparkSession) -> DataFrame:
-    """Deduped cross-domain link relation (src_domain, dst_domain), one
-    row per absolute href in the NEWEST crawl of each url.  Link spec
-    (independently transcribed in oracle_data.links_table over raw
-    bytes): plain-HTML payloads only (leading '<!DOCTYPE html'; the
-    latin-1 decode is byte-transparent, so the ASCII href attributes are
-    charset-independent), links are href="https://..." attributes,
-    domains the lowercased host up to /:?#.  Keep-newest needs no
-    tie-break: dup crawls are generated 1-30 days apart, never equal."""
+    """Deduped cross-domain link relation (src_domain, dst_domain,
+    anchor), one row per absolute anchor in the NEWEST crawl of each
+    url.  Link spec (independently transcribed in
+    oracle_data.links_table over raw bytes): plain-HTML payloads only
+    (leading '<!DOCTYPE html'; the latin-1 decode is byte-transparent,
+    so the ASCII href attributes are charset-independent), links are
+    ``<a href="https://...">anchor</a>`` elements, domains the
+    lowercased host up to /:?#.  Keep-newest needs no tie-break: dup
+    crawls are generated 1-30 days apart, never equal."""
     docs, _ = _cc_corpus_and_extracted(spark)
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
     newest = docs.withColumn("_rn", F.row_number().over(w)).filter(
@@ -253,12 +254,21 @@ def _cc_links(spark: SparkSession) -> DataFrame:
     html = newest.select("url", t.alias("t")).filter(
         F.col("t").startswith("<!DOCTYPE html")
     )
-    return html.select(
+    m = html.select(
         _cc_host(F.col("url")).alias("src_domain"),
         F.explode(
-            F.regexp_extract_all(F.col("t"), F.lit('href="(https://[^"]+)"'), 1)
-        ).alias("link"),
-    ).select("src_domain", _cc_host(F.col("link")).alias("dst_domain"))
+            F.regexp_extract_all(
+                F.col("t"), F.lit('href="(https://[^"]+)">([^<]*)</a>'), 0
+            )
+        ).alias("m"),
+    )
+    return m.select(
+        "src_domain",
+        _cc_host(F.regexp_extract("m", 'href="(https://[^"]+)"', 1)).alias(
+            "dst_domain"
+        ),
+        F.regexp_extract("m", ">([^<]*)</a>$", 1).alias("anchor"),
+    )
 
 
 def _cc_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,6 +284,21 @@ def _cc_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_domain", "dst_domain")
         .agg(F.count("*").alias("n_links"))
         .orderBy("src_domain", "dst_domain")
+    )
+
+
+def _cc_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per TARGET domain — the classic ranking /
+    description feature (what the web says a site is about, which the
+    site itself cannot control): for each dst domain, the distinct
+    anchor strings pointing at it with their link counts.  Same deduped
+    link relation as cc_link_graph; one partial-aggregable groupBy on
+    O(domains x vocab) keys."""
+    return (
+        _cc_links(spark)
+        .groupBy("dst_domain", "anchor")
+        .agg(F.count("*").alias("n_links"))
+        .orderBy("dst_domain", "anchor")
     )
 
 
@@ -633,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_mixture": textops.source_mixture_weights,
         "doc_unigram_logprob": textops.unigram_logprob,
         "event_funnel": relops.event_funnel,
+        "event_retention": relops.event_retention,
         "cc_pii_redact": _cc_pii_redact,
         "cc_warc_roundtrip": _cc_warc_roundtrip,
         "doc_incremental_dedup": textops.incremental_dedup,
@@ -659,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_canonical_dedup": _cc_canonical_dedup,
         "cc_domain_filter": _cc_domain_filter,
         "cc_link_graph": _cc_link_graph,
+        "cc_anchor_text": _cc_anchor_text,
         "cc_pagerank": _cc_pagerank,
         # multimodal plumbing (oracled; parsing unit-tested)
         "mm_metadata_stats": _mm_metadata_stats,
@@ -1332,6 +1359,23 @@ FROM documents d
 JOIN split s ON d.doc_id = s.doc_id AND NOT s.is_corpus
 LEFT JOIN m ON m.doc_new = d.doc_id
 ORDER BY d.doc_id
+"""
+
+    # weekly cohort retention: Monday-truncated weeks in both engines;
+    # offsets divide exactly by 7 so the int cast never truncates
+    sql["event_retention"] = """
+WITH cohorts AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_wk
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_wk FROM events
+)
+SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', cohort_wk, active_wk) // 7 AS INT) AS week_offset,
+       count(*) AS n_users
+FROM activity JOIN cohorts USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
     sql["event_funnel"] = """
@@ -2027,12 +2071,18 @@ ORDER BY canonical
 ),
 kept AS (SELECT url, warc_ts FROM crawls WHERE rn = 1),
 lk AS (
-  SELECT l.src_domain, l.dst_domain
+  SELECT l.src_domain, l.dst_domain, l.anchor
   FROM read_parquet('{links}') l JOIN kept USING (url, warc_ts)
 )"""
     sql["cc_link_graph"] = f"""
 WITH {_lg_ctes}
 SELECT src_domain, dst_domain, count(*) AS n_links
+FROM lk GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+    sql["cc_anchor_text"] = f"""
+WITH {_lg_ctes}
+SELECT dst_domain, anchor, count(*) AS n_links
 FROM lk GROUP BY 1, 2 ORDER BY 1, 2
 """
 

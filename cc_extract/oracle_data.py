@@ -211,9 +211,10 @@ def links_table(n_docs: int = 1200) -> str:
     there over decode(payload,'ISO-8859-1')): a row contributes links iff
     its payload starts with b'<!DOCTYPE html' (plain HTML — gzip-wrapped
     bodies are excluded by construction); links are the absolute
-    ``href="https://..."`` attributes; domains are the lowercased host up
-    to the first of ``/:?#``.  Rows for ALL crawls are emitted — the SQL
-    performs the keep-newest-crawl dedup itself, mirroring the pipeline."""
+    ``<a href="https://...">anchor</a>`` elements; domains are the
+    lowercased host up to the first of ``/:?#``.  Rows for ALL crawls are
+    emitted — the SQL performs the keep-newest-crawl dedup itself,
+    mirroring the pipeline."""
     key = f"links:{n_docs}"
     if key in _memo:
         return _memo[key]
@@ -223,9 +224,9 @@ def links_table(n_docs: int = 1200) -> str:
 
     from .corpusgen import gen_corpus
 
-    href_rx = re.compile(rb'href="(https://[^"]+)"')
+    href_rx = re.compile(rb'href="(https://[^"]+)">([^<]*)</a>')
     host_rx = re.compile(r"^https://([^/:?#]+)")
-    urls, tss, srcs, dsts = [], [], [], []
+    urls, tss, srcs, dsts, anchors = [], [], [], [], []
     for r in gen_corpus(n_docs):
         if not r["html"] or not bytes(r["html"]).startswith(b"<!DOCTYPE html"):
             continue
@@ -239,11 +240,13 @@ def links_table(n_docs: int = 1200) -> str:
             tss.append(r["warc_ts"])
             srcs.append(src)
             dsts.append(dst.group(1).lower())
+            anchors.append(m.group(2).decode("latin-1"))
     table = pa.table({
         "url": pa.array(urls, pa.string()),
         "warc_ts": pa.array(tss, pa.timestamp("us")),
         "src_domain": pa.array(srcs, pa.string()),
         "dst_domain": pa.array(dsts, pa.string()),
+        "anchor": pa.array(anchors, pa.string()),
     })
     path = os.path.join(_ORACLE_DIR, f"links_{n_docs}.parquet")
     _atomic_write_table(table, path)

@@ -845,3 +845,35 @@ def q21_waiting_suppliers(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+def event_retention(spark, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event stream: users grouped by
+    their first-active ISO week (Monday-truncated, identical in Spark
+    and DuckDB); for each (cohort, week offset) the count of users still
+    active that week — the retention triangle every engagement pipeline
+    materializes.
+
+    Scale shape: one partial-aggregable groupBy(user_id) builds the
+    cohort table, one distinct collapses the raw stream to (user, week)
+    activity rows, the equi-join runs on two already-aggregated
+    O(users)-sized relations (AQE picks the strategy), and the final
+    rollup is a partial-aggregable groupBy on O(weeks^2) keys — no
+    window function ever touches the raw stream.  Offsets divide
+    exactly by 7 (both sides Monday-truncated), so the int cast is
+    truncation-free in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    cohorts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_wk"))
+    activity = ev.select("user_id", wk.alias("active_wk")).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("active_wk"), F.col("cohort_wk")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
