@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_benchmark_decontamination": textops.benchmark_decontamination,
         "doc_corpus_filter": textops.corpus_filter,
         "doc_segment_boilerplate": textops.segment_boilerplate,
+        "doc_duplicate_spans": textops.duplicate_spans,
         "doc_token_budget_selection": textops.token_budget_selection,
         "doc_source_mixture": textops.source_mixture_weights,
         "doc_unigram_logprob": textops.unigram_logprob,
@@ -1512,6 +1513,33 @@ SELECT s.doc_id,
        CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common_segs,
        round(coalesce(c.n_common, 0) * 1.0 / len(s.segs), 6) AS boiler_frac
 FROM segs s LEFT JOIN counts c USING (doc_id) ORDER BY s.doc_id
+"""
+
+    # exact-substring dedup: overlapping 8-token windows, duplicated iff
+    # the hash occurs >1 time corpus-wide; coverage = union of fixed-length
+    # intervals from sorted starts (lag default saturates the first gap)
+    sql["doc_duplicate_spans"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+  WHERE len({_TOKENS}) >= 8
+),
+posn AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS p FROM base
+),
+hashed AS (
+  SELECT doc_id, p, md5(array_to_string(t[p : p + 7], ' ')) AS h FROM posn
+),
+dup AS (SELECT h FROM hashed GROUP BY h HAVING count(*) > 1),
+gaps AS (
+  SELECT doc_id,
+         p - lag(p, 1, p - 8) OVER (PARTITION BY doc_id ORDER BY p) AS gap
+  FROM hashed WHERE h IN (SELECT h FROM dup)
+),
+cov AS (SELECT doc_id, sum(least(8, gap)) AS dup_tokens FROM gaps GROUP BY doc_id)
+SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(c.dup_tokens, 0) * 1.0 / len(b.t), 6) AS dup_frac
+FROM base b LEFT JOIN cov c USING (doc_id) ORDER BY b.doc_id
 """
 
     sql["doc_corpus_filter"] = f"""

@@ -1047,6 +1047,88 @@ def token_entropy(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def duplicate_spans(spark, sf_dir: str, k: int = 8) -> DataFrame:
+    """Exact-substring dedup accounting (the suffix-array method of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, re-expressed relationally): every OVERLAPPING ``k``-token
+    window is hashed with its position; a window is *duplicated* if its
+    hash occurs more than once corpus-wide (within-doc repeats count,
+    exactly as a suffix array sees them); per document, report how many
+    token positions are covered by at least one duplicated window.
+    Coverage of fixed-length intervals from sorted starts needs no
+    interval tree: union = sum(min(k, start_i - start_{i-1})) with the
+    first gap saturated — one in-row fold.
+
+    k=8 here (the corpus's docs are 10-99 tokens); production uses the
+    paper's k=50 — identical plan, only the literal changes.
+
+    Scale shape: the exploded (doc, pos, hash) relation is O(corpus
+    tokens) rows — the same footprint the paper's suffix array
+    materializes — built once (localCheckpoint: both the duplicate-hash
+    aggregation and the join back consume it; re-deriving would tokenize
+    and hash the corpus twice).  The duplicate-hash table is the output
+    of a partial-aggregable count on uniform md5 keys, FILTERED to
+    hashes with count>1 before the semi join back, and the per-doc fold
+    runs over arrays bounded by document length.  No all-pairs work
+    anywhere.  Hashing inside the transform lambda is O(k) per position
+    — inherent to overlapping windows, not the HOF re-evaluation trap
+    (nothing sorted or aggregated is recomputed per element)."""
+    docs = fan_out_scan(load_documents(spark, sf_dir))
+    toks = (
+        with_tokens(docs)
+        .select("doc_id", "tokens")
+        .filter(F.size("tokens") >= k)
+    )
+    n = F.size("tokens")
+    windows = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda p: F.struct(
+            p.alias("p"),
+            F.md5(F.concat_ws(" ", F.slice("tokens", p, k))).alias("h"),
+        ),
+    )
+    pos = (
+        toks.select("doc_id", F.explode(windows).alias("w"))
+        .select("doc_id", F.col("w.p").alias("p"), F.col("w.h").alias("h"))
+        .localCheckpoint()
+    )
+    dup = (
+        pos.groupBy("h").agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    starts = (
+        pos.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+    )
+    cov = F.aggregate(
+        "ps",
+        F.struct(
+            F.lit(0).cast("long").alias("cov"),
+            F.lit(-(10 ** 9)).cast("int").alias("prev"),
+        ),
+        lambda acc, p: F.struct(
+            (acc["cov"] + F.least(F.lit(k), p - acc["prev"])).alias("cov"),
+            p.alias("prev"),
+        ),
+        lambda acc: acc["cov"],
+    )
+    return (
+        toks.select("doc_id", n.cast("long").alias("n_tokens"))
+        .join(starts.select("doc_id", cov.alias("dup_tokens")), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ----------------------------------------------------- dedup keep decision
 
 def dedup_keep_decision(spark, sf_dir: str, threshold: float = 0.5) -> DataFrame:

@@ -469,3 +469,38 @@ def test_bpe_merge_learn_matches_python_reference(spark, tmp_path):
         for r in bpe_merge_learn(spark, str(sf), k=6).collect()
     ]
     assert got == ref_merges(texts, 6), got
+
+
+def test_duplicate_spans_interval_union(spark, tmp_path):
+    """Exact-substring dedup on a hand-built corpus: doc 0 and doc 1
+    share a 10-token span (k=8 -> 3 duplicated windows each, overlapping
+    starts p, p+1, p+2 -> union = 8+1+1 = 10 covered tokens); doc 2
+    shares nothing.  Within-doc: doc 3 repeats one 8-token run twice
+    back-to-back -> both occurrences count as duplicated."""
+    from cc_extract.textops import duplicate_spans
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    texts = [
+        f"one two three {span} uniq0a uniq0b uniq0c",
+        f"{span} uniq1a uniq1b uniq1c uniq1d uniq1e uniq1f",
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+        "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8",
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in duplicate_spans(spark, str(sf)).collect()
+    }
+    assert got[0] == (16, 10, 0.625)
+    assert got[1] == (16, 10, 0.625)
+    assert got[2] == (10, 0, 0.0)
+    # doc 3: every 8-window of "r1..r8 r1..r8" — the repeated-run windows
+    # p=1 and p=9 are identical, and every intermediate rotation window
+    # appears only once; duplicated starts {1, 9} cover 8 + 8 = 16 tokens
+    assert got[3] == (16, 16, 1.0)
