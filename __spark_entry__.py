@@ -406,6 +406,146 @@ def _cc_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_RULES_T = "array<struct<pat:string,allow:boolean>>"
+
+
+def _robots_rules_col(text_col) -> "F.Column":
+    """Parse a robots.txt body into the ``User-agent: *`` group's
+    (pattern, allow) rules entirely in-row — one fold over the lines, no
+    Python.  Pinned grammar (independently transcribed as a plain loop in
+    oracle_data._parse_robots_rules so a slip on either side fails the
+    contract): '#' comments stripped, space/tab-trimmed, directives
+    lowercased; a run of consecutive User-agent lines opens a group that
+    applies iff any of them is '*' (RFC 9309); Allow/Disallow lines with
+    non-empty values in an applying group contribute rules; every other
+    directive is ignored but ends the User-agent run; blank lines change
+    nothing."""
+    lines = F.split(text_col, "\n")
+    init = F.struct(
+        F.lit(False).alias("in_ua"),
+        F.lit(False).alias("applies"),
+        F.array().cast(_ROBOTS_RULES_T).alias("rules"),
+    )
+
+    def step(acc, raw):
+        clean = F.regexp_replace(
+            F.regexp_replace(raw, "#.*$", ""), "^[ \\t]+|[ \\t\\r]+$", ""
+        )
+        pos = F.instr(clean, ":")
+        key = F.lower(
+            F.regexp_replace(F.substring_index(clean, ":", 1), "[ \\t]+$", "")
+        )
+        val = F.regexp_replace(
+            F.substring(clean, pos + 1, F.length(clean)),
+            "^[ \\t]+|[ \\t]+$", "",
+        )
+        is_ua = (pos > 0) & (key == F.lit("user-agent"))
+        is_rule = (pos > 0) & key.isin("disallow", "allow")
+        applies = F.when(
+            is_ua,
+            (acc["in_ua"] & acc["applies"]) | (val == "*"),
+        ).otherwise(acc["applies"])
+        add = is_rule & acc["applies"] & (val != "")
+        rules = F.when(
+            add,
+            F.concat(
+                acc["rules"],
+                F.array(F.struct(
+                    val.alias("pat"),
+                    (key == F.lit("allow")).alias("allow"),
+                )),
+            ),
+        ).otherwise(acc["rules"])
+        in_ua = F.when(clean == "", acc["in_ua"]).otherwise(is_ua)
+        return F.struct(
+            in_ua.alias("in_ua"), applies.alias("applies"),
+            rules.alias("rules"),
+        )
+
+    return F.aggregate(lines, init, step, lambda acc: acc["rules"])
+
+
+def _cc_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness filter: every corpus url judged against its
+    domain's robots.txt ``User-agent: *`` group — blocked iff the
+    longest-matching rule is a Disallow (RFC 9309 precedence: longest
+    pattern wins, Allow wins length ties; equal-length same-kind ties
+    break on smallest pattern so the reported rule is deterministic).
+    Pattern grammar: plain path prefixes plus the leading-'/*' wildcard
+    shapes ('/*.ext' substring, '/*.ext$' suffix); matching is against
+    the URL path only (query/fragment excluded) — pinned spec shared
+    with corpusgen._ROBOTS_PATTERNS and the oracle.
+
+    Scale shape: robots bodies are an O(domains) dimension (they ARE the
+    index a fetcher caches) — parsed once via one in-row fold, joined to
+    the O(corpus) url side by AQE-broadcast equi-join; match + precedence
+    run as in-row folds over per-domain rule arrays (bounded by rules per
+    domain), so the corpus side stays a pure projection with zero extra
+    shuffles beyond the distinct."""
+    from cc_extract.corpusgen import robots_rows
+
+    empty = F.array().cast(_ROBOTS_RULES_T)
+    robots = spark.createDataFrame(
+        robots_rows(), "domain string, robots string"
+    )
+    rules = robots.select(
+        "domain",
+        F.coalesce(_robots_rules_col(F.col("robots")), empty).alias("rules"),
+    )
+    docs, _ = _cc_corpus_and_extracted(spark)
+    urls = docs.select("url").distinct().select(
+        "url",
+        _cc_host(F.col("url")).alias("domain"),
+        F.regexp_extract("url", "^https://[^/?#]+([^?#]*)", 1).alias("path"),
+    )
+    path = F.col("path")
+
+    def hit(r):
+        pat = r["pat"]
+        wild = pat.startswith("/*.")
+        suffix = F.substring(pat, 3, F.length(pat) - 3)
+        mid = F.substring(pat, 3, F.length(pat))
+        return (
+            F.when(wild & pat.endswith("$"), path.endswith(suffix))
+            .when(wild, path.contains(mid))
+            .otherwise(path.startswith(pat))
+        )
+
+    init = F.struct(
+        F.lit(-1).alias("l"), F.lit(False).alias("allow"),
+        F.lit("").alias("pat"),
+    )
+
+    def pick(acc, r):
+        length = F.length(r["pat"])
+        better = (
+            (length > acc["l"])
+            | ((length == acc["l"]) & r["allow"] & ~acc["allow"])
+            | ((length == acc["l"]) & (r["allow"] == acc["allow"])
+               & (r["pat"] < acc["pat"]))
+        )
+        return F.when(
+            better,
+            F.struct(length.alias("l"), r["allow"].alias("allow"),
+                     r["pat"].alias("pat")),
+        ).otherwise(acc)
+
+    best = F.aggregate(
+        F.filter(F.coalesce("rules", empty), hit), init, pick
+    )
+    return (
+        urls.join(rules, "domain", "left")
+        .select(
+            "url", "domain",
+            F.when(best["l"] >= 0, ~best["allow"])
+            .otherwise(F.lit(False)).alias("blocked"),
+            F.when(best["l"] >= 0, best["pat"])
+            .otherwise(F.lit("")).alias("rule"),
+        )
+        .orderBy("url")
+    )
+
+
 def _cc_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup audit over the RAW corpus: canonical
     groups whose members span >1 distinct raw url — the duplicate class
@@ -683,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_domain_stats": _cc_domain_stats,
         "cc_script_stats": _cc_script_stats,
         "cc_url_canonical": _cc_url_canonical,
+        "cc_robots_filter": _cc_robots_filter,
         "cc_canonical_dedup": _cc_canonical_dedup,
         "cc_domain_filter": _cc_domain_filter,
         "cc_link_graph": _cc_link_graph,
@@ -2085,6 +2226,44 @@ FROM (
 )
 GROUP BY canonical HAVING count(DISTINCT url) > 1
 ORDER BY canonical
+"""
+
+    # robots politeness: rule rows come from the independent Python
+    # transcription (oracle_data._parse_robots_rules); the SQL re-expresses
+    # the match shapes and RFC 9309 longest-match precedence itself
+    robots = oracle_data.robots_rules_table()
+    sql["cc_robots_filter"] = f"""
+WITH urls AS (
+  SELECT DISTINCT url FROM read_parquet('{corpus}')
+),
+u AS (
+  SELECT url,
+         lower(regexp_extract(url, '^https://([^/:?#]+)', 1)) AS domain,
+         regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path
+  FROM urls
+),
+m AS (
+  SELECT u.url, r.pattern, r.allow
+  FROM u JOIN read_parquet('{robots}') r USING (domain)
+  WHERE CASE
+    WHEN r.pattern LIKE '/*.%' THEN CASE
+      WHEN r.pattern LIKE '%$'
+        THEN ends_with(u.path, substring(r.pattern, 3, length(r.pattern) - 3))
+      ELSE contains(u.path, substring(r.pattern, 3)) END
+    ELSE starts_with(u.path, r.pattern) END
+),
+best AS (
+  SELECT url, pattern, allow,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY length(pattern) DESC, allow DESC,
+                                     pattern ASC) AS rn
+  FROM m
+)
+SELECT u.url, u.domain,
+       coalesce(NOT b.allow, FALSE) AS blocked,
+       coalesce(b.pattern, '') AS rule
+FROM u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (url)
+ORDER BY u.url
 """
 
     # link graph + PageRank: link rows come from the single-process

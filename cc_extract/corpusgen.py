@@ -2441,6 +2441,64 @@ def _decorate_url(base: str, rng: random.Random, tracking_only: bool = False) ->
     return f"{scheme}://{host}/{path}" + (f"?{q}" if q else "") + frag
 
 
+# robots.txt rule shapes the corpus emits — the RFC 9309 wildcard grammar
+# restricted to the leading-"/*" form (the shape real robots files
+# overwhelmingly use) plus plain path prefixes.  Matching is against the
+# URL path only (query/fragment excluded; pinned spec shared with
+# __spark_entry__._cc_robots_filter and oracle_data._parse_robots_rules).
+_ROBOTS_PATTERNS = [
+    "/*.pdf$", "/*.bin$", "/*.xlsx$", "/*.png", "/*.csv",
+    "/doc00000", "/doc00001", "/doc0000",
+]
+
+
+def gen_robots(domain: str, seed: int = SEED) -> bytes | None:
+    """Deterministic robots.txt for *domain* (None = no robots file, i.e.
+    everything allowed).  Exercises the grammar a parser must survive:
+    foreign-bot groups, stacked User-agent lines, mixed-case directives,
+    inline comments, Crawl-delay/Sitemap noise, CRLF line ends, a
+    full-block ``Disallow: /`` sometimes softened by an ``Allow`` that
+    must win on RFC 9309 longest-match precedence."""
+    rng = random.Random((seed << 22) ^ zlib.crc32(domain.encode("ascii")))
+    if rng.random() < 0.12:
+        return None
+    lines = [f"# robots.txt for {domain}"]
+    if rng.random() < 0.5:
+        lines += ["User-agent: BadBot", "Disallow: /", ""]
+    if rng.random() < 0.3:
+        lines.append("User-agent: FriendlyCrawler")
+    lines.append("User-agent: *")
+    if rng.random() < 0.4:
+        lines.append(f"Crawl-delay: {rng.randint(1, 10)}")
+    dis = rng.choice(["Disallow", "disallow", "DISALLOW"])
+    if rng.random() < 0.08:
+        lines.append(f"{dis}: /")
+        if rng.random() < 0.5:
+            lines.append("Allow: /*.html$  # keep the pages themselves")
+    else:
+        for pat in rng.sample(_ROBOTS_PATTERNS, rng.randint(0, 3)):
+            comment = "  # generated rule" if rng.random() < 0.3 else ""
+            lines.append(f"{dis}: {pat}{comment}")
+        if rng.random() < 0.3:
+            # may duplicate a Disallow pattern: equal-length tie that
+            # RFC precedence resolves toward Allow
+            lines.append(f"Allow: {rng.choice(_ROBOTS_PATTERNS)}")
+    if rng.random() < 0.3:
+        lines.append(f"Sitemap: https://{domain}/sitemap.xml")
+    eol = "\r\n" if rng.random() < 0.3 else "\n"
+    return (eol.join(lines) + eol).encode("ascii")
+
+
+def robots_rows(seed: int = SEED) -> list[tuple[str, str | None]]:
+    """(domain, robots.txt text or None) for every corpus domain — the
+    O(domains) dimension relation a politeness filter joins against."""
+    out = []
+    for d in _DOMAINS:
+        b = gen_robots(d, seed)
+        out.append((d, b.decode("ascii") if b is not None else None))
+    return out
+
+
 def gen_doc(i: int, seed: int = SEED) -> list[dict]:
     """Rows for document id *i* — usually one, two when it's a dup url.
 

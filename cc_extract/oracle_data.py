@@ -252,3 +252,74 @@ def links_table(n_docs: int = 1200) -> str:
     _atomic_write_table(table, path)
     _memo[key] = path
     return path
+
+
+def _parse_robots_rules(text: str) -> list[tuple[str, bool]]:
+    """Independent transcription of the pinned robots.txt grammar (shared
+    spec with __spark_entry__._cc_robots_filter's in-row HOF parser —
+    written as a plain Python loop so a transcription slip on either side
+    fails the contract instead of hiding):
+
+    - lines split on \\n, trailing \\r stripped with other edge blanks
+    - '#' starts a comment to end of line
+    - directive = text before the first ':' (lowercased), value after it,
+      both space/tab-trimmed; colon-less lines are noise
+    - a run of consecutive User-agent lines opens a group; the group
+      applies iff ANY of them is '*' (RFC 9309 group semantics)
+    - Allow/Disallow lines in an applying group with a NON-EMPTY value
+      contribute (pattern, is_allow); every other directive is ignored
+      but ends the User-agent run
+    - blank lines change nothing (RFC 9309: groups end only at the next
+      User-agent run)
+    """
+    rules: list[tuple[str, bool]] = []
+    in_ua, applies = False, False
+    for raw in text.split("\n"):
+        line = raw.split("#", 1)[0].strip(" \t\r")
+        if not line:
+            continue
+        if ":" not in line:
+            in_ua = False
+            continue
+        key, val = line.split(":", 1)
+        key, val = key.strip(" \t").lower(), val.strip(" \t")
+        if key == "user-agent":
+            applies = (applies if in_ua else False) or val == "*"
+            in_ua = True
+            continue
+        in_ua = False
+        if key in ("disallow", "allow") and applies and val:
+            rules.append((val, key == "allow"))
+    return rules
+
+
+def robots_rules_table(seed: int | None = None) -> str:
+    """Per-RULE rows (domain, pattern, allow) for the ``User-agent: *``
+    group of every corpus domain's robots.txt — the oracle side of
+    cc_robots_filter.  Domains without a robots file (or without an
+    applying group) contribute no rows; the SQL's LEFT JOIN makes those
+    urls allowed."""
+    key = "robots"
+    if key in _memo:
+        return _memo[key]
+    import pyarrow as pa
+
+    from .corpusgen import SEED, robots_rows
+
+    doms, pats, allows = [], [], []
+    for domain, text in robots_rows(seed if seed is not None else SEED):
+        if text is None:
+            continue
+        for pat, allow in _parse_robots_rules(text):
+            doms.append(domain)
+            pats.append(pat)
+            allows.append(allow)
+    table = pa.table({
+        "domain": pa.array(doms, pa.string()),
+        "pattern": pa.array(pats, pa.string()),
+        "allow": pa.array(allows, pa.bool_()),
+    })
+    path = os.path.join(_ORACLE_DIR, "robots_rules.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path

@@ -504,3 +504,40 @@ def test_duplicate_spans_interval_union(spark, tmp_path):
     # p=1 and p=9 are identical, and every intermediate rotation window
     # appears only once; duplicated starts {1, 9} cover 8 + 8 = 16 tokens
     assert got[3] == (16, 16, 1.0)
+
+
+def test_robots_parser_grammar(spark):
+    """The in-row robots.txt fold against a hand-written body exercising
+    every pinned grammar rule — cross-checked against the independent
+    Python transcription the oracle uses (precedence is pinned e2e by the
+    cc_robots_filter contract query, whose corpus emits equal-length
+    Allow/Disallow ties)."""
+    import __spark_entry__ as entry_mod
+    from cc_extract.oracle_data import _parse_robots_rules
+
+    body = (
+        "# header comment\r\n"
+        "User-agent: BadBot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: FriendlyCrawler\n"
+        "User-agent: *\n"
+        "Crawl-delay: 7\n"
+        "DISALLOW: /*.pdf$  # inline comment\n"
+        "disallow: /doc0000\n"
+        "Allow: /doc0000\n"
+        "Disallow:\n"          # empty value = no rule
+        "noise line without colon\n"
+        "Sitemap: https://x.example/sitemap.xml\n"
+        "\n"
+        "User-agent: OtherBot\n"
+        "Disallow: /never\n"
+    )
+    expect = [("/*.pdf$", False), ("/doc0000", False), ("/doc0000", True)]
+    assert _parse_robots_rules(body) == expect
+
+    df = spark.createDataFrame([(body,)], "robots string")
+    got = df.select(
+        entry_mod._robots_rules_col(df["robots"]).alias("r")
+    ).collect()[0]["r"]
+    assert [(r["pat"], r["allow"]) for r in got] == expect
