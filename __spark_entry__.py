@@ -798,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget_selection": textops.token_budget_selection,
         "doc_source_mixture": textops.source_mixture_weights,
         "doc_unigram_logprob": textops.unigram_logprob,
+        "doc_quality_classifier": textops.quality_classifier,
         "event_funnel": relops.event_funnel,
         "event_retention": relops.event_retention,
         "cc_pii_redact": _cc_pii_redact,
@@ -2227,6 +2228,66 @@ FROM (
 GROUP BY canonical HAVING count(DISTINCT url) > 1
 ORDER BY canonical
 """
+
+    # logistic-regression quality classifier: the identical GD_ITERS
+    # full-batch iterations replayed as chained CTEs (weights rounded 9dp
+    # per round, the cc_pagerank determinism policy); predictions compare
+    # z >= 0 so no exp enters the reported values
+    _lr = "CAST(10.0 AS DOUBLE)"
+    _gd_parts = [f"""t AS (SELECT {_TOKENS} AS tk FROM documents),
+m AS (
+  SELECT len(tk) AS n,
+         coalesce(list_aggregate(list_transform(tk, x -> length(x)), 'sum'), 0)
+           * 1.0 / greatest(len(tk), 1) AS mtl,
+         len(list_filter(tk, x -> x IN ({_stop_list(textops.EN_STOP)})))
+           * 1.0 / greatest(len(tk), 1) AS sr
+  FROM t
+),
+f AS (
+  SELECT CAST(1.0 AS DOUBLE) AS x0,
+         least(n, 200) / CAST(100.0 AS DOUBLE) AS x1,
+         abs(mtl - CAST(4.0 AS DOUBLE)) AS x2,
+         sr * CAST(10.0 AS DOUBLE) AS x3,
+         CASE WHEN n >= 20 AND n <= 10000 AND mtl >= 3.0 AND mtl <= 5.0
+                   AND sr >= 0.01
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+  FROM m
+),
+i0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+              CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3)"""]
+    for _t in range(1, textops.GD_ITERS + 1):
+        _z = "w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3"
+        _gd_parts.append(f"""g{_t} AS (
+  SELECT avg((p - y) * x0) AS g0, avg((p - y) * x1) AS g1,
+         avg((p - y) * x2) AS g2, avg((p - y) * x3) AS g3
+  FROM (SELECT CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-({_z}))) AS p,
+               f.* FROM f, i{_t - 1} w)
+),
+i{_t} AS (
+  SELECT round(w.w0 - {_lr} * g.g0, 9) AS w0,
+         round(w.w1 - {_lr} * g.g1, 9) AS w1,
+         round(w.w2 - {_lr} * g.g2, 9) AS w2,
+         round(w.w3 - {_lr} * g.g3, 9) AS w3
+  FROM i{_t - 1} w, g{_t} g
+)""")
+    sql["doc_quality_classifier"] = (
+        "WITH " + ",\n".join(_gd_parts)
+        + f"""
+SELECT count(*) AS n_docs,
+       CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_keep,
+       round(w.w0, 6) AS w0, round(w.w1, 6) AS w1,
+       round(w.w2, 6) AS w2, round(w.w3, 6) AS w3,
+       CAST(sum(CASE WHEN (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2
+                           + w.w3 * f.x3 >= 0) = (y = 1.0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(avg(CASE WHEN (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2
+                            + w.w3 * f.x3 >= 0) = (y = 1.0)
+                      THEN CAST(1 AS DOUBLE)
+                      ELSE CAST(0 AS DOUBLE) END), 4) AS accuracy
+FROM f, i{textops.GD_ITERS} w
+GROUP BY w.w0, w.w1, w.w2, w.w3
+"""
+    )
 
     # robots politeness: rule rows come from the independent Python
     # transcription (oracle_data._parse_robots_rules); the SQL re-expresses

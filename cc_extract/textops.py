@@ -1574,3 +1574,77 @@ def ccnet_buckets(spark, sf_dir: str) -> DataFrame:
     return j.select(
         "doc_id", "lang", "bits_per_token", bucket.alias("bucket")
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------ quality classifier (GD)
+
+GD_ITERS = 10
+GD_LR = 10.0
+
+
+def quality_classifier(spark, sf_dir: str, iters: int = GD_ITERS,
+                       lr: float = GD_LR) -> DataFrame:
+    """Linear quality classifier trained corpus-wide by full-batch
+    logistic-regression gradient descent — the relational shape of
+    training a fasttext/CCNet-style quality filter, here distilling the
+    rule-ladder decision (corpus_filter's keep) into a linear model so
+    the learned weights are verifiable signal: the band rules become
+    linearly separable through the |mean_token_len - 4| band-distance
+    feature, and training accuracy must beat the keep-class prior.
+
+    Determinism contract (same policy as cc_pagerank / the k-means IVF
+    build): features are exact IEEE arithmetic (int ratios, abs, least —
+    no libm), weights are rounded to 9 dp after every iteration so both
+    engines stay in lockstep, predictions compare z >= 0 (sign only, no
+    exp), and outputs round at 6/4 dp.  The DuckDB oracle replays the
+    identical iterations as chained CTEs.
+
+    Scale shape: the feature relation is computed once and materialized
+    (localCheckpoint — it is the stored training set); each GD iteration
+    is ONE partial-aggregable pass (4 avgs) over it, and the per-round
+    collect carries the MODEL (4 doubles), never data rows.  At 10^12
+    docs this is exactly mini-batch-free distributed GD: k passes, k
+    scalar syncs."""
+    docs = fan_out_scan(load_documents(spark, sf_dir))
+    df = with_tokens(docs)
+    n = F.size("tokens")
+    mtl = F.aggregate(
+        "tokens", F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n, F.lit(1))
+    sr = F.size(F.filter("tokens", lambda t: t.isin(EN_STOP))) / F.greatest(
+        n, F.lit(1)
+    )
+    keep = (
+        (n >= 20) & (n <= 10_000)
+        & (mtl >= 3.0) & (mtl <= 5.0)
+        & (sr >= 0.01)
+    )
+    feats = df.select(
+        F.lit(1.0).alias("x0"),
+        (F.least(n, F.lit(200)) / F.lit(100.0)).alias("x1"),
+        F.abs(mtl - F.lit(4.0)).alias("x2"),
+        (sr * F.lit(10.0)).alias("x3"),
+        keep.cast("double").alias("y"),
+    ).localCheckpoint()
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(iters):
+        z = sum((F.lit(w[j]) * F.col(f"x{j}") for j in range(4)),
+                start=F.lit(0.0))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = feats.agg(*[
+            F.avg((p - F.col("y")) * F.col(f"x{j}")).alias(f"g{j}")
+            for j in range(4)
+        ]).collect()[0]
+        w = [round(w[j] - lr * g[f"g{j}"], 9) for j in range(4)]
+
+    z = sum((F.lit(w[j]) * F.col(f"x{j}") for j in range(4)),
+            start=F.lit(0.0))
+    correct = ((z >= 0) == (F.col("y") == 1.0)).cast("long")
+    return feats.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("y").cast("long")).alias("n_keep"),
+        *[F.round(F.lit(w[j]), 6).alias(f"w{j}") for j in range(4)],
+        F.sum(correct).alias("n_correct"),
+        F.round(F.avg(correct.cast("double")), 4).alias("accuracy"),
+    )

@@ -541,3 +541,16 @@ def test_robots_parser_grammar(spark):
         entry_mod._robots_rules_col(df["robots"]).alias("r")
     ).collect()[0]["r"]
     assert [(r["pat"], r["allow"]) for r in got] == expect
+
+
+def test_quality_classifier_learns_past_the_prior(spark):
+    """The GD-trained linear model must actually learn: training accuracy
+    beats the keep-class prior (always-keep baseline), and the learned
+    weight on the band-distance feature is negative (distance from the
+    mean-token-length band center lowers keep probability)."""
+    from cc_extract.textops import quality_classifier
+
+    row = quality_classifier(spark, "/root/testdata/sf0.01").collect()[0]
+    prior = max(row["n_keep"], row["n_docs"] - row["n_keep"]) / row["n_docs"]
+    assert row["accuracy"] > prior + 0.02
+    assert row["w2"] < 0
