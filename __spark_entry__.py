@@ -2470,13 +2470,13 @@ GROUP BY aud_rate ORDER BY aud_rate
 """
 
     sql["mm_video_stats"] = f"""
-SELECT vid_ok, count(*) AS n_videos,
+SELECT container, vid_ok, count(*) AS n_videos,
        round(avg(vid_n_frames), 4) AS avg_n_frames,
        round(avg(vid_avg_frame_luma), 4) AS avg_frame_luma,
        round(avg(vid_mean_frame_delta), 4) AS avg_frame_delta
 FROM read_parquet('{media}')
 WHERE kind = 'video'
-GROUP BY vid_ok ORDER BY vid_ok
+GROUP BY container, vid_ok ORDER BY container, vid_ok
 """
 
     sql["mm_mp4_stats"] = f"""

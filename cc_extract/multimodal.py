@@ -14,9 +14,12 @@ are both exercised.
 
 Audio is real too (``decode_audio``: RIFF/WAVE PCM 16-bit samples), and
 video frames decode for animated GIF (``decode_gif_frames`` via
-extractors/gif.py; ``frame_sample`` counts frames from container
-structure without decoding).  The one remaining honest stub: MP4/H.264
-frame decode — those payloads are counted undecodable, never hidden.
+extractors/gif.py) and MJPEG-in-AVI (``decode_avi_frames``: a RIFF walk
+over '00dc' chunks, each an independent baseline JPEG through the
+repo's own T.81 decoder); ``frame_sample`` counts frames from container
+structure (GIF blocks / AVI strh / MP4 stsz) without decoding.  The one
+remaining honest stub: MP4/H.264 frame decode — those payloads are
+counted undecodable, never hidden.
 """
 
 from __future__ import annotations
@@ -121,6 +124,132 @@ def _mp4_container(rng: random.Random, n_frames: int, w: int, h: int,
     return ftyp + moov + mdat
 
 
+# ------------------------------------------------------------ AVI/MJPEG
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(data)) + data + (
+        b"\x00" if len(data) % 2 else b"")
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def _avi_container(jpeg_frames: list[bytes], w: int, h: int,
+                   fps: int) -> bytes:
+    """MJPEG-in-AVI writer: the classic RIFF layout (hdrl with
+    avih + one 'vids'/'MJPG' strl, movi with one '00dc' chunk per
+    baseline-JPEG frame, idx1 keyframe index).  Every frame is an
+    independent JPEG from the repo's own encoder, so AVI frame decode
+    reuses the differentially-tested T.81 decoder — the container adds
+    only the RIFF walk."""
+    n = len(jpeg_frames)
+    avih = _riff_chunk(b"avih", struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0))
+    strh = _riff_chunk(b"strh", struct.pack(
+        "<4s4sIHHIIIIIIII4H", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n,
+        max(len(f) for f in jpeg_frames), 10_000, 0, 0, 0, w, h))
+    strf = _riff_chunk(b"strf", struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0))
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    chunks, idx, off = [], [], 4
+    for f in jpeg_frames:
+        c = _riff_chunk(b"00dc", f)
+        chunks.append(c)
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += len(c)
+    movi = _riff_list(b"movi", b"".join(chunks))
+    idx1 = _riff_chunk(b"idx1", b"".join(idx))
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+_AVI_MAX_CHUNKS = 4096
+
+
+def parse_avi_meta(payload: bytes) -> dict:
+    """Defensive RIFF/AVI header walk — codec fourcc, dims, fps, frame
+    count from strh/strf/avih, plus the movi extent for the frame
+    decoder.  Crafted sizes terminate (chunk-count cap, extent checks)
+    instead of spinning; no frame is decoded here."""
+    out = {"avi_ok": False, "avi_codec": None, "avi_w": None,
+           "avi_h": None, "avi_fps": None, "avi_n_frames": None,
+           "_movi": None}
+    if len(payload) < 12 or payload[:4] != b"RIFF" or \
+            payload[8:12] != b"AVI ":
+        return out
+
+    def walk(start: int, end: int):
+        pos, seen = start, 0
+        while pos + 8 <= end and seen < _AVI_MAX_CHUNKS:
+            seen += 1
+            fourcc = payload[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_end = pos + 8 + size
+            if body_end > end:
+                return
+            yield fourcc, pos + 8, body_end
+            pos = body_end + (size & 1)
+
+    try:
+        n_frames_avih = w = h = fps = None
+        for cc, b0, b1 in walk(12, len(payload)):
+            if cc != b"LIST":
+                continue
+            ltype = payload[b0:b0 + 4]
+            if ltype == b"movi":
+                out["_movi"] = (b0 + 4, b1)
+            elif ltype == b"hdrl":
+                for c2, c0, c1 in walk(b0 + 4, b1):
+                    if c2 == b"avih" and c1 - c0 >= 40:
+                        us, _, _, _, n_frames_avih, _, _, _, w, h = \
+                            struct.unpack_from("<10I", payload, c0)
+                        fps = round(1_000_000 / us, 3) if us else None
+                    elif c2 == b"LIST" and payload[c0:c0 + 4] == b"strl":
+                        for c3, d0, d1 in walk(c0 + 4, c1):
+                            if c3 == b"strh" and d1 - d0 >= 40 and \
+                                    payload[d0:d0 + 4] == b"vids":
+                                out["avi_codec"] = payload[d0 + 4:d0 + 8] \
+                                    .decode("latin-1")
+                                (out["avi_n_frames"],) = struct.unpack_from(
+                                    "<I", payload, d0 + 32)
+        if out["avi_codec"] is not None and w is not None:
+            out.update(avi_ok=out["_movi"] is not None, avi_w=w, avi_h=h,
+                       avi_fps=fps)
+            if out["avi_n_frames"] is None:
+                out["avi_n_frames"] = n_frames_avih
+    except (struct.error, IndexError, UnicodeDecodeError):
+        pass
+    return out
+
+
+def decode_avi_frames(payload: bytes) -> list:
+    """Decode every MJPEG frame of an AVI: walk the movi list's
+    '00dc'/'00db' chunks and hand each to the from-scratch T.81 decoder.
+    Raises on non-AVI / non-MJPEG / undecodable frames (callers
+    quarantine, same contract as decode_gif_frames)."""
+    from .extractors.jpeg import decode_jpeg_gray
+
+    meta = parse_avi_meta(payload)
+    if not meta["avi_ok"]:
+        raise ValueError("not a parseable AVI")
+    if meta["avi_codec"] != "MJPG":
+        raise ValueError(f"unsupported AVI codec {meta['avi_codec']!r}")
+    b0, b1 = meta["_movi"]
+    frames, pos, seen = [], b0, 0
+    while pos + 8 <= b1 and seen < _AVI_MAX_CHUNKS:
+        seen += 1
+        fourcc = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > b1:
+            raise ValueError("movi chunk overruns list")
+        if fourcc[2:4] in (b"dc", b"db"):
+            frames.append(decode_jpeg_gray(payload[pos + 8:pos + 8 + size]))
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("no video chunks in movi")
+    return frames
+
+
 def gen_media(i: int, seed: int = 42) -> dict:
     """Deterministic synthetic media row: valid PNG / WAV / JPEG-stub
     containers with known header metadata, noise payloads."""
@@ -136,7 +265,8 @@ def gen_media(i: int, seed: int = 42) -> dict:
             + b"data" + struct.pack("<I", len(data)) + data
         )
     elif kind == "video":
-        if rng.random() < 0.5:
+        vpick = rng.random()
+        if vpick < 0.35:
             # REAL video container (round 4): animated GIF89a whose
             # frames decode_gif_frames/frame_sample actually read
             from .glyphs import render_raster
@@ -150,7 +280,26 @@ def gen_media(i: int, seed: int = 42) -> dict:
             payload = cg._gif_gray(
                 w, h, bytes(raster),
                 extra_frames=[(fw, fh, bytes(fr)) for fw, fh, fr in frames[1:]])
-        elif rng.random() < 0.8:
+        elif vpick < 0.6:
+            # REAL MJPEG-in-AVI (round 4, this session): every '00dc'
+            # chunk is an independent baseline JPEG from the repo's own
+            # encoder — fixed-length captions keep frame dims constant,
+            # as the single-geometry AVI header requires
+            from .glyphs import render_raster
+
+            from . import corpusgen as cg
+
+            n_frames = rng.randint(2, 5)
+            jf = []
+            w = h = None
+            for k in range(n_frames):
+                fw, fh, raster = render_raster(
+                    f"CLIP {i:06d} F{k} Q{rng.randint(10, 99)}")
+                w, h = fw, fh
+                jf.append(cg._jpeg_gray(fw, fh, bytes(raster)))
+            payload = _avi_container(jf, w, h,
+                                     fps=rng.choice([10, 15, 24]))
+        elif vpick < 0.92:
             # REAL MP4 container (round 4, continued): full ISO BMFF box
             # tree — structure (frame count, duration, codec, dims) is
             # readable; the H.264 bitstream inside stays out of scope
@@ -366,6 +515,10 @@ def parse_media_meta(payload: bytes) -> dict:
         elif payload[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack_from("<HH", payload, 6)
             out.update(container="gif", width=w, height=h, parse_ok=True)
+        elif payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
+            m = parse_avi_meta(payload)
+            out.update(container="avi", width=m["avi_w"],
+                       height=m["avi_h"], parse_ok=m["avi_ok"])
         elif payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
             rate = struct.unpack("<I", payload[24:28])[0]
             out.update(container="wav", sample_rate=rate, parse_ok=True)
@@ -596,17 +749,21 @@ def media_features(df: DataFrame) -> DataFrame:
 
 
 def video_row_stats(payload: bytes) -> dict:
-    """Per-row video decode outcome (animated GIF is the real container;
-    MP4 stays an honest stub) — the normative implementation shared by
-    the Spark path and the oracle."""
+    """Per-row video decode outcome (animated GIF and MJPEG-AVI are the
+    real containers; MP4/H.264 stays the honest stub) — the normative
+    implementation shared by the Spark path and the oracle."""
     out = {"vid_ok": False, "vid_n_frames": None,
            "vid_avg_frame_luma": None, "vid_mean_frame_delta": None}
-    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+    is_avi = payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    if payload[:6] not in (b"GIF87a", b"GIF89a") and not is_avi:
         return out
     try:
-        from .extractors.gif import decode_gif_frames
+        if is_avi:
+            frames = decode_avi_frames(payload)
+        else:
+            from .extractors.gif import decode_gif_frames
 
-        frames = decode_gif_frames(payload)
+            frames = decode_gif_frames(payload)
     except Exception:
         return out
     means = [float(np.frombuffer(bytes(r), dtype=np.uint8).mean())
@@ -631,27 +788,37 @@ def video_decode_stats(df: DataFrame) -> DataFrame:
             for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if kind != "video":
                     continue
-                rows.append({"media_id": mid, **video_row_stats(bytes(p))})
+                b = bytes(p)
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    cont = "gif"
+                elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    cont = "avi"
+                elif b[4:8] == b"ftyp":
+                    cont = "mp4"
+                else:
+                    cont = "unknown"
+                rows.append({"media_id": mid, "container": cont,
+                             **video_row_stats(b)})
             yield pd.DataFrame(
                 rows,
-                columns=["media_id", "vid_ok", "vid_n_frames",
+                columns=["media_id", "container", "vid_ok", "vid_n_frames",
                          "vid_avg_frame_luma", "vid_mean_frame_delta"],
             )
 
     per = df.mapInPandas(
         dec_batches,
-        "media_id long, vid_ok boolean, vid_n_frames int, "
+        "media_id long, container string, vid_ok boolean, vid_n_frames int, "
         "vid_avg_frame_luma double, vid_mean_frame_delta double",
     )
     return (
-        per.groupBy("vid_ok")
+        per.groupBy("container", "vid_ok")
         .agg(
             F.count("*").alias("n_videos"),
             F.round(F.avg("vid_n_frames"), 4).alias("avg_n_frames"),
             F.round(F.avg("vid_avg_frame_luma"), 4).alias("avg_frame_luma"),
             F.round(F.avg("vid_mean_frame_delta"), 4).alias("avg_frame_delta"),
         )
-        .orderBy("vid_ok")
+        .orderBy("container", "vid_ok")
     )
 
 
@@ -675,6 +842,11 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
                         n_frames = gif_frame_count(b)
                     except Exception:
                         continue
+                elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    m = parse_avi_meta(b)
+                    if not m["avi_ok"] or not m["avi_n_frames"]:
+                        continue
+                    n_frames = m["avi_n_frames"]
                 elif b[4:8] == b"ftyp":
                     m = parse_mp4_meta(b)
                     if not m["mp4_ok"] or m["mp4_n_frames"] is None:

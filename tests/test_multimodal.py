@@ -171,3 +171,68 @@ def test_mp4_in_media_sweep():
         else:
             bad += 1
     assert ok >= 10 and bad >= 2, (ok, bad)
+
+
+def test_avi_mjpeg_roundtrip_and_meta():
+    """MJPEG-AVI: the container walk must yield exactly the per-chunk
+    JPEG decodes (the codec layer is differentially tested elsewhere;
+    this pins the RIFF plumbing), and the header walk reports the
+    codec/dims/fps/frame-count the writer embedded."""
+    from cc_extract import corpusgen as cg
+    from cc_extract.extractors.jpeg import decode_jpeg_gray
+    from cc_extract.glyphs import render_raster
+
+    frames = [render_raster(f"CLIP 000001 F{k} Q42") for k in range(3)]
+    w, h, _ = frames[0]
+    jf = [cg._jpeg_gray(fw, fh, bytes(r)) for fw, fh, r in frames]
+    avi = mm._avi_container(jf, w, h, fps=15)
+
+    meta = mm.parse_avi_meta(avi)
+    assert (meta["avi_ok"], meta["avi_codec"], meta["avi_w"],
+            meta["avi_h"], meta["avi_fps"], meta["avi_n_frames"]) == \
+        (True, "MJPG", w, h, 15.0, 3)
+    assert mm.decode_avi_frames(avi) == [decode_jpeg_gray(f) for f in jf]
+
+    s = mm.video_row_stats(avi)
+    assert s["vid_ok"] and s["vid_n_frames"] == 3
+
+
+def test_avi_hostile_bytes_never_raise():
+    """Truncations and byte flips of a valid AVI must quarantine
+    (vid_ok False or a clean decode), never escape as exceptions."""
+    import random
+
+    from cc_extract import corpusgen as cg
+    from cc_extract.glyphs import render_raster
+
+    fw, fh, r = render_raster("CLIP 000002 F0 Q10")
+    avi = mm._avi_container([cg._jpeg_gray(fw, fh, bytes(r))] * 2, fw, fh,
+                            fps=10)
+    for cut in range(0, len(avi), 61):
+        mm.parse_avi_meta(avi[:cut])
+        mm.video_row_stats(avi[:cut])
+    rng = random.Random(7)
+    for _ in range(300):
+        b = bytearray(avi)
+        b[rng.randrange(len(b))] ^= 0xFF
+        mm.parse_avi_meta(bytes(b))
+        mm.video_row_stats(bytes(b))
+
+
+def test_avi_in_media_sweep():
+    """gen_media emits decodable MJPEG-AVIs; every one decodes with
+    frame count matching its header and parse_media_meta agrees."""
+    n = 0
+    for i in range(400):
+        r = mm.gen_media(i)
+        p = r["payload"]
+        if r["kind"] != "video" or p[:4] != b"RIFF":
+            continue
+        n += 1
+        meta = mm.parse_avi_meta(p)
+        s = mm.video_row_stats(p)
+        assert s["vid_ok"] and s["vid_n_frames"] == meta["avi_n_frames"]
+        pm = mm.parse_media_meta(p)
+        assert pm["container"] == "avi" and pm["parse_ok"]
+        assert pm["width"] == meta["avi_w"]
+    assert n >= 10, n
