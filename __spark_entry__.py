@@ -798,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget_selection": textops.token_budget_selection,
         "doc_source_mixture": textops.source_mixture_weights,
         "doc_unigram_logprob": textops.unigram_logprob,
+        "doc_bigram_logprob": textops.bigram_logprob,
         "doc_quality_classifier": textops.quality_classifier,
         "event_funnel": relops.event_funnel,
         "event_retention": relops.event_retention,
@@ -1560,6 +1561,31 @@ SELECT doc_id,
        CAST(sum(tf) AS BIGINT) AS n_tokens,
        round(sum(tf * -log2(cnt * 1.0 / total)) / sum(tf), 4) AS bits_per_token
 FROM pairs JOIN cnts USING (token), tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # bigram LM with add-alpha smoothing: V = observed continuation
+    # vocabulary, context totals from the same LM relation; tokens are
+    # [a-z0-9]+ so the space join/split round-trips exactly
+    sql["doc_bigram_logprob"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents
+           WHERE len({_TOKENS}) >= 2),
+b AS (
+  SELECT doc_id, bg, count(*) AS tf FROM (
+    SELECT doc_id, tokens[i] || ' ' || tokens[i + 1] AS bg
+    FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens))) AS i FROM t)
+  ) GROUP BY doc_id, bg
+),
+lm AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cnt FROM b GROUP BY bg),
+ctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+        FROM lm GROUP BY 1),
+v AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS v FROM lm)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       round(sum(tf * -log2((cnt + CAST(0.5 AS DOUBLE))
+                            / (ctx_cnt + CAST(0.5 AS DOUBLE) * v.v)))
+             / sum(tf), 4) AS bits_per_bigram
+FROM b JOIN lm USING (bg)
+     JOIN ctx ON split_part(b.bg, ' ', 1) = ctx.w1, v
 GROUP BY doc_id ORDER BY doc_id
 """
 

@@ -258,10 +258,31 @@ def gen_media(i: int, seed: int = 42) -> dict:
     if kind == "audio":
         rate = rng.choice([8000, 16000, 44100])
         n_samples = rng.randint(100, 2000)
-        data = bytes(rng.randrange(256) for _ in range(2 * n_samples))
+        akind = rng.choice(["pcm16", "pcm16", "pcm8", "stereo16",
+                            "ulaw", "alaw"])
+        if akind in ("ulaw", "alaw"):
+            # deterministic int16 waveform compressed through the
+            # repo's own G.711 coder — decode_audio expands it back
+            wave = np.frombuffer(
+                bytes(rng.randrange(256) for _ in range(2 * n_samples)),
+                dtype="<i2")
+            comp = _ulaw_compress if akind == "ulaw" else _alaw_compress
+            data = comp(wave).tobytes()
+            fmt_tag, ch, bits = (7 if akind == "ulaw" else 6), 1, 8
+        elif akind == "pcm8":
+            data = bytes(rng.randrange(256) for _ in range(n_samples))
+            fmt_tag, ch, bits = 1, 1, 8
+        elif akind == "stereo16":
+            data = bytes(rng.randrange(256) for _ in range(4 * n_samples))
+            fmt_tag, ch, bits = 1, 2, 16
+        else:
+            data = bytes(rng.randrange(256) for _ in range(2 * n_samples))
+            fmt_tag, ch, bits = 1, 1, 16
+        block = ch * (bits // 8)
         payload = (
             b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
-            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + struct.pack("<IHHIIHH", 16, fmt_tag, ch, rate, rate * block,
+                          block, bits)
             + b"data" + struct.pack("<I", len(data)) + data
         )
     elif kind == "video":
@@ -613,14 +634,61 @@ def image_row_stats(payload: bytes) -> dict:
     return out
 
 
+def _ulaw_expand(codes: "np.ndarray") -> "np.ndarray":
+    """G.711 μ-law expansion (vectorized).  Inverse-pinned by the
+    all-256-codes compress(expand(code)) == code identity test."""
+    u = (~codes) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant.astype(np.int32) << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _ulaw_compress(samples: "np.ndarray") -> "np.ndarray":
+    """G.711 μ-law compression (vectorized) — the writer side of the
+    pair; shares only the published constants with the expander."""
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def _alaw_expand(codes: "np.ndarray") -> "np.ndarray":
+    """G.711 A-law expansion (vectorized), even-bit-inverted codes."""
+    a = codes ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 7
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_compress(samples: "np.ndarray") -> "np.ndarray":
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767)
+    exp = np.where(mag < 256, 0,
+                   (np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32)
+                    - 7).clip(0, 7))
+    mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
+    return (((sign | (exp << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
+
+
 def decode_audio(payload: bytes) -> tuple[int, "np.ndarray"]:
-    """REAL audio sample decode (round 4): RIFF/WAVE chunk walk, PCM
-    16-bit mono -> (sample_rate, int16 sample array).  Raises for
-    non-WAV / non-PCM / malformed payloads."""
+    """REAL audio sample decode (round 4): RIFF/WAVE chunk walk covering
+    PCM 16-bit, PCM 8-bit (unsigned, rescaled (b-128)<<8), and G.711
+    μ-law / A-law (from-scratch vectorized expanders), mono or stereo
+    (stereo downmixed by integer-floor channel mean) ->
+    (sample_rate, int16 mono sample array).  Raises for non-WAV,
+    unsupported format tags, or malformed payloads."""
     if not (payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"):
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
-    rate = None
+    fmt = channels = bits = rate = None
     data = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -629,14 +697,30 @@ def decode_audio(payload: bytes) -> tuple[int, "np.ndarray"]:
         if cid == b"fmt ":
             fmt, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0] if len(body) >= 16 else 0
-            if fmt != 1 or channels != 1 or bits != 16:
-                raise ValueError("only PCM 16-bit mono supported")
+            if (fmt, bits) not in ((1, 16), (1, 8), (7, 8), (6, 8)) or \
+                    not 1 <= channels <= 2:
+                raise ValueError(
+                    f"unsupported WAV format tag={fmt} bits={bits} "
+                    f"channels={channels}")
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    return rate, np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+    if fmt == 1 and bits == 16:
+        x = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+    else:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        if fmt == 1:  # unsigned 8-bit PCM
+            x = ((raw.astype(np.int32) - 128) << 8).astype(np.int16)
+        elif fmt == 7:
+            x = _ulaw_expand(raw)
+        else:
+            x = _alaw_expand(raw)
+    if channels == 2:
+        x = x[: (x.size // 2) * 2].reshape(-1, 2)
+        x = (x.astype(np.int32).sum(axis=1) // 2).astype(np.int16)
+    return rate, x
 
 
 def audio_row_stats(payload: bytes) -> dict:

@@ -1321,6 +1321,81 @@ def unigram_logprob(spark, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_ALPHA = 0.5
+
+
+def bigram_logprob(spark, sf_dir: str, alpha: float = BIGRAM_ALPHA) -> DataFrame:
+    """Corpus-bigram-LM quality score with add-α smoothing: per-document
+    mean bits per bigram under p(w2|w1) = (c(w1,w2)+α) / (c(w1)+α·V) —
+    one order up from unigram_logprob toward CCNet's KenLM 5-gram (the
+    smoothing is what scoring held-out text needs; here the corpus
+    scores itself so every bigram is in the LM and α only shifts the
+    scale).  V is the observed continuation vocabulary (distinct second
+    words), derived from the stored LM, and c(w1) is the context total
+    from the same relation — both consistent by construction.
+
+    Scale shape: per-doc bigram frequencies come from the in-row
+    sorted-run counter over the bigram array (no occurrence explode),
+    the LM is ONE partial-aggregable groupBy materialized once
+    (localCheckpoint — the stored-artifact policy of unigram_logprob),
+    context totals and V are O(vocab) aggregates over the checkpoint
+    (never a corpus re-scan), and the scoring joins run
+    pairs-vs-vocab-sized relations.  Only the weighted log-sum shuffles
+    doc-wise."""
+    docs = fan_out_scan(load_documents(spark, sf_dir))
+    toks = (
+        with_tokens(docs)
+        .select("doc_id", "tokens")
+        .filter(F.size("tokens") >= 2)
+    )
+    bigram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("tokens", i), F.element_at("tokens", i + 1)
+        ),
+    )
+    pairs = (
+        toks.select("doc_id", F.explode(tf_structs(bigram_arr)).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.token").alias("bigram"),
+            F.substring_index("p.token", " ", 1).alias("w1"),
+            F.col("p.tf").alias("tf"),
+        )
+    )
+    lm = (
+        pairs.groupBy("bigram")
+        .agg(F.sum("tf").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    ctx = (
+        lm.groupBy(F.substring_index("bigram", " ", 1).alias("w1"))
+        .agg(F.sum("cnt").cast("long").alias("ctx_cnt"))
+    )
+    v_df = lm.agg(
+        F.countDistinct(F.substring_index("bigram", " ", -1)).alias("v")
+    )
+    p = (F.col("cnt") + F.lit(alpha)) / (
+        F.col("ctx_cnt") + F.lit(alpha) * F.col("v")
+    )
+    return (
+        pairs.join(lm, "bigram")
+        .join(ctx, "w1")
+        .crossJoin(v_df)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * -F.log2(p)).alias("bits"),
+        )
+        .select(
+            "doc_id", "n_bigrams",
+            F.round(F.col("bits") / F.col("n_bigrams"), 4)
+            .alias("bits_per_bigram"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------- script identification
 
 # Unicode codepoint ranges for dominant-script classification.  Explicit

@@ -236,3 +236,45 @@ def test_avi_in_media_sweep():
         assert pm["container"] == "avi" and pm["parse_ok"]
         assert pm["width"] == meta["avi_w"]
     assert n >= 10, n
+
+
+def test_g711_codec_pair_identity_and_bounds():
+    """G.711 μ-law / A-law: compress(expand(code)) == code over all 256
+    code words (μ-law's negative zero 0x7F maps to positive zero 0xFF —
+    the standard two-zeros collapse), the well-known 0 <-> 0xFF μ-law
+    anchor holds, and expand(compress(x)) stays within the top-segment
+    quantization step over the full int16 range."""
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.uint8)
+    back_u = mm._ulaw_compress(mm._ulaw_expand(codes))
+    ok = (back_u == codes) | ((codes == 0x7F) & (back_u == 0xFF))
+    assert ok.all()
+    assert (mm._alaw_compress(mm._alaw_expand(codes)) == codes).all()
+    assert mm._ulaw_compress(np.array([0], np.int16))[0] == 0xFF
+    assert mm._ulaw_expand(np.array([0xFF], np.uint8))[0] == 0
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    for comp, exp, clip in ((mm._ulaw_compress, mm._ulaw_expand, 32635),
+                            (mm._alaw_compress, mm._alaw_expand, 32767)):
+        err = np.abs(exp(comp(x)).astype(np.int32)
+                     - np.clip(x.astype(np.int32), -clip, clip))
+        assert err.max() <= 512
+
+
+def test_wav_variants_decode_in_media_sweep():
+    """Every generated audio payload (PCM16 mono/stereo, PCM8, μ-law,
+    A-law) decodes; stereo downmix halves the sample count vs the
+    data-chunk byte budget."""
+    import struct as st
+
+    seen = set()
+    for i in range(600):
+        r = mm.gen_media(i)
+        if r["kind"] != "audio":
+            continue
+        s = mm.audio_row_stats(r["payload"])
+        assert s["aud_ok"], i
+        tag, ch, _rate = st.unpack("<HHI", r["payload"][20:28])
+        seen.add((tag, ch))
+    assert {(1, 1), (1, 2), (6, 1), (7, 1)} <= seen
