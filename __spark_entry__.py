@@ -599,6 +599,118 @@ def _cc_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4_line_ok(line):
+    """C4's line-level keep predicate (Raffel et al. 2020, §2.2): the
+    trimmed line ends in a terminal punctuation mark, carries at least
+    5 words, and does not mention 'javascript'.  Pure column expression
+    usable inside a higher-order filter."""
+    return (
+        F.right(F.rtrim(line), F.lit(1)).isin(".", "!", "?", '"')
+        & (F.regexp_count(line, F.lit("[^ ]+")) >= F.lit(5))
+        & ~F.contains(F.lower(line), F.lit("javascript"))
+    )
+
+
+def _cc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic cleaning over EXTRACTED text (Raffel et al.
+    2020, §2.2 — the rules that distilled Common Crawl into C4): keep
+    only lines ending in terminal punctuation with >= 5 words and no
+    'javascript'; drop whole pages containing 'lorem ipsum' or a curly
+    brace, or whose cleaned text has fewer than 3 sentences.  (C4's
+    bad-words list is licensing-encumbered and out of scope; its
+    three-sentence-span dedup lives in doc_duplicate_spans.)
+
+    Scale shape: a pure per-row projection over the already-deduped
+    extraction output — every rule is an in-row higher-order filter /
+    regexp count, zero additional shuffles at any SF; the cleaned-text
+    sha256 makes the rewrite byte-auditable, not just counted."""
+    _, res = _cc_corpus_and_extracted(spark)
+    lines = F.split("text_out", "\n")
+    kept = F.filter(lines, _c4_line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit("[.!?]"))
+    has_lorem = F.contains(F.lower("text_out"), F.lit("lorem ipsum"))
+    has_brace = F.contains("text_out", F.lit("{")) | F.contains(
+        "text_out", F.lit("}"))
+    return (
+        res.filter(F.col("status") == "ok")
+        .select(
+            "url",
+            F.size(F.filter(lines, lambda l: F.trim(l) != ""))
+            .cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            has_lorem.alias("has_lorem"),
+            has_brace.alias("has_brace"),
+            n_sent.cast("long").alias("n_sentences"),
+            (~has_lorem & ~has_brace & (n_sent >= 3)).alias("keep_page"),
+            F.sha2(F.encode(clean, "UTF-8"), 256).alias("clean_sha256"),
+        )
+        .orderBy("url")
+    )
+
+
+def _cc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact paragraph-level dedup over EXTRACTED text (the
+    RefinedWeb/Falcon recipe, Penedo et al. 2023: after document-level
+    near-dedup, drop the individual paragraphs that recur across
+    documents — nav chrome, footers, syndicated blocks).  A paragraph is
+    duplicated iff its exact bytes appear in >1 distinct url; each doc
+    reports its paragraph counts, duplicated-char fraction, and the
+    sha256 of the text rebuilt from its surviving paragraphs in original
+    order — the rewrite is auditable byte-for-byte, not just counted.
+
+    Scale shape (the segment_boilerplate plan with a rewrite stage): the
+    exploded (url, pos, para) relation is materialized once
+    (localCheckpoint), the dup table is the output of a partial-aggregable
+    count-distinct FILTERED before the join back (AQE broadcasts it at
+    any SF), and the per-doc rebuild is one groupBy(url) whose order key
+    rides along as a struct field — explode + two shuffles, no all-pairs,
+    no window over the exploded relation."""
+    _, res = _cc_corpus_and_extracted(spark)
+    paras = (
+        res.filter(F.col("status") == "ok")
+        .select("url", F.posexplode(F.split("text_out", "\n"))
+                .alias("pos", "para"))
+        .filter(F.trim("para") != "")
+        .withColumn("ph", F.md5("para"))
+        .localCheckpoint()
+    )
+    dup = (
+        paras.groupBy("ph")
+        .agg(F.countDistinct("url").alias("n_urls"))
+        .filter(F.col("n_urls") > 1)
+        .select("ph", F.lit(True).alias("is_dup"))
+    )
+    flagged = (
+        paras.join(dup, "ph", "left")
+        .withColumn("is_dup", F.coalesce("is_dup", F.lit(False)))
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(~F.col("is_dup"), F.struct("pos", "para")))),
+            lambda s: s["para"],
+        ),
+        "\n",
+    )
+    dup_chars = F.sum(F.when(F.col("is_dup"), F.length("para")).otherwise(0))
+    return (
+        flagged.groupBy("url")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(F.col("is_dup").cast("int")).cast("long")
+            .alias("n_dup_paras"),
+            F.sum(F.length("para")).cast("long").alias("total_chars"),
+            dup_chars.cast("long").alias("dup_chars"),
+            F.sha2(F.encode(kept_text, "UTF-8"), 256).alias("kept_sha256"),
+        )
+        .withColumn(
+            "dup_char_frac",
+            F.round(F.col("dup_chars") / F.col("total_chars"), 6))
+        .orderBy("url")
+    )
+
+
 def _cc_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant-script distribution over EXTRACTED text — the corpus's
     non-Latin HTML (Shift_JIS/GBK/EUC-KR/windows-1251/ISO-8859-7 pages)
@@ -828,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_robots_filter": _cc_robots_filter,
         "cc_canonical_dedup": _cc_canonical_dedup,
         "cc_domain_filter": _cc_domain_filter,
+        "cc_c4_line_filter": _cc_c4_line_filter,
+        "cc_paragraph_dedup": _cc_paragraph_dedup,
         "cc_link_graph": _cc_link_graph,
         "cc_anchor_text": _cc_anchor_text,
         "cc_pagerank": _cc_pagerank,
@@ -2186,6 +2300,75 @@ s AS (
 SELECT script, count(*) AS n_docs,
        CAST(sum(length(text_out)) AS BIGINT) AS total_chars
 FROM s GROUP BY script ORDER BY script
+"""
+
+    # C4 line rules re-expressed as DuckDB list ops; page gates and the
+    # cleaned-text hash recomputed independently from the same per-row
+    # extraction table
+    sql["cc_c4_line_filter"] = f"""
+WITH {dedup_cte},
+base AS (
+  SELECT url, text_out, string_split(text_out, chr(10)) AS ls
+  FROM d WHERE status = 'ok'
+),
+scored AS (
+  SELECT url,
+    len(list_filter(ls, l -> trim(l) <> '')) AS n_lines,
+    list_filter(ls, l -> right(rtrim(l), 1) IN ('.', '!', '?', '"')
+                     AND len(regexp_extract_all(l, '[^ ]+')) >= 5
+                     AND NOT contains(lower(l), 'javascript')) AS kept,
+    contains(lower(text_out), 'lorem ipsum') AS has_lorem,
+    (contains(text_out, '{{') OR contains(text_out, '}}')) AS has_brace
+  FROM base
+),
+cleaned AS (
+  -- array_to_string([]) is NULL in DuckDB (Spark's array_join gives '')
+  SELECT url, n_lines, len(kept) AS n_kept, has_lorem, has_brace,
+         len(regexp_extract_all(
+           coalesce(array_to_string(kept, chr(10)), ''), '[.!?]'))
+           AS n_sentences,
+         coalesce(array_to_string(kept, chr(10)), '') AS clean
+  FROM scored
+)
+SELECT url, CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       has_lorem, has_brace,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       (NOT has_lorem AND NOT has_brace AND n_sentences >= 3) AS keep_page,
+       sha256(clean) AS clean_sha256
+FROM cleaned ORDER BY url
+"""
+
+    # paragraph dedup: dup iff exact bytes occur in >1 distinct url;
+    # kept-text rebuild via ordered string_agg (NULL-skipping) mirrors the
+    # Spark side's sorted-struct collect
+    sql["cc_paragraph_dedup"] = f"""
+WITH {dedup_cte},
+base AS (
+  SELECT url, string_split(text_out, chr(10)) AS ls
+  FROM d WHERE status = 'ok'
+),
+posn AS (SELECT url, ls, unnest(range(1, len(ls) + 1)) AS pos FROM base),
+paras AS (
+  SELECT url, pos, ls[pos] AS para, md5(ls[pos]) AS ph
+  FROM posn WHERE trim(ls[pos]) <> ''
+),
+dup AS (SELECT ph FROM paras GROUP BY ph HAVING count(DISTINCT url) > 1),
+flagged AS (
+  SELECT url, pos, para, ph IN (SELECT ph FROM dup) AS is_dup FROM paras
+)
+SELECT url,
+  CAST(count(*) AS BIGINT) AS n_paras,
+  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+  CAST(sum(len(para)) AS BIGINT) AS total_chars,
+  CAST(sum(CASE WHEN is_dup THEN len(para) ELSE 0 END) AS BIGINT)
+    AS dup_chars,
+  sha256(coalesce(
+    string_agg(CASE WHEN NOT is_dup THEN para END, chr(10) ORDER BY pos),
+    '')) AS kept_sha256,
+  round(sum(CASE WHEN is_dup THEN len(para) ELSE 0 END) * 1.0
+        / sum(len(para)), 6) AS dup_char_frac
+FROM flagged GROUP BY url ORDER BY url
 """
 
     sql["cc_pii_stats"] = f"""
