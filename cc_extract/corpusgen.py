@@ -42,8 +42,8 @@ _EPOCH = datetime(2025, 1, 1)
 
 # format mix (FIXTURES.md §1) as cumulative thresholds
 _FMT_MIX = [
-    ("html", 0.55), ("pdf", 0.15), ("txt", 0.075), ("doc", 0.02), ("docx", 0.05),
-    ("rtf", 0.04), ("odt", 0.03), ("xlsx", 0.02), ("pptx", 0.02),
+    ("html", 0.535), ("pdf", 0.15), ("txt", 0.075), ("doc", 0.02), ("docx", 0.05),
+    ("rtf", 0.04), ("odt", 0.03), ("epub", 0.015), ("xlsx", 0.02), ("pptx", 0.02),
     ("xml", 0.01), ("json", 0.01), ("eml", 0.01), ("csv", 0.005),
     ("ps", 0.005), ("image", 0.003), ("corrupt", 0.002),
 ]
@@ -773,18 +773,23 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
 
 # ---------------------------------------------------------------- OOXML
 
-def _zip_bytes(entries: list[tuple[str, bytes]]) -> bytes:
+def _zip_bytes(entries: list[tuple[str, bytes]],
+               stored: frozenset[str] | set[str] = frozenset()) -> bytes:
     """Deterministic zip container: member mtimes are PINNED.  Plain
     ``writestr(name, ...)`` stamps wall-clock into the DOS time fields,
     which made OOXML/ODT payload BYTES differ between processes (the
     extracted text never sees zip headers, so only a byte-level check —
     the WARC round-trip oracle — could catch it).  The corpus contract
-    is 'pure function of (i, seed)'; this restores it."""
+    is 'pure function of (i, seed)'; this restores it.
+
+    ``stored`` members are written uncompressed (EPUB OCF requires its
+    ``mimetype`` entry ZIP_STORED and first)."""
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         for name, data in entries:
             zi = zipfile.ZipInfo(name, date_time=(2025, 1, 1, 0, 0, 0))
-            zi.compress_type = zipfile.ZIP_DEFLATED
+            zi.compress_type = (
+                zipfile.ZIP_STORED if name in stored else zipfile.ZIP_DEFLATED)
             zi.external_attr = 0o600 << 16
             zf.writestr(zi, data)
     return buf.getvalue()
@@ -889,6 +894,67 @@ def _gen_odt(rng: random.Random) -> bytes:
         ("mimetype", b"application/vnd.oasis.opendocument.text"),
         ("content.xml", content.encode("utf-8")),
     ])
+
+
+def _gen_epub(rng: random.Random) -> bytes:
+    """EPUB OCF container: stored-first ``mimetype``, container.xml ->
+    OPF rootfile, manifest in SHUFFLED order with the spine defining the
+    true reading order (the extractor must follow the spine, not the
+    manifest or the zip directory), plus a nav.xhtml that is in the
+    manifest but NOT the spine (must never be extracted)."""
+    n_ch = rng.randint(2, 5)
+    chapters: list[tuple[str, bytes]] = []
+    for c in range(1, n_ch + 1):
+        title = _words(rng, 3)
+        paras = "\n".join(
+            f"<p>{_sentences(rng, rng.randint(2, 5))}</p>"
+            for _ in range(rng.randint(2, 6)))
+        chap = (
+            '<?xml version="1.0" encoding="utf-8"?>\n'
+            '<html xmlns="http://www.w3.org/1999/xhtml">'
+            f"<head><title>{title}</title></head>\n"
+            f"<body><h1>{title}</h1>\n{paras}\n</body></html>"
+        )
+        chapters.append((f"chap{c}.xhtml", chap.encode("utf-8")))
+    order = list(range(1, n_ch + 1))
+    rng.shuffle(order)
+    items = "".join(
+        f'<item id="c{c}" href="text/chap{c}.xhtml" '
+        f'media-type="application/xhtml+xml"/>' for c in order)
+    spine = "".join(f'<itemref idref="c{c}"/>' for c in range(1, n_ch + 1))
+    opf = (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" '
+        'unique-identifier="uid">'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        '<dc:identifier id="uid">urn:uuid:0</dc:identifier>'
+        f"<dc:title>{_words(rng, 4)}</dc:title></metadata>"
+        f'<manifest>{items}<item id="nav" href="nav.xhtml" '
+        'media-type="application/xhtml+xml" properties="nav"/></manifest>'
+        f"<spine>{spine}</spine></package>"
+    )
+    nav = (
+        '<?xml version="1.0"?>'
+        '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+        '<nav xmlns:epub="http://www.idpf.org/2007/ops" epub:type="toc">'
+        '<ol><li><a href="text/chap1.xhtml">table of contents</a></li></ol>'
+        "</nav></body></html>"
+    )
+    container = (
+        '<?xml version="1.0"?>'
+        '<container version="1.0" '
+        'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+        '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles></container>'
+    )
+    entries = [
+        ("mimetype", b"application/epub+zip"),
+        ("META-INF/container.xml", container.encode("utf-8")),
+        ("OEBPS/content.opf", opf.encode("utf-8")),
+        ("OEBPS/nav.xhtml", nav.encode("utf-8")),
+    ]
+    entries += [(f"OEBPS/text/{n}", b) for n, b in chapters]
+    return _zip_bytes(entries, stored={"mimetype"})
 
 
 # ------------------------------------------------------------ legacy .doc
@@ -2398,14 +2464,16 @@ _GENERATORS = {
     "html": _gen_html, "pdf": _gen_pdf, "txt": _gen_txt, "doc": _gen_doc,
     "ps": _gen_ps,
     "docx": _gen_docx,
-    "rtf": _gen_rtf, "odt": _gen_odt, "xlsx": _gen_xlsx, "pptx": _gen_pptx,
+    "rtf": _gen_rtf, "odt": _gen_odt, "epub": _gen_epub,
+    "xlsx": _gen_xlsx, "pptx": _gen_pptx,
     "xml": _gen_xml, "json": _gen_json, "eml": _gen_eml, "csv": _gen_csv,
     "image": _gen_image, "corrupt": _gen_corrupt,
 }
 
 _EXT = {"html": "html", "pdf": "pdf", "txt": "txt", "doc": "doc", "ps": "ps",
         "docx": "docx",
-        "rtf": "rtf", "odt": "odt", "xlsx": "xlsx", "pptx": "pptx",
+        "rtf": "rtf", "odt": "odt", "epub": "epub",
+        "xlsx": "xlsx", "pptx": "pptx",
         "xml": "xml", "json": "json", "eml": "eml", "csv": "csv",
         "image": "png", "corrupt": "bin"}
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from ..sniff import sniff_format
 from .doc import extract_doc
+from .epub import extract_epub
 from .html import extract_html
 from .normalize import normalize_text
 from .odt import extract_odt
@@ -36,7 +37,7 @@ __all__ = [
     "EXTRACTORS",
     "extract_document",
     "extract_html", "extract_pdf", "extract_ps", "extract_docx",
-    "extract_pptx",
+    "extract_pptx", "extract_epub",
     "extract_xlsx", "extract_odt", "extract_rtf", "extract_txt", "extract_doc",
     "extract_csv", "extract_xml", "extract_json", "extract_eml",
     "normalize_text",
@@ -52,6 +53,7 @@ EXTRACTORS = {
     "pptx": extract_pptx,
     "xlsx": extract_xlsx,
     "odt": extract_odt,
+    "epub": extract_epub,
     "rtf": extract_rtf,
     "txt": extract_txt,
     "csv": extract_csv,

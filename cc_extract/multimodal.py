@@ -259,7 +259,25 @@ def gen_media(i: int, seed: int = 42) -> dict:
         rate = rng.choice([8000, 16000, 44100])
         n_samples = rng.randint(100, 2000)
         akind = rng.choice(["pcm16", "pcm16", "pcm8", "stereo16",
-                            "ulaw", "alaw"])
+                            "ulaw", "alaw", "ima"])
+        if akind == "ima":
+            # IMA ADPCM (tag 0x11): whole blocks through the repo's own
+            # encoder; spec-correct fmt chunk with the cbSize=2
+            # samples-per-block extension
+            ba = rng.choice([128, 256])
+            spb = ima_samples_per_block(ba)
+            nblk = rng.randint(1, 3)
+            wave = np.frombuffer(
+                bytes(rng.randrange(256) for _ in range(2 * nblk * spb)),
+                dtype="<i2")
+            data = _ima_encode(wave.astype(np.int16), ba)
+            payload = (
+                b"RIFF" + struct.pack("<I", 40 + len(data)) + b"WAVEfmt "
+                + struct.pack("<IHHIIHHHH", 20, 17, 1, rate,
+                              rate * ba // spb, ba, 4, 2, spb)
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return {"media_id": i, "kind": kind, "payload": payload}
         if akind in ("ulaw", "alaw"):
             # deterministic int16 waveform compressed through the
             # repo's own G.711 coder — decode_audio expands it back
@@ -678,17 +696,141 @@ def _alaw_compress(samples: "np.ndarray") -> "np.ndarray":
     return (((sign | (exp << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
 
 
+# IMA/DVI ADPCM (WAVE format tag 0x11) — published constants from the
+# IMA Digital Audio Pack recommendation; CPython's audioop module ships
+# an independent C implementation of the same codec, and the tests
+# differential-pin BOTH directions against it (decoder: identical
+# samples for arbitrary nibble streams; encoder: audioop decodes our
+# nibbles to exactly what our decoder produces), so a misremembered
+# table entry cannot hide behind a shared writer/reader quirk.
+_IMA_INDEX_TBL = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
+_IMA_STEP_TBL = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32)
+
+
+def _ima_decode_nibbles(codes: "np.ndarray", pred: "np.ndarray",
+                        index: "np.ndarray") -> "np.ndarray":
+    """Core IMA ADPCM nibble expansion, vectorized ACROSS blocks: *codes*
+    is (n_blocks, n_nibbles), *pred*/*index* are per-block initial state.
+    The loop runs over nibble POSITIONS (a per-block constant, ~500 for
+    256-byte blocks), not over samples — decode cost is O(block size)
+    numpy passes regardless of audio length."""
+    nb, nn = codes.shape
+    out = np.empty((nb, nn), dtype=np.int16)
+    pred = pred.astype(np.int32).copy()
+    index = np.clip(index.astype(np.int32), 0, 88)
+    step = _IMA_STEP_TBL[index]
+    for k in range(nn):
+        n4 = codes[:, k].astype(np.int32)
+        diff = (step >> 3) + np.where(n4 & 1, step >> 2, 0) \
+            + np.where(n4 & 2, step >> 1, 0) + np.where(n4 & 4, step, 0)
+        pred = np.clip(np.where(n4 & 8, pred - diff, pred + diff),
+                       -32768, 32767)
+        out[:, k] = pred
+        index = np.clip(index + _IMA_INDEX_TBL[n4], 0, 88)
+        step = _IMA_STEP_TBL[index]
+    return out
+
+
+def _ima_decode(data: "np.ndarray", block_align: int) -> "np.ndarray":
+    """WAV IMA ADPCM data chunk -> int16 samples.  Mono block layout
+    (Microsoft WAVE tag 0x11): 4-byte header (<i2 predictor, u8 step
+    index, u8 reserved) then (block_align-4) code bytes, LOW nibble
+    first; the header predictor is itself the block's first sample.  A
+    trailing partial block decodes its present bytes; a fragment shorter
+    than a header is ignored."""
+    if block_align < 5:
+        raise ValueError(f"ima adpcm: bad block_align {block_align}")
+    n = len(data)
+    nb = (n + block_align - 1) // block_align
+    last_bytes = n - (nb - 1) * block_align
+    if last_bytes < 4:  # header-less fragment: drop it
+        nb -= 1
+        last_bytes = block_align
+    if nb <= 0:
+        return np.zeros(0, dtype=np.int16)
+    padded = np.zeros(nb * block_align, dtype=np.uint8)
+    padded[:n] = data[: nb * block_align]
+    blocks = padded.reshape(nb, block_align)
+    pred = blocks[:, 0:2].copy().view("<i2")[:, 0]
+    index = blocks[:, 2]
+    body = blocks[:, 4:]
+    codes = np.empty((nb, body.shape[1] * 2), dtype=np.uint8)
+    codes[:, 0::2] = body & 0x0F
+    codes[:, 1::2] = body >> 4
+    decoded = _ima_decode_nibbles(codes, pred, index)
+    full = np.concatenate(
+        [pred[:-1, None].astype(np.int16), decoded[:-1]], axis=1).ravel() \
+        if nb > 1 else np.zeros(0, dtype=np.int16)
+    last_n = 1 + 2 * (last_bytes - 4)
+    last = np.concatenate([pred[-1:].astype(np.int16),
+                           decoded[-1, : last_n - 1]])
+    return np.concatenate([full, last])
+
+
+def ima_samples_per_block(block_align: int) -> int:
+    return 1 + 2 * (block_align - 4)
+
+
+def _ima_encode(x: "np.ndarray", block_align: int = 256) -> bytes:
+    """int16 mono samples -> WAV IMA ADPCM data-chunk bytes (the writer
+    half of the pair).  Requires a whole number of blocks
+    (len(x) % ima_samples_per_block == 0); each block restarts at step
+    index 0 with its first sample as the header predictor, so blocks are
+    independently decodable (the seek property real WAV readers rely
+    on).  Vectorized across blocks like the decoder."""
+    spb = ima_samples_per_block(block_align)
+    if x.size == 0 or x.size % spb:
+        raise ValueError(f"ima adpcm: need a multiple of {spb} samples")
+    nb = x.size // spb
+    bx = x.reshape(nb, spb).astype(np.int32)
+    pred = bx[:, 0].copy()
+    index = np.zeros(nb, dtype=np.int32)
+    codes = np.empty((nb, spb - 1), dtype=np.uint8)
+    for k in range(1, spb):
+        step = _IMA_STEP_TBL[index]
+        delta = bx[:, k] - pred
+        sign = delta < 0
+        mag = np.abs(delta)
+        c4 = mag >= step
+        mag = mag - c4 * step
+        half = step >> 1
+        c2 = mag >= half
+        mag = mag - c2 * half
+        c1 = mag >= (step >> 2)
+        code = c4 * 4 + c2 * 2 + c1 * 1 + sign * 8
+        codes[:, k - 1] = code
+        diff = (step >> 3) + c1 * (step >> 2) + c2 * half + c4 * step
+        pred = np.clip(np.where(sign, pred - diff, pred + diff),
+                       -32768, 32767)
+        index = np.clip(index + _IMA_INDEX_TBL[code], 0, 88)
+    body = (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
+    header = np.zeros((nb, 4), dtype=np.uint8)
+    header[:, 0:2] = bx[:, 0].astype("<i2")[:, None].view(np.uint8)
+    out = np.concatenate([header, body], axis=1)
+    return out.tobytes()
+
+
 def decode_audio(payload: bytes) -> tuple[int, "np.ndarray"]:
     """REAL audio sample decode (round 4): RIFF/WAVE chunk walk covering
-    PCM 16-bit, PCM 8-bit (unsigned, rescaled (b-128)<<8), and G.711
-    μ-law / A-law (from-scratch vectorized expanders), mono or stereo
-    (stereo downmixed by integer-floor channel mean) ->
-    (sample_rate, int16 mono sample array).  Raises for non-WAV,
-    unsupported format tags, or malformed payloads."""
+    PCM 16-bit, PCM 8-bit (unsigned, rescaled (b-128)<<8), G.711
+    μ-law / A-law (from-scratch vectorized expanders), and mono IMA
+    ADPCM (tag 0x11, block codec differential-pinned against CPython's
+    audioop), mono or stereo (stereo downmixed by integer-floor channel
+    mean) -> (sample_rate, int16 mono sample array).  Raises for
+    non-WAV, unsupported format tags, or malformed payloads."""
     if not (payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"):
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt = channels = bits = rate = None
+    block_align = 0
     data = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -697,8 +839,10 @@ def decode_audio(payload: bytes) -> tuple[int, "np.ndarray"]:
         if cid == b"fmt ":
             fmt, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0] if len(body) >= 16 else 0
-            if (fmt, bits) not in ((1, 16), (1, 8), (7, 8), (6, 8)) or \
-                    not 1 <= channels <= 2:
+            block_align = (
+                struct.unpack("<H", body[12:14])[0] if len(body) >= 14 else 0)
+            if (fmt, bits) not in ((1, 16), (1, 8), (7, 8), (6, 8), (17, 4)) \
+                    or not 1 <= channels <= 2 or (fmt == 17 and channels != 1):
                 raise ValueError(
                     f"unsupported WAV format tag={fmt} bits={bits} "
                     f"channels={channels}")
@@ -709,6 +853,8 @@ def decode_audio(payload: bytes) -> tuple[int, "np.ndarray"]:
         raise ValueError("missing fmt/data chunk")
     if fmt == 1 and bits == 16:
         x = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+    elif fmt == 17:
+        x = _ima_decode(np.frombuffer(data, dtype=np.uint8), block_align)
     else:
         raw = np.frombuffer(data, dtype=np.uint8)
         if fmt == 1:  # unsigned 8-bit PCM

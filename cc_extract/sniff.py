@@ -22,7 +22,7 @@ import re
 import zipfile
 
 FORMATS = (
-    "html pdf txt docx pptx xlsx odt rtf xml json eml csv image doc ps "
+    "html pdf txt docx pptx xlsx odt epub rtf xml json eml csv image doc ps "
     "unknown".split()
 )
 
@@ -49,8 +49,12 @@ def _sniff_zip(payload: bytes) -> str:
                     mt = zf.read("mimetype")
                 except (KeyError, OSError):
                     mt = b""
+                if b"epub+zip" in mt:
+                    return "epub"
                 if b"opendocument" in mt:
                     return "odt"
+            if "META-INF/container.xml" in names:
+                return "epub"  # OCF container with a lost/garbled mimetype
             if "content.xml" in names:
                 return "odt"
     except (zipfile.BadZipFile, OSError, EOFError, NotImplementedError):

@@ -7,8 +7,9 @@ import random
 
 import pytest
 
-from cc_extract.corpusgen import gen_corpus, _gen_pdf, _gen_docx
+from cc_extract.corpusgen import gen_corpus, _gen_pdf, _gen_docx, _gen_epub
 from cc_extract.extractors import extract_document
+from cc_extract.extractors.epub import extract_epub
 from cc_extract.extractors.html import extract_html
 from cc_extract.extractors.normalize import normalize_text
 from cc_extract.extractors.ooxml import extract_docx, extract_pptx, extract_xlsx
@@ -196,6 +197,81 @@ def test_odt_exact():
          "</office:text></office:body></office:document-content>"),
     ])
     assert extract_odt(doc) == "Head\nPara one\ttabbed\nSecond\nbroken"
+
+
+# ------------------------------------------------------------------ epub
+
+_EPUB_CONTAINER = (
+    '<?xml version="1.0"?><container version="1.0" '
+    'xmlns="urn:oasis:names:tc:opendocument:xmlns:container"><rootfiles>'
+    '<rootfile full-path="OEBPS/content.opf" '
+    'media-type="application/oebps-package+xml"/></rootfiles></container>')
+
+
+def _epub(opf: str, chapters: list[tuple[str, str]],
+          container: str = _EPUB_CONTAINER):
+    entries = [("mimetype", "application/epub+zip"),
+               ("META-INF/container.xml", container),
+               ("OEBPS/content.opf", opf)]
+    entries += [(f"OEBPS/{n}", body) for n, body in chapters]
+    return _zip(entries)
+
+
+def test_epub_spine_order_not_manifest_order():
+    """Reading order comes from the spine; the manifest lists chapters
+    backwards here, and nav.xhtml (manifest-only) must not leak."""
+    opf = ('<package xmlns="http://www.idpf.org/2007/opf">'
+           '<manifest>'
+           '<item id="b" href="text/b.xhtml" media-type="application/xhtml+xml"/>'
+           '<item id="a" href="text/a.xhtml" media-type="application/xhtml+xml"/>'
+           '<item id="nav" href="nav.xhtml" media-type="application/xhtml+xml"/>'
+           '</manifest><spine><itemref idref="a"/><itemref idref="b"/></spine>'
+           '</package>')
+    doc = _epub(opf, [
+        ("text/b.xhtml", "<html><body><p>second chapter text.</p></body></html>"),
+        ("text/a.xhtml", "<html><body><p>first chapter text.</p></body></html>"),
+        ("nav.xhtml", "<html><body><p>toc must not appear.</p></body></html>"),
+    ])
+    out = extract_epub(doc)
+    assert out.index("first chapter") < out.index("second chapter")
+    assert "toc must not appear" not in out
+
+
+def test_epub_fallback_without_container():
+    """No container.xml -> salvage every html-ish member name-sorted."""
+    doc = _zip([
+        ("mimetype", "application/epub+zip"),
+        ("c2.xhtml", "<html><body><p>beta text.</p></body></html>"),
+        ("c1.xhtml", "<html><body><p>alpha text.</p></body></html>"),
+    ])
+    out = extract_epub(doc)
+    assert out.index("alpha") < out.index("beta")
+
+
+def test_epub_missing_spine_item_skipped():
+    opf = ('<package><manifest>'
+           '<item id="a" href="a.xhtml" media-type="application/xhtml+xml"/>'
+           '<item id="gone" href="gone.xhtml" media-type="application/xhtml+xml"/>'
+           '</manifest><spine><itemref idref="gone"/><itemref idref="a"/>'
+           '</spine></package>')
+    doc = _epub(opf, [("a.xhtml", "<html><body><p>only chapter here.</p></body></html>")])
+    assert "only chapter" in extract_epub(doc)
+
+
+def test_epub_no_chapters_is_error_row():
+    doc = _zip([("mimetype", "application/epub+zip"),
+                ("META-INF/container.xml", _EPUB_CONTAINER)])
+    r = extract_document(doc)
+    assert r["fmt"] == "epub" and r["status"] == "error"
+
+
+def test_epub_generated_corpus_roundtrip():
+    rng = random.Random(99)
+    doc = _gen_epub(rng)
+    assert sniff_format(doc) == "epub"
+    r = extract_document(doc)
+    assert r["status"] == "ok" and len(r["text"]) > 50
+    assert "table of contents" not in r["text"]
 
 
 # ------------------------------------------------------------------- rtf

@@ -277,4 +277,101 @@ def test_wav_variants_decode_in_media_sweep():
         assert s["aud_ok"], i
         tag, ch, _rate = st.unpack("<HHI", r["payload"][20:28])
         seen.add((tag, ch))
-    assert {(1, 1), (1, 2), (6, 1), (7, 1)} <= seen
+    assert {(1, 1), (1, 2), (6, 1), (7, 1), (17, 1)} <= seen
+
+
+def test_ima_adpcm_decoder_matches_audioop():
+    """IMA ADPCM nibble core differentially pinned against CPython's
+    audioop (an independent C implementation of the same published
+    codec): identical int16 output for random nibble streams from
+    arbitrary (predictor, step-index) initial states.  This breaks the
+    shared-table closed loop — a wrong step/index table entry here
+    cannot also live in audioop."""
+    import random
+
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+    rng = random.Random(20260817)
+    for _ in range(6):
+        codes = np.array([rng.randrange(16) for _ in range(500)],
+                         dtype=np.uint8)
+        pred0 = rng.randrange(-32768, 32768)
+        idx0 = rng.randrange(0, 89)
+        mine = mm._ima_decode_nibbles(
+            codes[None, :], np.array([pred0]), np.array([idx0]))[0]
+        packed = bytes((int(codes[i]) << 4) | int(codes[i + 1])
+                       for i in range(0, codes.size, 2))
+        ref = np.frombuffer(
+            audioop.adpcm2lin(packed, 2, (pred0, idx0))[0], dtype="<i2")
+        assert np.array_equal(mine, ref)
+
+
+def test_ima_adpcm_encoder_externally_consumable():
+    """The encoder's nibble stream must decode to the SAME samples under
+    audioop as under our decoder (external consumability — the property
+    the r3 GIF-LZW quirk violated), and a smooth waveform round-trips
+    within ADPCM's adaptation error."""
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+    ba = 256
+    spb = mm.ima_samples_per_block(ba)
+    t = np.arange(3 * spb)
+    x = (8000 * np.sin(t / 20.0)).astype(np.int16)
+    enc = np.frombuffer(mm._ima_encode(x, ba), dtype=np.uint8)
+    dec = mm._ima_decode(enc, ba)
+    assert dec.size == x.size
+    err = np.abs(dec.astype(np.int32) - x.astype(np.int32))
+    assert err.max() <= 2048 and float(err.mean()) < 200
+    blocks = enc.reshape(3, ba)
+    for b in range(3):
+        pred0 = int(blocks[b, 0:2].copy().view("<i2")[0])
+        idx0 = int(blocks[b, 2])
+        body = blocks[b, 4:]
+        codes = np.empty(body.size * 2, dtype=np.uint8)
+        codes[0::2] = body & 0x0F
+        codes[1::2] = body >> 4
+        packed = bytes((int(codes[i]) << 4) | int(codes[i + 1])
+                       for i in range(0, codes.size, 2))
+        ref = np.frombuffer(
+            audioop.adpcm2lin(packed, 2, (pred0, idx0))[0], dtype="<i2")
+        blk = dec[b * spb : (b + 1) * spb]
+        assert blk[0] == pred0 and np.array_equal(ref, blk[1:])
+
+
+def test_ima_adpcm_wav_level_and_ragged_tail():
+    """WAV plumbing: tag-0x11 payloads from gen_media decode with the
+    advertised sample count; a mid-block truncation decodes the present
+    nibbles; a header-less fragment is dropped; stereo ADPCM and garbage
+    block_align are rejected not crashed."""
+    import struct as st
+
+    import numpy as np
+
+    spb = mm.ima_samples_per_block(128)
+    x = (np.arange(spb) % 256 * 100 - 12800).astype(np.int16)
+    data = mm._ima_encode(x, 128)
+    wav = (b"RIFF" + st.pack("<I", 40 + len(data)) + b"WAVEfmt "
+           + st.pack("<IHHIIHHHH", 20, 17, 1, 8000, 8000 * 128 // spb,
+                     128, 4, 2, spb)
+           + b"data" + st.pack("<I", len(data)) + data)
+    rate, samples = mm.decode_audio(wav)
+    assert rate == 8000 and samples.size == spb
+    assert np.array_equal(samples, mm._ima_decode(
+        np.frombuffer(data, dtype=np.uint8), 128))
+    # truncated: 10 data bytes = header + 6 code bytes -> 13 samples
+    wav_trunc = wav[: len(wav) - len(data) + 10]
+    wav_trunc = (wav_trunc[:4] + st.pack("<I", 40 + 10) + wav_trunc[8:40]
+                 + b"data" + st.pack("<I", 10) + data[:10])
+    _, s2 = mm.decode_audio(wav_trunc)
+    assert s2.size == 1 + 2 * 6
+    # header-less fragment (3 bytes) -> zero samples, no crash
+    wav_frag = (wav[:40] + b"data" + st.pack("<I", 3) + data[:3])
+    _, s3 = mm.decode_audio(wav_frag)
+    assert s3.size == 0
+    with pytest.raises(ValueError):
+        bad = (b"RIFF" + st.pack("<I", 36) + b"WAVEfmt "
+               + st.pack("<IHHIIHH", 16, 17, 2, 8000, 8000, 256, 4)
+               + b"data" + st.pack("<I", 0))
+        mm.decode_audio(bad)
