@@ -870,6 +870,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": relops.q15_top_supplier,
         "q17_small_quantity_revenue": relops.q17_small_quantity_revenue,
         "q21_waiting_suppliers": relops.q21_waiting_suppliers,
+        "q2_min_cost_supplier": relops.q2_min_cost_supplier,
+        "q9_product_type_profit": relops.q9_product_type_profit,
+        "q11_important_parts": relops.q11_important_parts,
+        "q16_supplier_part_counts": relops.q16_supplier_part_counts,
+        "q20_dominant_suppliers": relops.q20_dominant_suppliers,
         "parts_never_shipped": relops.parts_never_shipped,
         "top_orders": relops.top_orders,
         "latest_event_per_user": relops.latest_event_per_user,
@@ -1263,6 +1268,110 @@ WHERE late AND n_name = 'NATION_2'
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
+"""
+
+    sql["q2_min_cost_supplier"] = """
+WITH supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), offers AS (
+  SELECT l_partkey, l_suppkey, s_name, s_acctbal, n_name,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supp ON l_suppkey = s_suppkey
+  WHERE p_size = 15 AND p_type = 'SMALL'
+  GROUP BY 1, 2, 3, 4, 5
+), best AS (
+  SELECT l_partkey AS b_partkey, min(unit_cost) AS best_cost
+  FROM offers GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+       round(unit_cost, 6) AS min_cost
+FROM offers
+JOIN best ON l_partkey = b_partkey AND unit_cost = best_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+    sql["q9_product_type_profit"] = """
+SELECT n_name AS nation,
+       year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity), 2)
+         AS sum_profit,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+    sql["q11_important_parts"] = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(p_retailprice * 100) AS BIGINT))
+              AS BIGINT) AS value_cents,
+         count(DISTINCT l_suppkey) AS n_suppliers
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN part ON l_partkey = part.p_partkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT p_partkey, value_cents, n_suppliers
+FROM per_part
+WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM per_part)
+ORDER BY value_cents DESC, p_partkey
+"""
+
+    sql["q16_supplier_part_counts"] = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+    sql["q20_dominant_suppliers"] = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS supp_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  GROUP BY 1, 2
+), totals AS (
+  SELECT l_partkey AS t_partkey, sum(supp_qty) AS part_qty
+  FROM shipped GROUP BY 1
+), dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM shipped JOIN totals ON l_partkey = t_partkey
+  WHERE supp_qty * 2 > part_qty
+)
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_name
 """
 
     sql["q18_large_volume_customers"] = """

@@ -877,3 +877,287 @@ def event_retention(spark, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------- TPC-H Q2
+
+def q2_min_cost_supplier(spark, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per part (TPC-H Q2 shape): for every part
+    of one size/type sourced from one region, the supplier(s) offering
+    the region-wide minimum unit cost.  Adapted: the driver schema has
+    no partsupp relation, so the part-supplier offer table is DERIVED
+    from lineitem — a supplier's unit cost for a part is the cheapest
+    ``l_extendedprice / l_quantity`` it ever shipped.  The correlated
+    ``cost = (SELECT min(cost) ...)`` subquery de-correlates into one
+    per-part aggregate joined back on exact equality.
+
+    Scale shape: the offer table is a partial-aggregable
+    groupBy(part, supplier) min over a pushed-down two-column-plus-keys
+    lineitem scan; the part/supplier/nation/region dims broadcast; the
+    per-part min is a second partial-aggregable pass over the already
+    part-filtered offers (|offers| ~ |part|x|suppliers-per-part|, tiny
+    next to lineitem).  The min-equality join-back is exact in both
+    engines: min() selects an existing IEEE division result, it never
+    synthesizes a new float.  ORDER BY is fully tie-broken, LIMIT 100
+    plans as TakeOrderedAndProject."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("unit").alias("unit_cost"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("unit_cost", 6).alias("min_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------- TPC-H Q9
+
+def q9_product_type_profit(spark, sf_dir: str) -> DataFrame:
+    """Product-type profit by supplier nation and year (TPC-H Q9
+    shape): every line shipping a part whose name matches a pattern,
+    profit rolled up per (nation, year).  Adapted: the driver schema
+    has no partsupp.ps_supplycost, so cost is a deterministic surrogate
+    — 60% of the part's retail price per unit — keeping the exact
+    join/agg topology (lineitem x part x supplier x nation x orders).
+
+    Scale shape: the part dim is name-filtered BEFORE its broadcast
+    join so the fact side shrinks at the scan (substring pushdown
+    yields a ~1/n_nouns selectivity here); supplier/nation broadcast;
+    orders attaches only o_orderdate for the year key.  One
+    partial-aggregable groupBy over (25 nations x years) keys — the
+    rollup never shuffles more than the joined fact once."""
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("bolt"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(profit), 2).alias("sum_profit"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# -------------------------------------------------------------- TPC-H Q11
+
+def q11_important_parts(spark, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape): per-part value
+    held by one nation's suppliers, keeping parts whose value exceeds a
+    fixed fraction of the nation-wide total — a grouped aggregate
+    HAVING-compared against a scalar subquery over the SAME relation.
+    Adapted: no partsupp.ps_availqty, so value = shipped quantity times
+    the part's retail price in integer cents, making the group/total
+    comparison exact integer arithmetic in both engines (no float sum
+    order can flip a boundary row).
+
+    Scale shape: the nation filter semi-joins the supplier dim down
+    BEFORE the fact join; one partial-aggregable groupBy(part) pass;
+    the scalar total re-aggregates the per-part relation (O(|part|)
+    rows, not a second fact scan); the scalar attaches via a 1-row
+    broadcast nested-loop — the only physical strategy for a keyless
+    scalar cross, whitelisted in the plan lint."""
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_c"),
+    )
+    per_part = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey_out"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long") * F.col("price_c")).alias(
+                "value_cents"
+            ),
+            F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"),
+        )
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(
+            F.col("p_partkey_out").alias("p_partkey"),
+            "value_cents",
+            "n_suppliers",
+        )
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )
+
+
+# -------------------------------------------------------------- TPC-H Q16
+
+def q16_supplier_part_counts(spark, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape): how many distinct
+    suppliers can ship parts of each (brand, type, size), excluding one
+    brand, one type family, an IN-list of sizes, and every supplier on
+    the complaints list (NOT IN anti-join).  Adapted: the part-supplier
+    relation derives from lineitem's distinct (part, supplier) pairs,
+    and the complaint proxy is a negative account balance.
+
+    Scale shape: the distinct pair-collapse is the only fact-sized
+    shuffle (partial-aggregable, two key columns wide); the complaint
+    list is an O(suppliers-with-complaints) broadcast anti-join; part
+    attribute filters broadcast; count_distinct runs over the already
+    collapsed pair relation.  Counts are exact integers — no float
+    hazard anywhere."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    complainers = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    parts = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    return (
+        pairs.join(
+            F.broadcast(complainers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# -------------------------------------------------------------- TPC-H Q20
+
+def q20_dominant_suppliers(spark, sf_dir: str) -> DataFrame:
+    """Potential-promotion suppliers (TPC-H Q20 shape): suppliers in
+    one nation who, for some part of a named family, shipped MORE THAN
+    HALF of that part's total 1997 volume — a nested pair of correlated
+    subqueries (per-(part,supplier) quantity vs per-part threshold)
+    de-correlated into two chained aggregates and a semi-join.
+    Adapted: no partsupp.ps_availqty, so the classic availability-vs-
+    half-of-shipped test becomes supplier-share-of-volume; the plan
+    topology (agg -> scalar-per-group threshold -> semi-join into a
+    nation-filtered supplier list) is identical.
+
+    Scale shape: one partial-aggregable groupBy(part, supplier) over
+    the name+year-restricted fact (both predicates pushed to the
+    scan); the per-part total reuses that aggregate (O(|parts|) rows);
+    doubling instead of halving keeps the dominance test in exact
+    integer arithmetic; the final semi-join broadcasts the qualifying
+    supplier keys into the nation-filtered dim."""
+    promo_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("supp_qty"))
+    )
+    totals = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    dominant = (
+        shipped.join(totals, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == "NATION_5")
+        .join(
+            F.broadcast(dominant),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )

@@ -36,6 +36,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # no-join-key cross of a scalar): each entry names the scalar.
 BNLJ_OK = {
     "q22_idle_high_balance",      # 1-row positive-balance mean
+    "q11_important_parts",        # 1-row nation-wide inventory total
     "doc_source_mixture",         # 1-row corpus-total for reweighting
     "doc_token_budget_selection",  # 1-row budget threshold
     "doc_unigram_logprob",        # 1-row corpus token-count normalizer
