@@ -911,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_benchmark_decontamination": textops.benchmark_decontamination,
         "doc_corpus_filter": textops.corpus_filter,
         "doc_segment_boilerplate": textops.segment_boilerplate,
+        "doc_bm25_rank": textops.bm25_rank,
+        "doc_dsir_weights": textops.dsir_weights,
         "doc_duplicate_spans": textops.duplicate_spans,
         "doc_token_budget_selection": textops.token_budget_selection,
         "doc_source_mixture": textops.source_mixture_weights,
@@ -1790,6 +1792,74 @@ GROUP BY doc_id ORDER BY doc_id
     # bigram LM with add-alpha smoothing: V = observed continuation
     # vocabulary, context totals from the same LM relation; tokens are
     # [a-z0-9]+ so the space join/split round-trips exactly
+    # BM25 (Lucene idf form); float-literal parity: 1.2+1.0 == 2.2 and
+    # 1.0-0.75 == 0.25 exactly in IEEE doubles, so the SQL literals are
+    # bit-identical to the Spark side's Python-computed lits
+    sql["doc_bm25_rank"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+pairs AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS token FROM t)
+  GROUP BY doc_id, token
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM pairs GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qp AS (SELECT * FROM pairs WHERE token IN ('join', 'hash', 'filter')),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM qp GROUP BY token)
+SELECT doc_id,
+       round(sum(
+         ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+            + CAST(1.0 AS DOUBLE))
+         * tf * CAST(2.2 AS DOUBLE)
+         / (tf + CAST(1.2 AS DOUBLE)
+                 * (CAST(0.25 AS DOUBLE)
+                    + CAST(0.75 AS DOUBLE) * dl / avgdl))
+       ), 4) AS bm25,
+       count(*) AS n_terms_matched,
+       max(dl) AS dl
+FROM qp JOIN dfreq USING (token) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+    # DSIR (Xie et al. 2023): hashed-unigram importance log-ratios,
+    # target = english sub-corpus, add-1 smoothing over 256 md5 buckets
+    sql["doc_dsir_weights"] = f"""
+WITH t AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents),
+pairs AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS token FROM t)
+  GROUP BY doc_id, token
+),
+feat AS (
+  SELECT doc_id, substr(md5(token), 1, 2) AS b, CAST(sum(tf) AS BIGINT) AS tf
+  FROM pairs GROUP BY doc_id, b
+),
+tgt AS (
+  SELECT b, CAST(sum(tf) AS BIGINT) AS t_cnt
+  FROM feat JOIN documents USING (doc_id)
+  WHERE lang = 'en' GROUP BY b
+),
+raw AS (SELECT b, CAST(sum(tf) AS BIGINT) AS r_cnt FROM feat GROUP BY b),
+lmx AS (SELECT b, coalesce(t_cnt, 0) AS t_cnt, r_cnt
+        FROM raw LEFT JOIN tgt USING (b)),
+tot AS (SELECT CAST(sum(t_cnt) AS BIGINT) AS t_tot,
+               CAST(sum(r_cnt) AS BIGINT) AS r_tot FROM lmx),
+lm AS (
+  SELECT b,
+         ln(CAST(t_cnt + 1 AS DOUBLE) / CAST(t_tot + 256 AS DOUBLE))
+         - ln(CAST(r_cnt + 1 AS DOUBLE) / CAST(r_tot + 256 AS DOUBLE))
+           AS logratio
+  FROM lmx, tot
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * logratio) / sum(tf), 4)
+         + CAST(0.0 AS DOUBLE) AS avg_logratio
+FROM feat JOIN lm USING (b)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
     sql["doc_bigram_logprob"] = f"""
 WITH t AS (SELECT doc_id, {_TOKENS} AS tokens FROM documents
            WHERE len({_TOKENS}) >= 2),

@@ -1723,3 +1723,135 @@ def quality_classifier(spark, sf_dir: str, iters: int = GD_ITERS,
         F.sum(correct).alias("n_correct"),
         F.round(F.avg(correct.cast("double")), 4).alias("accuracy"),
     )
+
+
+# ------------------------------------------------------------------ BM25
+
+def bm25_rank(spark, sf_dir: str, query_terms=("join", "hash", "filter"),
+              k1: float = 1.2, b: float = 0.75, top_k: int = 20) -> DataFrame:
+    """BM25 relevance ranking (Robertson/Sparck-Jones probabilistic IR —
+    the scoring function behind Lucene/Elasticsearch defaults): rank the
+    corpus against a fixed query, the retrieval pass every
+    dedup-then-curate pipeline runs when mining domain-relevant training
+    documents against a seed query set.
+
+    score(d) = sum_q idf(q) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
+    idf(q) = ln((N - df + .5)/(df + .5) + 1)   (Lucene's non-negative form)
+
+    Scale shape: the query-term filter lands on the map-side (doc,
+    token, tf) relation BEFORE any shuffle, collapsing the corpus to
+    O(docs-matching-any-term) rows; df is a |query|-row aggregate of
+    that filtered relation; doc lengths are one partial-aggregable
+    groupBy over the same pairs; the (N, avgdl) scalar attaches via a
+    1-row broadcast (whitelisted BNLJ).  Ranking is
+    TakeOrderedAndProject on the ROUNDED score (both engines order the
+    identical IEEE value) — no global sort."""
+    pairs = token_tf_pairs(load_documents(spark, sf_dir))
+    dl = pairs.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qp = pairs.filter(F.col("token").isin(*query_terms))
+    dfreq = qp.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tnorm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / tnorm
+    return (
+        qp.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score), 4).alias("bm25"),
+            F.count("*").alias("n_terms_matched"),
+            F.max("dl").alias("dl"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(top_k)
+    )
+
+
+# ------------------------------------------------------------------ DSIR
+
+def dsir_weights(spark, sf_dir: str, n_buckets: int = 256) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-feature bag is under a
+    TARGET distribution than under the RAW corpus distribution —
+    log w(d) = sum_f tf_f * (ln p_target(f) - ln p_raw(f)).  Features
+    are hashed unigrams (first md5 byte -> 256 buckets, the paper's
+    hashed n-gram scheme at demo width); the target here is the English
+    sub-corpus, the classic mine-English-quality-from-web setup; add-1
+    smoothing keeps unseen buckets finite.
+
+    Scale shape: both feature LMs are partial-aggregable groupBys
+    collapsing the corpus to <=256 rows each; their totals attach via a
+    1-row broadcast over a 256-row relation (whitelisted BNLJ, O(256)
+    work); the scoring join broadcasts the 256-row LM into the map-side
+    (doc, bucket, tf) relation — the corpus is touched exactly twice
+    (once per LM build, once to score), both times map-shrunk by the
+    sorted-run tf counter.  At 10^12 docs the LM is built on a sample
+    and becomes a literal, as the paper does."""
+    docs = load_documents(spark, sf_dir)
+    feat = (
+        token_tf_pairs(docs)
+        .select(
+            "doc_id",
+            F.substring(F.md5("token"), 1, 2).alias("b"),
+            "tf",
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    target_ids = docs.filter(F.col("lang") == "en").select("doc_id")
+    tgt = (
+        feat.join(F.broadcast(target_ids), "doc_id")
+        .groupBy("b")
+        .agg(F.sum("tf").alias("t_cnt"))
+    )
+    raw = feat.groupBy("b").agg(F.sum("tf").alias("r_cnt"))
+    lm = (
+        raw.join(tgt, "b", "left")
+        .fillna(0, subset=["t_cnt"])
+        .join(
+            F.broadcast(
+                raw.join(tgt, "b", "left").fillna(0, subset=["t_cnt"]).agg(
+                    F.sum("t_cnt").alias("t_tot"),
+                    F.sum("r_cnt").alias("r_tot"),
+                )
+            )
+        )
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.col("t_cnt") + 1).cast("double")
+                    / (F.col("t_tot") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("r_cnt") + 1).cast("double")
+                    / (F.col("r_tot") + n_buckets).cast("double")
+                )
+            ).alias("logratio"),
+        )
+    )
+    return (
+        feat.join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                F.round(
+                    F.sum(F.col("tf") * F.col("logratio")) / F.sum("tf"), 4
+                )
+                + F.lit(0.0)  # -0.0 -> +0.0: sign of a rounded-away drift
+            ).alias("avg_logratio"),
+        )
+        .orderBy("doc_id")
+    )

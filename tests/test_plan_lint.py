@@ -40,6 +40,8 @@ BNLJ_OK = {
     "doc_source_mixture",         # 1-row corpus-total for reweighting
     "doc_token_budget_selection",  # 1-row budget threshold
     "doc_unigram_logprob",        # 1-row corpus token-count normalizer
+    "doc_bm25_rank",              # 1-row (N, avgdl) collection statistics
+    "doc_dsir_weights",           # 1-row LM totals over the 256-bucket relation
     "doc_bigram_logprob",         # 1-row continuation-vocabulary size V
     "doc_ccnet_buckets",          # inherits unigram_logprob's normalizer
     "doc_deterministic_sample",   # 1-row exact-expected-count bound
