@@ -827,6 +827,20 @@ def _mm_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.video_decode_stats(df)
 
 
+def _mm_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs: 64-bit DCT pHash per
+    decodable image (the normative per-row phash64 both engines call),
+    4x16-bit banding join, Hamming <= 3 verify on candidates only — the
+    cross-codec image dedup (same scene as PNG vs lossy JPEG vs palette
+    GIF, small brightness shifts) a multimodal pipeline runs before
+    training.  The oracle re-derives the banded join independently in
+    SQL over the stored signatures."""
+    from cc_extract import multimodal as mm
+
+    df = mm.media_df(spark, 400, partitions=8)
+    return mm.phash_near_dups(df)
+
+
 def _mm_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP4 container structure (round 4, continued): real ISO BMFF box
     walk — brand/codec clip counts, parse rate, mean duration / frame
@@ -960,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_stats": _mm_audio_stats,
         "mm_video_stats": _mm_video_stats,
         "mm_mp4_stats": _mm_mp4_stats,
+        "mm_phash_near_dups": _mm_phash_near_dups,
     }
 
 
@@ -2820,6 +2835,29 @@ FROM read_parquet('{corpus}')
 """
 
     media = oracle_data.media_table(400)
+
+    # pHash banding re-derived independently in SQL over the stored
+    # signatures (phash64 keeps bit 63 clear, so >> and & are sign-safe
+    # BIGINT ops in both engines)
+    _ph_bands = ", ".join(f"({b})" for b in range(4))
+    sql["mm_phash_near_dups"] = f"""
+WITH sig AS (
+  SELECT media_id, phash FROM read_parquet('{media}') WHERE phash IS NOT NULL
+), bands AS (
+  SELECT media_id, phash, bd.band,
+         (phash >> (bd.band * 16)) & 65535 AS key
+  FROM sig, (VALUES {_ph_bands}) bd(band)
+), cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.media_id < b.media_id
+)
+SELECT media_a, media_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+ORDER BY media_a, media_b
+"""
+
     sql["mm_metadata_stats"] = f"""
 SELECT kind, container, parse_ok, count(*) AS n,
        CAST(sum(n_bytes) AS BIGINT) AS total_bytes,

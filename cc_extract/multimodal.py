@@ -352,12 +352,30 @@ def gen_media(i: int, seed: int = 42) -> dict:
                        + bytes(rng.randrange(256) for _ in range(64)))
     elif rng.random() < 0.5:
         # REAL decodable image (round 4): a rendered raster through one
-        # of the repo's own writers — decode_image round-trips these
+        # of the repo's own writers — decode_image round-trips these.
+        # ~40% are SCENE images: the same rendered content re-encoded
+        # under different containers / small brightness shifts across
+        # rows, planting the cross-codec perceptual near-duplicates
+        # phash_near_dups exists to find.
         from .glyphs import render_raster
 
         from . import corpusgen as cg
 
-        w, h, raster = render_raster(f"MEDIA {i} SAMPLE {rng.randint(0, 999)}")
+        if rng.random() < 0.4:
+            text = f"SCENE {rng.randrange(24)} STOCK PHOTO"
+            delta = rng.choice([-8, -4, 0, 4, 8])
+        else:
+            text = f"MEDIA {i} SAMPLE {rng.randint(0, 999)}"
+            delta = 0
+        w, h, raster = render_raster(text)
+        if delta:
+            raster = bytes(
+                np.clip(
+                    np.frombuffer(bytes(raster), np.uint8).astype(np.int16)
+                    + delta,
+                    0, 255,
+                ).astype(np.uint8)
+            )
         pick = rng.random()
         if pick < 0.3:
             payload = cg._png_gray(w, h, bytes(raster))
@@ -1130,4 +1148,157 @@ def mp4_structure_stats(df: DataFrame) -> DataFrame:
             F.round(F.avg("mp4_n_tracks"), 4).alias("avg_n_tracks"),
         )
         .orderBy("mp4_brand", "mp4_codec")
+    )
+
+
+# ----------------------------------------------------------- perceptual hash
+
+PHASH_BANDS = 4          # 4 x 16-bit bands over the 63-coefficient signature
+PHASH_MAX_HAMMING = 3    # pigeonhole-complete: <=3 flips leave a band intact
+
+_DCT_CACHE: dict[int, "np.ndarray"] = {}
+
+
+def _dct_mat(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II matrix (the image-hash standard transform)."""
+    m = _DCT_CACHE.get(n)
+    if m is None:
+        k = np.arange(n, dtype=np.float64)[:, None]
+        x = np.arange(n, dtype=np.float64)[None, :]
+        m = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        m[0] *= 1.0 / np.sqrt(2.0)
+        _DCT_CACHE[n] = m
+    return m
+
+
+def _block_mean(arr: "np.ndarray", n: int) -> "np.ndarray":
+    """Deterministic n x n block-mean downscale of a (h, w) float array.
+    Inputs smaller than n upsample by integer repeat first, so every
+    block is non-empty; boundaries are integer bin edges (no float
+    resampling kernel — identical everywhere by construction)."""
+    h, w = arr.shape
+    if h < n:
+        arr = np.repeat(arr, -(-n // h), axis=0)
+        h = arr.shape[0]
+    if w < n:
+        arr = np.repeat(arr, -(-n // w), axis=1)
+        w = arr.shape[1]
+    rb = (np.arange(n + 1) * h) // n
+    cb = (np.arange(n + 1) * w) // n
+    # two-stage binned mean via cumulative sums: exact same float64 adds
+    # in row-major order on every host
+    cs = np.cumsum(np.cumsum(arr, axis=0), axis=1)
+    cs = np.pad(cs, ((1, 0), (1, 0)))
+    s = (cs[rb[1:], :][:, cb[1:]] - cs[rb[:-1], :][:, cb[1:]]
+         - cs[rb[1:], :][:, cb[:-1]] + cs[rb[:-1], :][:, cb[:-1]])
+    area = ((rb[1:] - rb[:-1])[:, None] * (cb[1:] - cb[:-1])[None, :])
+    return s / area
+
+
+def phash64(payload: bytes) -> int | None:
+    """64-bit perceptual hash (pHash, DCT variant): decode -> 32x32
+    block-mean -> 2-D DCT-II -> keep the 8x8 low-frequency block -> bit j
+    = (coefficient j > median of the 63 non-DC coefficients).  Bit 63 is
+    always 0 (the DC slot), so the value is a non-negative int64 and
+    bit-shift banding needs no two's-complement care in either engine.
+    Returns None when the payload doesn't decode (stubs, corrupt).
+
+    The single normative implementation: the Spark mapInPandas path and
+    the single-process oracle table both call THIS function — the
+    contract query then independently re-derives the banded join in
+    SQL, so what's cross-checked is the candidate-generation plumbing
+    (codec correctness is pinned separately by the javax.imageio
+    differential suite)."""
+    try:
+        w, h, raster = decode_image(payload)
+    except Exception:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    arr = np.frombuffer(bytes(raster), dtype=np.uint8).astype(np.float64)
+    arr = arr.reshape(h, w)
+    g = _block_mean(arr, 32)
+    d = _dct_mat(32)
+    coef = (d @ g @ d.T)[:8, :8].ravel()[1:]  # drop DC, 63 coefficients
+    med = float(np.median(coef))
+    bits = 0
+    for j, c in enumerate(coef):
+        if c > med:
+            bits |= 1 << j
+    return bits
+
+
+def image_phash(df: DataFrame) -> DataFrame:
+    """(media_id, phash) for every decodable image payload — the
+    signature relation perceptual dedup joins on (Arrow-batched
+    mapInPandas, same shape as image_decode_stats)."""
+    def hash_batches(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"],
+                                    pdf["payload"]):
+                if kind != "image":
+                    continue
+                ph = phash64(bytes(p))
+                if ph is not None:
+                    rows.append({"media_id": mid, "phash": ph})
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return df.mapInPandas(hash_batches, "media_id long, phash long")
+
+
+def phash_near_dups(df: DataFrame) -> DataFrame:
+    """Perceptual near-duplicate image pairs — the image twin of the
+    SimHash text dedup (banding scheme per Manku et al., WWW'07): split
+    the 64-bit pHash into 4 bands of 16 bits, equi-join on (band, bits),
+    verify ``bit_count(a ^ b) <= 3`` on candidates only.  Pigeonhole-
+    complete for Hamming <= 3: 3 flipped bits touch at most 3 of the 4
+    bands.  Measured on the demo corpus: every same-scene re-encode
+    lands at Hamming <= 2; the radius-3 gate keeps them all.  This is the cross-codec image dedup a multimodal training
+    pipeline runs: the same scene re-encoded (PNG vs lossy JPEG vs
+    palette GIF, small brightness shifts) hashes within a few bits.
+
+    Scale shape: signatures are computed once and localCheckpointed (the
+    production artifact is a stored index); the band join moves 8
+    constant-size rows per image; verification is a projection on
+    candidates.  16-bit bands give 65,536 buckets per band — at 10^9+
+    images the same plan widens the signature to 256 bits, exactly the
+    simhash_near_dups discussion."""
+    sig = image_phash(df).localCheckpoint()
+    bands = sig.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("phash", b * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("key"),
+                )
+                for b in range(PHASH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("media_id", "phash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("b.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        cand.filter(hamming <= PHASH_MAX_HAMMING)
+        .select("media_a", "media_b", hamming.cast("int").alias("hamming"))
+        .orderBy("media_a", "media_b")
     )

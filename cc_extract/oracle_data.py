@@ -117,7 +117,7 @@ def media_table(n: int = 400) -> str:
 
     from .multimodal import (FEATURE_DIM, audio_row_stats, gen_media,
                              image_row_stats, mp4_row_stats,
-                             parse_media_meta, video_row_stats)
+                             parse_media_meta, phash64, video_row_stats)
 
     rows = [gen_media(i) for i in range(n)]
     metas = [parse_media_meta(r["payload"]) for r in rows]
@@ -132,6 +132,8 @@ def media_table(n: int = 400) -> str:
     mp4s = [mp4_row_stats(r["payload"])
             if r["kind"] == "video" and r["payload"][4:8] == b"ftyp" else None
             for r in rows]
+    phashes = [phash64(r["payload"]) if r["kind"] == "image" else None
+               for r in rows]
     feats = []
     for r in rows:
         arr = np.frombuffer(r["payload"], dtype=np.uint8)
@@ -150,6 +152,7 @@ def media_table(n: int = 400) -> str:
         "n_bytes": pa.array([len(r["payload"]) for r in rows], pa.int64()),
         "parse_ok": pa.array([m["parse_ok"] for m in metas], pa.bool_()),
         "feature": pa.array(feats, pa.list_(pa.float64())),
+        "phash": pa.array(phashes, pa.int64()),
         "img_container": pa.array(
             [d["container"] if d else None for d in decs], pa.string()),
         "dec_ok": pa.array(

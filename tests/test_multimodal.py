@@ -3,6 +3,7 @@ generated headers, feature batch shapes, decode-seam gating."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from cc_extract import multimodal as mm
@@ -375,3 +376,74 @@ def test_ima_adpcm_wav_level_and_ragged_tail():
                + st.pack("<IHHIIHH", 16, 17, 2, 8000, 8000, 256, 4)
                + b"data" + st.pack("<I", 0))
         mm.decode_audio(bad)
+
+
+def test_phash_cross_codec_invariance():
+    """The same raster encoded as PNG, lossy JPEG, LZW TIFF, and color
+    GIF must hash within the near-dup radius; a different scene must
+    not.  Brightness shifts (+-8) stay within radius too."""
+    from cc_extract import corpusgen as cg
+    from cc_extract.glyphs import render_raster
+
+    w, h, raster = render_raster("SCENE 5 STOCK PHOTO")
+    base = bytes(raster)
+    encodings = [
+        cg._png_gray(w, h, base),
+        cg._jpeg_gray(w, h, base),
+        cg._tiff_gray(w, h, base, lzw=True, predictor=2),
+        cg._gif_gray(w, h, base, color=True),
+    ]
+    shifted = bytes(np.clip(
+        np.frombuffer(base, np.uint8).astype(np.int16) + 8, 0, 255
+    ).astype(np.uint8))
+    encodings.append(cg._jpeg_gray(w, h, shifted))
+    hashes = [mm.phash64(p) for p in encodings]
+    assert all(hx is not None for hx in hashes)
+    ref = hashes[0]
+    for hx in hashes[1:]:
+        assert bin(ref ^ hx).count("1") <= mm.PHASH_MAX_HAMMING
+    w2, h2, r2 = render_raster("COMPLETELY DIFFERENT LONGER TEXT BLOCK "
+                               "WITH MANY MORE LINES OF GLYPHS 12345")
+    other = mm.phash64(cg._png_gray(w2, h2, bytes(r2)))
+    assert bin(ref ^ other).count("1") > mm.PHASH_MAX_HAMMING
+
+
+def test_phash_undecodable_is_none_and_bit63_clear():
+    assert mm.phash64(b"\x89PNG\r\n\x1a\nnot really") is None
+    assert mm.phash64(b"") is None
+    # every decodable media image yields a sign-safe 63-bit value
+    seen = 0
+    for i in range(120):
+        r = mm.gen_media(i)
+        if r["kind"] != "image":
+            continue
+        ph = mm.phash64(r["payload"])
+        if ph is not None:
+            seen += 1
+            assert 0 <= ph < (1 << 63)
+    assert seen > 5
+
+
+def test_phash_near_dups_finds_planted_scenes(spark):
+    """The banded Spark operator must agree exactly with a brute-force
+    all-pairs Hamming scan (completeness: radius 3 <= bands 4 - 1), and
+    the planted same-scene re-encodes must be among the pairs."""
+    df = mm.media_df(spark, 200, partitions=4)
+    got = {(r.media_a, r.media_b): r.hamming
+           for r in mm.phash_near_dups(df).collect()}
+    sigs = {}
+    for i in range(200):
+        r = mm.gen_media(i)
+        if r["kind"] == "image":
+            ph = mm.phash64(r["payload"])
+            if ph is not None:
+                sigs[r["media_id"]] = ph
+    ids = sorted(sigs)
+    want = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            hd = bin(sigs[ids[x]] ^ sigs[ids[y]]).count("1")
+            if hd <= mm.PHASH_MAX_HAMMING:
+                want[(ids[x], ids[y])] = hd
+    assert got == want
+    assert len(want) > 0
