@@ -151,6 +151,8 @@ def main() -> None:
     # timed window covers the full 10-iteration GD train loop (the
     # feature materialization re-runs per attempt — it IS the workload)
     timed("doc_quality_classifier", textops.quality_classifier)
+    timed("doc_bm25_rank", textops.bm25_rank)
+    timed("doc_dsir_weights", textops.dsir_weights)
     timed("emb_knn_bruteforce", embedops.knn_bruteforce)
     # k-means index build happens in the warm-up call and is cached —
     # the timed window measures the probe, the standard ANN serving metric

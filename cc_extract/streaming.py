@@ -173,3 +173,52 @@ def domain_stats_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ----------------------------- event-time windowed aggregation (R17 core)
+
+def windowed_crawl_stats_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files: int = 1,
+):
+    """Event-time tumbling-window aggregation with watermarked late-data
+    semantics — Structured Streaming's canonical stateful operator: docs
+    and bytes per crawl-timestamp window, APPEND output mode, so a
+    window reaches the sink exactly once, only after the watermark
+    passes its end, and a row arriving later than ``watermark`` behind
+    the stream's max event time is DROPPED (never re-opens an emitted
+    window).  This is the per-window crawl-volume accounting a firehose
+    consumer keeps.
+
+    Scale shape: state is O(open windows), not O(rows) — the aggregate
+    is partial-aggregable inside each micro-batch before touching the
+    state store, and the watermark bounds state size by construction.
+    Returns the StreamingQuery."""
+    docs = stream_documents(spark, input_dir, max_files=max_files)
+    agg = (
+        docs.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.length("html"), F.lit(0))).alias("total_bytes"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "n_docs",
+            "total_bytes",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -240,3 +240,85 @@ def test_stream_canonical_dedup_collapses_decorated_urls(spark, tmp_path):
     )
     q2.awaitTermination(240)
     assert spark.read.parquet(out2).count() == 2
+
+
+def test_windowed_agg_drops_late_rows_and_finalizes_windows(spark, tmp_path):
+    """Event-time windowed aggregation under append mode: a window emits
+    exactly once, only after the watermark passes its end; a row landing
+    behind the checkpointed watermark is dropped and never re-opens an
+    emitted window.  Two runs against one checkpoint pin both halves."""
+    import datetime as dt
+    import glob
+
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+
+    def write_file(name: str, rows, mtime: float):
+        df = spark.createDataFrame(
+            [
+                (f"https://win.example/{name}/{k}.txt", ts,
+                 bytearray(b"x" * nb), "", "en")
+                for k, (ts, nb) in enumerate(rows)
+            ],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(input_dir, f"{name}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    d = dt.datetime
+
+    # run 1: events 10:00 + 10:30 (window 10), 11:15 (window 11), and a
+    # 13:00 row that pushes the final watermark to 11:00 — so only the
+    # 10:00 window has closed when the run drains
+    write_file(
+        "f1",
+        [(d(2025, 1, 1, 10, 0), 10), (d(2025, 1, 1, 10, 30), 20),
+         (d(2025, 1, 1, 11, 15), 40), (d(2025, 1, 1, 13, 0), 80)],
+        1_700_000_000,
+    )
+    q = streaming.windowed_crawl_stats_stream(spark, input_dir, out_dir, ckpt)
+    q.awaitTermination(240)
+    assert not q.isActive
+    got = {
+        r["win_start"].hour: (r["n_docs"], r["total_bytes"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {10: (2, 30)}
+
+    # run 2: a 10:45 row behind the checkpointed 11:00 watermark (must be
+    # dropped — the emitted 10:00 window never updates) plus a 15:00 row
+    # advancing the watermark to 13:00: window 11 (end 12:00) closes,
+    # window 13 (end 14:00) is still open and must NOT emit yet
+    write_file(
+        "f2",
+        [(d(2025, 1, 1, 10, 45), 999), (d(2025, 1, 1, 15, 0), 160)],
+        1_700_000_100,
+    )
+    q2 = streaming.windowed_crawl_stats_stream(spark, input_dir, out_dir, ckpt)
+    q2.awaitTermination(240)
+    assert not q2.isActive
+    got = {
+        r["win_start"].hour: (r["n_docs"], r["total_bytes"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # late 10:45 row absent everywhere; window 10 emitted exactly once
+    assert got == {10: (2, 30), 11: (1, 40)}
+
+    # run 3: a 17:00 row pushes the watermark to 15:00 — the held-back
+    # window 13 finally emits (exactly once); windows 15 (end 16:00 >
+    # watermark) and 17 stay open
+    write_file("f3", [(d(2025, 1, 1, 17, 0), 320)], 1_700_000_200)
+    q3 = streaming.windowed_crawl_stats_stream(spark, input_dir, out_dir, ckpt)
+    q3.awaitTermination(240)
+    assert not q3.isActive
+    got = {
+        r["win_start"].hour: (r["n_docs"], r["total_bytes"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {10: (2, 30), 11: (1, 40), 13: (1, 80)}
