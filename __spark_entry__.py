@@ -841,6 +841,18 @@ def _mm_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.phash_near_dups(df)
 
 
+def _mm_afp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dup pairs: 64-bit energy-envelope
+    fingerprint per decodable clip (normative afp64 both engines call),
+    the same 4x16-bit banded join as the image path — the cross-codec
+    audio dedup (one clip as PCM16/PCM8/stereo/G.711/IMA ADPCM lands
+    within Hamming 2) of a multimodal curation pipeline."""
+    from cc_extract import multimodal as mm
+
+    df = mm.media_df(spark, 400, partitions=8)
+    return mm.afp_near_dups(df)
+
+
 def _mm_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP4 container structure (round 4, continued): real ISO BMFF box
     walk — brand/codec clip counts, parse rate, mean duration / frame
@@ -975,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_stats": _mm_video_stats,
         "mm_mp4_stats": _mm_mp4_stats,
         "mm_phash_near_dups": _mm_phash_near_dups,
+        "mm_afp_near_dups": _mm_afp_near_dups,
     }
 
 
@@ -2850,6 +2863,24 @@ WITH sig AS (
 ), cand AS (
   SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
          a.phash AS pa, b.phash AS pb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.media_id < b.media_id
+)
+SELECT media_a, media_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+ORDER BY media_a, media_b
+"""
+
+    sql["mm_afp_near_dups"] = f"""
+WITH sig AS (
+  SELECT media_id, afp FROM read_parquet('{media}') WHERE afp IS NOT NULL
+), bands AS (
+  SELECT media_id, afp, bd.band,
+         (afp >> (bd.band * 16)) & 65535 AS key
+  FROM sig, (VALUES {_ph_bands}) bd(band)
+), cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         a.afp AS pa, b.afp AS pb
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
   WHERE a.media_id < b.media_id
 )

@@ -260,6 +260,11 @@ def gen_media(i: int, seed: int = 42) -> dict:
         n_samples = rng.randint(100, 2000)
         akind = rng.choice(["pcm16", "pcm16", "pcm8", "stereo16",
                             "ulaw", "alaw", "ima"])
+        # ~40% are CLIP renders: the same deterministic structured
+        # waveform re-encoded across codecs/rows — the planted audio
+        # near-duplicates afp_near_dups exists to find (the audio twin
+        # of the image SCENE planting)
+        clip = rng.randrange(12) if rng.random() < 0.4 else None
         if akind == "ima":
             # IMA ADPCM (tag 0x11): whole blocks through the repo's own
             # encoder; spec-correct fmt chunk with the cbSize=2
@@ -267,9 +272,12 @@ def gen_media(i: int, seed: int = 42) -> dict:
             ba = rng.choice([128, 256])
             spb = ima_samples_per_block(ba)
             nblk = rng.randint(1, 3)
-            wave = np.frombuffer(
-                bytes(rng.randrange(256) for _ in range(2 * nblk * spb)),
-                dtype="<i2")
+            if clip is not None:
+                wave = _tone_wave(clip, nblk * spb)
+            else:
+                wave = np.frombuffer(
+                    bytes(rng.randrange(256) for _ in range(2 * nblk * spb)),
+                    dtype="<i2")
             data = _ima_encode(wave.astype(np.int16), ba)
             payload = (
                 b"RIFF" + struct.pack("<I", 40 + len(data)) + b"WAVEfmt "
@@ -278,23 +286,37 @@ def gen_media(i: int, seed: int = 42) -> dict:
                 + b"data" + struct.pack("<I", len(data)) + data
             )
             return {"media_id": i, "kind": kind, "payload": payload}
+        tone = _tone_wave(clip, n_samples) if clip is not None else None
         if akind in ("ulaw", "alaw"):
             # deterministic int16 waveform compressed through the
             # repo's own G.711 coder — decode_audio expands it back
-            wave = np.frombuffer(
-                bytes(rng.randrange(256) for _ in range(2 * n_samples)),
-                dtype="<i2")
+            if tone is not None:
+                wave = tone
+            else:
+                wave = np.frombuffer(
+                    bytes(rng.randrange(256) for _ in range(2 * n_samples)),
+                    dtype="<i2")
             comp = _ulaw_compress if akind == "ulaw" else _alaw_compress
             data = comp(wave).tobytes()
             fmt_tag, ch, bits = (7 if akind == "ulaw" else 6), 1, 8
         elif akind == "pcm8":
-            data = bytes(rng.randrange(256) for _ in range(n_samples))
+            if tone is not None:
+                data = ((tone.astype(np.int32) >> 8) + 128).astype(
+                    np.uint8).tobytes()
+            else:
+                data = bytes(rng.randrange(256) for _ in range(n_samples))
             fmt_tag, ch, bits = 1, 1, 8
         elif akind == "stereo16":
-            data = bytes(rng.randrange(256) for _ in range(4 * n_samples))
+            if tone is not None:
+                data = np.repeat(tone, 2).astype("<i2").tobytes()
+            else:
+                data = bytes(rng.randrange(256) for _ in range(4 * n_samples))
             fmt_tag, ch, bits = 1, 2, 16
         else:
-            data = bytes(rng.randrange(256) for _ in range(2 * n_samples))
+            if tone is not None:
+                data = tone.astype("<i2").tobytes()
+            else:
+                data = bytes(rng.randrange(256) for _ in range(2 * n_samples))
             fmt_tag, ch, bits = 1, 1, 16
         block = ch * (bits // 8)
         payload = (
@@ -1265,21 +1287,37 @@ def phash_near_dups(df: DataFrame) -> DataFrame:
     images the same plan widens the signature to 256 bits, exactly the
     simhash_near_dups discussion."""
     sig = image_phash(df).localCheckpoint()
+    return banded_hamming_pairs(sig, "phash")
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    hash_col: str,
+    n_bands: int = PHASH_BANDS,
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Shared banded near-dup join over a (media_id, <hash>) signature
+    relation: 4x16-bit band equi-join, bit_count verify on candidates —
+    the one physical plan behind image pHash and audio fingerprint
+    dedup (and textops.simhash_near_dups, which predates this helper).
+    Signatures must keep bit 63 clear so the band shifts are sign-safe
+    in both engines."""
+    bw = 64 // n_bands
     bands = sig.select(
         "media_id",
-        "phash",
+        hash_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftright("phash", b * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(hash_col, b * bw)
+                    .bitwiseAND(F.lit((1 << bw) - 1))
                     .alias("key"),
                 )
-                for b in range(PHASH_BANDS)
+                for b in range(n_bands)
             ])
         ).alias("bk"),
-    ).select("media_id", "phash", "bk.band", "bk.key")
+    ).select("media_id", hash_col, "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -1291,14 +1329,86 @@ def phash_near_dups(df: DataFrame) -> DataFrame:
         .select(
             F.col("a.media_id").alias("media_a"),
             F.col("b.media_id").alias("media_b"),
-            F.col("a.phash").alias("pa"),
-            F.col("b.phash").alias("pb"),
+            F.col(f"a.{hash_col}").alias("pa"),
+            F.col(f"b.{hash_col}").alias("pb"),
         )
         .distinct()
     )
     hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
     return (
-        cand.filter(hamming <= PHASH_MAX_HAMMING)
+        cand.filter(hamming <= max_hamming)
         .select("media_a", "media_b", hamming.cast("int").alias("hamming"))
         .orderBy("media_a", "media_b")
     )
+
+
+# ------------------------------------------------------ audio fingerprint
+
+def _tone_wave(clip: int, n: int) -> "np.ndarray":
+    """Deterministic structured audio clip (int16): a sinusoid carrier
+    under a slow sinusoidal amplitude envelope, both pure functions of
+    the clip id.  The envelope is defined in NORMALIZED time, so the
+    same clip rendered at different lengths (different codecs' block
+    constraints) keeps the same fingerprint."""
+    t = np.arange(n, dtype=np.float64)
+    f = 0.02 + 0.015 * (clip % 5)
+    g = (clip % 7 + 2) / n
+    env = 0.55 + 0.45 * np.sin(2 * np.pi * g * t + clip)
+    return np.round(env * np.sin(2 * np.pi * f * t) * 12000).astype(np.int16)
+
+
+def afp64(payload: bytes) -> int | None:
+    """64-bit audio fingerprint: decode -> |samples| energy envelope
+    binned to 64 equal time slices (exact cumsum arithmetic) -> bit j =
+    (bin j+1 > median of bins 1..63).  Bit 63 stays clear, same
+    sign-safety contract as phash64.  Level-vs-median thresholding (not
+    adjacent deltas) survives G.711/ADPCM/8-bit quantization: measured
+    Hamming <= 2 for every clip re-encoded through all five WAV codecs.
+    Returns None when the payload doesn't decode.  The single normative
+    implementation shared by the Spark path and the oracle table."""
+    try:
+        _, samples = decode_audio(payload)
+    except Exception:
+        return None
+    if samples.size == 0:
+        return None
+    a = np.abs(samples.astype(np.float64))
+    if a.size < 64:
+        a = np.repeat(a, -(-64 // a.size))
+    bb = (np.arange(65) * a.size) // 64
+    cs = np.concatenate([[0.0], np.cumsum(a)])
+    env = (cs[bb[1:]] - cs[bb[:-1]]) / (bb[1:] - bb[:-1])
+    vals = env[1:]
+    med = float(np.median(vals))
+    bits = 0
+    for j, v in enumerate(vals):
+        if v > med:
+            bits |= 1 << j
+    return bits
+
+
+def audio_afp(df: DataFrame) -> DataFrame:
+    """(media_id, afp) for every decodable audio payload."""
+    def hash_batches(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"],
+                                    pdf["payload"]):
+                if kind != "audio":
+                    continue
+                fp = afp64(bytes(p))
+                if fp is not None:
+                    rows.append({"media_id": mid, "afp": fp})
+            yield pd.DataFrame(rows, columns=["media_id", "afp"])
+
+    return df.mapInPandas(hash_batches, "media_id long, afp long")
+
+
+def afp_near_dups(df: DataFrame) -> DataFrame:
+    """Audio near-duplicate pairs — the audio twin of phash_near_dups:
+    the same clip re-encoded across WAV codecs (PCM16/PCM8/stereo,
+    G.711 mu/A-law, IMA ADPCM) fingerprints within Hamming 2; the banded
+    join (shared plan: banded_hamming_pairs) finds the pairs without an
+    all-pairs scan.  Same scale shape as the image path."""
+    sig = audio_afp(df).localCheckpoint()
+    return banded_hamming_pairs(sig, "afp")

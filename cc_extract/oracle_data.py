@@ -117,7 +117,8 @@ def media_table(n: int = 400) -> str:
 
     from .multimodal import (FEATURE_DIM, audio_row_stats, gen_media,
                              image_row_stats, mp4_row_stats,
-                             parse_media_meta, phash64, video_row_stats)
+                             afp64, parse_media_meta, phash64,
+                             video_row_stats)
 
     rows = [gen_media(i) for i in range(n)]
     metas = [parse_media_meta(r["payload"]) for r in rows]
@@ -134,6 +135,8 @@ def media_table(n: int = 400) -> str:
             for r in rows]
     phashes = [phash64(r["payload"]) if r["kind"] == "image" else None
                for r in rows]
+    afps = [afp64(r["payload"]) if r["kind"] == "audio" else None
+            for r in rows]
     feats = []
     for r in rows:
         arr = np.frombuffer(r["payload"], dtype=np.uint8)
@@ -153,6 +156,7 @@ def media_table(n: int = 400) -> str:
         "parse_ok": pa.array([m["parse_ok"] for m in metas], pa.bool_()),
         "feature": pa.array(feats, pa.list_(pa.float64())),
         "phash": pa.array(phashes, pa.int64()),
+        "afp": pa.array(afps, pa.int64()),
         "img_container": pa.array(
             [d["container"] if d else None for d in decs], pa.string()),
         "dec_ok": pa.array(

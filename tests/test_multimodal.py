@@ -447,3 +447,71 @@ def test_phash_near_dups_finds_planted_scenes(spark):
                 want[(ids[x], ids[y])] = hd
     assert got == want
     assert len(want) > 0
+
+
+def test_afp_cross_codec_invariance():
+    """The same clip encoded as PCM16, stereo PCM16, PCM8, mu-law,
+    A-law, and IMA ADPCM must fingerprint within the near-dup radius;
+    a different clip must not."""
+    import struct as st
+
+    spb = mm.ima_samples_per_block(256)
+    n = 2 * spb
+    w = mm._tone_wave(3, n)
+
+    def wav(fmt_tag, ch, bits, data):
+        block = ch * (bits // 8)
+        return (b"RIFF" + st.pack("<I", 36 + len(data)) + b"WAVEfmt "
+                + st.pack("<IHHIIHH", 16, fmt_tag, ch, 8000, 8000 * block,
+                          block, bits)
+                + b"data" + st.pack("<I", len(data)) + data)
+
+    ima_data = mm._ima_encode(w, 256)
+    ima = (b"RIFF" + st.pack("<I", 40 + len(ima_data)) + b"WAVEfmt "
+           + st.pack("<IHHIIHHHH", 20, 17, 1, 8000, 8000 * 256 // spb,
+                     256, 4, 2, spb)
+           + b"data" + st.pack("<I", len(ima_data)) + ima_data)
+    payloads = [
+        wav(1, 1, 16, w.astype("<i2").tobytes()),
+        wav(1, 2, 16, np.repeat(w, 2).astype("<i2").tobytes()),
+        wav(1, 1, 8, ((w.astype(np.int32) >> 8) + 128)
+            .astype(np.uint8).tobytes()),
+        wav(7, 1, 8, mm._ulaw_compress(w).tobytes()),
+        wav(6, 1, 8, mm._alaw_compress(w).tobytes()),
+        ima,
+    ]
+    hashes = [mm.afp64(p) for p in payloads]
+    assert all(hx is not None for hx in hashes)
+    ref = hashes[0]
+    for hx in hashes[1:]:
+        assert bin(ref ^ hx).count("1") <= mm.PHASH_MAX_HAMMING
+    # different clip id, same codec: far away
+    other = mm.afp64(wav(1, 1, 16, mm._tone_wave(7, n).astype("<i2").tobytes()))
+    assert bin(ref ^ other).count("1") > mm.PHASH_MAX_HAMMING
+    # length invariance: the envelope is normalized-time, so the same
+    # clip at a different duration stays within radius
+    n2 = 3 * spb
+    longer = mm.afp64(wav(1, 1, 16, mm._tone_wave(3, n2).astype("<i2").tobytes()))
+    assert bin(ref ^ longer).count("1") <= mm.PHASH_MAX_HAMMING
+
+
+def test_afp_near_dups_matches_bruteforce(spark):
+    df = mm.media_df(spark, 200, partitions=4)
+    got = {(r.media_a, r.media_b): r.hamming
+           for r in mm.afp_near_dups(df).collect()}
+    sigs = {}
+    for i in range(200):
+        r = mm.gen_media(i)
+        if r["kind"] == "audio":
+            fp = mm.afp64(r["payload"])
+            if fp is not None:
+                sigs[r["media_id"]] = fp
+    ids = sorted(sigs)
+    want = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            hd = bin(sigs[ids[x]] ^ sigs[ids[y]]).count("1")
+            if hd <= mm.PHASH_MAX_HAMMING:
+                want[(ids[x], ids[y])] = hd
+    assert got == want
+    assert len(want) > 0
