@@ -124,6 +124,131 @@ def _mp4_container(rng: random.Random, n_frames: int, w: int, h: int,
     return ftyp + moov + mdat
 
 
+def _mp4_mjpeg_container(jpeg_frames: list[bytes], w: int, h: int,
+                         fps: int = 12) -> bytes:
+    """MJPEG-in-MP4 writer: a spec-shaped ISO BMFF file whose single
+    video track carries a QuickTime 'jpeg' visual sample entry and whose
+    mdat holds one independent baseline JPEG per sample — so MP4 video
+    becomes genuinely frame-decodable through the repo's own T.81
+    decoder, the same narrowing AVI got.  Real stsz sizes and a real
+    stco chunk offset (the moov is built twice: the second pass patches
+    the offset once the header length is known — stco's width doesn't
+    depend on its value, so sizes are stable)."""
+    timescale = 600
+    frame_dur = timescale // fps
+    n = len(jpeg_frames)
+    duration = n * frame_dur
+    sizes = [len(f) for f in jpeg_frames]
+
+    def full(typ, body, version=0, flags=0):
+        return _mp4_box(typ, struct.pack(">B3s", version,
+                                         flags.to_bytes(3, "big")) + body)
+
+    matrix = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                         0x40000000)
+
+    def build_moov(chunk_offset: int) -> bytes:
+        mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, timescale, duration)
+                    + struct.pack(">iH", 0x00010000, 0x0100) + bytes(10)
+                    + matrix + bytes(24) + struct.pack(">I", 2))
+        tkhd = full(b"tkhd", struct.pack(">IIII", 0, 0, 1, 0)
+                    + struct.pack(">I", duration) + bytes(8)
+                    + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+                    + struct.pack(">II", w << 16, h << 16), flags=7)
+        mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale,
+                                         duration, 0x55C4, 0))
+        hdlr = full(b"hdlr", struct.pack(">I4s", 0, b"vide") + bytes(12)
+                    + b"SyntheticHandler\x00")
+        jpeg_entry = _mp4_box(b"jpeg", bytes(6) + struct.pack(">H", 1)
+                              + bytes(16) + struct.pack(">HH", w, h)
+                              + struct.pack(">IIIH", 0x00480000, 0x00480000,
+                                            0, 1)
+                              + bytes(32) + struct.pack(">Hh", 24, -1))
+        stsd = full(b"stsd", struct.pack(">I", 1) + jpeg_entry)
+        stts = full(b"stts", struct.pack(">I", 1)
+                    + struct.pack(">II", n, frame_dur))
+        stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+        stsz = full(b"stsz", struct.pack(">II", 0, n)
+                    + b"".join(struct.pack(">I", sz) for sz in sizes))
+        stco = full(b"stco", struct.pack(">II", 1, chunk_offset))
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+        dinf = _mp4_box(b"dinf", full(b"dref", struct.pack(">I", 1)
+                                      + full(b"url ", b"", flags=1)))
+        minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        return _mp4_box(b"moov", mvhd + trak)
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                    + b"isomiso2mp41")
+    header_len = len(ftyp) + len(build_moov(0))
+    moov = build_moov(header_len + 8)  # mdat body starts after its header
+    mdat = _mp4_box(b"mdat", b"".join(jpeg_frames))
+    return ftyp + moov + mdat
+
+
+_MP4_MAX_FRAMES = 4096
+
+
+def decode_mp4_frames(payload: bytes) -> list:
+    """Decode every frame of an MJPEG ('jpeg' sample entry) MP4: read
+    the video track's stsz sizes and stco chunk offset, slice the
+    samples out of mdat, and hand each to the from-scratch T.81 decoder.
+    Raises on non-MP4, non-jpeg codecs (H.264 stays the honest stub),
+    or malformed sample tables — callers quarantine, the same contract
+    as decode_avi_frames / decode_gif_frames."""
+    from .extractors.jpeg import decode_jpeg_gray
+
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload")
+    moov = _mp4_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    for t, s, e in _mp4_boxes(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _mp4_find(payload, s, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(payload, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8: hdlr[0] + 12] != b"vide":
+            continue
+        minf = _mp4_find(payload, mdia[0], mdia[1], b"minf")
+        stbl = minf and _mp4_find(payload, minf[0], minf[1], b"stbl")
+        if not stbl:
+            raise ValueError("video trak without stbl")
+        stsd = _mp4_find(payload, stbl[0], stbl[1], b"stsd")
+        entry = stsd and next(
+            iter(_mp4_boxes(payload, stsd[0] + 8, stsd[1])), None)
+        if entry is None:
+            raise ValueError("video trak without stsd entry")
+        if entry[0] != b"jpeg":
+            raise ValueError(
+                f"unsupported MP4 codec {entry[0].decode('latin-1')!r}")
+        stsz = _mp4_find(payload, stbl[0], stbl[1], b"stsz")
+        stco = _mp4_find(payload, stbl[0], stbl[1], b"stco")
+        if stsz is None or stco is None:
+            raise ValueError("jpeg trak without stsz/stco")
+        n, = struct.unpack_from(">I", payload, stsz[0] + 8)
+        if not 1 <= n <= _MP4_MAX_FRAMES:
+            raise ValueError(f"implausible sample count {n}")
+        sizes = [struct.unpack_from(">I", payload, stsz[0] + 12 + 4 * k)[0]
+                 for k in range(n)]
+        n_chunks, = struct.unpack_from(">I", payload, stco[0] + 4)
+        if n_chunks < 1:
+            raise ValueError("empty stco")
+        pos, = struct.unpack_from(">I", payload, stco[0] + 8)
+        frames = []
+        for sz in sizes:
+            if pos + sz > len(payload) or sz < 4:
+                raise ValueError("sample overruns file")
+            frames.append(decode_jpeg_gray(payload[pos:pos + sz]))
+            pos += sz
+        return frames
+    raise ValueError("no video track")
+
+
 # ------------------------------------------------------------ AVI/MJPEG
 
 def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
@@ -360,6 +485,24 @@ def gen_media(i: int, seed: int = 42) -> dict:
                 jf.append(cg._jpeg_gray(fw, fh, bytes(raster)))
             payload = _avi_container(jf, w, h,
                                      fps=rng.choice([10, 15, 24]))
+        elif vpick < 0.78:
+            # REAL MJPEG-in-MP4 (round 4, continued): 'jpeg' visual
+            # sample entry, one baseline JPEG per sample in mdat, real
+            # stsz/stco tables — MP4 video frames genuinely decode
+            from .glyphs import render_raster
+
+            from . import corpusgen as cg
+
+            n_frames = rng.randint(2, 5)
+            jf = []
+            w = h = None
+            for k in range(n_frames):
+                fw, fh, raster = render_raster(
+                    f"MP4C {i:06d} F{k} Q{rng.randint(10, 99)}")
+                w, h = fw, fh
+                jf.append(cg._jpeg_gray(fw, fh, bytes(raster)))
+            payload = _mp4_mjpeg_container(jf, w, h,
+                                           fps=rng.choice([10, 12, 24]))
         elif vpick < 0.92:
             # REAL MP4 container (round 4, continued): full ISO BMFF box
             # tree — structure (frame count, duration, codec, dims) is
@@ -1019,17 +1162,22 @@ def media_features(df: DataFrame) -> DataFrame:
 
 
 def video_row_stats(payload: bytes) -> dict:
-    """Per-row video decode outcome (animated GIF and MJPEG-AVI are the
-    real containers; MP4/H.264 stays the honest stub) — the normative
-    implementation shared by the Spark path and the oracle."""
+    """Per-row video decode outcome (animated GIF, MJPEG-AVI, and
+    MJPEG-MP4 are the real containers; MP4/H.264 stays the honest stub)
+    — the normative implementation shared by the Spark path and the
+    oracle."""
     out = {"vid_ok": False, "vid_n_frames": None,
            "vid_avg_frame_luma": None, "vid_mean_frame_delta": None}
     is_avi = payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
-    if payload[:6] not in (b"GIF87a", b"GIF89a") and not is_avi:
+    is_mp4 = len(payload) >= 16 and payload[4:8] == b"ftyp"
+    if payload[:6] not in (b"GIF87a", b"GIF89a") and not is_avi \
+            and not is_mp4:
         return out
     try:
         if is_avi:
             frames = decode_avi_frames(payload)
+        elif is_mp4:
+            frames = decode_mp4_frames(payload)
         else:
             from .extractors.gif import decode_gif_frames
 

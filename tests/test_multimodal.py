@@ -167,7 +167,11 @@ def test_mp4_in_media_sweep():
         assert meta["parse_ok"] == m["mp4_ok"]
         if m["mp4_ok"]:
             ok += 1
-            assert m["mp4_codec"] == "avc1" and m["mp4_n_frames"] >= 5
+            assert m["mp4_codec"] in ("avc1", "jpeg")
+            if m["mp4_codec"] == "avc1":
+                assert m["mp4_n_frames"] >= 5
+            else:
+                assert 2 <= m["mp4_n_frames"] <= 5
             assert meta["width"] == m["mp4_w"]
         else:
             bad += 1
@@ -515,3 +519,73 @@ def test_afp_near_dups_matches_bruteforce(spark):
                 want[(ids[x], ids[y])] = hd
     assert got == want
     assert len(want) > 0
+
+
+def test_mp4_mjpeg_roundtrip_and_meta():
+    """MJPEG-in-MP4: the writer's structure parses (codec 'jpeg', real
+    frame count/dims) and every frame decodes pixel-exactly through the
+    T.81 decoder."""
+    from cc_extract import corpusgen as cg
+    from cc_extract.glyphs import render_raster
+
+    rasters, jf = [], []
+    w = h = None
+    for k in range(4):
+        fw, fh, r = render_raster(f"MP4 RT F{k} XY")
+        w, h = fw, fh
+        rasters.append(bytes(r))
+        jf.append(cg._jpeg_gray(fw, fh, bytes(r)))
+    p = mm._mp4_mjpeg_container(jf, w, h, fps=12)
+    meta = mm.parse_mp4_meta(p)
+    assert meta["mp4_ok"] and meta["mp4_codec"] == "jpeg"
+    assert meta["mp4_n_frames"] == 4 and (meta["mp4_w"], meta["mp4_h"]) == (w, h)
+    frames = mm.decode_mp4_frames(p)
+    assert len(frames) == 4
+    for (fw, fh, dec), orig in zip(frames, rasters):
+        assert (fw, fh) == (w, h)
+        # baseline JPEG of a glyph raster reconstructs near-exactly; the
+        # decoded raster must OCR back to the same thresholded content
+        a = np.frombuffer(bytes(dec), np.uint8).astype(np.int16)
+        b = np.frombuffer(orig, np.uint8).astype(np.int16)
+        assert np.abs(a - b).max() <= 64 and ((a < 128) == (b < 128)).mean() > 0.99
+    stats = mm.video_row_stats(p)
+    assert stats["vid_ok"] and stats["vid_n_frames"] == 4
+
+
+def test_mp4_mjpeg_hostile_bytes_never_raise_in_stats():
+    """Truncations / flips on an MJPEG MP4 must land in vid_ok=False via
+    video_row_stats, never escape; avc1 MP4s stay honestly undecodable."""
+    import random
+
+    from cc_extract import corpusgen as cg
+    from cc_extract.glyphs import render_raster
+
+    fw, fh, r = render_raster("HOSTILE MP4")
+    p = mm._mp4_mjpeg_container([cg._jpeg_gray(fw, fh, bytes(r))], fw, fh)
+    rng = random.Random(7)
+    for t in range(80):
+        b = bytearray(p)
+        if t % 2:
+            b = b[: rng.randrange(len(b))]
+        else:
+            for _ in range(5):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        out = mm.video_row_stats(bytes(b))
+        assert isinstance(out["vid_ok"], bool)
+    # an avc1-codec MP4 (H.264 stub) must refuse frame decode
+    rng2 = random.Random(3)
+    avc = mm._mp4_container(rng2, n_frames=6, w=320, h=240)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mm.decode_mp4_frames(avc)
+    assert mm.video_row_stats(avc)["vid_ok"] is False
+
+
+def test_mp4_mjpeg_in_media_sweep(spark):
+    """gen_media emits MJPEG MP4s and the distributed decode path sees
+    them: container mp4 rows now split into decodable and stub."""
+    df = mm.media_df(spark, 400, partitions=8)
+    rows = mm.video_decode_stats(df).collect()
+    by = {(r["container"], r["vid_ok"]): r["n_videos"] for r in rows}
+    assert by.get(("mp4", True), 0) > 0, by
+    assert by.get(("mp4", False), 0) > 0, by  # avc1 + stubs stay honest
