@@ -939,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_segment_boilerplate": textops.segment_boilerplate,
         "doc_bm25_rank": textops.bm25_rank,
         "doc_dsir_weights": textops.dsir_weights,
+        "doc_curation_funnel": textops.curation_funnel,
         "doc_duplicate_spans": textops.duplicate_spans,
         "doc_token_budget_selection": textops.token_budget_selection,
         "doc_source_mixture": textops.source_mixture_weights,
@@ -2953,6 +2954,74 @@ SELECT media_id,
        CAST(unnest(range(0, coalesce(vid_n_frames, mp4_n_frames, 0), 10)) AS INT) AS frame_idx
 FROM read_parquet('{media}')
 WHERE kind = 'video'
+"""
+
+    # curation funnel: COMPOSED from the component oracles above (each
+    # wrapped as a CTE body — DuckDB allows nested WITH), so the funnel's
+    # truth can't drift from its parts.  Conditional sums (not WHERE)
+    # keep empty stages at 0 rather than NULL, matching Spark.
+    _stop_en = _stop_list(textops.EN_STOP)
+    _stop_de = _stop_list(textops.DE_STOP)
+    _stop_fr = _stop_list(textops.FR_STOP)
+    _stages = ["all", "lang_en", "quality", "exact_dedup", "near_dedup",
+               "decontaminated"]
+    _unpivot = "\nUNION ALL ".join(
+        f"SELECT {k} AS stage, '{name}' AS stage_name, "
+        f"CAST(d{k} AS BIGINT) AS n_docs, CAST(t{k} AS BIGINT) AS n_tokens "
+        f"FROM agg"
+        for k, name in enumerate(_stages)
+    )
+    sql["doc_curation_funnel"] = f"""
+WITH lang AS (
+  SELECT doc_id,
+         (en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0) AS is_en
+  FROM (
+    SELECT doc_id,
+           len(list_filter({_TOKENS}, tk -> tk IN ({_stop_en}))) AS en_hits,
+           len(list_filter({_TOKENS}, tk -> tk IN ({_stop_de}))) AS de_hits,
+           len(list_filter({_TOKENS}, tk -> tk IN ({_stop_fr}))) AS fr_hits
+    FROM documents)
+),
+qual AS ({sql["doc_corpus_filter"]}),
+ex AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS exact_keep
+  FROM documents
+),
+nd AS ({sql["doc_dedup_keep_decision"]}),
+cont AS ({sql["doc_benchmark_decontamination"]}),
+flags AS (
+  SELECT d.doc_id,
+         substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < '1' AS is_bench,
+         lang.is_en, qual.n_tokens, qual.keep AS q_keep,
+         ex.exact_keep, nd.keep AS nd_keep,
+         cont.doc_id IS NOT NULL AS contaminated
+  FROM documents d
+  JOIN lang USING (doc_id)
+  JOIN qual USING (doc_id)
+  JOIN ex USING (doc_id)
+  JOIN nd USING (doc_id)
+  LEFT JOIN cont ON d.doc_id = cont.doc_id
+),
+c AS (
+  SELECT n_tokens,
+         TRUE AS c0,
+         is_en AS c1,
+         is_en AND q_keep AS c2,
+         is_en AND q_keep AND exact_keep AS c3,
+         is_en AND q_keep AND exact_keep AND nd_keep AS c4,
+         is_en AND q_keep AND exact_keep AND nd_keep
+           AND NOT contaminated AND NOT is_bench AS c5
+  FROM flags
+),
+agg AS (
+  SELECT {", ".join(
+    f"sum(CASE WHEN c{k} THEN 1 ELSE 0 END) AS d{k}, "
+    f"sum(CASE WHEN c{k} THEN n_tokens ELSE 0 END) AS t{k}"
+    for k in range(6))}
+  FROM c
+)
+SELECT * FROM ({_unpivot}) ORDER BY stage
 """
 
     return sql

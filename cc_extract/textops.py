@@ -1855,3 +1855,89 @@ def dsir_weights(spark, sf_dir: str, n_buckets: int = 256) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------- curation funnel
+
+def curation_funnel(spark, sf_dir: str) -> DataFrame:
+    """End-to-end curation FUNNEL: the survivor count and token count
+    after each stage of the canonical training-data pipeline, in
+    pipeline order — language ID -> quality rules -> exact dedup ->
+    near-dup dedup -> benchmark decontamination.  This is the one-table
+    audit every curation run publishes (what fraction of the crawl
+    survived, and which stage ate what), composed from the SAME
+    operators shipped individually (corpus_filter, exact_dedup's
+    canonical rule, dedup_keep_decision, benchmark_decontamination) so
+    the funnel can't drift from its parts.
+
+    Scale shape: each flag relation is the corresponding operator's
+    scale shape; the funnel adds only doc_id equi-joins (AQE broadcasts
+    the small flag sides) and ONE single-row aggregate of conditional
+    sums — stages are cumulative booleans, so the whole funnel is one
+    pass over the joined flags, not five scans."""
+    docs = load_documents(spark, sf_dir)
+    toks = with_tokens(docs)
+    en = F.size(F.filter("tokens", lambda t: t.isin(EN_STOP)))
+    de = F.size(F.filter("tokens", lambda t: t.isin(DE_STOP)))
+    fr = F.size(F.filter("tokens", lambda t: t.isin(FR_STOP)))
+    lang = toks.select(
+        "doc_id",
+        ((en >= de) & (en >= fr) & (en > 0)).alias("is_en"),
+    )
+    qual = corpus_filter(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.col("keep").alias("q_keep")
+    )
+    ex = docs.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(
+                Window.partitionBy(F.md5(F.col("text")))
+            )
+        ).alias("exact_keep"),
+    )
+    nd = dedup_keep_decision(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("nd_keep")
+    )
+    cont = benchmark_decontamination(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("contaminated")
+    )
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "1"
+    flags = (
+        docs.select("doc_id", is_bench.alias("is_bench"))
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(ex, "doc_id")
+        .join(nd, "doc_id")
+        .join(F.broadcast(cont), "doc_id", "left")
+        .fillna(False, subset=["contaminated"])
+    )
+    s1 = F.col("is_en")
+    s2 = s1 & F.col("q_keep")
+    s3 = s2 & F.col("exact_keep")
+    s4 = s3 & F.col("nd_keep")
+    s5 = s4 & ~F.col("contaminated") & ~F.col("is_bench")
+    stages = [
+        ("all", F.lit(True)), ("lang_en", s1), ("quality", s2),
+        ("exact_dedup", s3), ("near_dedup", s4), ("decontaminated", s5),
+    ]
+    aggs = []
+    for k, (_, cond) in enumerate(stages):
+        aggs.append(F.sum(cond.cast("long")).alias(f"d{k}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("n_tokens")).otherwise(0))
+            .cast("long").alias(f"t{k}")
+        )
+    one = flags.agg(*aggs)
+    return one.select(
+        F.posexplode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("stage_name"),
+                    F.col(f"d{k}").alias("n_docs"),
+                    F.col(f"t{k}").alias("n_tokens"),
+                )
+                for k, (name, _) in enumerate(stages)
+            ])
+        ).alias("stage", "s")
+    ).select("stage", "s.stage_name", "s.n_docs", "s.n_tokens")
