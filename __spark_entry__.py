@@ -958,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_ann": embedops.lsh_ann,
         "emb_ivf_ann": embedops.ivf_ann,
         "emb_ivf_ann_nprobe2": lambda spark, sf: embedops.ivf_ann(spark, sf, nprobe=2),
+        "emb_pq_ann": embedops.pq_ann,
         "emb_cosine_near_dup": embedops.cosine_near_dup_pairs,
         "emb_lsh_ann_multiprobe": embedops.lsh_ann_multiprobe,
         "emb_ann_recall": embedops.ann_recall,
@@ -2383,6 +2384,94 @@ ORDER BY cos_sim DESC, emb.vec_id LIMIT 10
     sql["emb_ivf_ann"] = _ivf_sql(1)
     sql["emb_ivf_ann_nprobe2"] = _ivf_sql(2)
 
+    def _pq_sql() -> str:
+        # Product quantization, mirroring embedops.pq_codebooks /
+        # pq_ann exactly: per 16-d subspace an independent PQ_K-means
+        # (same md5-ordered seeds, PQ_ITERS Lloyd iterations with
+        # round(avg, 6), emptied codewords keep their previous value),
+        # codes = argmin vs the final codewords (ties to the lower
+        # code), query distance tables rounded 6 dp, ADC = t0+t1+t2+t3
+        # in subspace order.
+        pq_m, sub, pq_k = embedops.PQ_M, embedops.PQ_SUB, embedops.PQ_K
+        iters = embedops.PQ_ITERS
+        parts = []
+        for m in range(pq_m):
+            lo = m * sub
+            parts.append(f"""
+s{m}x AS (
+  SELECT vec_id, pos - {lo} AS pos, v FROM ex
+  WHERE pos >= {lo} AND pos < {lo + sub}
+),
+s{m}c0 AS (
+  SELECT cell, i AS pos, e[CAST(i AS INT) + {lo} + 1] AS c
+  FROM seeds, range({sub}) AS t(i)
+)""")
+            prev = f"s{m}c0"
+            for n in range(1, iters + 1):
+                parts.append(f"""
+s{m}d{n} AS (
+  SELECT x.vec_id, c.cell, sum((x.v - c.c) * (x.v - c.c)) AS d
+  FROM s{m}x x JOIN {prev} c ON c.pos = x.pos
+  GROUP BY x.vec_id, c.cell
+),
+s{m}a{n} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM s{m}d{n}) WHERE rn = 1
+),
+s{m}u{n} AS (
+  SELECT a.cell, x.pos, round(avg(x.v), 6) AS c
+  FROM s{m}a{n} a JOIN s{m}x x USING (vec_id)
+  GROUP BY a.cell, x.pos
+),
+s{m}c{n} AS (
+  SELECT p.cell, p.pos, coalesce(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN s{m}u{n} u ON u.cell = p.cell AND u.pos = p.pos
+)""")
+                prev = f"s{m}c{n}"
+            parts.append(f"""
+code{m} AS (
+  SELECT vec_id, cell AS code FROM (
+    SELECT x.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY sum((x.v - c.c) * (x.v - c.c)), c.cell) AS rn
+    FROM s{m}x x JOIN {prev} c ON c.pos = x.pos
+    GROUP BY x.vec_id, c.cell) WHERE rn = 1
+),
+qt{m} AS (
+  SELECT c.cell AS code,
+         round(sum((c.c - qv[CAST(c.pos AS INT) + {lo} + 1])
+                 * (c.c - qv[CAST(c.pos AS INT) + {lo} + 1])), 6) AS t
+  FROM {prev} c, q GROUP BY c.cell
+)""")
+        joins = "\n".join(
+            f"JOIN code{m} ON code{m}.vec_id = emb.vec_id\n"
+            f"JOIN qt{m} ON qt{m}.code = code{m}.code"
+            for m in range(pq_m)
+        )
+        adc = " + ".join(f"qt{m}.t" for m in range(pq_m))
+        return f"""
+WITH q AS (SELECT {qlit} AS qv),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ex AS (
+  SELECT vec_id, i AS pos, e[CAST(i AS INT) + 1] AS v
+  FROM e, range({embedops.DIM}) AS t(i)
+),
+seeds AS (
+  SELECT row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, e
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {pq_k}
+),{",".join(parts)}
+SELECT emb.vec_id, emb.label, round({adc}, 6) AS adc_dist
+FROM embeddings emb
+{joins}
+ORDER BY adc_dist, emb.vec_id LIMIT {embedops.DEFAULT_K}
+"""
+
+    sql["emb_pq_ann"] = _pq_sql()
+
     # recall@k of every approximate path vs the exact brute-force top-k —
     # composed from the ANN oracles above, so truth and candidates are the
     # very queries under test
@@ -2392,6 +2481,7 @@ ORDER BY cos_sim DESC, emb.vec_id LIMIT 10
         "lsh_multiprobe": sql["emb_lsh_ann_multiprobe"],
         "ivf_nprobe1": sql["emb_ivf_ann"],
         "ivf_nprobe2": sql["emb_ivf_ann_nprobe2"],
+        "pq_adc": sql["emb_pq_ann"],
     }
     ctes = ",\n".join(
         f"c_{m} AS (SELECT vec_id FROM ({q}))" for m, q in recall_ctes.items()

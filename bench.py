@@ -153,12 +153,19 @@ def main() -> None:
     timed("doc_quality_classifier", textops.quality_classifier)
     timed("doc_bm25_rank", textops.bm25_rank)
     timed("doc_dsir_weights", textops.dsir_weights)
+    # the composite audit: runs lang-ID + quality + exact/near dedup +
+    # decontamination flags in one plan — the closest thing to a
+    # full-pipeline headline number
+    timed("doc_curation_funnel", textops.curation_funnel)
     timed("emb_knn_bruteforce", embedops.knn_bruteforce)
     # k-means index build happens in the warm-up call and is cached —
     # the timed window measures the probe, the standard ANN serving metric
     timed("emb_ivf_ann", embedops.ivf_ann)
     timed("emb_lsh_ann", embedops.lsh_ann)
     timed("emb_lsh_ann_multiprobe", embedops.lsh_ann_multiprobe)
+    # PQ codebooks train in the warm-up and are cached — the timed
+    # window is the ADC scan + top-k, the PQ serving metric
+    timed("emb_pq_ann", embedops.pq_ann)
 
     spark.stop()
 
