@@ -940,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_rank": textops.bm25_rank,
         "doc_dsir_weights": textops.dsir_weights,
         "doc_curation_funnel": textops.curation_funnel,
+        "doc_dataset_split": textops.dataset_split,
         "doc_duplicate_spans": textops.duplicate_spans,
         "doc_token_budget_selection": textops.token_budget_selection,
         "doc_source_mixture": textops.source_mixture_weights,
@@ -1888,6 +1889,18 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          + CAST(0.0 AS DOUBLE) AS avg_logratio
 FROM feat JOIN lm USING (b)
 GROUP BY doc_id ORDER BY doc_id
+"""
+
+    sql["doc_dataset_split"] = """
+SELECT source,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source, split
+ORDER BY source, split
 """
 
     sql["doc_bigram_logprob"] = f"""

@@ -222,3 +222,48 @@ def windowed_crawl_stats_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------ stream-static join (R17 enrichment)
+
+def reputation_filtered_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    reputation: list[tuple[str, str]],
+    max_files: int = 8,
+):
+    """Stream-static join — the canonical enrichment shape Structured
+    Streaming was built around: every micro-batch equi-joins the STATIC
+    domain-reputation dimension (broadcast — it never shuffles the
+    stream side), unknown domains default to 'unknown', and 'blocked'
+    domains are dropped BEFORE any extraction cost is paid.  This is
+    the crawl-side reputation/blocklist gate every production firehose
+    consumer runs.
+
+    *reputation* is the static dim as (domain, reputation) pairs —
+    in production a table the job reads once at start; the stream side
+    re-joins it per micro-batch at zero re-read cost because the
+    broadcast is reused.  Returns the StreamingQuery."""
+    rep = spark.createDataFrame(reputation, "domain string, reputation string")
+    docs = stream_documents(spark, input_dir, max_files=max_files)
+    out = (
+        docs.withColumn(
+            "domain", F.regexp_extract("url", "//([^/]+)", 1)
+        )
+        .join(F.broadcast(rep), "domain", "left")
+        .fillna("unknown", subset=["reputation"])
+        .filter(F.col("reputation") != "blocked")
+        .select(
+            "url", "domain", "reputation", "warc_ts",
+            F.coalesce(F.length("html"), F.lit(0)).alias("n_bytes"),
+        )
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1941,3 +1941,36 @@ def curation_funnel(spark, sf_dir: str) -> DataFrame:
             ])
         ).alias("stage", "s")
     ).select("stage", "s.stage_name", "s.n_docs", "s.n_tokens")
+
+
+# ------------------------------------------------------- dataset splitting
+
+def dataset_split(spark, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test assignment
+    (90/5/5 by the first two hex digits of md5(doc_id)) with per-source
+    stratification audit — the split every training run must make
+    reproducibly, plus the table that proves the split didn't skew a
+    source.  Content addressing (hash of the STABLE id, never a random()
+    call) is what makes the split identical across engines, reruns, and
+    incremental corpus growth: a document never migrates between splits
+    when neighbors arrive.
+
+    Scale shape: the assignment is a pure projection; the audit is one
+    partial-aggregable groupBy over (sources x 3) keys."""
+    two = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(two < "e6", "train")    # 0x00-0xe5 = 230/256 ~ 89.8%
+        .when(two < "f3", "val")       # 0xe6-0xf2 =  13/256 ~  5.1%
+        .otherwise("test")             # 0xf3-0xff =  13/256 ~  5.1%
+    )
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.select("source", split.alias("split"),
+                    F.col("n_chars").cast("long").alias("n_chars"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )

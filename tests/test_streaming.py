@@ -322,3 +322,39 @@ def test_windowed_agg_drops_late_rows_and_finalizes_windows(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == {10: (2, 30), 11: (1, 40), 13: (1, 80)}
+
+
+def test_stream_static_join_filters_blocked_domains(spark, tmp_path):
+    """Stream-static join: the static reputation dim is broadcast into
+    every micro-batch; blocked domains never reach the sink, known
+    domains carry their reputation, unknown domains default — and the
+    surviving row set equals the batch equivalent exactly."""
+    from cc_extract.corpusgen import corpus_df
+
+    input_dir = str(tmp_path / "in")
+    corpus_df(spark, 300, partitions=4).write.parquet(input_dir)
+
+    rep = [("site00.example", "blocked"), ("site27.example", "trusted")]
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming.reputation_filtered_stream(
+        spark, input_dir, out_dir, ckpt, rep, max_files=64
+    )
+    q.awaitTermination(240)
+    assert not q.isActive
+
+    got = spark.read.parquet(out_dir)
+    by_rep = {r["reputation"]: r["n"] for r in
+              got.groupBy("reputation").agg(F.count("*").alias("n")).collect()}
+    assert "blocked" not in by_rep
+    assert by_rep.get("trusted", 0) > 0 and by_rep.get("unknown", 0) > 0
+
+    src = spark.read.parquet(input_dir).withColumn(
+        "domain", F.regexp_extract("url", "//([^/]+)", 1))
+    n_blocked = src.filter(F.col("domain") == "site00.example").count()
+    assert got.count() == src.count() - n_blocked and n_blocked > 0
+    assert got.filter(F.col("domain") == "site00.example").count() == 0
+    # trusted rows carry the dim's value
+    assert {r["reputation"] for r in
+            got.filter(F.col("domain") == "site27.example")
+            .select("reputation").distinct().collect()} == {"trusted"}
