@@ -960,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_ann": embedops.ivf_ann,
         "emb_ivf_ann_nprobe2": lambda spark, sf: embedops.ivf_ann(spark, sf, nprobe=2),
         "emb_pq_ann": embedops.pq_ann,
+        "emb_ivf_pq_ann": lambda spark, sf: embedops.ivf_pq_ann(spark, sf, nprobe=2),
         "emb_cosine_near_dup": embedops.cosine_near_dup_pairs,
         "emb_lsh_ann_multiprobe": embedops.lsh_ann_multiprobe,
         "emb_ann_recall": embedops.ann_recall,
@@ -2485,6 +2486,146 @@ ORDER BY adc_dist, emb.vec_id LIMIT {embedops.DEFAULT_K}
 
     sql["emb_pq_ann"] = _pq_sql()
 
+    def _ivf_pq_sql(nprobe: int) -> str:
+        # IVF coarse probe + PQ ADC within the probed cells — composed
+        # from the same generated fragments as _ivf_sql and _pq_sql
+        # (identical trainings, so the composition adds only the member
+        # filter to the PQ ranking).
+        n_cells, iters, dim = embedops.N_CELLS, embedops.KMEANS_ITERS, embedops.DIM
+        pq_m, sub = embedops.PQ_M, embedops.PQ_SUB
+        pq_k, pq_iters = embedops.PQ_K, embedops.PQ_ITERS
+
+        ivf_ctes = []
+        prev = "c0"
+        for n in range(1, iters + 1):
+            ivf_ctes.append(f"""
+d{n} AS (
+  SELECT x.vec_id, c.cell, sum((x.v - c.c) * (x.v - c.c)) AS d
+  FROM ex x JOIN {prev} c ON c.pos = x.pos
+  GROUP BY x.vec_id, c.cell
+),
+a{n} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM d{n}) WHERE rn = 1
+),
+u{n} AS (
+  SELECT a.cell, x.pos, round(avg(x.v), 6) AS c
+  FROM a{n} a JOIN ex x USING (vec_id)
+  GROUP BY a.cell, x.pos
+),
+c{n} AS (
+  SELECT p.cell, p.pos, coalesce(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN u{n} u ON u.cell = p.cell AND u.pos = p.pos
+)""")
+            prev = f"c{n}"
+        ivf_prev = prev
+
+        pq_parts = []
+        for m in range(pq_m):
+            lo = m * sub
+            pq_parts.append(f"""
+s{m}x AS (
+  SELECT vec_id, pos - {lo} AS pos, v FROM ex
+  WHERE pos >= {lo} AND pos < {lo + sub}
+),
+s{m}c0 AS (
+  SELECT cell, i AS pos, e[CAST(i AS INT) + {lo} + 1] AS c
+  FROM pseeds, range({sub}) AS t(i)
+)""")
+            prev = f"s{m}c0"
+            for n in range(1, pq_iters + 1):
+                pq_parts.append(f"""
+s{m}d{n} AS (
+  SELECT x.vec_id, c.cell, sum((x.v - c.c) * (x.v - c.c)) AS d
+  FROM s{m}x x JOIN {prev} c ON c.pos = x.pos
+  GROUP BY x.vec_id, c.cell
+),
+s{m}a{n} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM s{m}d{n}) WHERE rn = 1
+),
+s{m}u{n} AS (
+  SELECT a.cell, x.pos, round(avg(x.v), 6) AS c
+  FROM s{m}a{n} a JOIN s{m}x x USING (vec_id)
+  GROUP BY a.cell, x.pos
+),
+s{m}c{n} AS (
+  SELECT p.cell, p.pos, coalesce(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN s{m}u{n} u ON u.cell = p.cell AND u.pos = p.pos
+)""")
+                prev = f"s{m}c{n}"
+            pq_parts.append(f"""
+code{m} AS (
+  SELECT vec_id, cell AS code FROM (
+    SELECT x.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY sum((x.v - c.c) * (x.v - c.c)), c.cell) AS rn
+    FROM s{m}x x JOIN {prev} c ON c.pos = x.pos
+    GROUP BY x.vec_id, c.cell) WHERE rn = 1
+),
+qt{m} AS (
+  SELECT c.cell AS code,
+         round(sum((c.c - qv[CAST(c.pos AS INT) + {lo} + 1])
+                 * (c.c - qv[CAST(c.pos AS INT) + {lo} + 1])), 6) AS t
+  FROM {prev} c, q GROUP BY c.cell
+)""")
+        joins = "\n".join(
+            f"JOIN code{m} ON code{m}.vec_id = emb.vec_id\n"
+            f"JOIN qt{m} ON qt{m}.code = code{m}.code"
+            for m in range(pq_m)
+        )
+        adc = " + ".join(f"qt{m}.t" for m in range(pq_m))
+        return f"""
+WITH q AS (SELECT {qlit} AS qv),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+ex AS (
+  SELECT vec_id, i AS pos, e[CAST(i AS INT) + 1] AS v
+  FROM e, range({dim}) AS t(i)
+),
+seeds AS (
+  SELECT row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, e
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}
+),
+pseeds AS (
+  SELECT row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, e
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {pq_k}
+),
+c0 AS (
+  SELECT cell, i AS pos, e[CAST(i AS INT) + 1] AS c
+  FROM seeds, range({dim}) AS t(i)
+),{",".join(ivf_ctes)},
+member AS (
+  SELECT vec_id, cell FROM (
+    SELECT x.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY x.vec_id
+             ORDER BY sum((x.v - c.c) * (x.v - c.c)), c.cell) AS rn
+    FROM ex x JOIN {ivf_prev} c ON c.pos = x.pos
+    GROUP BY x.vec_id, c.cell) WHERE rn = 1
+),
+qdist AS (
+  SELECT c.cell, sum((c.c - qv[CAST(c.pos AS INT) + 1])
+                   * (c.c - qv[CAST(c.pos AS INT) + 1])) AS d
+  FROM {ivf_prev} c, q GROUP BY c.cell
+),
+best AS (SELECT cell FROM qdist ORDER BY d, cell LIMIT {nprobe}),{",".join(pq_parts)}
+SELECT emb.vec_id, emb.label, round({adc}, 6) AS adc_dist
+FROM embeddings emb
+JOIN member mem ON mem.vec_id = emb.vec_id
+{joins}
+WHERE mem.cell IN (SELECT cell FROM best)
+ORDER BY adc_dist, emb.vec_id LIMIT {embedops.DEFAULT_K}
+"""
+
+    sql["emb_ivf_pq_ann"] = _ivf_pq_sql(2)
+
     # recall@k of every approximate path vs the exact brute-force top-k —
     # composed from the ANN oracles above, so truth and candidates are the
     # very queries under test
@@ -2495,6 +2636,7 @@ ORDER BY adc_dist, emb.vec_id LIMIT {embedops.DEFAULT_K}
         "ivf_nprobe1": sql["emb_ivf_ann"],
         "ivf_nprobe2": sql["emb_ivf_ann_nprobe2"],
         "pq_adc": sql["emb_pq_ann"],
+        "ivf_pq": sql["emb_ivf_pq_ann"],
     }
     ctes = ",\n".join(
         f"c_{m} AS (SELECT vec_id FROM ({q}))" for m, q in recall_ctes.items()

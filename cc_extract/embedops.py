@@ -308,6 +308,7 @@ def ann_recall(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
         ("ivf_nprobe1", ivf_ann(spark, sf_dir, k, nprobe=1)),
         ("ivf_nprobe2", ivf_ann(spark, sf_dir, k, nprobe=2)),
         ("pq_adc", pq_ann(spark, sf_dir, k)),
+        ("ivf_pq", ivf_pq_ann(spark, sf_dir, k, nprobe=2)),
     ]
     cands = None
     for name, df in tagged:
@@ -434,6 +435,57 @@ def pq_ann(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
         adc = lookup if adc is None else adc + lookup
     return (
         load_embeddings(spark, sf_dir)
+        .select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_pq_ann(spark, sf_dir: str, k: int = DEFAULT_K,
+               nprobe: int = 2) -> DataFrame:
+    """IVF+PQ — the composed architecture every 10^12-vector serving
+    stack actually deploys (the faiss `IVFx,PQy` index): the IVF coarse
+    quantizer prunes to *nprobe* cells (partition pruning at scale),
+    then PQ asymmetric distance ranks WITHIN the probed cells from
+    codes alone.  Both stages reuse the already-trained deterministic
+    indexes (kmeans_centroids, pq_codebooks) — composing them adds zero
+    new training.
+
+    Scale shape: the cell filter is the ivf_ann projection (a partition
+    filter once membership is materialized); ADC is the pq_ann
+    table-lookup sum; the only ordering cost is TakeOrderedAndProject
+    over the probed fraction of the corpus."""
+    q = query_vector()
+    cents = kmeans_centroids(spark, sf_dir)
+    probe_cells = sorted(
+        range(N_CELLS),
+        key=lambda i: (sum((a - b) ** 2 for a, b in zip(cents[i], q)), i),
+    )[:nprobe]
+    books = pq_codebooks(spark, sf_dir)
+    tables = [
+        [
+            round(
+                sum(
+                    (q[m * PQ_SUB + i] - books[m][j][i]) ** 2
+                    for i in range(PQ_SUB)
+                ),
+                6,
+            )
+            for j in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+    e = F.col("embedding").cast("array<double>")
+    adc = None
+    for m in range(PQ_M):
+        lookup = F.element_at(
+            F.array(*[F.lit(t) for t in tables[m]]),
+            (_cell_expr(_sub(e, m), books[m]) + 1).cast("int"),
+        )
+        adc = lookup if adc is None else adc + lookup
+    return (
+        load_embeddings(spark, sf_dir)
+        .filter(_cell_expr(e, cents).isin(probe_cells))
         .select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k)
