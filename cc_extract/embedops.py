@@ -184,6 +184,30 @@ def _cell_expr(e_col, cents: list[list[float]]):
     )["cell"]
 
 
+def _cell_expr_sql(e_sql: str, cents: list[list[float]]):
+    """The SAME argmin expression as ``_cell_expr`` built as ONE SQL
+    string parsed JVM-side (``F.expr``) instead of thousands of py4j
+    Column calls — semantically identical (same zip_with/aggregate
+    fold, same struct array_min tie-break), but DataFrame construction
+    drops from ~2 s to milliseconds for the PQ plans, whose 8 subspace
+    argmins otherwise dominate wall time on small inputs.  Literals go
+    through CAST('<repr>' AS DOUBLE) so they parse to the exact doubles
+    Python holds."""
+    def vec(c):
+        return "array(" + ", ".join(
+            f"CAST('{x!r}' AS DOUBLE)" for x in c) + ")"
+
+    def sqd(c):
+        return (f"aggregate(zip_with({e_sql}, {vec(c)}, "
+                f"(x, y) -> (x - y) * (x - y)), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+    structs = ", ".join(
+        f"struct({sqd(c)} AS d, {i} AS cell)" for i, c in enumerate(cents)
+    )
+    return F.expr(f"array_min(array({structs})).cell")
+
+
 _kmeans_cache: dict[str, list[list[float]]] = {}
 
 
@@ -221,7 +245,7 @@ def kmeans_centroids(spark, sf_dir: str, iters: int = KMEANS_ITERS) -> list[list
     cents = [[float(x) for x in r["e"]] for r in seeds]
     for _ in range(iters):
         upd = (
-            emb.select(_cell_expr(F.col("e"), cents).alias("cell"), "e")
+            emb.select(_cell_expr_sql("e", cents).alias("cell"), "e")
             .select("cell", F.posexplode("e").alias("pos", "v"))
             .groupBy("cell", "pos")
             .agg(F.round(F.avg("v"), 6).alias("c"))
@@ -251,7 +275,7 @@ def ivf_ann(spark, sf_dir: str, k: int = DEFAULT_K, nprobe: int = 1) -> DataFram
         key=lambda i: (sum((a - b) ** 2 for a, b in zip(cents[i], q)), i),
     )[:nprobe]
     emb = load_embeddings(spark, sf_dir).filter(
-        _cell_expr(F.col("embedding").cast("array<double>"), cents).isin(probe_cells)
+        _cell_expr_sql("CAST(embedding AS ARRAY<DOUBLE>)", cents).isin(probe_cells)
     )
     scored = emb.select(
         "vec_id", "label", F.round(_cosine(F.col("embedding"), q), 5).alias("cos_sim")
@@ -382,7 +406,8 @@ def pq_codebooks(spark, sf_dir: str,
         for _ in range(iters):
             upd = (
                 emb.select(
-                    _cell_expr(_sub(F.col("e"), m), cents).alias("cell"),
+                    _cell_expr_sql(f"slice(e, {m * PQ_SUB + 1}, {PQ_SUB})",
+                                   cents).alias("cell"),
                     _sub(F.col("e"), m).alias("s"),
                 )
                 .select("cell", F.posexplode("s").alias("pos", "v"))
@@ -430,7 +455,9 @@ def pq_ann(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
     for m in range(PQ_M):
         lookup = F.element_at(
             F.array(*[F.lit(t) for t in tables[m]]),
-            (_cell_expr(_sub(e, m), books[m]) + 1).cast("int"),
+            (_cell_expr_sql(
+                f"slice(CAST(embedding AS ARRAY<DOUBLE>), "
+                f"{m * PQ_SUB + 1}, {PQ_SUB})", books[m]) + 1).cast("int"),
         )
         adc = lookup if adc is None else adc + lookup
     return (
@@ -480,12 +507,15 @@ def ivf_pq_ann(spark, sf_dir: str, k: int = DEFAULT_K,
     for m in range(PQ_M):
         lookup = F.element_at(
             F.array(*[F.lit(t) for t in tables[m]]),
-            (_cell_expr(_sub(e, m), books[m]) + 1).cast("int"),
+            (_cell_expr_sql(
+                f"slice(CAST(embedding AS ARRAY<DOUBLE>), "
+                f"{m * PQ_SUB + 1}, {PQ_SUB})", books[m]) + 1).cast("int"),
         )
         adc = lookup if adc is None else adc + lookup
     return (
         load_embeddings(spark, sf_dir)
-        .filter(_cell_expr(e, cents).isin(probe_cells))
+        .filter(_cell_expr_sql("CAST(embedding AS ARRAY<DOUBLE>)",
+                               cents).isin(probe_cells))
         .select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k)
