@@ -450,7 +450,6 @@ def pq_ann(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
         ]
         for m in range(PQ_M)
     ]
-    e = F.col("embedding").cast("array<double>")
     adc = None
     for m in range(PQ_M):
         lookup = F.element_at(
@@ -502,7 +501,6 @@ def ivf_pq_ann(spark, sf_dir: str, k: int = DEFAULT_K,
         ]
         for m in range(PQ_M)
     ]
-    e = F.col("embedding").cast("array<double>")
     adc = None
     for m in range(PQ_M):
         lookup = F.element_at(

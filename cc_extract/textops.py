@@ -359,26 +359,29 @@ def simhash(spark, sf_dir: str) -> DataFrame:
         for d in range(16)
     ]
     tok = tok.select("doc_id", "tf", *digit_cols)
+    # the 64 weighted sums and the 63-term pack are built as F.expr SQL
+    # strings parsed JVM-side in one shot — assembling them from py4j
+    # Column calls made DataFrame CONSTRUCTION (2.2 s) cost twice the
+    # execution (1.1 s) at sf0.01; semantics are identical (integer
+    # arithmetic throughout, same CASE structure)
     sums = [
-        F.sum(
-            F.when(
-                F.col(f"d{b // 4}").bitwiseAND(F.lit(1 << (b % 4))) != 0,
-                F.col("tf"),
-            ).otherwise(-F.col("tf"))
+        F.expr(
+            f"sum(CASE WHEN (d{b // 4} & {1 << (b % 4)}) != 0 "
+            f"THEN tf ELSE -tf END)"
         ).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(*sums)
+    pack = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b}L ELSE 0L END)"
+        for b in range(SIMHASH_BITS - 1)
+    )
     packed = agg.select(
         "doc_id",
-        (
-            F.when(F.col("s63") > 0, F.lit(-9223372036854775808))
-            .otherwise(F.lit(0))
-            + sum(
-                (F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(0))
-                for b in range(SIMHASH_BITS - 1)
-            )
-        ).cast("long").alias("simhash"),
+        F.expr(
+            f"CAST((CASE WHEN s63 > 0 THEN -9223372036854775808L "
+            f"ELSE 0L END) + {pack} AS BIGINT)"
+        ).alias("simhash"),
     )
     return packed
 
