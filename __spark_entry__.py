@@ -941,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": textops.dsir_weights,
         "doc_curation_funnel": textops.curation_funnel,
         "doc_dataset_split": textops.dataset_split,
+        "doc_gopher_rules": textops.gopher_rules,
         "doc_duplicate_spans": textops.duplicate_spans,
         "doc_token_budget_selection": textops.token_budget_selection,
         "doc_source_mixture": textops.source_mixture_weights,
@@ -1890,6 +1891,56 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          + CAST(0.0 AS DOUBLE) AS avg_logratio
 FROM feat JOIN lm USING (b)
 GROUP BY doc_id ORDER BY doc_id
+"""
+
+    _gstop = ", ".join(f"'{w}'" for w in textops.GOPHER_STOP)
+    sql["doc_gopher_rules"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w != '')
+           AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CAST(coalesce(list_aggregate(
+           list_transform(words, w -> length(w)), 'sum'), 0) AS BIGINT)
+           AS word_chars,
+         len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+           AS alpha_words,
+         len(list_filter([{_gstop}], sw -> list_contains(words, sw)))
+           AS n_stop,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*]')))
+           AS bullet_lines,
+         len(list_filter(lines, l -> regexp_matches(rtrim(l), '\.\.\.$')))
+           AS ellipsis_lines,
+         CAST(coalesce(list_aggregate(list_transform(words, w ->
+             (length(w) - length(replace(w, '#', '')))
+             + CAST((length(w) - length(replace(w, '...', ''))) / 3
+                    AS BIGINT)), 'sum'), 0) AS BIGINT) AS symbol_count
+  FROM t
+)
+SELECT doc_id, n_words, word_chars, symbol_count,
+       n_lines, bullet_lines, ellipsis_lines, alpha_words, n_stop,
+       n_words >= 50 AND n_words <= 100000 AS r_word_count,
+       word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+         AS r_word_len,
+       symbol_count * 10 <= n_words AS r_symbol,
+       bullet_lines * 10 <= n_lines AS r_bullet,
+       ellipsis_lines * 10 <= 3 * n_lines AS r_ellipsis,
+       alpha_words * 5 >= 4 * n_words AS r_alpha,
+       n_stop >= 2 AS r_stop,
+       n_words >= 50 AND n_words <= 100000
+         AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+         AND symbol_count * 10 <= n_words
+         AND bullet_lines * 10 <= n_lines
+         AND ellipsis_lines * 10 <= 3 * n_lines
+         AND alpha_words * 5 >= 4 * n_words
+         AND n_stop >= 2 AS keep
+FROM m ORDER BY doc_id
 """
 
     sql["doc_dataset_split"] = """

@@ -1977,3 +1977,75 @@ def dataset_split(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+# ---------------------------------------------------------- Gopher rules
+
+# Gopher's original stop set (the be to of and that have with) has one
+# member in this corpus's vocabulary; the rule keeps Gopher's >=2-distinct
+# SHAPE over the corpus-calibrated function words (same calibration note
+# as corpus_filter's word-length band)
+GOPHER_STOP = ("the", "a", "and", "of", "to", "is", "in", "for")
+
+
+def gopher_rules(spark, sf_dir: str) -> DataFrame:
+    """The NAMED Gopher quality-rule set (Rae et al. 2021, A1.1) with
+    per-rule flags — unlike corpus_filter's first-fail ladder, every
+    rule is evaluated so drop accounting can attribute overlaps.  Rules
+    are evaluated in EXACT integer arithmetic (cross-multiplied ratios:
+    ``symbols * 10 <= words`` instead of ``symbols/words <= 0.1``), so
+    no float boundary can disagree between engines.  Words are
+    whitespace-split (NOT the [a-z0-9]+ tokenizer — the symbol-ratio
+    rule needs punctuation preserved), lines newline-split.
+
+    Rules: word count in [50, 100k]; mean word length in [3, 10];
+    symbol-to-word ratio ('#' chars + '...' runs) <= 0.1; <= 10% of
+    lines bullet-led; <= 30% of lines ellipsis-ended; >= 80% of words
+    alphabetic; >= 2 distinct Gopher stop words.
+
+    Scale shape: pure in-row projection over one pushed-down scan —
+    zero shuffles; all counting runs in-row via higher-order functions
+    built as parsed SQL (the construction-cost lesson from simhash/PQ).
+    """
+    stop_arr = ", ".join(f"'{w}'" for w in GOPHER_STOP)
+    # the split patterns go through the Column API, NOT selectExpr —
+    # Spark SQL string literals eat unknown escapes ('\\s+' parses as
+    # 's+', silently splitting on the letter s; caught by calibration)
+    m = fan_out_scan(load_documents(spark, sf_dir)).select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), r"\s+"), lambda w: w != ""
+        ).alias("words"),
+        F.split(F.col("text"), "\n").alias("lines"),
+    ).selectExpr(
+        "doc_id",
+        "size(words) AS n_words",
+        "aggregate(words, 0L, (a, w) -> a + length(w)) AS word_chars",
+        "size(filter(words, w -> w rlike '[a-zA-Z]')) AS alpha_words",
+        f"size(filter(array({stop_arr}), sw -> array_contains(words, sw)))"
+        " AS n_stop",
+        "size(lines) AS n_lines",
+        "size(filter(lines, l -> ltrim(l) rlike '^[-*]')) AS bullet_lines",
+        "size(filter(lines, l -> rtrim(l) rlike '\\\\.\\\\.\\\\.$'))"
+        " AS ellipsis_lines",
+        "aggregate(words, 0L, (a, w) -> a"
+        " + (length(w) - length(replace(w, '#', '')))"
+        " + CAST((length(w) - length(replace(w, '...', ''))) / 3 AS LONG))"
+        " AS symbol_count",
+    )
+    rules = {
+        "r_word_count": "n_words >= 50 AND n_words <= 100000",
+        "r_word_len":
+            "word_chars >= 3 * n_words AND word_chars <= 10 * n_words",
+        "r_symbol": "symbol_count * 10 <= n_words",
+        "r_bullet": "bullet_lines * 10 <= n_lines",
+        "r_ellipsis": "ellipsis_lines * 10 <= 3 * n_lines",
+        "r_alpha": "alpha_words * 5 >= 4 * n_words",
+        "r_stop": "n_stop >= 2",
+    }
+    return m.selectExpr(
+        "doc_id", "n_words", "word_chars", "symbol_count",
+        "n_lines", "bullet_lines", "ellipsis_lines", "alpha_words", "n_stop",
+        *[f"{cond} AS {name}" for name, cond in rules.items()],
+        " AND ".join(rules.values()) + " AS keep",
+    ).orderBy("doc_id")
