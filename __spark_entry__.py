@@ -942,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation_funnel": textops.curation_funnel,
         "doc_dataset_split": textops.dataset_split,
         "doc_gopher_rules": textops.gopher_rules,
+        "doc_temperature_mixture": textops.temperature_mixture,
         "doc_duplicate_spans": textops.duplicate_spans,
         "doc_token_budget_selection": textops.token_budget_selection,
         "doc_source_mixture": textops.source_mixture_weights,
@@ -1891,6 +1892,28 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          + CAST(0.0 AS DOUBLE) AS avg_logratio
 FROM feat JOIN lm USING (b)
 GROUP BY doc_id ORDER BY doc_id
+"""
+
+    sql["doc_temperature_mixture"] = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens FROM per
+),
+pt AS (
+  SELECT *, round(pow(CAST(n_tokens AS DOUBLE) / total_tokens,
+                      CAST(0.7 AS DOUBLE)), 9) AS pt
+  FROM t
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS raw_share,
+       round(pt / sum(pt) OVER (), 6) AS temp_share,
+       round((pt / sum(pt) OVER ()) / (CAST(n_tokens AS DOUBLE) / total_tokens), 6)
+         AS boost
+FROM pt ORDER BY source
 """
 
     _gstop = ", ".join(f"'{w}'" for w in textops.GOPHER_STOP)

@@ -2072,3 +2072,45 @@ def gopher_rules(spark, sf_dir: str) -> DataFrame:
         *[f"{cond} AS {name}" for name, cond in rules.items()],
         " AND ".join(rules.values()) + " AS keep",
     ).orderBy("doc_id")
+
+
+def temperature_mixture(spark, sf_dir: str, tau: float = 0.7) -> DataFrame:
+    """Temperature-based source sampling (the Gopher / Llama multi-
+    corpus recipe): sampling share_i ∝ p_i^tau where p_i is the
+    source's token share — tau < 1 upweights small sources without the
+    uniform target's full flattening.  Reported per source: raw share,
+    temperature share, and the boost factor a sampler applies.
+
+    Float-parity discipline: p_i^tau goes through round(·, 9) BEFORE
+    normalizing (Math.pow and libm pow may differ in the last ulp), the
+    same round-every-iteration rule as the k-means/PageRank oracles.
+    Scale shape: one partial-aggregable groupBy over O(sources) keys;
+    the totals are windows over the already-aggregated rows."""
+    docs = fan_out_scan(load_documents(spark, sf_dir))
+    per_src = (
+        with_tokens(docs)
+        .select("source", F.size("tokens").cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    pt = F.round(
+        F.pow(F.col("n_tokens") / F.col("total_tokens"), F.lit(tau)), 9
+    )
+    return (
+        per_src
+        .withColumn("total_tokens", F.sum("n_tokens").over(w_all))
+        .withColumn("pt", pt)
+        .withColumn("z", F.sum("pt").over(w_all))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(F.col("n_tokens") / F.col("total_tokens"), 6)
+            .alias("raw_share"),
+            F.round(F.col("pt") / F.col("z"), 6).alias("temp_share"),
+            F.round(
+                (F.col("pt") / F.col("z"))
+                / (F.col("n_tokens") / F.col("total_tokens")), 6
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )
