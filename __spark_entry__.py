@@ -877,7 +877,81 @@ def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # DRIVER-WINDOW ROTATION (the driver's correctness gate verifies only
+    # the FIRST 50 registry entries, in insertion order):
+    #   r4 window: the TPC-H + first doc_* block (all green, CORRECTNESS_r04).
+    #   r5 window: rotated — new r5 queries first, then the 60 entries the
+    #     r4 driver never saw (judge-comparator green only), VERDICT-named
+    #     ten leading.  Deferred past slot 50 this round: the r4-green 50
+    #     plus the tail of the previously-unchecked set (cc_paragraph_dedup,
+    #     cc_link_graph, cc_anchor_text, mm_metadata/feature/frame/image/
+    #     audio/video/mp4_stats) — all judge-green r4 and pytest-pinned.
+    #   r6 window should lead with whatever this round's window displaced.
     return {
+        # --- new in r5 (never verified by ANY driver/judge run yet) ---
+        # --- r4 judge-only set: VERDICT-named ten first ---
+        "doc_gopher_rules": textops.gopher_rules,
+        "doc_duplicate_spans": textops.duplicate_spans,
+        "doc_bm25_rank": textops.bm25_rank,
+        "doc_dsir_weights": textops.dsir_weights,
+        "cc_pagerank": _cc_pagerank,
+        "cc_robots_filter": _cc_robots_filter,
+        "mm_phash_near_dups": _mm_phash_near_dups,
+        "mm_afp_near_dups": _mm_afp_near_dups,
+        "emb_pq_ann": embedops.pq_ann,
+        "emb_ivf_pq_ann": lambda spark, sf: embedops.ivf_pq_ann(spark, sf, nprobe=2),
+        # --- rest of the r4 judge-only set, original order ---
+        "doc_repetition_stats": textops.repetition_stats,
+        "doc_winnowing_fingerprints": textops.winnowing_fingerprints,
+        "doc_token_entropy": textops.token_entropy,
+        "doc_dedup_keep_decision": textops.dedup_keep_decision,
+        "doc_benchmark_decontamination": textops.benchmark_decontamination,
+        "doc_corpus_filter": textops.corpus_filter,
+        "doc_segment_boilerplate": textops.segment_boilerplate,
+        "doc_curation_funnel": textops.curation_funnel,
+        "doc_dataset_split": textops.dataset_split,
+        "doc_temperature_mixture": textops.temperature_mixture,
+        "doc_token_budget_selection": textops.token_budget_selection,
+        "doc_source_mixture": textops.source_mixture_weights,
+        "doc_unigram_logprob": textops.unigram_logprob,
+        "doc_bigram_logprob": textops.bigram_logprob,
+        "doc_quality_classifier": textops.quality_classifier,
+        "event_funnel": relops.event_funnel,
+        "event_retention": relops.event_retention,
+        "cc_pii_redact": _cc_pii_redact,
+        "cc_warc_roundtrip": _cc_warc_roundtrip,
+        "doc_incremental_dedup": textops.incremental_dedup,
+        "event_sessions": relops.event_sessions,
+        "emb_knn_bruteforce": embedops.knn_bruteforce,
+        "emb_lsh_buckets": embedops.lsh_buckets,
+        "emb_lsh_ann": embedops.lsh_ann,
+        "emb_ivf_ann": embedops.ivf_ann,
+        "emb_ivf_ann_nprobe2": lambda spark, sf: embedops.ivf_ann(spark, sf, nprobe=2),
+        "emb_cosine_near_dup": embedops.cosine_near_dup_pairs,
+        "emb_lsh_ann_multiprobe": embedops.lsh_ann_multiprobe,
+        "emb_ann_recall": embedops.ann_recall,
+        "cc_extract_stats": _cc_extract_stats,
+        "cc_needs_ocr": _cc_needs_ocr,
+        "cc_dedup_effect": _cc_dedup_effect,
+        "cc_ocr_text": _cc_ocr_text,
+        "cc_pii_stats": _cc_pii_stats,
+        "cc_domain_stats": _cc_domain_stats,
+        "cc_script_stats": _cc_script_stats,
+        "cc_url_canonical": _cc_url_canonical,
+        "cc_canonical_dedup": _cc_canonical_dedup,
+        "cc_domain_filter": _cc_domain_filter,
+        "cc_c4_line_filter": _cc_c4_line_filter,
+        "cc_paragraph_dedup": _cc_paragraph_dedup,
+        "cc_link_graph": _cc_link_graph,
+        "cc_anchor_text": _cc_anchor_text,
+        "mm_metadata_stats": _mm_metadata_stats,
+        "mm_feature_norms": _mm_feature_norms,
+        "mm_frame_sample": _mm_frame_sample,
+        "mm_image_stats": _mm_image_stats,
+        "mm_audio_stats": _mm_audio_stats,
+        "mm_video_stats": _mm_video_stats,
+        "mm_mp4_stats": _mm_mp4_stats,
+        # --- r4 driver-green set (CORRECTNESS_r04: all green) ---
         # relational operator suite (SURVEY.md §2.5)
         "q1_pricing_summary": relops.q1_pricing_summary,
         "q3_shipping_priority": relops.q3_shipping_priority,
@@ -930,70 +1004,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": textops.length_quantiles,
         "doc_length_quantiles_approx": textops.length_quantiles_approx,
         "distinct_users_approx": relops.distinct_users_approx,
-        "doc_repetition_stats": textops.repetition_stats,
-        "doc_winnowing_fingerprints": textops.winnowing_fingerprints,
-        "doc_token_entropy": textops.token_entropy,
-        "doc_dedup_keep_decision": textops.dedup_keep_decision,
-        "doc_benchmark_decontamination": textops.benchmark_decontamination,
-        "doc_corpus_filter": textops.corpus_filter,
-        "doc_segment_boilerplate": textops.segment_boilerplate,
-        "doc_bm25_rank": textops.bm25_rank,
-        "doc_dsir_weights": textops.dsir_weights,
-        "doc_curation_funnel": textops.curation_funnel,
-        "doc_dataset_split": textops.dataset_split,
-        "doc_gopher_rules": textops.gopher_rules,
-        "doc_temperature_mixture": textops.temperature_mixture,
-        "doc_duplicate_spans": textops.duplicate_spans,
-        "doc_token_budget_selection": textops.token_budget_selection,
-        "doc_source_mixture": textops.source_mixture_weights,
-        "doc_unigram_logprob": textops.unigram_logprob,
-        "doc_bigram_logprob": textops.bigram_logprob,
-        "doc_quality_classifier": textops.quality_classifier,
-        "event_funnel": relops.event_funnel,
-        "event_retention": relops.event_retention,
-        "cc_pii_redact": _cc_pii_redact,
-        "cc_warc_roundtrip": _cc_warc_roundtrip,
-        "doc_incremental_dedup": textops.incremental_dedup,
-        "event_sessions": relops.event_sessions,
         # similarity search (embeddings table)
-        "emb_knn_bruteforce": embedops.knn_bruteforce,
-        "emb_lsh_buckets": embedops.lsh_buckets,
-        "emb_lsh_ann": embedops.lsh_ann,
-        "emb_ivf_ann": embedops.ivf_ann,
-        "emb_ivf_ann_nprobe2": lambda spark, sf: embedops.ivf_ann(spark, sf, nprobe=2),
-        "emb_pq_ann": embedops.pq_ann,
-        "emb_ivf_pq_ann": lambda spark, sf: embedops.ivf_pq_ann(spark, sf, nprobe=2),
-        "emb_cosine_near_dup": embedops.cosine_near_dup_pairs,
-        "emb_lsh_ann_multiprobe": embedops.lsh_ann_multiprobe,
-        "emb_ann_recall": embedops.ann_recall,
         # extraction pipeline (oracled via single-process materialization;
         # byte-identity additionally gated by the 20k pytest golden)
-        "cc_extract_stats": _cc_extract_stats,
-        "cc_needs_ocr": _cc_needs_ocr,
-        "cc_dedup_effect": _cc_dedup_effect,
-        "cc_ocr_text": _cc_ocr_text,
-        "cc_pii_stats": _cc_pii_stats,
-        "cc_domain_stats": _cc_domain_stats,
-        "cc_script_stats": _cc_script_stats,
-        "cc_url_canonical": _cc_url_canonical,
-        "cc_robots_filter": _cc_robots_filter,
-        "cc_canonical_dedup": _cc_canonical_dedup,
-        "cc_domain_filter": _cc_domain_filter,
-        "cc_c4_line_filter": _cc_c4_line_filter,
-        "cc_paragraph_dedup": _cc_paragraph_dedup,
-        "cc_link_graph": _cc_link_graph,
-        "cc_anchor_text": _cc_anchor_text,
-        "cc_pagerank": _cc_pagerank,
         # multimodal plumbing (oracled; parsing unit-tested)
-        "mm_metadata_stats": _mm_metadata_stats,
-        "mm_feature_norms": _mm_feature_norms,
-        "mm_frame_sample": _mm_frame_sample,
-        "mm_image_stats": _mm_image_stats,
-        "mm_audio_stats": _mm_audio_stats,
-        "mm_video_stats": _mm_video_stats,
-        "mm_mp4_stats": _mm_mp4_stats,
-        "mm_phash_near_dups": _mm_phash_near_dups,
-        "mm_afp_near_dups": _mm_afp_near_dups,
     }
 
 
@@ -1336,9 +1350,11 @@ LIMIT 100
     sql["q9_product_type_profit"] = """
 SELECT n_name AS nation,
        year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity), 2)
-         AS sum_profit,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
+                     * CAST(round(l_quantity) AS BIGINT))
+            AS BIGINT) AS sum_profit_c4,
        count(*) AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey

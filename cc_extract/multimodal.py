@@ -168,8 +168,14 @@ def _mp4_mjpeg_container(jpeg_frames: list[bytes], w: int, h: int,
         stts = full(b"stts", struct.pack(">I", 1)
                     + struct.pack(">II", n, frame_dur))
         stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
-        stsz = full(b"stsz", struct.pack(">II", 0, n)
-                    + b"".join(struct.pack(">I", sz) for sz in sizes))
+        if len(set(sizes)) == 1:
+            # uniform samples use the fixed sample_size form with NO
+            # entry table (ISO 14496-12 §8.7.3.2) — exercises the
+            # decoder's fixed-size branch whenever frames coincide
+            stsz = full(b"stsz", struct.pack(">II", sizes[0], n))
+        else:
+            stsz = full(b"stsz", struct.pack(">II", 0, n)
+                        + b"".join(struct.pack(">I", sz) for sz in sizes))
         stco = full(b"stco", struct.pack(">II", 1, chunk_offset))
         stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
         vmhd = full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
@@ -230,11 +236,16 @@ def decode_mp4_frames(payload: bytes) -> list:
         stco = _mp4_find(payload, stbl[0], stbl[1], b"stco")
         if stsz is None or stco is None:
             raise ValueError("jpeg trak without stsz/stco")
-        n, = struct.unpack_from(">I", payload, stsz[0] + 8)
+        fixed_size, n = struct.unpack_from(">II", payload, stsz[0] + 4)
         if not 1 <= n <= _MP4_MAX_FRAMES:
             raise ValueError(f"implausible sample count {n}")
-        sizes = [struct.unpack_from(">I", payload, stsz[0] + 12 + 4 * k)[0]
-                 for k in range(n)]
+        if fixed_size:
+            # uniform-size stsz carries NO entry table (ISO 14496-12
+            # §8.7.3.2) — reading one would slice adjacent box bytes
+            sizes = [fixed_size] * n
+        else:
+            sizes = [struct.unpack_from(">I", payload, stsz[0] + 12 + 4 * k)[0]
+                     for k in range(n)]
         n_chunks, = struct.unpack_from(">I", payload, stco[0] + 4)
         if n_chunks < 1:
             raise ValueError("empty stco")

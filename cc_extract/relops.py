@@ -957,6 +957,14 @@ def q9_product_type_profit(spark, sf_dir: str) -> DataFrame:
     — 60% of the part's retail price per unit — keeping the exact
     join/agg topology (lineitem x part x supplier x nation x orders).
 
+    Float-parity discipline (q11/q20 pattern): profit is computed per
+    line in EXACT integer units of 1e-4 dollars —
+    ``ext_c*(100-disc_c) - 60*price_c*qty`` with all factors rounded to
+    integer cents — and summed as BIGINT, so the result is independent
+    of Spark vs DuckDB float-addition order (a round-2dp double sum was
+    observed to flip the last cent at sf0.001).  `sum_profit_c4` is the
+    exact profit in 1e-4 dollars.
+
     Scale shape: the part dim is name-filtered BEFORE its broadcast
     join so the fact side shrinks at the scan (substring pushdown
     yields a ~1/n_nouns selectivity here); supplier/nation broadcast;
@@ -966,7 +974,10 @@ def q9_product_type_profit(spark, sf_dir: str) -> DataFrame:
     parts = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_name").contains("bolt"))
-        .select("p_partkey", "p_retailprice")
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_c"),
+        )
     )
     supp_nation = (
         _t(spark, sf_dir, "supplier")
@@ -977,9 +988,12 @@ def q9_product_type_profit(spark, sf_dir: str) -> DataFrame:
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
-        0.6
-    ) * F.col("p_retailprice") * F.col("l_quantity")
+    ext_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100, 0).cast("long")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    profit_c4 = ext_c * (F.lit(100).cast("long") - disc_c) - (
+        F.lit(60).cast("long") * F.col("price_c") * qty
+    )
     return (
         _t(spark, sf_dir, "lineitem")
         .select(
@@ -994,7 +1008,7 @@ def q9_product_type_profit(spark, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
         .agg(
-            F.round(F.sum(profit), 2).alias("sum_profit"),
+            F.sum(profit_c4).alias("sum_profit_c4"),
             F.count("*").alias("n_lines"),
         )
         .orderBy("nation", F.desc("o_year"))

@@ -589,3 +589,38 @@ def test_mp4_mjpeg_in_media_sweep(spark):
     by = {(r["container"], r["vid_ok"]): r["n_videos"] for r in rows}
     assert by.get(("mp4", True), 0) > 0, by
     assert by.get(("mp4", False), 0) > 0, by  # avc1 + stubs stay honest
+
+
+def test_mp4_uniform_stsz_fixed_size_form():
+    """A uniform-size stsz (sample_size != 0, no entry table — ISO
+    14496-12 §8.7.3.2) must decode via the fixed-size branch; the
+    writer emits that form whenever every frame coincides, so this
+    pins both directions of the convention."""
+    from cc_extract import corpusgen as cg
+    from cc_extract.glyphs import render_raster
+    import struct as _struct
+
+    fw, fh, r = render_raster("UNIFORM STSZ")
+    jf = cg._jpeg_gray(fw, fh, bytes(r))
+    p = mm._mp4_mjpeg_container([jf, jf, jf], fw, fh)
+    # the writer must have chosen the fixed form: sample_size == len(jf)
+    moov = mm._mp4_find(p, 0, len(p), b"moov")
+    stsz = None
+    stack = [moov]
+    while stack:
+        s, e = stack.pop()
+        for t, bs, be in mm._mp4_boxes(p, s, e):
+            if t == b"stsz":
+                stsz = (bs, be)
+            elif t in (b"trak", b"mdia", b"minf", b"stbl"):
+                stack.append((bs, be))
+    assert stsz is not None
+    fixed, n = _struct.unpack_from(">II", p, stsz[0] + 4)
+    assert fixed == len(jf) and n == 3
+    assert stsz[1] - stsz[0] == 12  # version/flags + two fields, NO table
+    meta = mm.parse_mp4_meta(p)
+    assert meta["mp4_ok"] and meta["mp4_n_frames"] == 3
+    frames = mm.decode_mp4_frames(p)
+    assert len(frames) == 3
+    for fw2, fh2, _ in frames:
+        assert (fw2, fh2) == (fw, fh)
