@@ -186,7 +186,7 @@ def exact_dedup(spark, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- shingles
 
-def shingles_df(df: DataFrame) -> DataFrame:
+def shingles_df(df: DataFrame, toks: DataFrame | None = None) -> DataFrame:
     """doc_id -> distinct 3-token shingles (exploded).
 
     Dedup happens per-doc with ``array_distinct`` BEFORE the explode — a
@@ -194,9 +194,13 @@ def shingles_df(df: DataFrame) -> DataFrame:
     which would add a full (doc_id, shingle) shuffle ahead of every
     downstream aggregation.  Semantics identical (shingle sets are
     per-document); one shuffle saved on every MinHash/Jaccard/fingerprint
-    query at any scale."""
+    query at any scale.
+
+    ``toks`` short-circuits tokenization with a pre-computed
+    (doc_id, tokens, ...) relation — composed pipelines (the curation
+    funnel) tokenize the corpus ONCE and thread it here."""
     toks = (
-        with_tokens(df)
+        (with_tokens(df) if toks is None else toks)
         .select("doc_id", "tokens")
         .filter(F.size("tokens") >= SHINGLE_N)
     )
@@ -212,14 +216,15 @@ def shingles_df(df: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------- minhash + lsh
 
-def minhash_signatures(spark, sf_dir: str) -> DataFrame:
+def minhash_signatures(spark, sf_dir: str,
+                       toks: DataFrame | None = None) -> DataFrame:
     """K=8 MinHash signature per document.
 
     Hash family: h_i(s) = first 12 hex chars of md5(i || '|' || s); min is
     taken lexicographically over the fixed-width hex — identical semantics
     in Spark and DuckDB, no bigint conversion needed.  At scale the
     explode->groupBy(doc_id) agg is a partial-aggregable map-side combine."""
-    sh = shingles_df(load_documents(spark, sf_dir))
+    sh = shingles_df(load_documents(spark, sf_dir), toks=toks)
     aggs = [
         F.min(
             F.substring(
@@ -231,7 +236,8 @@ def minhash_signatures(spark, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(spark, sf_dir: str) -> DataFrame:
+def lsh_candidate_pairs(spark, sf_dir: str,
+                        toks: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH near-dup candidates: banding (4 bands x 2 rows) over the
     signatures; docs sharing any band key become a candidate pair.
 
@@ -241,7 +247,7 @@ def lsh_candidate_pairs(spark, sf_dir: str) -> DataFrame:
     broadcast branch would otherwise recompute the shingle->minhash
     pipeline a second time (broadcast exchanges are never reused against
     shuffle exchanges); at production scale they are a stored index."""
-    sig = minhash_signatures(spark, sf_dir).localCheckpoint()
+    sig = minhash_signatures(spark, sf_dir, toks=toks).localCheckpoint()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -748,7 +754,8 @@ def deterministic_sample(spark, sf_dir: str, rate_hex: str = "28f5c") -> DataFra
 def corpus_filter(spark, sf_dir: str, min_tokens: int = 20,
                   max_tokens: int = 10_000,
                   mean_len_lo: float = 3.0, mean_len_hi: float = 5.0,
-                  min_stop_ratio: float = 0.01) -> DataFrame:
+                  min_stop_ratio: float = 0.01,
+                  toks: DataFrame | None = None) -> DataFrame:
     """C4/Gopher-style corpus filter DECISION: compose the cheap quality
     heuristics into the auditable per-document keep/drop every
     training-data pipeline actually ships — with the FIRST failing rule
@@ -761,7 +768,7 @@ def corpus_filter(spark, sf_dir: str, min_tokens: int = 20,
     100 TB plan shape: pure per-row projection over one scan — zero
     shuffles, fully pushdown-friendly; the decision column is exactly
     what a downstream anti-join or partition filter consumes."""
-    df = with_tokens(load_documents(spark, sf_dir))
+    df = with_tokens(load_documents(spark, sf_dir)) if toks is None else toks
     n_tokens = F.size("tokens")
     mean_tok_len = F.aggregate(
         "tokens", F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
@@ -787,7 +794,8 @@ def corpus_filter(spark, sf_dir: str, min_tokens: int = 20,
 
 
 def benchmark_decontamination(spark, sf_dir: str, bench_hex: str = "1",
-                              ngram_n: int = 8) -> DataFrame:
+                              ngram_n: int = 8,
+                              toks: DataFrame | None = None) -> DataFrame:
     """Benchmark decontamination — the eval-set hygiene pass every serious
     training-data pipeline runs (the GPT-3 13-gram / PaLM / Llama n-gram
     overlap check): flag corpus documents that share any *ngram_n*-token
@@ -807,13 +815,14 @@ def benchmark_decontamination(spark, sf_dir: str, bench_hex: str = "1",
     equi-join broadcasts by statistics — no hint, AQE decides, the
     repo-wide policy for relations that scale with the data; the final
     groupBy(doc_id) count is partial-aggregable map-side."""
-    df = load_documents(spark, sf_dir)
     is_bench = (
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
         < F.lit(bench_hex)
     )
+    base = (with_tokens(load_documents(spark, sf_dir)) if toks is None
+            else toks)
     toks = (
-        with_tokens(df)
+        base
         .select("doc_id", "tokens", is_bench.alias("is_bench"))
         .filter(F.size("tokens") >= ngram_n)
     )
@@ -835,7 +844,8 @@ def benchmark_decontamination(spark, sf_dir: str, bench_hex: str = "1",
 
 
 def dup_clusters(spark, sf_dir: str, threshold: float = 0.5,
-                 max_iters: int = 20) -> DataFrame:
+                 max_iters: int = 20,
+                 toks: DataFrame | None = None) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the LSH-verified
     near-dup pairs, the step that turns pairwise similarity into the
     keep-one-per-cluster decision every dedup pipeline actually ships.
@@ -854,7 +864,8 @@ def dup_clusters(spark, sf_dir: str, threshold: float = 0.5,
     Returns (doc_id, cluster_id, cluster_size) for every doc that has at
     least one verified near-dup; cluster_id = min doc_id in the component
     (the canonical survivor)."""
-    pairs = lsh_verified_near_dups(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    pairs = lsh_verified_near_dups(spark, sf_dir, threshold,
+                                   toks=toks).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).distinct().localCheckpoint(eager=True)
@@ -889,7 +900,8 @@ def dup_clusters(spark, sf_dir: str, threshold: float = 0.5,
     )
 
 
-def lsh_verified_near_dups(spark, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+def lsh_verified_near_dups(spark, sf_dir: str, threshold: float = 0.5,
+                           toks: DataFrame | None = None) -> DataFrame:
     """The production near-dup recipe composed end-to-end: MinHash-LSH
     candidate generation (cheap, signature-sized shuffle) -> exact Jaccard
     verification computed ONLY on the candidate pairs.
@@ -904,8 +916,8 @@ def lsh_verified_near_dups(spark, sf_dir: str, threshold: float = 0.5) -> DataFr
     candidate relation is actually small (the common case), and falls
     back to a shuffled hash join keyed on doc_a — which partitions the
     verify work instead of replicating it — when it isn't."""
-    cand = lsh_candidate_pairs(spark, sf_dir)
-    sh = shingles_df(load_documents(spark, sf_dir))
+    cand = lsh_candidate_pairs(spark, sf_dir, toks=toks)
+    sh = shingles_df(load_documents(spark, sf_dir), toks=toks)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("sa")
@@ -1168,14 +1180,17 @@ def duplicate_spans(spark, sf_dir: str, k: int = 8) -> DataFrame:
 
 # ----------------------------------------------------- dedup keep decision
 
-def dedup_keep_decision(spark, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+def dedup_keep_decision(spark, sf_dir: str, threshold: float = 0.5,
+                        toks: DataFrame | None = None) -> DataFrame:
     """The decision table a dedup pipeline actually ships: every document
     joined against its near-dup cluster (dup_clusters), keep = the doc IS
     its cluster's canonical (min doc_id); singletons keep themselves.
     Left join against O(near-dup docs) cluster rows — tiny relative to the
     corpus, so AQE broadcasts it at any scale."""
-    clusters = dup_clusters(spark, sf_dir, threshold).select("doc_id", "cluster_id")
-    docs = load_documents(spark, sf_dir).select("doc_id")
+    clusters = dup_clusters(spark, sf_dir, threshold,
+                            toks=toks).select("doc_id", "cluster_id")
+    docs = (load_documents(spark, sf_dir) if toks is None
+            else toks).select("doc_id")
     j = docs.join(clusters, "doc_id", "left")
     cid = F.coalesce("cluster_id", F.col("doc_id"))
     return j.select(
@@ -1918,9 +1933,17 @@ def curation_funnel(spark, sf_dir: str) -> DataFrame:
     scale shape; the funnel adds only doc_id equi-joins (AQE broadcasts
     the small flag sides) and ONE single-row aggregate of conditional
     sums — stages are cumulative booleans, so the whole funnel is one
-    pass over the joined flags, not five scans."""
+    pass over the joined flags, not five scans.  The corpus is
+    TOKENIZED ONCE: with_tokens is localCheckpointed (text carried only
+    as its md5, what exact-dedup needs) and threaded into every
+    component operator via their ``toks`` parameter — previously each
+    flag branch re-scanned and re-tokenized the corpus (5 scans)."""
     docs = load_documents(spark, sf_dir)
-    toks = with_tokens(docs)
+    toks = (
+        with_tokens(docs)
+        .select("doc_id", F.md5("text").alias("text_md5"), "tokens")
+        .localCheckpoint()
+    )
     en = F.size(F.filter("tokens", lambda t: t.isin(EN_STOP)))
     de = F.size(F.filter("tokens", lambda t: t.isin(DE_STOP)))
     fr = F.size(F.filter("tokens", lambda t: t.isin(FR_STOP)))
@@ -1928,27 +1951,27 @@ def curation_funnel(spark, sf_dir: str) -> DataFrame:
         "doc_id",
         ((en >= de) & (en >= fr) & (en > 0)).alias("is_en"),
     )
-    qual = corpus_filter(spark, sf_dir).select(
+    qual = corpus_filter(spark, sf_dir, toks=toks).select(
         "doc_id", "n_tokens", F.col("keep").alias("q_keep")
     )
-    ex = docs.select(
+    ex = toks.select(
         "doc_id",
         (
             F.col("doc_id")
             == F.min("doc_id").over(
-                Window.partitionBy(F.md5(F.col("text")))
+                Window.partitionBy(F.col("text_md5"))
             )
         ).alias("exact_keep"),
     )
-    nd = dedup_keep_decision(spark, sf_dir).select(
+    nd = dedup_keep_decision(spark, sf_dir, toks=toks).select(
         "doc_id", F.col("keep").alias("nd_keep")
     )
-    cont = benchmark_decontamination(spark, sf_dir).select(
+    cont = benchmark_decontamination(spark, sf_dir, toks=toks).select(
         "doc_id", F.lit(True).alias("contaminated")
     )
     is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "1"
     flags = (
-        docs.select("doc_id", is_bench.alias("is_bench"))
+        toks.select("doc_id", is_bench.alias("is_bench"))
         .join(lang, "doc_id")
         .join(qual, "doc_id")
         .join(ex, "doc_id")
