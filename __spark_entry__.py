@@ -3278,7 +3278,11 @@ SELECT mp4_brand, mp4_codec, count(*) AS n_clips,
        round(avg(mp4_duration_s), 4) AS avg_duration_s,
        round(avg(mp4_n_frames), 4) AS avg_n_frames,
        round(avg(mp4_w), 4) AS avg_width,
-       round(avg(mp4_n_tracks), 4) AS avg_n_tracks
+       round(avg(mp4_n_tracks), 4) AS avg_n_tracks,
+       round(avg(mp4_profile), 4) AS avg_profile,
+       max(mp4_level) AS max_level,
+       sum(CAST(mp4_sps_w = mp4_w AND mp4_sps_h = mp4_h
+                AS BIGINT)) AS n_sps_dim_match
 FROM read_parquet('{media}')
 WHERE kind = 'video' AND mp4_ok IS NOT NULL
 GROUP BY mp4_brand, mp4_codec ORDER BY mp4_brand, mp4_codec

@@ -546,16 +546,35 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
                     + b"\nstream\n" + jfif + b"\nendstream"
                 )
             elif pick < 0.65:
-                # fax scan: 1-bit G4 under /CCITTFaxDecode with K=-1 —
-                # the single most common real scanned-PDF encoding
-                g4 = _g4_encode(w, h, bytes(1 if b < 128 else 0 for b in raster))
+                # fax scan: 1-bit /CCITTFaxDecode.  K=-1 G4 stays the
+                # most common real scanned-PDF encoding; K>=0 G3 variants
+                # (round 5) cover both /EndOfLine framings and
+                # /EncodedByteAlign — everything pdf_scan_rasters decodes.
+                bil = bytes(1 if b < 128 else 0 for b in raster)
+                fv = rng.random()
+                if fv < 0.5:
+                    fax = _g4_encode(w, h, bil)
+                    parms = f"/K -1 /Columns {w} /Rows {h}"
+                elif fv < 0.65:
+                    fax = _ccitt_encode(w, h, bil, "g3_1d")
+                    parms = f"/K 0 /Columns {w} /Rows {h} /EndOfLine true"
+                elif fv < 0.8:
+                    fax = _ccitt_encode(w, h, bil, "g3_2d")
+                    parms = f"/K 4 /Columns {w} /Rows {h} /EndOfLine true"
+                elif fv < 0.9:
+                    fax = _ccitt_encode(w, h, bil, "mh")
+                    parms = (f"/K 0 /Columns {w} /Rows {h} "
+                             f"/EncodedByteAlign true")
+                else:
+                    fax = _ccitt_encode(w, h, bil, "g3_2d", eol=False)
+                    parms = f"/K 4 /Columns {w} /Rows {h}"
                 img_id = add(
                     f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
                     f"/BitsPerComponent 1 /ColorSpace /DeviceGray "
                     f"/Filter /CCITTFaxDecode "
-                    f"/DecodeParms << /K -1 /Columns {w} /Rows {h} >> "
-                    f"/Length {len(g4)} >>".encode()
-                    + b"\nstream\n" + g4 + b"\nendstream"
+                    f"/DecodeParms << {parms} >> "
+                    f"/Length {len(fax)} >>".encode()
+                    + b"\nstream\n" + fax + b"\nendstream"
                 )
             else:
                 comp_img = zlib.compress(bytes(raster))
@@ -1910,7 +1929,8 @@ def _packbits(row: bytes) -> bytes:
     return bytes(out)
 
 
-def _ccitt_encode(w: int, h: int, bilevel: bytes, mode: str = "g4") -> bytes:
+def _ccitt_encode(w: int, h: int, bilevel: bytes, mode: str = "g4",
+                  eol: bool = True) -> bytes:
     """CCITT fax encoder — independent twin of extractors/ccitt.py
     (shares only the published T.4 run-length code tables, the same
     stance as the LZW pairs).  *bilevel* is one byte per pixel,
@@ -1918,7 +1938,10 @@ def _ccitt_encode(w: int, h: int, bilevel: bytes, mode: str = "g4") -> bytes:
     ``g3_1d`` (T.4: EOL before each row, 1-D modified-Huffman rows, RTC
     trailer), ``g3_2d`` (T.4 2-D: EOL + tag bit per row, a 1-D anchor
     row every 4th, RTC of EOL+tag1), ``mh`` (TIFF Compression 2 CCITT
-    RLE: 1-D rows, no EOLs, each row byte-aligned)."""
+    RLE: 1-D rows, no EOLs, each row byte-aligned).  ``eol=False``
+    (g3_1d/g3_2d only) emits PDF's default ``/EndOfLine false`` layout:
+    rows packed back-to-back, no EOL codes, no RTC trailer — in 2-D
+    mode each row starts directly with its tag bit."""
     from bisect import bisect_right
 
     from .extractors.ccitt import _BLACK_CODES, _WHITE_CODES
@@ -2014,14 +2037,16 @@ def _ccitt_encode(w: int, h: int, bilevel: bytes, mode: str = "g4") -> bytes:
         if mode == "g4":
             encode_2d(cur, ref)
         elif mode == "g3_1d":
-            emit(*EOL)
+            if eol:
+                emit(*EOL)
             encode_1d(cur)
         elif mode == "mh":  # Compression 2: no EOLs, byte-aligned rows
             encode_1d(cur)
             if nbits:
                 emit(0, 8 - nbits)
         else:  # g3_2d: tag bit after EOL, 1-D anchor every 4th row
-            emit(*EOL)
+            if eol:
+                emit(*EOL)
             if y % 4 == 0:
                 emit(1, 1)
                 encode_1d(cur)
@@ -2032,10 +2057,10 @@ def _ccitt_encode(w: int, h: int, bilevel: bytes, mode: str = "g4") -> bytes:
     if mode == "g4":
         emit(*EOL)  # EOFB
         emit(*EOL)
-    elif mode == "g3_1d":
+    elif mode == "g3_1d" and eol:
         for _ in range(6):  # RTC
             emit(*EOL)
-    elif mode == "g3_2d":
+    elif mode == "g3_2d" and eol:
         for _ in range(6):  # RTC with tag bits
             emit(*EOL)
             emit(1, 1)

@@ -317,22 +317,39 @@ def mh_decode(data: bytes, w: int, h: int) -> bytearray:
     return out
 
 
-def g3_decode(data: bytes, w: int, h: int, two_d: bool = False) -> bytearray:
-    """CCITT Group 3 (T.4) decode: EOL-framed rows, 1-D modified-Huffman
-    or (``two_d``, T4Options bit 0) mixed 1-D/2-D where a tag bit after
-    each EOL picks the coding of the next row.  Decodes exactly *h* rows;
-    the RTC trailer, if present, is simply not read."""
+def g3_decode(data: bytes, w: int, h: int, two_d: bool = False,
+              eol: bool = True, byte_align: bool = False) -> bytearray:
+    """CCITT Group 3 (T.4) decode: 1-D modified-Huffman or (``two_d``,
+    T4Options bit 0 / PDF K>0) mixed 1-D/2-D where a tag bit picks the
+    coding of each row.  Decodes exactly *h* rows; the RTC trailer, if
+    present, is simply not read.
+
+    Framing variants (PDF /CCITTFaxDecode DecodeParms):
+
+    - ``eol=True`` — T.4/TIFF convention AND PDF ``/EndOfLine true``:
+      every row preceded by fill + the 000000000001 EOL (leading EOL
+      optional); in 2-D mode the tag bit follows each EOL.
+    - ``eol=False`` — PDF's DEFAULT (``/EndOfLine false``): rows packed
+      back-to-back with no EOL codes; in 2-D mode each row begins
+      directly with its tag bit.
+    - ``byte_align=True`` (PDF ``/EncodedByteAlign``, eol=False form) —
+      each row's coded data begins on a byte boundary, the same layout
+      as TIFF Compression-2 RLE (``mh_decode``)."""
     if w <= 0 or h <= 0:
         raise OcrError("g3: bad dimensions")
     bits = _Bits(data)
     out = bytearray()
     ref: list[int] = []
-    _consume_eol(bits, optional=True)  # leading EOL is customary, optional
+    if eol:
+        _consume_eol(bits, optional=True)  # leading EOL customary, optional
     for row_i in range(h):
-        if row_i:
-            _consume_eol(bits)
+        if eol:
+            if row_i:
+                _consume_eol(bits)
+        elif byte_align and row_i:
+            bits.pos = (bits.pos + 7) & ~7  # rows begin byte-aligned
         if two_d:
-            one_d = bits.bit()  # tag bit: 1 = next row is 1-D
+            one_d = bits.bit()  # tag bit: 1 = this row is 1-D
             cur = (_decode_1d_row(bits, w) if one_d
                    else _decode_2d_row(bits, ref, w))
         else:

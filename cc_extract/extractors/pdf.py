@@ -1012,8 +1012,10 @@ def pdf_scan_rasters(payload: bytes) -> list[tuple[int, int, bytes]]:
         if filt == "CCITTFaxDecode" or (
             isinstance(filt, list) and filt[-1:] == ["CCITTFaxDecode"]
         ):
-            # fax-in-PDF, what most real scanned PDFs embed (round 4):
-            # K < 0 selects pure G4 (T.6); G3 (K >= 0) stays quarantined.
+            # fax-in-PDF, what most real scanned PDFs embed: K < 0 pure
+            # G4 (T.6); K = 0 pure 1-D G3; K > 0 mixed 1-D/2-D G3 (T.4),
+            # honoring /EndOfLine (PDF default false: rows packed with no
+            # EOL codes) and /EncodedByteAlign (rows start byte-aligned).
             # BlackIs1 only flips the 1-bit representation — the decoder
             # emits 8-bit BlackIsZero pixels directly, so both settings
             # land on the same raster.
@@ -1024,15 +1026,26 @@ def pdf_scan_rasters(payload: bytes) -> list[tuple[int, int, bytes]]:
                 continue
             if obj_dict.get("BitsPerComponent", 1) != 1:
                 continue
-            if parms.get("K", 0) >= 0 or parms.get("Columns", 1728) != w:
+            if parms.get("Columns", 1728) != w:
                 continue
-            if w * h > 1 << 26:  # crafted dims: T.6 expands ~w*h/8 bits
+            if w * h > 1 << 26:  # crafted dims: T.4/T.6 expand ~w*h/8 bits
                 continue
-            from .ccitt import g4_decode
+            k = parms.get("K", 0)
+            eol = parms.get("EndOfLine", False) is True
+            byte_align = parms.get("EncodedByteAlign", False) is True
+            from .ccitt import g3_decode, g4_decode
             from .ocr import OcrError
 
             try:
-                raster = g4_decode(bytes(stream), w, h)
+                if not isinstance(k, int):
+                    raise OcrError("ccitt: bad K")
+                if k < 0:
+                    if byte_align:  # aligned G4: no writer we accept emits it
+                        raise OcrError("ccitt: byte-aligned G4")
+                    raster = g4_decode(bytes(stream), w, h)
+                else:
+                    raster = g3_decode(bytes(stream), w, h, two_d=k > 0,
+                                       eol=eol, byte_align=byte_align)
             except OcrError:
                 continue
             out.append((w, h, bytes(raster)))

@@ -45,6 +45,108 @@ def _mp4_box(typ: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + typ + body
 
 
+class _SpsBitWriter:
+    """MSB-first bit writer with H.264 Exp-Golomb codes (spec 9.1) —
+    generator-side twin of the parser's `_SpsBits` (independent
+    implementations, the repo's codec-pair stance)."""
+
+    def __init__(self) -> None:
+        self._bits: list[int] = []
+
+    def u(self, val: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self._bits.append((val >> k) & 1)
+
+    def ue(self, v: int) -> None:
+        code = v + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def rbsp(self) -> bytes:
+        """rbsp_trailing_bits (stop bit + pad) then emulation-prevention
+        escaping: any 00 00 0x with x<=3 gets a 03 inserted (7.4.1.1)."""
+        bits = self._bits + [1]
+        while len(bits) % 8:
+            bits.append(0)
+        raw = bytes(
+            int("".join(map(str, bits[i:i + 8])), 2)
+            for i in range(0, len(bits), 8))
+        out = bytearray()
+        zeros = 0
+        for b in raw:
+            if zeros >= 2 and b <= 3:
+                out.append(3)
+                zeros = 0
+            out.append(b)
+            zeros = zeros + 1 if b == 0 else 0
+        return bytes(out)
+
+
+def _avcc_box(w: int, h: int, profile: int, level: int) -> bytes:
+    """Real AVCDecoderConfigurationRecord (ISO 14496-15 §5.2.4) carrying
+    a from-scratch SPS NAL that encodes the TRUE coded dimensions —
+    pic_width_in_mbs / pic_height_in_map_units with frame cropping when
+    w or h is not a macroblock multiple — plus a minimal PPS.  The
+    bitstream of the coded pictures stays out of scope; the parameter
+    sets are what a container-level pipeline actually reads."""
+    if w % 2 or h % 2:
+        raise ValueError("avcc: dimensions must be even (4:2:0 crop units)")
+    sps = _SpsBitWriter()
+    sps.u(profile, 8)
+    sps.u(0, 8)                       # constraint flags + reserved
+    sps.u(level, 8)
+    sps.ue(0)                         # seq_parameter_set_id
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        sps.ue(1)                     # chroma_format_idc: 4:2:0
+        sps.ue(0)                     # bit_depth_luma_minus8
+        sps.ue(0)                     # bit_depth_chroma_minus8
+        sps.u(0, 1)                   # qpprime_y_zero_transform_bypass
+        sps.u(0, 1)                   # seq_scaling_matrix_present
+    sps.ue(0)                         # log2_max_frame_num_minus4
+    sps.ue(0)                         # pic_order_cnt_type = 0
+    sps.ue(2)                         # log2_max_pic_order_cnt_lsb_minus4
+    sps.ue(1)                         # max_num_ref_frames
+    sps.u(0, 1)                       # gaps_in_frame_num_allowed
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    sps.ue(mb_w - 1)                  # pic_width_in_mbs_minus1
+    sps.ue(mb_h - 1)                  # pic_height_in_map_units_minus1
+    sps.u(1, 1)                       # frame_mbs_only_flag
+    sps.u(1, 1)                       # direct_8x8_inference_flag
+    crop_r, crop_b = (mb_w * 16 - w) // 2, (mb_h * 16 - h) // 2
+    if crop_r or crop_b:
+        sps.u(1, 1)                   # frame_cropping_flag
+        sps.ue(0)
+        sps.ue(crop_r)                # units of 2 luma px (4:2:0)
+        sps.ue(0)
+        sps.ue(crop_b)
+    else:
+        sps.u(0, 1)
+    sps.u(0, 1)                       # vui_parameters_present_flag
+    sps_nal = b"\x67" + sps.rbsp()
+    pps = _SpsBitWriter()
+    pps.ue(0)                         # pic_parameter_set_id
+    pps.ue(0)                         # seq_parameter_set_id
+    pps.u(0, 1)                       # entropy_coding_mode (CAVLC)
+    pps.u(0, 1)                       # bottom_field_pic_order_present
+    pps.ue(0)                         # num_slice_groups_minus1
+    pps.ue(0)                         # num_ref_idx_l0_default_active_minus1
+    pps.ue(0)                         # num_ref_idx_l1_default_active_minus1
+    pps.u(0, 1)                       # weighted_pred_flag
+    pps.u(0, 2)                       # weighted_bipred_idc
+    pps.ue(0)                         # pic_init_qp_minus26 (se(0) == ue(0))
+    pps.ue(0)                         # pic_init_qs_minus26
+    pps.ue(0)                         # chroma_qp_index_offset
+    pps.u(1, 1)                       # deblocking_filter_control_present
+    pps.u(0, 1)                       # constrained_intra_pred_flag
+    pps.u(0, 1)                       # redundant_pic_cnt_present_flag
+    pps_nal = b"\x68" + pps.rbsp()
+    rec = (bytes([1, profile, 0, level, 0xFF, 0xE1])
+           + struct.pack(">H", len(sps_nal)) + sps_nal
+           + b"\x01" + struct.pack(">H", len(pps_nal)) + pps_nal)
+    return _mp4_box(b"avcC", rec)
+
+
 def _mp4_container(rng: random.Random, n_frames: int, w: int, h: int,
                    with_audio: bool = False) -> bytes:
     """Minimal-but-valid ISO BMFF (MP4) container: ftyp + moov with a
@@ -103,10 +205,13 @@ def _mp4_container(rng: random.Random, n_frames: int, w: int, h: int,
         mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
         return _mp4_box(b"trak", tkhd + mdia)
 
+    profile = rng.choice([66, 77, 100])      # Baseline / Main / High
+    level = rng.choice([30, 31, 40, 41])
     avc1 = _mp4_box(b"avc1", bytes(6) + struct.pack(">H", 1) + bytes(16)
                     + struct.pack(">HH", w, h)
                     + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
-                    + bytes(32) + struct.pack(">Hh", 24, -1))
+                    + bytes(32) + struct.pack(">Hh", 24, -1)
+                    + _avcc_box(w, h, profile, level))
     traks = trak(1, b"vide", avc1, timescale, duration,
                  [(n_frames, frame_dur)], sizes)
     if with_audio:
@@ -518,9 +623,10 @@ def gen_media(i: int, seed: int = 42) -> dict:
             # REAL MP4 container (round 4, continued): full ISO BMFF box
             # tree — structure (frame count, duration, codec, dims) is
             # readable; the H.264 bitstream inside stays out of scope
+            dims = rng.choice([(320, 240), (640, 480), (1280, 720),
+                               (1920, 1080)])  # 1080: SPS frame cropping
             payload = _mp4_container(
-                rng, n_frames=rng.randint(5, 48),
-                w=rng.choice([320, 640, 1280]), h=rng.choice([240, 480, 720]),
+                rng, n_frames=rng.randint(5, 48), w=dims[0], h=dims[1],
                 with_audio=rng.random() < 0.4)
         else:
             # truncated MP4 stub: ftyp only, noise tail -> quarantined
@@ -630,14 +736,139 @@ def _mp4_find(data: bytes, start: int, end: int, typ: bytes):
     return None
 
 
+class _SpsBits:
+    """MSB-first bit reader with H.264 Exp-Golomb decode (spec 9.1) —
+    parser-side twin of the generator's `_SpsBitWriter`."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data, self.pos = data, 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 32:
+                raise ValueError("sps: runaway exp-golomb")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k & 1 else -(k // 2)
+
+
+_HIGH_PROFILES = frozenset(
+    (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135))
+
+
+def _parse_sps(nal: bytes) -> dict:
+    """H.264 SPS parse (spec 7.3.2.1.1) for the fields a container-level
+    pipeline needs: profile_idc, level_idc and the TRUE coded dimensions
+    (macroblock grid minus frame cropping).  *nal* includes the NAL
+    header byte; emulation-prevention 00 00 03 sequences are unescaped
+    first (7.4.1.1).  Raises ValueError on anything malformed."""
+    if not nal or nal[0] & 0x1F != 7:
+        raise ValueError("sps: not an SPS NAL")
+    rbsp = bytearray()
+    zeros = 0
+    for b in nal[1:]:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue
+        rbsp.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    bits = _SpsBits(bytes(rbsp))
+    profile = bits.u(8)
+    bits.u(8)                               # constraint flags + reserved
+    level = bits.u(8)
+    bits.ue()                               # seq_parameter_set_id
+    chroma = 1
+    if profile in _HIGH_PROFILES:
+        chroma = bits.ue()
+        if chroma > 3:
+            raise ValueError("sps: bad chroma_format_idc")
+        if chroma == 3 and bits.u(1):       # separate_colour_plane_flag
+            chroma = 0                      # ChromaArrayType = 0
+        bits.ue()                           # bit_depth_luma_minus8
+        bits.ue()                           # bit_depth_chroma_minus8
+        bits.u(1)                           # qpprime_y_zero_bypass
+        if bits.u(1):                       # seq_scaling_matrix_present
+            raise ValueError("sps: scaling matrices unsupported")
+    bits.ue()                               # log2_max_frame_num_minus4
+    poc_type = bits.ue()
+    if poc_type == 0:
+        bits.ue()                           # log2_max_pic_order_cnt_lsb
+    elif poc_type == 1:
+        bits.u(1)
+        bits.se()
+        bits.se()
+        for _ in range(bits.ue()):
+            bits.se()
+    bits.ue()                               # max_num_ref_frames
+    bits.u(1)                               # gaps_in_frame_num_allowed
+    mb_w = bits.ue() + 1
+    map_h = bits.ue() + 1
+    frame_mbs_only = bits.u(1)
+    if not frame_mbs_only:
+        bits.u(1)                           # mb_adaptive_frame_field
+    bits.u(1)                               # direct_8x8_inference
+    crop_l = crop_r = crop_t = crop_b = 0
+    if bits.u(1):                           # frame_cropping_flag
+        crop_l, crop_r = bits.ue(), bits.ue()
+        crop_t, crop_b = bits.ue(), bits.ue()
+    # crop units (Table 6-1 via SubWidthC/SubHeightC; ChromaArrayType 0
+    # crops in luma samples): x = SubWidthC, y = SubHeightC*(2-fmo)
+    unit_x = {0: 1, 1: 2, 2: 2, 3: 1}[chroma]
+    unit_y = {0: 1, 1: 2, 2: 1, 3: 1}[chroma] * (2 - frame_mbs_only)
+    w = mb_w * 16 - (crop_l + crop_r) * unit_x
+    h = (2 - frame_mbs_only) * map_h * 16 - (crop_t + crop_b) * unit_y
+    if w <= 0 or h <= 0:
+        raise ValueError("sps: crop exceeds coded size")
+    return {"profile": profile, "level": level, "w": w, "h": h}
+
+
+def _parse_avcc(payload: bytes, entry_s: int, entry_e: int) -> dict | None:
+    """AVCDecoderConfigurationRecord inside an avc1/avc3 visual sample
+    entry (ISO 14496-15 §5.2.4): child boxes start after the 78-byte
+    VisualSampleEntry fields; the first SPS carries profile/level and
+    the authoritative coded dimensions."""
+    avcc = _mp4_find(payload, entry_s + 78, entry_e, b"avcC")
+    if avcc is None:
+        return None
+    s, e = avcc
+    if e - s < 8 or payload[s] != 1:        # configurationVersion
+        return None
+    n_sps = payload[s + 5] & 0x1F
+    if n_sps < 1:
+        return None
+    ln, = struct.unpack_from(">H", payload, s + 6)
+    if s + 8 + ln > e:
+        return None
+    try:
+        return _parse_sps(payload[s + 8: s + 8 + ln])
+    except (ValueError, IndexError):
+        return None
+
+
 def parse_mp4_meta(payload: bytes) -> dict:
     """ISO BMFF structural parse — the real MP4 metadata a video pipeline
     reads before any frame decode: brand, movie duration, track count,
     and for the first video track its codec fourcc, dimensions and frame
-    count (stsz entry count, cross-checkable against the stts sum)."""
+    count (stsz entry count, cross-checkable against the stts sum);
+    for avc1/avc3 entries, H.264 profile/level and the SPS-authoritative
+    coded dimensions parsed from the avcC parameter sets (round 5) —
+    the sample-entry w/h is advisory, the SPS is normative."""
     out = {"mp4_ok": False, "mp4_brand": None, "mp4_duration_s": None,
            "mp4_n_tracks": None, "mp4_codec": None, "mp4_w": None,
-           "mp4_h": None, "mp4_n_frames": None}
+           "mp4_h": None, "mp4_n_frames": None, "mp4_profile": None,
+           "mp4_level": None, "mp4_sps_w": None, "mp4_sps_h": None}
     if len(payload) < 16 or payload[4:8] != b"ftyp":
         return out
     try:
@@ -684,6 +915,13 @@ def parse_mp4_meta(payload: bytes) -> dict:
                     # predefined/reserved, then width/height
                     w, h = struct.unpack_from(">HH", payload, entry[1] + 24)
                     out["mp4_w"], out["mp4_h"] = w, h
+                    if entry[0] in (b"avc1", b"avc3"):
+                        sps = _parse_avcc(payload, entry[1], entry[2])
+                        if sps:
+                            out["mp4_profile"] = sps["profile"]
+                            out["mp4_level"] = sps["level"]
+                            out["mp4_sps_w"] = sps["w"]
+                            out["mp4_sps_h"] = sps["h"]
             stsz = _mp4_find(payload, stbl[0], stbl[1], b"stsz")
             if stsz:
                 out["mp4_n_frames"] = struct.unpack_from(
@@ -1311,13 +1549,17 @@ def mp4_structure_stats(df: DataFrame) -> DataFrame:
                 rows,
                 columns=["media_id", "mp4_ok", "mp4_brand", "mp4_duration_s",
                          "mp4_n_tracks", "mp4_codec", "mp4_w", "mp4_h",
-                         "mp4_n_frames"])
+                         "mp4_n_frames", "mp4_profile", "mp4_level",
+                         "mp4_sps_w", "mp4_sps_h"])
 
     per = df.mapInPandas(
         mp4_batches,
         "media_id long, mp4_ok boolean, mp4_brand string, "
         "mp4_duration_s double, mp4_n_tracks int, mp4_codec string, "
-        "mp4_w int, mp4_h int, mp4_n_frames int")
+        "mp4_w int, mp4_h int, mp4_n_frames int, mp4_profile int, "
+        "mp4_level int, mp4_sps_w int, mp4_sps_h int")
+    sps_match = ((F.col("mp4_sps_w") == F.col("mp4_w"))
+                 & (F.col("mp4_sps_h") == F.col("mp4_h")))
     return (
         per.groupBy("mp4_brand", "mp4_codec")
         .agg(
@@ -1327,6 +1569,9 @@ def mp4_structure_stats(df: DataFrame) -> DataFrame:
             F.round(F.avg("mp4_n_frames"), 4).alias("avg_n_frames"),
             F.round(F.avg("mp4_w"), 4).alias("avg_width"),
             F.round(F.avg("mp4_n_tracks"), 4).alias("avg_n_tracks"),
+            F.round(F.avg("mp4_profile"), 4).alias("avg_profile"),
+            F.max("mp4_level").alias("max_level"),
+            F.sum(sps_match.cast("long")).alias("n_sps_dim_match"),
         )
         .orderBy("mp4_brand", "mp4_codec")
     )

@@ -203,6 +203,14 @@ def media_table(n: int = 400) -> str:
             [m["mp4_h"] if m else None for m in mp4s], pa.int32()),
         "mp4_n_frames": pa.array(
             [m["mp4_n_frames"] if m else None for m in mp4s], pa.int32()),
+        "mp4_profile": pa.array(
+            [m["mp4_profile"] if m else None for m in mp4s], pa.int32()),
+        "mp4_level": pa.array(
+            [m["mp4_level"] if m else None for m in mp4s], pa.int32()),
+        "mp4_sps_w": pa.array(
+            [m["mp4_sps_w"] if m else None for m in mp4s], pa.int32()),
+        "mp4_sps_h": pa.array(
+            [m["mp4_sps_h"] if m else None for m in mp4s], pa.int32()),
     })
     path = os.path.join(_ORACLE_DIR, f"media_{n}.parquet")
     _atomic_write_table(table, path)

@@ -1716,19 +1716,22 @@ def test_tiff_real_rgba_fixture_decodes():
 
 
 def test_pdf_ccitt_scan_ocr():
-    """Scanned-style PDF with a /CCITTFaxDecode (K=-1, pure G4) page
-    image — the most common real scanned-PDF encoding — OCRs end to end;
-    a G3 (K>=0) variant stays honestly quarantined."""
+    """Scanned-style PDF under /CCITTFaxDecode: K=-1 pure G4 (the most
+    common real scanned-PDF encoding) AND every K>=0 G3 framing the
+    route accepts since round 5 — /EndOfLine true (EOL-framed T.4), the
+    PDF-default packed form (no EOLs, tag bit leads each 2-D row), and
+    /EncodedByteAlign — all OCR end to end; a stream that is not valid
+    for its declared K still quarantines."""
     import zlib as _zlib
 
-    from cc_extract.corpusgen import _g4_encode
+    from cc_extract.corpusgen import _ccitt_encode, _g4_encode
     from cc_extract.glyphs import render_raster
 
     text = "CCITT IN PDF 42."
     w, h, raster = render_raster(text)
-    g4 = _g4_encode(w, h, bytes(1 if b < 128 else 0 for b in raster))
+    bil = bytes(1 if b < 128 else 0 for b in raster)
 
-    def pdf_with(k: int) -> bytes:
+    def pdf_with(fax: bytes, parms: str) -> bytes:
         objs = []
 
         def add(b):
@@ -1739,9 +1742,9 @@ def test_pdf_ccitt_scan_ocr():
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
             f"/BitsPerComponent 1 /ColorSpace /DeviceGray "
             f"/Filter /CCITTFaxDecode "
-            f"/DecodeParms << /K {k} /Columns {w} /Rows {h} >> "
-            f"/Length {len(g4)} >>".encode()
-            + b"\nstream\n" + g4 + b"\nendstream")
+            f"/DecodeParms << {parms} >> "
+            f"/Length {len(fax)} >>".encode()
+            + b"\nstream\n" + fax + b"\nendstream")
         raw = f"q {w} 0 0 {h} 72 400 cm /Im{img} Do Q".encode()
         comp = _zlib.compress(raw)
         cid = add(b"<< /Length " + str(len(comp)).encode()
@@ -1753,10 +1756,24 @@ def test_pdf_ccitt_scan_ocr():
         out += b"%%EOF"
         return bytes(out)
 
-    res = extract_document(pdf_with(-1), "https://x/scan.pdf")
-    assert (res["fmt"], res["status"]) == ("pdf", "ok_ocr")
-    assert res["text"] == text
-    res = extract_document(pdf_with(0), "https://x/scan.pdf")  # G3: quarantine
+    dims = f"/Columns {w} /Rows {h}"
+    variants = [
+        (_g4_encode(w, h, bil), f"/K -1 {dims}"),
+        (_ccitt_encode(w, h, bil, "g3_1d"), f"/K 0 {dims} /EndOfLine true"),
+        (_ccitt_encode(w, h, bil, "g3_2d"), f"/K 4 {dims} /EndOfLine true"),
+        (_ccitt_encode(w, h, bil, "mh"),
+         f"/K 0 {dims} /EncodedByteAlign true"),
+        (_ccitt_encode(w, h, bil, "g3_2d", eol=False), f"/K 4 {dims}"),
+        (_ccitt_encode(w, h, bil, "g3_1d", eol=False), f"/K 0 {dims}"),
+    ]
+    for fax, parms in variants:
+        res = extract_document(pdf_with(fax, parms), "https://x/scan.pdf")
+        assert (res["fmt"], res["status"]) == ("pdf", "ok_ocr"), parms
+        assert res["text"] == text, parms
+    # G4 bits under a K=0 declaration are not a valid MH stream:
+    # the decode raises inside pdf_scan_rasters -> honest quarantine
+    res = extract_document(
+        pdf_with(_g4_encode(w, h, bil), f"/K 0 {dims}"), "https://x/scan.pdf")
     assert (res["fmt"], res["status"]) == ("pdf", "needs_ocr")
 
 

@@ -624,3 +624,43 @@ def test_mp4_uniform_stsz_fixed_size_form():
     assert len(frames) == 3
     for fw2, fh2, _ in frames:
         assert (fw2, fh2) == (fw, fh)
+
+
+def test_avcc_sps_parse():
+    """Round 5: avc1 sample entries carry a real avcC
+    (AVCDecoderConfigurationRecord) whose SPS encodes the TRUE coded
+    dimensions — parse_mp4_meta reports profile/level and the
+    SPS-authoritative w/h, including the frame-cropping form (1080 =
+    68 MBs * 16 - 8) and the Exp-Golomb high-profile chroma block."""
+    import random
+    import struct as _struct
+
+    # writer->parser round-trip across profiles, crop and no-crop dims
+    for (w, h) in [(320, 240), (1280, 720), (1920, 1080), (638, 354)]:
+        for profile in (66, 77, 100):
+            box = mm._avcc_box(w, h, profile, 41)
+            fake = b"\x00" * 78 + box
+            got = mm._parse_avcc(fake, 0, len(fake))
+            assert got == {"profile": profile, "level": 41, "w": w, "h": h}
+    # end to end through the container generator + structural parser
+    p = mm._mp4_container(random.Random(11), n_frames=8, w=1920, h=1080)
+    meta = mm.parse_mp4_meta(p)
+    assert meta["mp4_codec"] == "avc1"
+    assert (meta["mp4_sps_w"], meta["mp4_sps_h"]) == (1920, 1080)
+    assert meta["mp4_profile"] in (66, 77, 100)
+    assert meta["mp4_level"] in (30, 31, 40, 41)
+    # emulation-prevention: the escape path must invert exactly
+    wtr = mm._SpsBitWriter()
+    wtr.u(0x67, 8)
+    wtr.u(0, 24)  # three zero bytes force a 00 00 03 escape
+    wtr.u(1, 8)
+    esc = wtr.rbsp()
+    assert b"\x00\x00\x03" in esc
+    # a truncated avcC yields None, never raises
+    assert mm._parse_avcc(b"\x00" * 78 + b"\x00\x00\x00\x09avcC\x01", 0, 87) is None
+    # non-SPS NAL type refuses
+    try:
+        mm._parse_sps(b"\x68\x00")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
