@@ -888,7 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     audio/video/mp4_stats) — all judge-green r4 and pytest-pinned.
     #   r6 window should lead with whatever this round's window displaced.
     return {
-        # --- new in r5 (never verified by ANY driver/judge run yet) ---
+        # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "mm_mp4_stats": _mm_mp4_stats,  # r5: avcC SPS profile/level/dims
         # --- r4 judge-only set: VERDICT-named ten first ---
         "doc_gopher_rules": textops.gopher_rules,
         "doc_duplicate_spans": textops.duplicate_spans,
@@ -927,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_ann": embedops.lsh_ann,
         "emb_ivf_ann": embedops.ivf_ann,
         "emb_ivf_ann_nprobe2": lambda spark, sf: embedops.ivf_ann(spark, sf, nprobe=2),
+        "emb_ivf_ann_nprobe4": lambda spark, sf: embedops.ivf_ann(spark, sf, nprobe=4),
         "emb_cosine_near_dup": embedops.cosine_near_dup_pairs,
         "emb_lsh_ann_multiprobe": embedops.lsh_ann_multiprobe,
         "emb_ann_recall": embedops.ann_recall,
@@ -950,7 +952,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_stats": _mm_image_stats,
         "mm_audio_stats": _mm_audio_stats,
         "mm_video_stats": _mm_video_stats,
-        "mm_mp4_stats": _mm_mp4_stats,
         # --- r4 driver-green set (CORRECTNESS_r04: all green) ---
         # relational operator suite (SURVEY.md §2.5)
         "q1_pricing_summary": relops.q1_pricing_summary,
@@ -2487,6 +2488,7 @@ ORDER BY cos_sim DESC, emb.vec_id LIMIT 10
 
     sql["emb_ivf_ann"] = _ivf_sql(1)
     sql["emb_ivf_ann_nprobe2"] = _ivf_sql(2)
+    sql["emb_ivf_ann_nprobe4"] = _ivf_sql(4)
 
     def _pq_sql() -> str:
         # Product quantization, mirroring embedops.pq_codebooks /
@@ -2721,25 +2723,29 @@ ORDER BY adc_dist, emb.vec_id LIMIT {embedops.DEFAULT_K}
     # very queries under test
     k = embedops.DEFAULT_K
     recall_ctes = {
-        "lsh_single": sql["emb_lsh_ann"],
-        "lsh_multiprobe": sql["emb_lsh_ann_multiprobe"],
-        "ivf_nprobe1": sql["emb_ivf_ann"],
-        "ivf_nprobe2": sql["emb_ivf_ann_nprobe2"],
-        "pq_adc": sql["emb_pq_ann"],
-        "ivf_pq": sql["emb_ivf_pq_ann"],
+        "lsh_single": ("1 of 2^16 buckets", sql["emb_lsh_ann"]),
+        "lsh_multiprobe": ("17 of 2^16 buckets",
+                           sql["emb_lsh_ann_multiprobe"]),
+        "ivf_nprobe1": ("1 of 8 cells", sql["emb_ivf_ann"]),
+        "ivf_nprobe2": ("2 of 8 cells", sql["emb_ivf_ann_nprobe2"]),
+        "ivf_nprobe3": ("3 of 8 cells", _ivf_sql(3)),
+        "ivf_nprobe4": ("4 of 8 cells", sql["emb_ivf_ann_nprobe4"]),
+        "pq_adc": ("all codes (ADC)", sql["emb_pq_ann"]),
+        "ivf_pq": ("2 of 8 cells (ADC)", sql["emb_ivf_pq_ann"]),
     }
     ctes = ",\n".join(
-        f"c_{m} AS (SELECT vec_id FROM ({q}))" for m, q in recall_ctes.items()
+        f"c_{m} AS (SELECT vec_id FROM ({q}))"
+        for m, (_c, q) in recall_ctes.items()
     )
     unions = "\n  UNION ALL\n".join(
-        f"  SELECT '{m}' AS method, count(*) AS n_hits "
+        f"  SELECT '{m}' AS method, '{c}' AS cost, count(*) AS n_hits "
         f"FROM c_{m} JOIN truth USING (vec_id)"
-        for m in recall_ctes
+        for m, (c, _q) in recall_ctes.items()
     )
     sql["emb_ann_recall"] = f"""
 WITH truth AS (SELECT vec_id FROM ({sql['emb_knn_bruteforce']})),
 {ctes}
-SELECT method, {k} AS k, n_hits, round(n_hits / {k}.0, 4) AS recall
+SELECT method, {k} AS k, cost, n_hits, round(n_hits / {k}.0, 4) AS recall
 FROM (
 {unions}
 )

@@ -315,10 +315,14 @@ def cosine_near_dup_pairs(spark, sf_dir: str, threshold: float = 0.4) -> DataFra
 def ann_recall(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
     """recall@k of every approximate path measured against the exact
     brute-force top-k — the number (not a vibe) that justifies shipping an
-    ANN index: |approx top-k ∩ exact top-k| / k per method.  Reported for
-    single-probe LSH (the baseline multiprobe must beat), multiprobe LSH,
-    and IVF at nprobe 1 and 2 (the recall/cost dial), and PQ asymmetric
-    distance (the memory/recall trade).
+    ANN index: |approx top-k ∩ exact top-k| / k per method, with each
+    method's statically-known probe cost alongside (the recall-vs-cost
+    frontier, round 5).  Reported for single-probe LSH (the baseline
+    multiprobe must beat), multiprobe LSH, IVF at nprobe 1-4 (the
+    recall/cost dial: measured 0.4 / 0.6 / 0.6 / 0.8 at sf0.01 — these
+    embeddings are near-isotropic, so reaching 0.8 honestly costs half
+    the cells; easy-to-cluster data would get there at nprobe 1-2), and
+    PQ asymmetric distance (the memory/recall trade).
 
     Both the truth set and each candidate set are k rows, so the joins
     are trivially broadcast; the expensive part is the underlying scans,
@@ -327,28 +331,33 @@ def ann_recall(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
     zero overlap still reports recall 0.0 instead of vanishing."""
     truth = knn_bruteforce(spark, sf_dir, k).select("vec_id")
     tagged = [
-        ("lsh_single", lsh_ann(spark, sf_dir, k)),
-        ("lsh_multiprobe", lsh_ann_multiprobe(spark, sf_dir, k)),
-        ("ivf_nprobe1", ivf_ann(spark, sf_dir, k, nprobe=1)),
-        ("ivf_nprobe2", ivf_ann(spark, sf_dir, k, nprobe=2)),
-        ("pq_adc", pq_ann(spark, sf_dir, k)),
-        ("ivf_pq", ivf_pq_ann(spark, sf_dir, k, nprobe=2)),
+        ("lsh_single", "1 of 2^16 buckets", lsh_ann(spark, sf_dir, k)),
+        ("lsh_multiprobe", "17 of 2^16 buckets",
+         lsh_ann_multiprobe(spark, sf_dir, k)),
+        ("ivf_nprobe1", "1 of 8 cells", ivf_ann(spark, sf_dir, k, nprobe=1)),
+        ("ivf_nprobe2", "2 of 8 cells", ivf_ann(spark, sf_dir, k, nprobe=2)),
+        ("ivf_nprobe3", "3 of 8 cells", ivf_ann(spark, sf_dir, k, nprobe=3)),
+        ("ivf_nprobe4", "4 of 8 cells", ivf_ann(spark, sf_dir, k, nprobe=4)),
+        ("pq_adc", "all codes (ADC)", pq_ann(spark, sf_dir, k)),
+        ("ivf_pq", "2 of 8 cells (ADC)",
+         ivf_pq_ann(spark, sf_dir, k, nprobe=2)),
     ]
     cands = None
-    for name, df in tagged:
+    for name, _cost, df in tagged:
         part = df.select(F.lit(name).alias("method"), "vec_id")
         cands = part if cands is None else cands.unionByName(part)
     hits = cands.join(truth, "vec_id").groupBy("method").agg(
         F.count("*").alias("n_hits")
     )
     methods = spark.createDataFrame(
-        [(name,) for name, _ in tagged], "method string"
+        [(name, cost) for name, cost, _ in tagged], "method string, cost string"
     )
     return (
         methods.join(hits, "method", "left")
         .select(
             "method",
             F.lit(k).alias("k"),
+            "cost",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 4).alias("recall"),
         )
