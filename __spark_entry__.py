@@ -890,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "mm_mp4_stats": _mm_mp4_stats,  # r5: avcC SPS profile/level/dims
+        "emb_lsh_near_dup": embedops.lsh_near_dup_pairs,  # r5: banded scale path
+        "emb_lsh_near_dup_recall": embedops.lsh_near_dup_recall,  # r5 frontier
         # --- r4 judge-only set: VERDICT-named ten first ---
         "doc_gopher_rules": textops.gopher_rules,
         "doc_duplicate_spans": textops.duplicate_spans,
@@ -1055,10 +1057,10 @@ def _lsh_bands_sql() -> str:
     return bands
 
 
-def _planes_sql() -> list[str]:
+def _planes_sql(n_planes: int = embedops.N_PLANES) -> list[str]:
     return [
         "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
-        for p in embedops.lsh_planes()
+        for p in embedops.lsh_planes(n_planes)
     ]
 
 
@@ -2390,6 +2392,64 @@ WHERE round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding A
                * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 5) >= 0.4
 """
 
+    pair_cos = (
+        "round(list_inner_product(CAST(ea.embedding AS DOUBLE[]), "
+        "CAST(eb.embedding AS DOUBLE[])) / "
+        "(sqrt(list_inner_product(CAST(ea.embedding AS DOUBLE[]), "
+        "CAST(ea.embedding AS DOUBLE[]))) * "
+        "sqrt(list_inner_product(CAST(eb.embedding AS DOUBLE[]), "
+        "CAST(eb.embedding AS DOUBLE[])))), 5)"
+    )
+
+    def _nd_pairs_sql(bands: int, bits: int) -> str:
+        """Banded-LSH verified near-dup pairs CTE body (mirrors
+        embedops.lsh_near_dup_pairs at the same bands x bits)."""
+        wide_bucket = "||".join(
+            f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), {p}) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+            for p in _planes_sql(bands * bits)
+        )
+        band_sel = " UNION ALL ".join(
+            f"SELECT vec_id, {b} AS band, "
+            f"substr(bits, {1 + b * bits}, {bits}) AS key FROM sig"
+            for b in range(bands)
+        )
+        return f"""
+WITH sig AS (SELECT vec_id, {wide_bucket} AS bits FROM embeddings),
+bands AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {pair_cos} AS cos_sim
+FROM cand
+JOIN embeddings ea ON ea.vec_id = vec_a
+JOIN embeddings eb ON eb.vec_id = vec_b
+WHERE {pair_cos} >= 0.4
+"""
+
+    sql["emb_lsh_near_dup"] = _nd_pairs_sql(
+        embedops.LSH_ND_BANDS, embedops.LSH_ND_BAND_BITS
+    )
+
+    nd_truth_cnt = (
+        "SELECT count(*) AS n_true FROM ("
+        + sql["emb_cosine_near_dup"]
+        + ") t"
+    )
+    nd_method_rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS method, '{cost}' AS cost, "
+        f"(SELECT count(*) FROM ({_nd_pairs_sql(b, r)}) p) AS n_pairs"
+        for name, b, r, cost in embedops.ND_CONFIGS
+    )
+    sql["emb_lsh_near_dup_recall"] = f"""
+SELECT method, cost, n_pairs, n_true,
+       round(CAST(n_pairs AS DOUBLE) / n_true, 4) AS recall
+FROM ({nd_method_rows}) m CROSS JOIN ({nd_truth_cnt}) t
+ORDER BY method
+"""
+
     sql["emb_knn_bruteforce"] = f"""
 SELECT vec_id, label, {cos_expr} AS cos_sim
 FROM embeddings
@@ -2723,8 +2783,8 @@ ORDER BY adc_dist, emb.vec_id LIMIT {embedops.DEFAULT_K}
     # very queries under test
     k = embedops.DEFAULT_K
     recall_ctes = {
-        "lsh_single": ("1 of 2^16 buckets", sql["emb_lsh_ann"]),
-        "lsh_multiprobe": ("17 of 2^16 buckets",
+        "lsh_single": ("1 of 2^8 buckets", sql["emb_lsh_ann"]),
+        "lsh_multiprobe": ("9 of 2^8 buckets",
                            sql["emb_lsh_ann_multiprobe"]),
         "ivf_nprobe1": ("1 of 8 cells", sql["emb_ivf_ann"]),
         "ivf_nprobe2": ("2 of 8 cells", sql["emb_ivf_ann_nprobe2"]),

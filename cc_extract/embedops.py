@@ -40,11 +40,14 @@ def load_embeddings(spark, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def lsh_planes() -> list[list[float]]:
+def lsh_planes(n_planes: int = N_PLANES) -> list[list[float]]:
     """Deterministic hyperplanes, rounded so both engines parse identical
-    float64 literals."""
+    float64 literals.  Planes are drawn sequentially from one seeded
+    stream, so ``lsh_planes(n)[:m] == lsh_planes(m)`` — widening the
+    signature for the banded near-dup path never perturbs the 8-plane
+    ANN bucket index."""
     rng = np.random.RandomState(PLANE_SEED)
-    return [[round(float(x), 6) for x in rng.randn(DIM)] for _ in range(N_PLANES)]
+    return [[round(float(x), 6) for x in rng.randn(DIM)] for _ in range(n_planes)]
 
 
 def query_vector() -> list[float]:
@@ -312,6 +315,140 @@ def cosine_near_dup_pairs(spark, sf_dir: str, threshold: float = 0.4) -> DataFra
     )
 
 
+LSH_ND_BANDS = 4
+LSH_ND_BAND_BITS = 4
+
+
+def lsh_near_dup_pairs(
+    spark,
+    sf_dir: str,
+    threshold: float = 0.4,
+    bands: int = LSH_ND_BANDS,
+    band_bits: int = LSH_ND_BAND_BITS,
+) -> DataFrame:
+    """Embedding near-duplicate pairs, the SCALE path: banded sign-LSH
+    candidate generation (default 4 bands x 4 planes over a 16-bit
+    signature — candidates share any band's key, the minhash-banding
+    trick applied to hyperplane bits) followed by exact cosine
+    verification on the candidate pairs only — the same
+    candidate->verify recipe as ``lsh_verified_near_dups`` on text.
+    ``cosine_near_dup_pairs`` is this query's exact-all-pairs ground
+    truth; ``lsh_near_dup_recall`` measures this operator's recall at
+    three (bands x bits) operating points.
+
+    Verification makes false positives impossible, so recall (missed
+    pairs) is the only error.  On this corpus the >=0.4 pairs are the
+    tail of the random-cosine distribution (0.40-0.51, no planted
+    dups), the hardest case for sign-LSH: per-plane agreement at
+    cos 0.4 is ~0.63, so a 4-bit band collides with p~0.16 and 4 bands
+    give measured recall ~0.5 at ~4/16 of all pairs inspected.  There
+    is no free recall on unclusterable data (same finding as IVF);
+    on real corpora near-dups sit at cos >= 0.9 where the same config
+    collides with p~0.97 per band.
+
+    100 TB plan shape: the band self-join is an equi-join on (band,
+    key) — a signature-sized shuffle, never all-pairs; the verify joins
+    fetch vectors for candidate ids only.  At 10^12 vectors the band
+    key becomes a partition column of a stored signature table and
+    recall is dialed with more bands / fewer bits per band."""
+    emb = load_embeddings(spark, sf_dir)
+    planes = lsh_planes(bands * band_bits)
+    sig = emb.select(
+        "vec_id", _bucket_expr(F.col("embedding"), planes).alias("bits")
+    )
+    bands_df = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring(
+                        "bits", 1 + b * band_bits, band_bits
+                    ).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.key")
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("ea"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("eb"),
+    )
+    j = cand.join(ea, "vec_a").join(eb, "vec_b")
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(_dot(F.col("ea"), F.col("ea")))
+           * F.sqrt(_dot(F.col("eb"), F.col("eb")))),
+        5,
+    )
+    return (
+        j.select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# (name, bands, bits/band, expected candidate fraction on uniform buckets)
+ND_CONFIGS = [
+    ("band2x4", 2, 4, "2/16 of pairs"),
+    ("band4x4", 4, 4, "4/16 of pairs"),
+    ("band8x4", 8, 4, "8/16 of pairs"),
+]
+
+
+def lsh_near_dup_recall(spark, sf_dir: str, threshold: float = 0.4) -> DataFrame:
+    """Pair-level recall of the banded near-dup path at three
+    (bands x bits) operating points, against the exact all-pairs truth
+    — the recall-vs-cost frontier for ``lsh_near_dup_pairs``, mirroring
+    ``ann_recall`` for the top-k paths.  Verification means every found
+    pair is a true pair (found ⊆ truth at the same threshold/rounding),
+    so recall = n_found / n_true.  Measured at sf0.01 on the 0.40-0.51
+    random-tail pairs: 0.27 / 0.53 / 0.78 at 2/4/8 bands of 4 bits —
+    each doubling of bands buys ~2x recall for ~2x candidate cost on
+    this worst-case-isotropic corpus.  The truth subplan is the ONE
+    documented-quadratic baseline; the measured paths are all banded
+    equi-joins."""
+    truth = cosine_near_dup_pairs(spark, sf_dir, threshold).agg(
+        F.count("*").alias("n_true")
+    )
+    parts = None
+    for name, bands, bits, cost in ND_CONFIGS:
+        n = lsh_near_dup_pairs(
+            spark, sf_dir, threshold, bands=bands, band_bits=bits
+        ).agg(F.count("*").alias("n_pairs"))
+        part = n.select(
+            F.lit(name).alias("method"), F.lit(cost).alias("cost"), "n_pairs"
+        )
+        parts = part if parts is None else parts.unionByName(part)
+    return (
+        parts.crossJoin(truth)
+        .select(
+            "method",
+            "cost",
+            "n_pairs",
+            "n_true",
+            F.round(F.col("n_pairs") / F.col("n_true"), 4).alias("recall"),
+        )
+        .orderBy("method")
+    )
+
+
 def ann_recall(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
     """recall@k of every approximate path measured against the exact
     brute-force top-k — the number (not a vibe) that justifies shipping an
@@ -331,8 +468,8 @@ def ann_recall(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
     zero overlap still reports recall 0.0 instead of vanishing."""
     truth = knn_bruteforce(spark, sf_dir, k).select("vec_id")
     tagged = [
-        ("lsh_single", "1 of 2^16 buckets", lsh_ann(spark, sf_dir, k)),
-        ("lsh_multiprobe", "17 of 2^16 buckets",
+        ("lsh_single", "1 of 2^8 buckets", lsh_ann(spark, sf_dir, k)),
+        ("lsh_multiprobe", "9 of 2^8 buckets",
          lsh_ann_multiprobe(spark, sf_dir, k)),
         ("ivf_nprobe1", "1 of 8 cells", ivf_ann(spark, sf_dir, k, nprobe=1)),
         ("ivf_nprobe2", "2 of 8 cells", ivf_ann(spark, sf_dir, k, nprobe=2)),

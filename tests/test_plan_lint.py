@@ -56,6 +56,10 @@ BNLJ_OK = {
     # that serves as ground truth for the LSH/IVF scale paths; its own
     # docstring pins that at 10^12 vectors it runs only within buckets.
     "emb_cosine_near_dup",
+    # inherits the exact all-pairs truth subplan above (as denominator)
+    # plus a 1-row n_true scalar cross; the measured paths are banded
+    # equi-joins.
+    "emb_lsh_near_dup_recall",
 }
 
 _QUERIES = entry_mod.queries()
