@@ -56,11 +56,19 @@ def gated_best(run) -> tuple[float, float, int]:
     attempts, stopping once MIN_CLEAN sub-gate windows were observed,
     retrying up to MAX_ATTEMPTS — ESCALATING to HARD_MAX_ATTEMPTS while
     not even one clean window has landed (r3 verdict "wrong" #2: the
-    5-attempt budget ran out before minhash got a clean window).  If the
-    escalated budget still yields no clean window, the best contaminated
-    one is kept — its steal fraction is recorded and main() flags the
-    query in the JSON's "contaminated" list, never silently."""
-    best = None
+    5-attempt budget ran out before minhash got a clean window).
+
+    The kept window is the fastest CLEAN one whenever any clean window
+    landed (r4 verdict bench item: four queries were flagged contaminated
+    because a marginally-faster dirty window shadowed a clean one — a
+    clean window is a valid measurement, and steal only ever inflates
+    wall, so preferring clean costs at most the inflation the gate
+    exists to exclude).  Only when the escalated budget yields no clean
+    window at all is the best contaminated one kept — its steal fraction
+    is recorded and main() flags the query in the JSON's "contaminated"
+    list, never silently."""
+    best = None        # min wall over ALL attempts (fallback)
+    best_clean = None  # min wall over sub-gate attempts (preferred)
     clean = 0
     attempts = 0
     while attempts < MAX_ATTEMPTS or (clean == 0 and attempts < HARD_MAX_ATTEMPTS):
@@ -74,10 +82,13 @@ def gated_best(run) -> tuple[float, float, int]:
         if best is None or wall < best[0]:
             best = (wall, steal)
         if steal < STEAL_GATE:
+            if best_clean is None or wall < best_clean[0]:
+                best_clean = (wall, steal)
             clean += 1
             if clean >= MIN_CLEAN:
                 break
-    return best[0], best[1], attempts
+    kept = best_clean if best_clean is not None else best
+    return kept[0], kept[1], attempts
 
 
 def ensure_corpus(spark) -> None:
@@ -111,6 +122,17 @@ def bench_extract(spark) -> tuple[float, float, int]:
 def main() -> None:
     from cc_extract import embedops, relops, textops
     from cc_extract.session import build_session
+
+    # CPU-weather gate (r4 verdict bench item): steal%% cannot see
+    # frequency/neighbor slowdown, so probe effective core delivery at
+    # the bench width and (bounded) wait for a clean window before any
+    # timing.  The probe result is recorded in the JSON either way, so
+    # every number carries the weather it was measured under.
+    from bench.weather import wait_for_window
+
+    wait_min = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_CLEAN", "4"))
+    weather = wait_for_window(CPUS, max_slowdown=1.15,
+                              wait_minutes=wait_min, interval_sec=30.0)
 
     spark = build_session(cpus=CPUS, app_name="cc_extract-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -181,6 +203,9 @@ def main() -> None:
         # the escalated retry budget — their numbers are overestimates
         "contaminated": sorted(n for n, s in steals.items() if s >= STEAL_GATE),
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        # width-CPUS md5 probe vs this host's best-ever (bench/weather.py):
+        # the frequency/neighbor drift steal%% can't see
+        "weather_slowdown_at_start": weather["slowdown"],
         "cpus": CPUS,
         "extract_docs": n_extracted,
         "extract_docs_per_sec": round(n_extracted / ext_sec, 1),
