@@ -88,13 +88,23 @@ def ensure_corpus(n_docs: int) -> str:
     corpus = f"/dev/shm/cc_scaling_corpus_{n_docs}"
     if os.path.exists(os.path.join(corpus, "_SUCCESS")):
         return corpus
+    # Input-file count must scale with corpus size: the small-doc branch
+    # extracts IN scan partitions, so scan splits = extraction tasks.  A
+    # fixed 64 files put 15.6k docs (~60 s of UDF work) in ONE task at
+    # 1M docs — exactly 2.0 waves on 32 cores, so the wide leg lost ~40%
+    # to wave quantization + stragglers while the 8-core leg amortized
+    # over 8 waves (measured: 1M-doc 8->32 eff 0.31 with 64 files).  At
+    # 100 TB this never arises — a real lake gives ~3M splits — so the
+    # generator mirrors that: ~4k docs (~4 MB) per file.
+    partitions = max(64, n_docs // 4000)
     gen = (
         f"import sys; sys.path.insert(0, {REPO!r})\n"
         "from cc_extract.session import build_session\n"
         "from cc_extract.corpusgen import corpus_df\n"
         "spark = build_session(cpus=32, app_name='gen')\n"
         "spark.sparkContext.setLogLevel('ERROR')\n"
-        f"corpus_df(spark, {n_docs}, partitions=64).write.mode('overwrite').parquet({corpus!r})\n"
+        f"corpus_df(spark, {n_docs}, partitions={partitions}).write.mode('overwrite')"
+        f".parquet({corpus!r})\n"
         "spark.stop()\n"
     )
     subprocess.run([sys.executable, "-c", gen], check=True)
