@@ -98,6 +98,41 @@ def _cc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_encrypted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypted-PDF accounting across handler generations (RC4 V1/R2,
+    /AESV2 V4/R4, /AESV3 V5/R6) x extraction outcome: documents whose
+    password opens (empty, or a curation-sidecar candidate in user or
+    owner role — pdf.DEFAULT_PASSWORDS) extract; unknown-password
+    documents stay honest error rows.  The generation is sniffed from
+    the raw payload with native byte containment (no Python row path);
+    the DuckDB oracle re-derives the same rule per row in the
+    single-process extraction table (oracle_data.extraction_table).
+    Scale shape: the sniff projection is (url, ts, 5-char kind) — no
+    payload ever moves; AQE broadcasts it into the extracted relation."""
+    docs, res = _cc_corpus_and_extracted(spark)
+    kind = (
+        F.when(~F.contains(F.col("html"), F.lit(b"/Encrypt")),
+               F.lit(None).cast("string"))
+        .when(F.contains(F.col("html"), F.lit(b"/AESV3")), F.lit("aesv3"))
+        .when(F.contains(F.col("html"), F.lit(b"/AESV2")), F.lit("aesv2"))
+        .otherwise(F.lit("rc4"))
+    )
+    enc = docs.select("url", "warc_ts", kind.alias("enc_kind"))
+    j = (
+        res.filter(F.col("fmt") == "pdf")
+        .join(enc, ["url", "warc_ts"])
+        .filter(F.col("enc_kind").isNotNull())
+    )
+    return (
+        j.groupBy("enc_kind", "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text_out")).alias("total_chars"),
+        )
+        .orderBy("enc_kind", "status")
+    )
+
+
 def _cc_needs_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OCR-quarantine route (D3): documents whose text layer is empty
     or that are images, emitted as needs_ocr rows (reference's ocr Lambda,
@@ -889,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "cc_encrypted_stats": _cc_encrypted_stats,  # r5: PDF password routes
         "mm_mp4_stats": _mm_mp4_stats,  # r5: avcC SPS profile/level/dims
         "emb_lsh_near_dup": embedops.lsh_near_dup_pairs,  # r5: banded scale path
         "emb_lsh_near_dup_recall": embedops.lsh_near_dup_recall,  # r5 frontier
@@ -2476,12 +2512,14 @@ WHERE {bucket_expr} IN ({probes})
 ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
-    def _ivf_sql(nprobe: int) -> str:
+    def _kmeans_ctes() -> tuple[str, str]:
         # LEARNED k-means cells, mirroring embedops.kmeans_centroids
         # exactly: md5-ordered seeds, KMEANS_ITERS Lloyd iterations
         # (assign = argmin over previous centroids, ties to the lower
         # cell; update = round(avg, 6); emptied cells keep the previous
         # centroid), final assignment against the last centroids.
+        # Returns (CTE chain through `member`, final-centroid CTE name);
+        # shared by the IVF probes and emb_semdedup.
         n_cells, iters, dim = embedops.N_CELLS, embedops.KMEANS_ITERS, embedops.DIM
         it_ctes = []
         prev = "c0"
@@ -2508,8 +2546,7 @@ c{n} AS (
   FROM {prev} p LEFT JOIN u{n} u ON u.cell = p.cell AND u.pos = p.pos
 )""")
             prev = f"c{n}"
-        return f"""
-WITH q AS (SELECT {qlit} AS qv),
+        return (f"""
 e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 ex AS (
   SELECT vec_id, i AS pos, e[CAST(i AS INT) + 1] AS v
@@ -2532,7 +2569,12 @@ member AS (
              ORDER BY sum((x.v - c.c) * (x.v - c.c)), c.cell) AS rn
     FROM ex x JOIN {prev} c ON c.pos = x.pos
     GROUP BY x.vec_id, c.cell) WHERE rn = 1
-),
+)""", prev)
+
+    def _ivf_sql(nprobe: int) -> str:
+        km, prev = _kmeans_ctes()
+        return f"""
+WITH q AS (SELECT {qlit} AS qv),{km},
 qdist AS (
   SELECT c.cell, sum((c.c - qv[CAST(c.pos AS INT) + 1])
                    * (c.c - qv[CAST(c.pos AS INT) + 1])) AS d
@@ -2838,6 +2880,15 @@ FROM d GROUP BY fmt, status ORDER BY fmt, status
 WITH {dedup_cte}
 SELECT url, fmt, n_bytes_in
 FROM d WHERE status = 'needs_ocr' ORDER BY url
+"""
+
+    sql["cc_encrypted_stats"] = f"""
+WITH {dedup_cte}
+SELECT enc_kind, status, count(*) AS n_docs,
+       CAST(sum(length(text_out)) AS BIGINT) AS total_chars
+FROM d
+WHERE fmt = 'pdf' AND enc_kind IS NOT NULL
+GROUP BY enc_kind, status ORDER BY enc_kind, status
 """
 
     sql["cc_ocr_text"] = f"""

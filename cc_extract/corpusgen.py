@@ -197,6 +197,17 @@ _PDF_PW_PAD = bytes([
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
 ])  # standard security handler padding (ISO 32000-1, public constant)
 
+# The corpus's stand-in for a curation password sidecar: publisher pages
+# that disclose their PDF's password.  Must equal the extractor's
+# DEFAULT_PASSWORDS (pinned by a test — the writer stays an independent
+# transcription, the shared data is just the list).
+_KNOWN_PDF_PASSWORDS = ("crawl-sidecar-2026", "publica")
+
+
+def _pad_cg(pwd: bytes) -> bytes:
+    """Algorithm 2 step a: truncate/pad the password to 32 bytes."""
+    return (pwd + _PDF_PW_PAD)[:32]
+
 
 def _rc4_cg(key: bytes, data: bytes) -> bytes:
     """Writer-side RC4 (independent of the extractor's copy)."""
@@ -497,7 +508,8 @@ def _serialize_pdf_xref_stream(objs: list[bytes], catalog_id: int) -> bytes:
     return buf.getvalue()
 
 
-def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
+def _gen_pdf(rng: random.Random, layout: str | None = None,
+             enc: tuple[str, bytes, bytes] | None = None) -> bytes:
     xref_stream = rng.random() < PDF_XREF_STREAM_FRACTION
     if layout is not None:  # test hook; production always draws
         xref_stream = layout == "xref"
@@ -658,12 +670,14 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
     if xref_stream:
         return _serialize_pdf_xref_stream(objs, catalog_id)
 
-    # Standard security handler (empty passwords) on a slice of
-    # classic-layout PDFs — the "restrictions-only" encryption a real
-    # crawl constantly hits, across all three generations: RC4 V1/R2
-    # (Algorithms 1/2/3/4), AES-128 crypt filters V4/R4 (/AESV2), and
-    # AES-256 V5/R6 (/AESV3 with the Algorithm-2.B hash + /Perms block).
+    # Standard security handler on a slice of classic-layout PDFs — the
+    # "restrictions-only" encryption a real crawl constantly hits, across
+    # all three generations: RC4 V1/R2 (Algorithms 1/2/3/4), AES-128
+    # crypt filters V4/R4 (/AESV2), and AES-256 V5/R6 (/AESV3 with the
+    # Algorithm-2.B hash + /Perms block).
     encrypted = rng.random() < PDF_ENCRYPT_FRACTION
+    if enc is not None:  # test hook (kind, user_pw, owner_pw); prod draws
+        encrypted = True
     trailer_extra = ""
     if encrypted:
         import hashlib
@@ -675,12 +689,37 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
         # hash (6 per doc across writer+reader) — representative at 15%
         # of encrypted PDFs without dominating corpus generation time
         kind = "rc4" if pick < 0.45 else ("aesv2" if pick < 0.85 else "aesv3")
+        # Password scenarios (fractions of the encrypted slice): 60%
+        # restrictions-only (both empty) — the dominant real-crawl case;
+        # 20% user password present in the curation sidecar list; 12%
+        # user password unknown but the OWNER password in the list
+        # (exercises Algorithm 7 // /OE recovery); 8% unknown in both
+        # roles — stays an honest quarantine row.
+        pq = rng.random()
+        if pq < 0.60:
+            user_pw = owner_pw = b""
+        elif pq < 0.80:
+            user_pw = _KNOWN_PDF_PASSWORDS[rng.randrange(2)].encode()
+            owner_pw = b""
+        elif pq < 0.92:
+            user_pw = bytes(rng.randrange(33, 127) for _ in range(10))
+            owner_pw = _KNOWN_PDF_PASSWORDS[rng.randrange(2)].encode()
+        else:
+            user_pw = b"forgotten-" + bytes(
+                rng.randrange(48, 58) for _ in range(4))
+            owner_pw = b""
+        if enc is not None:
+            kind, user_pw, owner_pw = enc
         if kind == "rc4":
             id0 = bytes(rng.randrange(256) for _ in range(16))
             perms = -44  # typical restrictions mask, any int is honored
-            o_val = _rc4_cg(hashlib.md5(_PDF_PW_PAD).digest()[:5], _PDF_PW_PAD)
+            # Algorithm 3: /O from the owner password (user pw when the
+            # owner pw is empty) encrypting the padded user password
+            o_val = _rc4_cg(
+                hashlib.md5(_pad_cg(owner_pw or user_pw)).digest()[:5],
+                _pad_cg(user_pw))
             key = hashlib.md5(
-                _PDF_PW_PAD + o_val + struct.pack("<i", perms) + id0
+                _pad_cg(user_pw) + o_val + struct.pack("<i", perms) + id0
             ).digest()[:5]
             u_val = _rc4_cg(key, _PDF_PW_PAD)
 
@@ -700,17 +739,18 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
         elif kind == "aesv2":
             id0 = bytes(rng.randrange(256) for _ in range(16))
             perms = -3904  # high-security restrictions mask
-            # Algorithm 3 (R4): /O from the (empty) owner password
-            d = hashlib.md5(_PDF_PW_PAD).digest()
+            # Algorithm 3 (R4): /O from the owner password (user pw when
+            # the owner pw is empty) encrypting the padded user password
+            d = hashlib.md5(_pad_cg(owner_pw or user_pw)).digest()
             for _ in range(50):
                 d = hashlib.md5(d).digest()
             rc4key = d[:16]
-            o_val = _rc4_cg(rc4key, _PDF_PW_PAD)
+            o_val = _rc4_cg(rc4key, _pad_cg(user_pw))
             for i in range(1, 20):
                 o_val = _rc4_cg(bytes(b ^ i for b in rc4key), o_val)
             # Algorithm 2 (128-bit, 50-fold md5)
             d = hashlib.md5(
-                _PDF_PW_PAD + o_val + struct.pack("<i", perms) + id0
+                _pad_cg(user_pw) + o_val + struct.pack("<i", perms) + id0
             ).digest()
             for _ in range(50):
                 d = hashlib.md5(d[:16]).digest()
@@ -744,13 +784,15 @@ def _gen_pdf(rng: random.Random, layout: str | None = None) -> bytes:
             key = bytes(rng.randrange(256) for _ in range(32))
             vsalt = bytes(rng.randrange(256) for _ in range(8))
             ksalt = bytes(rng.randrange(256) for _ in range(8))
-            u_val = _hash_2b_cg(b"", vsalt, b"") + vsalt + ksalt
-            ue = _aes.cbc_encrypt(_hash_2b_cg(b"", ksalt, b""),
+            upw = user_pw[:127]  # ISO 32000-2: UTF-8, 127-byte cap
+            opw = (owner_pw or user_pw)[:127]
+            u_val = _hash_2b_cg(upw, vsalt, b"") + vsalt + ksalt
+            ue = _aes.cbc_encrypt(_hash_2b_cg(upw, ksalt, b""),
                                   bytes(16), key)
             ovs = bytes(rng.randrange(256) for _ in range(8))
             oks = bytes(rng.randrange(256) for _ in range(8))
-            o_val = _hash_2b_cg(b"", ovs, u_val) + ovs + oks
-            oe = _aes.cbc_encrypt(_hash_2b_cg(b"", oks, u_val),
+            o_val = _hash_2b_cg(opw, ovs, u_val) + ovs + oks
+            oe = _aes.cbc_encrypt(_hash_2b_cg(opw, oks, u_val),
                                   bytes(16), key)
             pblk = (struct.pack("<i", perms) + b"\xff\xff\xff\xffTadb"
                     + bytes(rng.randrange(256) for _ in range(4)))

@@ -71,9 +71,14 @@ STATUS_UNSUPPORTED = "unsupported"
 STATUS_UNSUPPORTED_LEGACY = "unsupported_legacy"
 
 
-def extract_document(payload: bytes | None, url: str | None = None) -> dict:
+def extract_document(payload: bytes | None, url: str | None = None,
+                     pdf_passwords: tuple[str, ...] | None = None) -> dict:
     """Normative per-document extraction. Returns
     ``{fmt, status, text, error}``; never raises.
+
+    ``pdf_passwords``: candidate passwords for encrypted PDFs (None ->
+    pdf.DEFAULT_PASSWORDS, the curation-side sidecar list; the job CLI
+    overrides via --pdf-passwords).
 
     Routing (SURVEY.md §2.2 D2–D4, §2.4.3 D3):
     - images        -> OCR-lite (ocr.py): decodable PNG rasters are
@@ -126,7 +131,10 @@ def extract_document(payload: bytes | None, url: str | None = None) -> dict:
         return {"fmt": fmt, "status": STATUS_UNSUPPORTED,
                 "text": "", "error": f"no extractor for format {fmt!r}"}
     try:
-        text = fn(payload)
+        if fmt == "pdf":
+            text = fn(payload, passwords=pdf_passwords)
+        else:
+            text = fn(payload)
     except Exception as e:  # noqa: BLE001 — per-row capture is the contract
         return {"fmt": fmt, "status": STATUS_ERROR, "text": "",
                 "error": repr(e)[:200]}
@@ -135,7 +143,7 @@ def extract_document(payload: bytes | None, url: str | None = None) -> dict:
         # the page raster as an image XObject; recognize it directly.
         from .ocr import ocr_pdf_rasters
         try:
-            ocr_text = ocr_pdf_rasters(payload)
+            ocr_text = ocr_pdf_rasters(payload, pdf_passwords)
         except Exception:  # noqa: BLE001
             ocr_text = ""
         if ocr_text.strip():

@@ -93,14 +93,14 @@ def extract_image_ocr(payload: bytes) -> str:
     )
 
 
-def ocr_pdf_rasters(payload: bytes) -> str:
+def ocr_pdf_rasters(payload: bytes, passwords=None) -> str:
     """Scanned-style PDF -> recognized text from its page-image XObjects
     (FlateDecode 8-bit DeviceGray), pages joined with a blank line.
     Returns '' when the PDF carries no recognizable rasters."""
     from .pdf import pdf_scan_rasters
 
     texts = []
-    for w, h, raster in pdf_scan_rasters(payload):
+    for w, h, raster in pdf_scan_rasters(payload, passwords):
         t = ocr_raster(w, h, raster)
         if t.strip():
             texts.append(t)

@@ -239,6 +239,15 @@ _PW_PAD = bytes([
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
 ])
 
+# Curation-side password sidecar: a crawl pipeline carries a short list of
+# publisher-disclosed passwords (press-kit PDFs, gated datasheets shipped
+# with their password in the landing page).  Each candidate is tried as
+# the USER then the OWNER password after the empty password; a document
+# matching neither quarantines.  The job overrides via --pdf-passwords.
+# ASCII-only by convention: R<=4 interprets passwords as PDFDocEncoding
+# bytes and R6 as UTF-8, which agree on ASCII.
+DEFAULT_PASSWORDS = ("crawl-sidecar-2026", "publica")
+
 
 def _rc4(key: bytes, data: bytes) -> bytes:
     """Plain RC4 (KSA + PRGA) — ~30 lines of public algorithm, used only
@@ -286,10 +295,8 @@ def _hash_2b(pwd: bytes, salt: bytes, udata: bytes) -> bytes:
             return k[:32]
 
 
-def _decrypt_objects(data: bytes, objects) -> None:
-    """Standard security handler with the EMPTY user password — the
-    overwhelmingly common "encrypted" PDF in a web crawl
-    (restrictions-only).  Three generations are handled:
+def _decrypt_objects(data: bytes, objects, passwords=None) -> None:
+    """Standard security handler.  Three generations are handled:
 
     - V1/V2, R2/R3 — RC4: file key per Algorithm 2, verified against /U
       (Algorithms 4/5), per-object keys per Algorithm 1.
@@ -299,12 +306,23 @@ def _decrypt_objects(data: bytes, objects) -> None:
       validates via Algorithm 2.B, the key unwraps from /UE, and /Perms
       is decrypted and its 'adb' sentinel checked.
 
-    Non-empty passwords, public-key handlers and unknown CFMs raise —
-    the dispatcher turns that into the honest error row."""
+    Password model: the EMPTY user password is tried first (the
+    overwhelmingly common restrictions-only case in a crawl), then each
+    candidate from ``passwords`` (default DEFAULT_PASSWORDS) as the USER
+    password, then each as the OWNER password — Algorithm 7 decrypts /O
+    back to the padded user password for R<=4; for R5/R6 the owner hash
+    validates against /O (udata = /U[:48]) and the file key unwraps from
+    /OE.  A document matching no candidate in either role, public-key
+    handlers and unknown CFMs raise — the dispatcher turns that into the
+    honest error row."""
     import hashlib
     import struct as _s
 
     from . import aes as _aes
+
+    if passwords is None:
+        passwords = DEFAULT_PASSWORDS
+    cand = [b""] + [pw.encode("utf-8") for pw in passwords]
 
     m = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data)
     if not m:
@@ -325,7 +343,7 @@ def _decrypt_objects(data: bytes, objects) -> None:
         raise _PdfError("encrypted: malformed /Encrypt dict")
 
     method = "rc4"  # how streams are decrypted: rc4 | aesv2 | aesv3
-    key = b""
+    key = None
     n = 5
     if v in (1, 2) or (v == 4 and r == 4):
         if v in (1, 2) and r not in (2, 3):
@@ -355,43 +373,87 @@ def _decrypt_objects(data: bytes, objects) -> None:
         if idm:
             id0 = bytes.fromhex(
                 re.sub(rb"\s", b"", idm.group(1)).decode("ascii"))
-        # Algorithm 2 with the empty user password
-        seed = _PW_PAD + o[:32] + _s.pack("<i", p) + id0
-        if r == 4 and ed.get("EncryptMetadata") is False:
-            seed += b"\xff\xff\xff\xff"
-        h = hashlib.md5(seed)
-        if r >= 3:
-            digest = h.digest()
-            for _ in range(50):
-                digest = hashlib.md5(digest[:n]).digest()
-            key = digest[:n]
-        else:
-            key = h.digest()[:5]
-        # verify the empty user password against /U (Algorithms 4/5)
-        if r == 2:
-            ok = _rc4(key, _PW_PAD) == u[:32]
-        else:
-            x = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+
+        def _file_key(padded: bytes) -> bytes:
+            # Algorithm 2 from the 32-byte padded user password
+            seed = padded + o[:32] + _s.pack("<i", p) + id0
+            if r == 4 and ed.get("EncryptMetadata") is False:
+                seed += b"\xff\xff\xff\xff"
+            digest = hashlib.md5(seed).digest()
+            if r >= 3:
+                for _ in range(50):
+                    digest = hashlib.md5(digest[:n]).digest()
+                return digest[:n]
+            return digest[:5]
+
+        def _check_user(k: bytes) -> bool:
+            # Algorithms 4/5 — /U always encrypts the padding constant,
+            # whatever the password, so only the key varies
+            if r == 2:
+                return _rc4(k, _PW_PAD) == u[:32]
+            x = _rc4(k, hashlib.md5(_PW_PAD + id0).digest())
             for i in range(1, 20):
-                x = _rc4(bytes(b ^ i for b in key), x)
-            ok = x == u[:16]
-        if not ok:
-            raise _PdfError("encrypted: non-empty user password required")
+                x = _rc4(bytes(b ^ i for b in k), x)
+            return x == u[:16]
+
+        for pwd in cand:  # as USER password (empty first)
+            k = _file_key((pwd + _PW_PAD)[:32])
+            if _check_user(k):
+                key = k
+                break
+        if key is None:
+            # Algorithm 7: candidate as OWNER password — Algorithm 3's
+            # RC4 key decrypts /O back to the padded user password
+            for pwd in cand:
+                digest = hashlib.md5((pwd + _PW_PAD)[:32]).digest()
+                if r >= 3:
+                    for _ in range(50):
+                        digest = hashlib.md5(digest).digest()
+                okey = digest[:n]
+                if r == 2:
+                    recovered = _rc4(okey, o[:32])
+                else:
+                    recovered = o[:32]
+                    for i in range(19, -1, -1):
+                        recovered = _rc4(
+                            bytes(b ^ i for b in okey), recovered)
+                k = _file_key(recovered[:32])
+                if _check_user(k):
+                    key = k
+                    break
+        if key is None:
+            raise _PdfError("encrypted: password not in candidate list")
     elif v == 5 and r in (5, 6):
         method = "aesv3"
         ue = _str_bytes(ed.get("UE"))
         if len(u) < 48 or ue is None or len(ue) < 32:
             raise _PdfError("encrypted: malformed V5 /U or /UE")
-        vsalt, ksalt = u[32:40], u[40:48]
-        if r == 6:
-            ok = _hash_2b(b"", vsalt, b"") == u[:32]
-            ikey = _hash_2b(b"", ksalt, b"")
-        else:  # R5: the deprecated single-SHA-256 draft
-            ok = hashlib.sha256(vsalt).digest() == u[:32]
-            ikey = hashlib.sha256(ksalt).digest()
-        if not ok:
-            raise _PdfError("encrypted: non-empty user password required")
-        key = _aes.cbc_decrypt(ikey, b"\x00" * 16, ue[:32])
+        def _v5_hashes(pwd: bytes, vs: bytes, ks: bytes,
+                       udata: bytes) -> tuple[bytes, bytes]:
+            pwd = pwd[:127]  # ISO 32000-2 7.6.4.3.3: truncate to 127 bytes
+            if r == 6:
+                return _hash_2b(pwd, vs, udata), _hash_2b(pwd, ks, udata)
+            # R5: the deprecated single-SHA-256 draft
+            return (hashlib.sha256(pwd + vs + udata).digest(),
+                    hashlib.sha256(pwd + ks + udata).digest())
+
+        for pwd in cand:  # as USER password (empty first)
+            hv, hk = _v5_hashes(pwd, u[32:40], u[40:48], b"")
+            if hv == u[:32]:
+                key = _aes.cbc_decrypt(hk, b"\x00" * 16, ue[:32])
+                break
+        if key is None:
+            # as OWNER password: validation/key salts live in /O[32:48],
+            # udata is /U[:48], the file key unwraps from /OE
+            oe = _str_bytes(ed.get("OE"))
+            if oe is not None and len(oe) >= 32 and len(o) >= 48:
+                for pwd in cand:
+                    hv, hk = _v5_hashes(pwd, o[32:40], o[40:48], u[:48])
+                    if hv == o[:32]:
+                        key = _aes.cbc_decrypt(hk, b"\x00" * 16, oe[:32])
+                        break
+        if key is None:
+            raise _PdfError("encrypted: password not in candidate list")
         perms = _str_bytes(ed.get("Perms"))
         if perms is not None and len(perms) >= 16:
             pt = _aes.ecb_decrypt(key, perms[:16])
@@ -425,7 +487,9 @@ def _decrypt_objects(data: bytes, objects) -> None:
         objects[num] = (od, dec)
 
 
-def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
+def _scan_objects(
+    data: bytes, passwords=None,
+) -> dict[int, tuple[dict, bytes | None]]:
     """Map obj number -> (dict, stream_bytes|None) by brute scan, then
     expand PDF 1.5+ object streams so compressed catalogs/page trees
     resolve like direct ones.
@@ -479,7 +543,7 @@ def _scan_objects(data: bytes) -> dict[int, tuple[dict, bytes | None]]:
                 continue
             stream = data[sstart:send].rstrip(b"\r\n")
         objects[num] = (obj_dict, stream)
-    _decrypt_objects(data, objects)  # before ObjStm expansion: those
+    _decrypt_objects(data, objects, passwords)  # before ObjStm expansion: those
     _expand_object_streams(objects)  # streams are themselves encrypted
     return objects
 
@@ -987,7 +1051,9 @@ def _content_to_text(content: bytes, fonts: dict[str, dict[int, str]] | None = N
 
 # ----------------------------------------------------------------- public
 
-def pdf_scan_rasters(payload: bytes) -> list[tuple[int, int, bytes]]:
+def pdf_scan_rasters(
+    payload: bytes, passwords=None,
+) -> list[tuple[int, int, bytes]]:
     """Page-image rasters of a scanned-style PDF, in object order:
     ``/Subtype /Image`` XObjects with 8-bit /DeviceGray samples under
     /FlateDecode, or JPEG scans under /DCTDecode (decoded by the
@@ -998,7 +1064,7 @@ def pdf_scan_rasters(payload: bytes) -> list[tuple[int, int, bytes]]:
     if not payload.startswith(b"%PDF"):
         return []
     out: list[tuple[int, int, bytes]] = []
-    objects = _scan_objects(payload)
+    objects = _scan_objects(payload, passwords)
     for num in sorted(objects):
         obj_dict, stream = objects[num]
         if obj_dict.get("Subtype") != "Image" or stream is None:
@@ -1070,11 +1136,14 @@ def pdf_scan_rasters(payload: bytes) -> list[tuple[int, int, bytes]]:
     return out
 
 
-def extract_pdf(payload: bytes) -> str:
-    """bytes -> text layer.  Empty result means the caller routes needs_ocr."""
+def extract_pdf(payload: bytes, passwords=None) -> str:
+    """bytes -> text layer.  Empty result means the caller routes needs_ocr.
+
+    ``passwords``: candidate user/owner passwords for encrypted documents
+    (None -> DEFAULT_PASSWORDS; see _decrypt_objects)."""
     if not payload.startswith(b"%PDF"):
         raise _PdfError("not a PDF (missing %PDF header)")
-    objects = _scan_objects(payload)
+    objects = _scan_objects(payload, passwords)
     if not objects:
         raise _PdfError("no parseable objects")
     pages = _page_content_streams(payload, objects)

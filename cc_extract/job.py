@@ -65,7 +65,7 @@ EXTRACT_RESULT_SCHEMA = (
 OK_STATUSES = ("ok", "ok_ocr")  # ok_ocr = executed OCR-lite route (X14)
 
 
-def make_extract_udf():
+def make_extract_udf(pdf_passwords: tuple[str, ...] | None = None):
     """The X1–X17 extractor surface as ONE Arrow-vectorized scalar UDF.
 
     One UDF (not a per-format ``when`` chain, which would evaluate every
@@ -90,7 +90,7 @@ def make_extract_udf():
         ms = [0.0] * n
         for i, (payload, u) in enumerate(zip(html, url)):
             t0 = perf_counter()
-            r = extract_document(payload, u)
+            r = extract_document(payload, u, pdf_passwords=pdf_passwords)
             ms[i] = (perf_counter() - t0) * 1000.0
             fmts[i] = r["fmt"]
             texts[i] = r["text"]
@@ -120,6 +120,7 @@ def pipeline_df(
     skip_buckets: list[int] | None = None,
     exec_partitions: int | None = None,
     shuffle_policy: str = "giants-only",
+    pdf_passwords: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """documents -> extracted (url, warc_ts, bucket, n_bytes_in, fmt,
     text_out, text_sha256, status, error, attempt).  Pure transformation —
@@ -158,7 +159,7 @@ def pipeline_df(
     # disappears" contract.
     df = df.withColumn("n_bytes_in", F.coalesce(F.length("html"), F.lit(0)))
 
-    extract_udf = make_extract_udf()
+    extract_udf = make_extract_udf(pdf_passwords)
 
     def run_extract(part: DataFrame) -> DataFrame:
         return part.withColumn("r", extract_udf("html", "url")).select(
@@ -219,6 +220,7 @@ def run(
     dedup: bool = True,
     resume: bool = True,
     input_token: str | None = None,
+    pdf_passwords: tuple[str, ...] | None = None,
 ) -> dict:
     """Execute the pipeline with manifest-checkpointed resume (M1–M4).
 
@@ -246,6 +248,11 @@ def run(
         "n_buckets": n_buckets, "salt": salt,
         "salt_threshold": salt_threshold, "dedup": dedup,
     }
+    if pdf_passwords is not None:
+        # part of the job identity: a different candidate list changes
+        # which encrypted PDFs extract, so completed buckets don't carry
+        # over (the default list is omitted to keep prior job_ids stable)
+        config["pdf_passwords"] = list(pdf_passwords)
     jid = mf.job_id(config)
     # input_token: identity of generated/inline inputs (e.g. "n|seed") so
     # M4's resume-refusal can distinguish same-schema inline corpora
@@ -277,7 +284,7 @@ def run(
 
     res = pipeline_df(
         docs, n_buckets=n_buckets, salt=salt, salt_threshold=salt_threshold,
-        dedup=dedup, skip_buckets=skip,
+        dedup=dedup, skip_buckets=skip, pdf_passwords=pdf_passwords,
     )
     # final layout shuffle: cheap text rows, clusters files 1:1 with buckets
     final = res.repartition(n_buckets, "bucket")
@@ -357,6 +364,10 @@ def main() -> None:
     ap.add_argument("--no-dedup", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--pdf-passwords", default=None,
+                    help="comma-separated candidate passwords for "
+                         "encrypted PDFs (default: the built-in "
+                         "curation sidecar list)")
     args = ap.parse_args()
 
     from .session import build_session
@@ -375,10 +386,13 @@ def main() -> None:
             from .corpusgen import corpus_df
             docs = corpus_df(spark, args.n_docs, seed=args.seed)
             token = f"{args.n_docs}|{args.seed}"
+        pdf_pw = (tuple(args.pdf_passwords.split(","))
+                  if args.pdf_passwords is not None else None)
         stats = run(
             spark, docs, args.out, n_buckets=args.buckets, salt=args.salt,
             salt_threshold=args.salt_threshold, dedup=not args.no_dedup,
             resume=not args.no_resume, input_token=token,
+            pdf_passwords=pdf_pw,
         )
         print(f"job stats: {stats}")
         if not stats["skipped"]:

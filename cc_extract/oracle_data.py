@@ -48,7 +48,7 @@ def extraction_table(n_docs: int = 1200) -> str:
     from .extractors import extract_document
 
     urls, tss, fmts, statuses, errors = [], [], [], [], []
-    texts, shas, nbytes = [], [], []
+    texts, shas, nbytes, enc_kinds = [], [], [], []
     for r in gen_corpus(n_docs):
         res = extract_document(r["html"], r["url"])
         urls.append(r["url"])
@@ -59,6 +59,15 @@ def extraction_table(n_docs: int = 1200) -> str:
         texts.append(res["text"])
         shas.append(hashlib.sha256(res["text"].encode("utf-8")).hexdigest())
         nbytes.append(len(r["html"]))
+        # standard-security-handler generation, sniffed from the RAW
+        # payload (gzip-wrapped PDFs sniff NULL on both engines — the
+        # Spark side applies the same raw-byte rule natively)
+        h = bytes(r["html"])
+        if b"/Encrypt" not in h:
+            enc_kinds.append(None)
+        else:
+            enc_kinds.append("aesv3" if b"/AESV3" in h
+                             else "aesv2" if b"/AESV2" in h else "rc4")
     table = pa.table({
         "url": pa.array(urls, pa.string()),
         "warc_ts": pa.array(tss, pa.timestamp("us")),
@@ -68,6 +77,7 @@ def extraction_table(n_docs: int = 1200) -> str:
         "text_out": pa.array(texts, pa.string()),
         "text_sha256": pa.array(shas, pa.string()),
         "n_bytes_in": pa.array(nbytes, pa.int32()),
+        "enc_kind": pa.array(enc_kinds, pa.string()),
     })
     path = os.path.join(_ORACLE_DIR, f"extracted_{n_docs}.parquet")
     _atomic_write_table(table, path)
