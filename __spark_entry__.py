@@ -925,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "cc_encrypted_stats": _cc_encrypted_stats,  # r5: PDF password routes
+        "emb_semdedup": embedops.semdedup,  # r5: SemDeDup k-means+cosine prune
         "mm_mp4_stats": _mm_mp4_stats,  # r5: avcC SPS profile/level/dims
         "emb_lsh_near_dup": embedops.lsh_near_dup_pairs,  # r5: banded scale path
         "emb_lsh_near_dup_recall": embedops.lsh_near_dup_recall,  # r5 frontier
@@ -2591,6 +2592,51 @@ ORDER BY cos_sim DESC, emb.vec_id LIMIT 10
     sql["emb_ivf_ann"] = _ivf_sql(1)
     sql["emb_ivf_ann_nprobe2"] = _ivf_sql(2)
     sql["emb_ivf_ann_nprobe4"] = _ivf_sql(4)
+
+    def _semdedup_sql() -> str:
+        # Mirrors embedops.semdedup: same learned cells (shared CTE
+        # chain), centroid cosine rounded 6dp, within-cell rank by
+        # (centroid_sim ASC, vec_id), drop iff a lower-ranked cellmate
+        # has pairwise cosine (rounded 5dp) >= eps.
+        km, prev = _kmeans_ctes()
+        eps = f"CAST('{embedops.SEMDEDUP_EPS!r}' AS DOUBLE)"
+        return f"""
+WITH {km},
+csim AS (
+  SELECT m.vec_id, m.cell,
+         round(sum(x.v * c.c)
+               / (sqrt(sum(x.v * x.v)) * sqrt(sum(c.c * c.c))), 6)
+           AS centroid_sim
+  FROM member m
+  JOIN ex x ON x.vec_id = m.vec_id
+  JOIN {prev} c ON c.cell = m.cell AND c.pos = x.pos
+  GROUP BY m.vec_id, m.cell
+),
+ranked AS (
+  SELECT vec_id, cell, centroid_sim,
+         row_number() OVER (
+           PARTITION BY cell ORDER BY centroid_sim, vec_id) AS rnk
+  FROM csim
+),
+pcos AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(sum(xa.v * xb.v)
+               / (sqrt(sum(xa.v * xa.v)) * sqrt(sum(xb.v * xb.v))), 5)
+           AS cs
+  FROM ranked a
+  JOIN ranked b ON a.cell = b.cell AND a.rnk < b.rnk
+  JOIN ex xa ON xa.vec_id = a.vec_id
+  JOIN ex xb ON xb.vec_id = b.vec_id AND xb.pos = xa.pos
+  GROUP BY a.vec_id, b.vec_id
+),
+dropped AS (SELECT DISTINCT vb AS vec_id FROM pcos WHERE cs >= {eps})
+SELECT r.vec_id, CAST(r.cell AS INT) AS cell, r.centroid_sim,
+       (d.vec_id IS NULL) AS kept
+FROM ranked r LEFT JOIN dropped d USING (vec_id)
+ORDER BY r.vec_id
+"""
+
+    sql["emb_semdedup"] = _semdedup_sql()
 
     def _pq_sql() -> str:
         # Product quantization, mirroring embedops.pq_codebooks /

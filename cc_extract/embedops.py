@@ -664,3 +664,92 @@ def ivf_pq_ann(spark, sf_dir: str, k: int = DEFAULT_K,
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+SEMDEDUP_EPS = 0.4
+
+
+def semdedup(spark, sf_dir: str, eps: float = SEMDEDUP_EPS) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine pruning.
+    Returns every vector with its cell, centroid similarity and the
+    keep/drop decision — the full audit relation, not just survivors.
+
+    The paper's rule, made deterministic and relational:
+
+    - cluster with the SAME learned k-means index the IVF path trains
+      (``kmeans_centroids`` — md5-seeded, Lloyd iterations as DataFrame
+      aggs, centroids rounded to 6 dp in both engines);
+    - within each cell, order members by cosine-to-centroid ASCENDING
+      (ties by vec_id) — SemDeDup keeps the LOW-centroid-similarity
+      "outlier" representative of each duplicate group and drops the
+      redundant near-centroid points;
+    - drop a vector iff some lower-ranked member of its OWN cell has
+      pairwise cosine >= ``eps`` (rounded to 5 dp, the repo-wide pair
+      discipline).  One pass, no iteration: the rule is a triangular
+      EXISTS, exactly the paper's upper-triangular similarity-matrix
+      sweep.
+
+    Scale shape: all pairwise work is WITHIN cells — that is SemDeDup's
+    whole point (O(n^2/k) vs the whitelisted-quadratic
+    ``cosine_near_dup_pairs`` baseline).  The self-join is an equi-join
+    on cell (hash-partitionable, never CartesianProduct); at 10^12
+    vectors k grows so cells stay ~10^5 vectors and membership is a
+    partition column, making each cell's sweep a partition-local job.
+    Centroid similarity is a pure projection against literal centroids
+    (no shuffle); the decision join shuffles only (cell, rank, 64-dim)
+    rows."""
+    cents = kmeans_centroids(spark, sf_dir)
+    cent_lits = ", ".join(
+        "array(" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c) + ")"
+        for c in cents
+    )
+    cent_norms = ", ".join(
+        f"CAST('{math.sqrt(sum(x * x for x in c))!r}' AS DOUBLE)"
+        for c in cents
+    )
+    csim = F.expr(
+        f"round(aggregate(zip_with(e, element_at(array({cent_lits}), "
+        f"cell + 1), (x, y) -> x * y), CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + v) / (sqrt(aggregate(zip_with(e, e, "
+        f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) "
+        f"* element_at(array({cent_norms}), cell + 1)), 6)"
+    )
+    from pyspark.sql import Window
+
+    emb = (
+        load_embeddings(spark, sf_dir)
+        .select("vec_id",
+                F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("cell", _cell_expr_sql("e", cents))
+        .withColumn("centroid_sim", csim)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("cell")
+                .orderBy(F.asc("centroid_sim"), F.asc("vec_id"))),
+        )
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pair_cos = F.round(
+        _dot(F.col("a.e"), F.col("b.e"))
+        / (F.sqrt(_dot(F.col("a.e"), F.col("a.e")))
+           * F.sqrt(_dot(F.col("b.e"), F.col("b.e")))),
+        5,
+    )
+    dropped = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.rnk") < F.col("b.rnk")))
+        .filter(pair_cos >= F.lit(float(eps)))
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.join(dropped.withColumn("is_dropped", F.lit(True)),
+                 "vec_id", "left")
+        .select(
+            "vec_id", "cell", "centroid_sim",
+            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

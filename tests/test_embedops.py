@@ -56,3 +56,61 @@ def test_recall_frontier_columns(spark):
     for r in rows:
         assert 0.0 <= r["recall"] <= 1.0
         assert r["n_pairs"] <= r["n_true"]
+
+
+def test_semdedup_decision_properties(spark):
+    """SemDeDup's greedy rule, pinned structurally (the value-level pin
+    is the DuckDB oracle):
+
+    - every DROPPED vector has a lower-ranked cellmate with pairwise
+      cosine >= eps (a concrete witness — drops are never spurious);
+    - the lowest-centroid-sim member of every cell is always kept
+      (rank 1 has no lower-ranked cellmate by construction);
+    - raising eps only shrinks the dropped set (threshold monotonicity);
+    - at eps > 1 nothing drops (cosine is bounded by 1)."""
+    from pyspark.sql import functions as F
+
+    df = embedops.semdedup(spark, SF_DIR).cache()
+    rows = {r["vec_id"]: r for r in df.collect()}
+    emb = {
+        r["vec_id"]: r["e"]
+        for r in embedops.load_embeddings(spark, SF_DIR)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(dot / (na * nb), 5)
+
+    # rank order within a cell = (centroid_sim asc, vec_id asc)
+    by_cell: dict[int, list] = {}
+    for r in sorted(rows.values(),
+                    key=lambda r: (r["cell"], r["centroid_sim"], r["vec_id"])):
+        by_cell.setdefault(r["cell"], []).append(r)
+    n_dropped = 0
+    for cell, members in by_cell.items():
+        assert members[0]["kept"], f"cell {cell} rank-1 must be kept"
+        for i, r in enumerate(members):
+            if r["kept"]:
+                continue
+            n_dropped += 1
+            assert any(
+                cos(emb[r["vec_id"]], emb[m["vec_id"]])
+                >= embedops.SEMDEDUP_EPS
+                for m in members[:i]
+            ), f"dropped {r['vec_id']} has no witness"
+    assert n_dropped >= 1, "default eps never dropped anything"
+
+    dropped_04 = {v for v, r in rows.items() if not r["kept"]}
+    dropped_06 = {
+        r["vec_id"]
+        for r in embedops.semdedup(spark, SF_DIR, eps=0.6).collect()
+        if not r["kept"]
+    }
+    assert dropped_06 <= dropped_04
+    assert all(
+        r["kept"] for r in embedops.semdedup(spark, SF_DIR, eps=1.01).collect()
+    )
