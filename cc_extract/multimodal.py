@@ -147,21 +147,51 @@ def _avcc_box(w: int, h: int, profile: int, level: int) -> bytes:
     return _mp4_box(b"avcC", rec)
 
 
+def _avc1_ipcm_sample(w: int, h: int, luma: bytes) -> bytes:
+    """One length-prefixed avc1 video sample: the grayscale frame padded
+    (edge-replicated) to the macroblock grid, encoded as an I_PCM IDR
+    slice with neutral 4:2:0 chroma (Cb=Cr=128, the colorimetric truth
+    of a grayscale source), behind the 4-byte NAL length that
+    lengthSizeMinusOne=3 in `_avcc_box` declares."""
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    cw, ch = mb_w * 16, mb_h * 16
+    y = np.frombuffer(luma, np.uint8).reshape(h, w)
+    y = np.pad(y, ((0, ch - h), (0, cw - w)), mode="edge")
+    neutral = bytes([128]) * ((cw // 2) * (ch // 2))
+    nal = _h264_ipcm_idr(y.tobytes(), neutral, neutral, mb_w, mb_h)
+    return struct.pack(">I", len(nal)) + nal
+
+
 def _mp4_container(rng: random.Random, n_frames: int, w: int, h: int,
-                   with_audio: bool = False) -> bytes:
+                   with_audio: bool = False,
+                   ipcm_frames: list | None = None) -> bytes:
     """Minimal-but-valid ISO BMFF (MP4) container: ftyp + moov with a
     real box tree (mvhd, trak/tkhd/mdia/mdhd/hdlr/minf/stbl with
-    stsd/stts/stsc/stsz/stco) + mdat carrying noise sample bytes.  The
-    H.264 *bitstream* inside the samples is out of scope (no avcC /
-    entropy payload) — container structure is what the pipeline reads:
-    frame counts, durations, codec fourcc, dimensions."""
+    stsd/stts/stsc/stsz/stco) + mdat.  With *ipcm_frames* (list of
+    (w, h, luma) rasters) the video samples are REAL H.264: one I_PCM
+    IDR slice per frame that `decode_mp4_frames` round-trips exactly,
+    and stco carries the true mdat offset (two-pass build, like the
+    MJPEG writer).  Without it the samples are noise bytes — the
+    structural-only corpus variant whose frame decode honestly
+    quarantines (compressed-H.264 stand-in); container structure is
+    readable either way: frame counts, durations, codec, dimensions."""
     timescale = 600
     fps = rng.choice([12, 24, 30])
     frame_dur = timescale // fps
+    if ipcm_frames is not None:
+        w, h = ipcm_frames[0][0], ipcm_frames[0][1]
+        if any((fw, fh) != (w, h) for fw, fh, _ in ipcm_frames):
+            raise ValueError("ipcm frames must share dimensions")
+        vid_samples = [_avc1_ipcm_sample(fw, fh, bytes(fl))
+                       for fw, fh, fl in ipcm_frames]
+        n_frames = len(vid_samples)
+        sizes = [len(s) for s in vid_samples]
+        vid_bytes = b"".join(vid_samples)
+    else:
+        sizes = [rng.randint(120, 600) for _ in range(n_frames)]
+        vid_bytes = bytes(rng.randrange(256) for _ in range(sum(sizes)))
     duration = n_frames * frame_dur
-    sizes = [rng.randint(120, 600) for _ in range(n_frames)]
-    mdat = _mp4_box(b"mdat", bytes(rng.randrange(256)
-                                   for _ in range(sum(sizes))))
+    mdat = _mp4_box(b"mdat", vid_bytes)
 
     def full(typ, body, version=0, flags=0):
         return _mp4_box(typ, struct.pack(">B3s", version,
@@ -174,7 +204,7 @@ def _mp4_container(rng: random.Random, n_frames: int, w: int, h: int,
                 + matrix + bytes(24) + struct.pack(">I", 3))
 
     def trak(track_id, handler, stsd_entry, media_timescale, media_dur,
-             counts_durs, sample_sizes):
+             counts_durs, sample_sizes, chunk_offset=0):
         tkhd = full(b"tkhd", struct.pack(">IIII", 0, 0, track_id, 0)
                     + struct.pack(">I", duration) + bytes(8)
                     + struct.pack(">HHHH", 0, 0,
@@ -194,7 +224,7 @@ def _mp4_container(rng: random.Random, n_frames: int, w: int, h: int,
         stsc = full(b"stsc", struct.pack(">IIII", 1, 1, len(sample_sizes), 1))
         stsz = full(b"stsz", struct.pack(">II", 0, len(sample_sizes))
                     + b"".join(struct.pack(">I", s) for s in sample_sizes))
-        stco = full(b"stco", struct.pack(">II", 1, 0))
+        stco = full(b"stco", struct.pack(">II", 1, chunk_offset))
         stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
         mhd = (full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
                if handler == b"vide"
@@ -212,20 +242,28 @@ def _mp4_container(rng: random.Random, n_frames: int, w: int, h: int,
                     + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
                     + bytes(32) + struct.pack(">Hh", 24, -1)
                     + _avcc_box(w, h, profile, level))
-    traks = trak(1, b"vide", avc1, timescale, duration,
-                 [(n_frames, frame_dur)], sizes)
     if with_audio:
         rate = rng.choice([22050, 44100])
         n_aud = n_frames * 2
         aud_sizes = [rng.randint(40, 200) for _ in range(n_aud)]
         mp4a = _mp4_box(b"mp4a", bytes(6) + struct.pack(">H", 1) + bytes(8)
                         + struct.pack(">HHHHI", 2, 16, 0, 0, rate << 16))
-        traks += trak(2, b"soun", mp4a, rate,
-                      n_aud * (rate // (fps * 2)),
-                      [(n_aud, rate // (fps * 2))], aud_sizes)
-    moov = _mp4_box(b"moov", mvhd + traks)
+
+    def build_moov(chunk_offset: int) -> bytes:
+        traks = trak(1, b"vide", avc1, timescale, duration,
+                     [(n_frames, frame_dur)], sizes, chunk_offset)
+        if with_audio:
+            traks += trak(2, b"soun", mp4a, rate,
+                          n_aud * (rate // (fps * 2)),
+                          [(n_aud, rate // (fps * 2))], aud_sizes)
+        return _mp4_box(b"moov", mvhd + traks)
+
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512)
                     + b"isomiso2avc1mp41")
+    # two-pass: stco's width doesn't depend on its value, so the second
+    # build patches the true mdat-body offset without changing sizes
+    header_len = len(ftyp) + len(build_moov(0))
+    moov = build_moov(header_len + 8)
     return ftyp + moov + mdat
 
 
@@ -303,12 +341,15 @@ _MP4_MAX_FRAMES = 4096
 
 
 def decode_mp4_frames(payload: bytes) -> list:
-    """Decode every frame of an MJPEG ('jpeg' sample entry) MP4: read
-    the video track's stsz sizes and stco chunk offset, slice the
-    samples out of mdat, and hand each to the from-scratch T.81 decoder.
-    Raises on non-MP4, non-jpeg codecs (H.264 stays the honest stub),
-    or malformed sample tables — callers quarantine, the same contract
-    as decode_avi_frames / decode_gif_frames."""
+    """Decode every frame of an MP4 video track: read the track's stsz
+    sizes and stco chunk offset, slice the samples out of mdat, and
+    decode each — 'jpeg' sample entries through the from-scratch T.81
+    decoder, 'avc1'/'avc3' through the from-scratch H.264 I_PCM slice
+    decoder (round 5; compressed H.264 macroblocks remain the honest
+    refusal — CAVLC/CABAC entropy decode is out of scope and such
+    samples raise).  Raises on non-MP4, other codecs, or malformed
+    sample tables — callers quarantine, the same contract as
+    decode_avi_frames / decode_gif_frames."""
     from .extractors.jpeg import decode_jpeg_gray
 
     if len(payload) < 16 or payload[4:8] != b"ftyp":
@@ -334,7 +375,13 @@ def decode_mp4_frames(payload: bytes) -> list:
             iter(_mp4_boxes(payload, stsd[0] + 8, stsd[1])), None)
         if entry is None:
             raise ValueError("video trak without stsd entry")
-        if entry[0] != b"jpeg":
+        if entry[0] in (b"avc1", b"avc3"):
+            sps, pps, length_size = _parse_avcc_cfg(payload, entry[1],
+                                                    entry[2])
+            dec = lambda b: _decode_avc1_sample(b, sps, pps, length_size)  # noqa: E731
+        elif entry[0] == b"jpeg":
+            dec = decode_jpeg_gray
+        else:
             raise ValueError(
                 f"unsupported MP4 codec {entry[0].decode('latin-1')!r}")
         stsz = _mp4_find(payload, stbl[0], stbl[1], b"stsz")
@@ -359,7 +406,7 @@ def decode_mp4_frames(payload: bytes) -> list:
         for sz in sizes:
             if pos + sz > len(payload) or sz < 4:
                 raise ValueError("sample overruns file")
-            frames.append(decode_jpeg_gray(payload[pos:pos + sz]))
+            frames.append(dec(payload[pos:pos + sz]))
             pos += sz
         return frames
     raise ValueError("no video track")
@@ -619,10 +666,31 @@ def gen_media(i: int, seed: int = 42) -> dict:
                 jf.append(cg._jpeg_gray(fw, fh, bytes(raster)))
             payload = _mp4_mjpeg_container(jf, w, h,
                                            fps=rng.choice([10, 12, 24]))
+        elif vpick < 0.86:
+            # REAL H.264-in-MP4 (round 5): avc1 samples are I_PCM IDR
+            # slices — spec-conformant uncompressed H.264 that
+            # decode_mp4_frames round-trips exactly; rendered rasters
+            # (fixed-length captions keep dims constant across frames,
+            # padded to even for 4:2:0 crop units)
+            from .glyphs import render_raster
+
+            n_frames = rng.randint(2, 4)
+            ipcm = []
+            for k in range(n_frames):
+                fw, fh, raster = render_raster(
+                    f"AVC {i:06d} F{k} Q{rng.randint(10, 99)}")
+                arr = np.frombuffer(bytes(raster), np.uint8).reshape(fh, fw)
+                arr = np.pad(arr, ((0, fh % 2), (0, fw % 2)), mode="edge")
+                ipcm.append((arr.shape[1], arr.shape[0], arr.tobytes()))
+            payload = _mp4_container(rng, n_frames=0, w=0, h=0,
+                                     with_audio=rng.random() < 0.4,
+                                     ipcm_frames=ipcm)
         elif vpick < 0.92:
-            # REAL MP4 container (round 4, continued): full ISO BMFF box
-            # tree — structure (frame count, duration, codec, dims) is
-            # readable; the H.264 bitstream inside stays out of scope
+            # structural-only MP4 (round 4): full ISO BMFF box tree —
+            # structure (frame count, duration, codec, dims incl. the
+            # 1080 SPS-crop case) is readable; samples are noise, the
+            # stand-in for compressed H.264 bitstreams, which frame
+            # decode honestly refuses (quarantined, counted)
             dims = rng.choice([(320, 240), (640, 480), (1280, 720),
                                (1920, 1080)])  # 1080: SPS frame cropping
             payload = _mp4_container(
@@ -768,6 +836,20 @@ _HIGH_PROFILES = frozenset(
     (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135))
 
 
+def _unescape_rbsp(body: bytes) -> bytes:
+    """Strip H.264 emulation-prevention bytes (7.4.1.1): every
+    00 00 03 becomes 00 00 with the 03 consumed."""
+    rbsp = bytearray()
+    zeros = 0
+    for b in body:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue
+        rbsp.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(rbsp)
+
+
 def _parse_sps(nal: bytes) -> dict:
     """H.264 SPS parse (spec 7.3.2.1.1) for the fields a container-level
     pipeline needs: profile_idc, level_idc and the TRUE coded dimensions
@@ -776,15 +858,7 @@ def _parse_sps(nal: bytes) -> dict:
     first (7.4.1.1).  Raises ValueError on anything malformed."""
     if not nal or nal[0] & 0x1F != 7:
         raise ValueError("sps: not an SPS NAL")
-    rbsp = bytearray()
-    zeros = 0
-    for b in nal[1:]:
-        if zeros >= 2 and b == 3:
-            zeros = 0
-            continue
-        rbsp.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-    bits = _SpsBits(bytes(rbsp))
+    bits = _SpsBits(_unescape_rbsp(nal[1:]))
     profile = bits.u(8)
     bits.u(8)                               # constraint flags + reserved
     level = bits.u(8)
@@ -801,10 +875,11 @@ def _parse_sps(nal: bytes) -> dict:
         bits.u(1)                           # qpprime_y_zero_bypass
         if bits.u(1):                       # seq_scaling_matrix_present
             raise ValueError("sps: scaling matrices unsupported")
-    bits.ue()                               # log2_max_frame_num_minus4
+    log2_max_frame_num = bits.ue() + 4
     poc_type = bits.ue()
+    log2_max_poc_lsb = 0
     if poc_type == 0:
-        bits.ue()                           # log2_max_pic_order_cnt_lsb
+        log2_max_poc_lsb = bits.ue() + 4
     elif poc_type == 1:
         bits.u(1)
         bits.se()
@@ -831,7 +906,158 @@ def _parse_sps(nal: bytes) -> dict:
     h = (2 - frame_mbs_only) * map_h * 16 - (crop_t + crop_b) * unit_y
     if w <= 0 or h <= 0:
         raise ValueError("sps: crop exceeds coded size")
-    return {"profile": profile, "level": level, "w": w, "h": h}
+    return {"profile": profile, "level": level, "w": w, "h": h,
+            # slice-decode fields (round 5, I_PCM frame decode)
+            "chroma": chroma, "log2_max_frame_num": log2_max_frame_num,
+            "poc_type": poc_type, "log2_max_poc_lsb": log2_max_poc_lsb,
+            "mb_w": mb_w, "map_h": map_h, "frame_mbs_only": frame_mbs_only,
+            "crop_l": crop_l, "crop_r": crop_r, "crop_t": crop_t,
+            "crop_b": crop_b, "unit_x": unit_x, "unit_y": unit_y}
+
+
+def _parse_pps(nal: bytes) -> dict:
+    """H.264 PPS parse (spec 7.3.2.2) of the fields the slice-header /
+    slice-data walk depends on.  Raises ValueError on malformed input."""
+    if not nal or nal[0] & 0x1F != 8:
+        raise ValueError("pps: not a PPS NAL")
+    bits = _SpsBits(_unescape_rbsp(nal[1:]))
+    try:
+        bits.ue()                           # pic_parameter_set_id
+        bits.ue()                           # seq_parameter_set_id
+        entropy = bits.u(1)                 # entropy_coding_mode_flag
+        bottom_field = bits.u(1)            # bottom_field_pic_order_present
+        n_groups = bits.ue() + 1            # num_slice_groups
+        if n_groups > 1:
+            raise ValueError("pps: slice groups unsupported")
+        bits.ue()                           # num_ref_idx_l0_default
+        bits.ue()                           # num_ref_idx_l1_default
+        bits.u(1)                           # weighted_pred_flag
+        bits.u(2)                           # weighted_bipred_idc
+        bits.se()                           # pic_init_qp_minus26
+        bits.se()                           # pic_init_qs_minus26
+        bits.se()                           # chroma_qp_index_offset
+        deblock = bits.u(1)                 # deblocking_filter_control
+        bits.u(1)                           # constrained_intra_pred
+        redundant = bits.u(1)               # redundant_pic_cnt_present
+    except IndexError:
+        raise ValueError("pps: truncated") from None
+    return {"entropy_coding_mode": entropy,
+            "bottom_field_pic_order_present": bottom_field,
+            "deblocking_filter_control_present": deblock,
+            "redundant_pic_cnt_present": redundant}
+
+
+def _decode_ipcm_slice(nal: bytes, sps: dict, pps: dict):
+    """Decode one H.264 I slice whose macroblocks are all I_PCM
+    (spec 7.3.5: mb_type 25 in I slices, Table 7-11) — raw uncompressed
+    samples, the one conformant H.264 coding mode that needs no
+    CAVLC/CABAC entropy decode or prediction.  Returns
+    (luma, cb, cr) planes at CODED dimensions (mb grid x 16); the
+    caller applies SPS frame cropping.  Anything the repo's generator
+    does not emit — CABAC, compressed macroblocks, multi-slice
+    pictures, fields, non-4:2:0 — raises ValueError (honest refusal:
+    callers quarantine, same contract as every other codec here)."""
+    nal_type = nal[0] & 0x1F
+    if nal_type not in (1, 5):
+        raise ValueError("h264: not a coded-slice NAL")
+    if sps["chroma"] != 1:
+        raise ValueError("h264: only 4:2:0 I_PCM supported")
+    if not sps["frame_mbs_only"]:
+        raise ValueError("h264: field coding unsupported")
+    if pps["entropy_coding_mode"]:
+        raise ValueError("h264: CABAC slice data unsupported")
+    bits = _SpsBits(_unescape_rbsp(nal[1:]))
+    try:
+        if bits.ue():                       # first_mb_in_slice
+            raise ValueError("h264: multi-slice pictures unsupported")
+        slice_type = bits.ue()
+        if slice_type % 5 != 2:
+            raise ValueError("h264: non-I slice unsupported")
+        bits.ue()                           # pic_parameter_set_id
+        bits.u(sps["log2_max_frame_num"])   # frame_num
+        if nal_type == 5:
+            bits.ue()                       # idr_pic_id
+        if sps["poc_type"] == 0:
+            bits.u(sps["log2_max_poc_lsb"])
+            if pps["bottom_field_pic_order_present"]:
+                bits.se()
+        elif sps["poc_type"] == 1:
+            raise ValueError("h264: poc_type 1 slice header unsupported")
+        if pps["redundant_pic_cnt_present"]:
+            bits.ue()
+        if (nal[0] >> 5) & 3:               # dec_ref_pic_marking
+            if nal_type == 5:
+                bits.u(1)                   # no_output_of_prior_pics
+                bits.u(1)                   # long_term_reference_flag
+            elif bits.u(1):
+                raise ValueError("h264: adaptive ref-pic marking unsupported")
+        bits.se()                           # slice_qp_delta
+        if pps["deblocking_filter_control_present"]:
+            if bits.ue() != 1:              # disable_deblocking_filter_idc
+                bits.se()
+                bits.se()
+        mb_w, mb_h = sps["mb_w"], sps["map_h"]
+        cw, ch = mb_w * 16, mb_h * 16
+        luma = bytearray(cw * ch)
+        cb = bytearray((cw // 2) * (ch // 2))
+        cr = bytearray((cw // 2) * (ch // 2))
+        for mb in range(mb_w * mb_h):
+            if bits.ue() != 25:             # mb_type: I_PCM in I slices
+                raise ValueError(
+                    "h264: compressed macroblocks unsupported (I_PCM only)")
+            while bits.pos & 7:             # pcm_alignment_zero_bit
+                if bits.u(1):
+                    raise ValueError("h264: nonzero pcm alignment bit")
+            mx, my = (mb % mb_w) * 16, (mb // mb_w) * 16
+            for ry in range(16):            # pcm_sample_luma, raster order
+                base = (my + ry) * cw + mx
+                for rx in range(16):
+                    luma[base + rx] = bits.u(8)
+            for plane in (cb, cr):          # pcm_sample_chroma: Cb then Cr
+                for ry in range(8):
+                    base = (my // 2 + ry) * (cw // 2) + mx // 2
+                    for rx in range(8):
+                        plane[base + rx] = bits.u(8)
+    except IndexError:
+        raise ValueError("h264: truncated slice") from None
+    return bytes(luma), bytes(cb), bytes(cr)
+
+
+def _h264_ipcm_idr(luma: bytes, cb: bytes, cr: bytes,
+                   mb_w: int, mb_h: int) -> bytes:
+    """Encode one IDR picture as a single I slice of I_PCM macroblocks
+    (spec 7.3.3 slice header + 7.3.5 slice data) — the encoder twin of
+    `_decode_ipcm_slice`.  Planes are at coded dimensions (luma
+    mb_w*16 x mb_h*16, chroma half each way).  Field values mirror the
+    parameter sets `_avcc_box` writes (poc_type 0, log2 maxima 4/6,
+    CAVLC, deblocking-control present)."""
+    w = _SpsBitWriter()
+    w.ue(0)                                 # first_mb_in_slice
+    w.ue(7)                                 # slice_type: I (all slices I)
+    w.ue(0)                                 # pic_parameter_set_id
+    w.u(0, 4)                               # frame_num (log2_max 4)
+    w.ue(0)                                 # idr_pic_id
+    w.u(0, 6)                               # pic_order_cnt_lsb (log2_max 6)
+    w.u(0, 1)                               # no_output_of_prior_pics
+    w.u(0, 1)                               # long_term_reference_flag
+    w.ue(0)                                 # slice_qp_delta (se(0))
+    w.ue(1)                                 # disable_deblocking_filter_idc=1
+    cw = mb_w * 16
+    for mb in range(mb_w * mb_h):
+        w.ue(25)                            # mb_type I_PCM
+        while len(w._bits) % 8:
+            w.u(0, 1)                       # pcm_alignment_zero_bit
+        mx, my = (mb % mb_w) * 16, (mb // mb_w) * 16
+        for ry in range(16):
+            base = (my + ry) * cw + mx
+            for rx in range(16):
+                w.u(luma[base + rx], 8)
+        for plane in (cb, cr):
+            for ry in range(8):
+                base = (my // 2 + ry) * (cw // 2) + mx // 2
+                for rx in range(8):
+                    w.u(plane[base + rx], 8)
+    return b"\x65" + w.rbsp()               # nal_ref_idc=3, type 5 (IDR)
 
 
 def _parse_avcc(payload: bytes, entry_s: int, entry_e: int) -> dict | None:
@@ -855,6 +1081,61 @@ def _parse_avcc(payload: bytes, entry_s: int, entry_e: int) -> dict | None:
         return _parse_sps(payload[s + 8: s + 8 + ln])
     except (ValueError, IndexError):
         return None
+
+
+def _parse_avcc_cfg(payload: bytes, entry_s: int, entry_e: int) -> tuple:
+    """Full AVCDecoderConfigurationRecord read for the frame-decode path:
+    (sps dict, pps dict, NAL length-prefix size).  Unlike `_parse_avcc`
+    (metadata path, returns None on problems) this RAISES ValueError —
+    a sample marked avc1 that cannot be configured must quarantine."""
+    avcc = _mp4_find(payload, entry_s + 78, entry_e, b"avcC")
+    if avcc is None:
+        raise ValueError("avc1 entry without avcC box")
+    s, e = avcc
+    if e - s < 8 or payload[s] != 1:
+        raise ValueError("malformed avcC record")
+    length_size = (payload[s + 4] & 3) + 1
+    if payload[s + 5] & 0x1F < 1:
+        raise ValueError("avcC without SPS")
+    ln, = struct.unpack_from(">H", payload, s + 6)
+    if s + 8 + ln > e:
+        raise ValueError("avcC SPS overruns box")
+    sps = _parse_sps(payload[s + 8: s + 8 + ln])
+    p = s + 8 + ln
+    if p >= e or payload[p] < 1:
+        raise ValueError("avcC without PPS")
+    pln, = struct.unpack_from(">H", payload, p + 1)
+    if p + 3 + pln > e:
+        raise ValueError("avcC PPS overruns box")
+    pps = _parse_pps(payload[p + 3: p + 3 + pln])
+    return sps, pps, length_size
+
+
+def _decode_avc1_sample(sample: bytes, sps: dict, pps: dict,
+                        length_size: int) -> tuple:
+    """One avc1 sample -> (w, h, luma bytes) at SPS-cropped dimensions:
+    walk the length-prefixed NAL units, decode the coded slice (I_PCM
+    only — see `_decode_ipcm_slice`), skip SEI/parameter-set NALs."""
+    pos, n = 0, len(sample)
+    while pos + length_size <= n:
+        ln = int.from_bytes(sample[pos:pos + length_size], "big")
+        pos += length_size
+        if ln < 1 or pos + ln > n:
+            raise ValueError("h264: NAL overruns sample")
+        nal = sample[pos:pos + ln]
+        pos += ln
+        if nal[0] & 0x1F in (1, 5):
+            luma, _cb, _cr = _decode_ipcm_slice(nal, sps, pps)
+            cw = sps["mb_w"] * 16
+            x0 = sps["crop_l"] * sps["unit_x"]
+            y0 = sps["crop_t"] * sps["unit_y"]
+            w, h = sps["w"], sps["h"]
+            out = bytearray(w * h)
+            for ry in range(h):
+                base = (y0 + ry) * cw + x0
+                out[ry * w:(ry + 1) * w] = luma[base:base + w]
+            return w, h, bytes(out)
+    raise ValueError("h264: no coded slice in sample")
 
 
 def parse_mp4_meta(payload: bytes) -> dict:

@@ -169,7 +169,8 @@ def test_mp4_in_media_sweep():
             ok += 1
             assert m["mp4_codec"] in ("avc1", "jpeg")
             if m["mp4_codec"] == "avc1":
-                assert m["mp4_n_frames"] >= 5
+                # I_PCM clips carry 2-4 frames, structural-only 5-48
+                assert 2 <= m["mp4_n_frames"] <= 48
             else:
                 assert 2 <= m["mp4_n_frames"] <= 5
             assert meta["width"] == m["mp4_w"]
@@ -641,7 +642,9 @@ def test_avcc_sps_parse():
             box = mm._avcc_box(w, h, profile, 41)
             fake = b"\x00" * 78 + box
             got = mm._parse_avcc(fake, 0, len(fake))
-            assert got == {"profile": profile, "level": 41, "w": w, "h": h}
+            # subset: _parse_sps also returns slice-decode fields (r5)
+            assert {k: got[k] for k in ("profile", "level", "w", "h")} \
+                == {"profile": profile, "level": 41, "w": w, "h": h}
     # end to end through the container generator + structural parser
     p = mm._mp4_container(random.Random(11), n_frames=8, w=1920, h=1080)
     meta = mm.parse_mp4_meta(p)
@@ -662,5 +665,76 @@ def test_avcc_sps_parse():
     try:
         mm._parse_sps(b"\x68\x00")
         raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_h264_ipcm_roundtrip():
+    """Round 5: avc1 MP4 samples are real H.264 — I_PCM IDR slices
+    (spec 7.3.5, mb_type 25: the uncompressed coding mode) that
+    decode_mp4_frames round-trips EXACTLY, including SPS frame cropping
+    and emulation-prevention over zero-heavy PCM bytes."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(5)
+    w, h = 70, 34                      # non-MB-multiple -> crop path
+    f0 = bytes((np.arange(w * h) * 37 % 256).astype(np.uint8))
+    f1 = bytes(w * h)                  # all-zero: maximal escape pressure
+    p = mm._mp4_container(rng, 0, 0, 0, with_audio=True,
+                          ipcm_frames=[(w, h, f0), (w, h, f1)])
+    frames = mm.decode_mp4_frames(p)
+    assert [(fw, fh) for fw, fh, _ in frames] == [(w, h), (w, h)]
+    assert frames[0][2] == f0 and frames[1][2] == f1
+    meta = mm.parse_mp4_meta(p)
+    assert (meta["mp4_codec"], meta["mp4_sps_w"], meta["mp4_sps_h"],
+            meta["mp4_n_frames"]) == ("avc1", w, h, 2)
+    v = mm.video_row_stats(p)
+    assert v["vid_ok"] and v["vid_n_frames"] == 2
+
+    # chroma planes round-trip through the slice codec (corpus uses
+    # neutral 128 for grayscale truth; arbitrary planes must survive)
+    mbw, mbh = 2, 2
+    y = (np.arange(mbw * 16 * mbh * 16) % 251).astype(np.uint8).tobytes()
+    cb = (np.arange(mbw * 8 * mbh * 8) % 241).astype(np.uint8).tobytes()
+    cr = (np.arange(mbw * 8 * mbh * 8) * 3 % 239).astype(np.uint8).tobytes()
+    nal = mm._h264_ipcm_idr(y, cb, cr, mbw, mbh)
+    sps = {"chroma": 1, "frame_mbs_only": 1, "log2_max_frame_num": 4,
+           "poc_type": 0, "log2_max_poc_lsb": 6, "mb_w": mbw, "map_h": mbh}
+    pps = {"entropy_coding_mode": 0, "bottom_field_pic_order_present": 0,
+           "deblocking_filter_control_present": 1,
+           "redundant_pic_cnt_present": 0}
+    assert mm._decode_ipcm_slice(nal, sps, pps) == (y, cb, cr)
+
+    # honest refusals: CABAC PPS, compressed mb_type, noise samples
+    for bad_sps, bad_pps, msg in [
+            (sps, dict(pps, entropy_coding_mode=1), "CABAC"),
+            (dict(sps, chroma=2), pps, "4:2:0"),
+            (dict(sps, frame_mbs_only=0), pps, "field"),
+    ]:
+        try:
+            mm._decode_ipcm_slice(nal, bad_sps, bad_pps)
+            raise AssertionError(f"expected refusal: {msg}")
+        except ValueError as e:
+            assert msg in str(e)
+    # a non-I_PCM mb_type (ue(0) = I_4x4) must refuse, not mis-decode
+    wtr = mm._SpsBitWriter()
+    for ue_val, bits_n in [(0, None), (7, None), (0, None), (0, 4),
+                           (0, None), (0, 6), (0, 1), (0, 1),
+                           (0, None), (1, None)]:
+        (wtr.u(ue_val, bits_n) if bits_n else wtr.ue(ue_val))
+    wtr.ue(0)                          # mb_type 0 = I_4x4 (compressed)
+    bad = b"\x65" + wtr.rbsp()
+    try:
+        mm._decode_ipcm_slice(bad, sps, pps)
+        raise AssertionError("expected I_PCM-only refusal")
+    except ValueError as e:
+        assert "I_PCM" in str(e)
+    # structural-only corpus MP4s (noise samples) still quarantine
+    p2 = mm._mp4_container(random.Random(9), n_frames=6, w=640, h=480)
+    try:
+        mm.decode_mp4_frames(p2)
+        raise AssertionError("noise samples must not decode")
     except ValueError:
         pass
