@@ -564,8 +564,12 @@ def _gen_pdf(rng: random.Random, layout: str | None = None,
                 # /EncodedByteAlign — everything pdf_scan_rasters decodes.
                 bil = bytes(1 if b < 128 else 0 for b in raster)
                 fv = rng.random()
-                if fv < 0.5:
+                if fv < 0.4:
                     fax = _g4_encode(w, h, bil)
+                    parms = f"/K -1 /Columns {w} /Rows {h}"
+                elif fv < 0.5:
+                    # T.6 uncompressed-mode segments inside G4 (round 5)
+                    fax = _ccitt_encode(w, h, bil, "g4", uncompressed=True)
                     parms = f"/K -1 /Columns {w} /Rows {h}"
                 elif fv < 0.65:
                     fax = _ccitt_encode(w, h, bil, "g3_1d")
@@ -1972,7 +1976,7 @@ def _packbits(row: bytes) -> bytes:
 
 
 def _ccitt_encode(w: int, h: int, bilevel: bytes, mode: str = "g4",
-                  eol: bool = True) -> bytes:
+                  eol: bool = True, uncompressed: bool = False) -> bytes:
     """CCITT fax encoder — independent twin of extractors/ccitt.py
     (shares only the published T.4 run-length code tables, the same
     stance as the LZW pairs).  *bilevel* is one byte per pixel,
@@ -1983,7 +1987,11 @@ def _ccitt_encode(w: int, h: int, bilevel: bytes, mode: str = "g4",
     RLE: 1-D rows, no EOLs, each row byte-aligned).  ``eol=False``
     (g3_1d/g3_2d only) emits PDF's default ``/EndOfLine false`` layout:
     rows packed back-to-back, no EOL codes, no RTC trailer — in 2-D
-    mode each row starts directly with its tag bit."""
+    mode each row starts directly with its tag bit.  ``uncompressed``
+    (g4/g3_2d, round 5) codes every third 2-D row in T.4 §4.2.1.4 /
+    T.6 §2.2.8 UNCOMPRESSED mode: entry extension 0000001111, literal
+    pixels as zero-run+black codes, exit 0^m 0000001 T — the T4Options/
+    T6Options bit-1 capability."""
     from bisect import bisect_right
 
     from .extractors.ccitt import _BLACK_CODES, _WHITE_CODES
@@ -2059,6 +2067,31 @@ def _ccitt_encode(w: int, h: int, bilevel: bytes, mode: str = "g4",
             if a0 >= w:
                 break
 
+    def encode_uncompressed(y: int) -> None:
+        # whole-row uncompressed segment: entry code, literal pixels,
+        # exit with trailing whites (<=4) embedded and T=0 (white)
+        row = bilevel[y * w:(y + 1) * w]
+        emit(0b0000001111, 10)            # 2-D extension, type 111
+        i = 0
+        while i < w:
+            z = 0
+            while i + z < w and not row[i + z]:
+                z += 1
+            if i + z < w:                 # zero run terminated by black
+                i += z + 1
+                while z > 4:
+                    emit(0b000001, 6)     # five whites, no black
+                    z -= 5
+                emit(1, z + 1)            # '0'*z + '1'
+            else:                         # trailing whites to row end
+                i += z
+                while z > 4:
+                    emit(0b000001, 6)
+                    z -= 5
+                emit(0b10, z + 8)         # exit: 0^z 0000001 T(=0)
+                return
+        emit(0b10, 8)                     # row ended on black: plain exit
+
     def encode_1d(cur: list[int]) -> None:
         # alternating runs from the transition list, leading white first
         prev = 0
@@ -2077,7 +2110,10 @@ def _ccitt_encode(w: int, h: int, bilevel: bytes, mode: str = "g4",
     for y in range(h):
         cur = transitions(y)
         if mode == "g4":
-            encode_2d(cur, ref)
+            if uncompressed and y % 3 == 2:
+                encode_uncompressed(y)
+            else:
+                encode_2d(cur, ref)
         elif mode == "g3_1d":
             if eol:
                 emit(*EOL)
@@ -2092,6 +2128,9 @@ def _ccitt_encode(w: int, h: int, bilevel: bytes, mode: str = "g4",
             if y % 4 == 0:
                 emit(1, 1)
                 encode_1d(cur)
+            elif uncompressed and y % 3 == 2:
+                emit(0, 1)
+                encode_uncompressed(y)
             else:
                 emit(0, 1)
                 encode_2d(cur, ref)
@@ -2175,7 +2214,7 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
                white_is_zero: bool = False, packbits: bool = False,
                lzw: bool = False, predictor: int = 1,
                rgb: bool = False, g4: bool = False, g3: str | None = None,
-               tiled: bool = False,
+               uncompressed: bool = False, tiled: bool = False,
                extra_pages: list[tuple[int, int, bytes]] | None = None) -> bytes:
     """Valid baseline TIFF 6.0: 8-bit grayscale or RGB (ink/bg colors
     whose BT.601 luminances land on the right side of the OCR
@@ -2205,7 +2244,8 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
             bilevel = bytes(1 if b < 128 else 0 for b in praster)
             mode = ("g4" if g4 else
                     {"2d": "g3_2d", "1d": "g3_1d", "mh": "mh"}[g3])
-            strips = [_ccitt_encode(pw, ph, bilevel, mode)]
+            strips = [_ccitt_encode(pw, ph, bilevel, mode,
+                                    uncompressed=uncompressed)]
             rps = ph
         elif rgb:
             ink, bg = bytes([20, 30, 180]), bytes([250, 245, 200])
@@ -2268,7 +2308,8 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
         struct.pack_into(e + "I", buf, ifd_ptr_pos, ifd_off)
         buf += b"".join(strips)
         n_entries = ((10 if tiled else 9) + (1 if predictor == 2 else 0)
-                     + (1 if g3 and g3 != "mh" else 0))
+                     + (1 if g3 and g3 != "mh" else 0)
+                     + (1 if g4 and uncompressed else 0))
         ext = bytearray()
         ext_base = ifd_off + 2 + n_entries * 12 + 4
 
@@ -2308,7 +2349,10 @@ def _tiff_gray(w: int, h: int, raster: bytes, big_endian: bool = False,
                 long_(len(strips[0])) if n == 1
                 else arr_field([len(s) for s in strips]))
         if g3 and g3 != "mh":  # T4Options applies to Compression 3 only
-            add(292, 4, 1, long_(1 if g3 == "2d" else 0))
+            add(292, 4, 1, long_((1 if g3 == "2d" else 0)
+                                 | (2 if uncompressed and g3 == "2d" else 0)))
+        if g4 and uncompressed:  # T6Options bit 1: uncompressed allowed
+            add(293, 4, 1, long_(2))
         if predictor == 2:
             add(317, 3, 1, short(2))
         if tiled:  # tags stay in ascending order per spec
@@ -2495,22 +2539,28 @@ def _gen_image(rng: random.Random) -> bytes:
         )
         w, h, raster = render_raster(text)
         fk = rng.random()
-        if fk < 0.45:
+        if fk < 0.35:
             return _tiff_gray(w, h, bytes(raster), g4=True)
+        if fk < 0.45:
+            # T6Options bit 1: uncompressed-mode segments (round 5)
+            return _tiff_gray(w, h, bytes(raster), g4=True,
+                              uncompressed=True)
+        if fk < 0.6:
+            return _tiff_gray(w, h, bytes(raster), g3="2d")
+        if fk < 0.7:
+            # T4Options bit 1: uncompressed-mode segments (round 5)
+            return _tiff_gray(w, h, bytes(raster), g3="2d",
+                              uncompressed=True)
         return _tiff_gray(w, h, bytes(raster),
-                          g3="2d" if fk < 0.65 else ("1d" if fk < 0.85
-                                                     else "mh"))
+                          g3="1d" if fk < 0.85 else "mh")
     if p < 0.78:
-        # G3 with the T4Options UNCOMPRESSED-mode bit: the remaining
-        # honest fax quarantine — RLE/G3/G4 all decode since round 4
-        e = "<"
-        ifd = (struct.pack(e + "H", 4)
-               + struct.pack(e + "HHI", 256, 3, 1) + struct.pack(e + "HH", 64, 0)
-               + struct.pack(e + "HHI", 257, 3, 1) + struct.pack(e + "HH", 64, 0)
-               + struct.pack(e + "HHI", 259, 3, 1) + struct.pack(e + "HH", 3, 0)
-               + struct.pack(e + "HHI", 292, 4, 1) + struct.pack(e + "I", 2)
-               + struct.pack(e + "I", 0))
-        return b"II*\x00" + struct.pack(e + "I", 8) + ifd
+        # G3 with T4Options uncompressed-mode segments — a REAL page
+        # since round 5 (was the last honest fax quarantine; the T.4
+        # §4.2.1.4 extension now decodes end to end)
+        from .glyphs import render_raster
+        text = f"FAX UNCOMP {rng.randint(0, 9999):04d}"
+        w, h, raster = render_raster(text)
+        return _tiff_gray(w, h, bytes(raster), g3="2d", uncompressed=True)
     if p < 0.87:
         # JFIF magic over garbage: decode failure -> needs_ocr quarantine
         return b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + rng.getrandbits(256).to_bytes(32, "big") * 8

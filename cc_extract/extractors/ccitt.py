@@ -201,7 +201,40 @@ def _decode_2d_row(bits: _Bits, ref: list[int], w: int) -> list[int]:
         elif bits.bit():  # 000001x
             a1 = b1 + 3 if bits.bit() else b1 - 3  # VR3 / VL3
             mode = "v"
-        else:  # 000000... -> EOL territory mid-row = corrupt
+        elif bits.bit():  # 0000001 -> 2-D extension (T.4 §4.2.1.3 e)
+            ext = (bits.bit() << 2) | (bits.bit() << 1) | bits.bit()
+            if ext != 0b111:
+                raise OcrError(f"ccitt: unsupported 2-D extension {ext:03b}")
+            # uncompressed mode (T.4 §4.2.1.4 / T.6 §2.2.8): literal
+            # pixels coded as zero-runs+black ('0'*n+'1', n<=4; 000001 =
+            # five whites alone), terminated by an exit code 0^m 0000001 T
+            # (m<=4 embedded whites; T = colour of the following run)
+            pos = a0 if a0 > 0 else 0
+            while True:
+                z = 0
+                while not bits.bit():
+                    z += 1
+                    if z > 10:
+                        raise OcrError("ccitt: bad uncompressed code")
+                px = ([0] * z + [1] if z <= 4 else
+                      [0] * 5 if z == 5 else [0] * (z - 6))
+                for p in px:
+                    if pos >= w:
+                        raise OcrError("ccitt: uncompressed past row end")
+                    if p != color:
+                        cur.append(pos)
+                        color ^= 1
+                    pos += 1
+                if z >= 6:
+                    t = bits.bit()
+                    if t != color:
+                        if pos < w:
+                            cur.append(pos)
+                        color = t
+                    break
+            a0 = pos
+            continue
+        else:  # 00000000... -> EOL territory mid-row = corrupt
             raise OcrError("ccitt: premature EOL/EOFB")
         if mode == "p":
             a0 = b2

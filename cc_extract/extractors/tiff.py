@@ -198,8 +198,9 @@ def _decode_ifd(payload: bytes, e: str, ifd_off: int) -> tuple[int, int, bytearr
     g3_2d = False
     if comp == 3:
         opts = one(_T4OPTIONS, 0)
-        if opts & 2:
-            raise OcrError("tiff: G3 uncompressed mode unsupported")
+        # bit 1 (uncompressed mode allowed) is a capability flag only:
+        # the bitstream self-announces segments via the 0000001111
+        # extension code, which _decode_2d_row handles (round 5)
         g3_2d = bool(opts & 1)
     if comp in (2, 3, 4):
         # fax page: 1-bit MinIsWhite bilevel per the CCITT convention

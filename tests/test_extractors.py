@@ -2121,3 +2121,67 @@ def test_pdf_filter_chains_extract_exact_text():
         buf.write(b"trailer\n<< /Size 5 /Root 4 0 R >>\n%%EOF\n")
         text = extract_pdf(buf.getvalue())
         assert isinstance(text, str) and "Hello" not in text, (clause, text)
+
+
+def test_ccitt_uncompressed_mode():
+    """Round 5: T.4 §4.2.1.4 / T.6 §2.2.8 UNCOMPRESSED mode — the last
+    named fax quarantine becomes a real decode.  Fuzz round-trips the
+    encoder's whole-row segments through G4 and G3 2-D (all framings);
+    a hand-derived spec-pinned bitstream guards mid-row entry, the
+    colour-flip exit, and the embedded-whites exit codes."""
+    import random
+
+    from cc_extract.corpusgen import _ccitt_encode, _tiff_gray
+    from cc_extract.extractors.ccitt import (OcrError, _Bits,
+                                             _decode_2d_row, g3_decode,
+                                             g4_decode)
+    from cc_extract.extractors.tiff import decode_tiff_gray
+    from cc_extract.glyphs import ocr_raster, render_raster
+
+    rng = random.Random(55)
+    for _trial in range(8):
+        w, h = rng.randint(1, 80), rng.randint(1, 10)
+        bil = bytes(rng.random() < 0.35 for _ in range(w * h))
+        expect = bytes(0 if b else 255 for b in bil)
+        enc = _ccitt_encode(w, h, bil, "g4", uncompressed=True)
+        assert bytes(g4_decode(enc, w, h)) == expect
+        for eol in (True, False):
+            enc = _ccitt_encode(w, h, bil, "g3_2d", uncompressed=True,
+                                eol=eol)
+            assert bytes(g3_decode(enc, w, h, two_d=True, eol=eol)) == expect
+
+    def bits_of(s: str) -> _Bits:
+        s = s.replace(" ", "")
+        pad = (8 - len(s) % 8) % 8
+        return _Bits(int(s + "0" * pad, 2).to_bytes((len(s) + pad) // 8,
+                                                    "big"))
+
+    # hand-derived (w=12): H(white2,black3) -> uncompressed from a0=5:
+    # '0001'=3 whites+black(8), '1'=black(9), exit '00 0000001 0' embeds
+    # the 2 trailing whites.  MH codes: white2=0111, black3=10.
+    row = _decode_2d_row(
+        bits_of("001 0111 10 0000001111 0001 1 00 0000001 0"), [], 12)
+    assert row == [2, 5, 8, 10]
+    # entry at row start + colour-flip exit (T=1): 2 embedded whites,
+    # then V0 closes the black run at the row end
+    row = _decode_2d_row(bits_of("0000001111 00 0000001 1 1"), [], 12)
+    assert row == [2, 12]
+    # unknown 2-D extension type refuses
+    try:
+        _decode_2d_row(bits_of("0000001 010 1"), [], 12)
+        raise AssertionError("expected refusal")
+    except OcrError as e:
+        assert "extension" in str(e)
+    # runaway zeros inside a segment refuse (not an infinite loop)
+    try:
+        _decode_2d_row(bits_of("0000001111 000000000000 1"), [], 12)
+        raise AssertionError("expected refusal")
+    except OcrError:
+        pass
+
+    # full TIFF pages: T6Options/T4Options bit 1 written, OCR end to end
+    w, h, raster = render_raster("UNCOMP PAGE 7")
+    for kw in (dict(g4=True), dict(g3="2d")):
+        payload = _tiff_gray(w, h, bytes(raster), uncompressed=True, **kw)
+        dw, dh, dec = decode_tiff_gray(payload)
+        assert "UNCOMP PAGE 7" in ocr_raster(dw, dh, dec)
