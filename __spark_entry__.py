@@ -851,11 +851,11 @@ def _mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ACTUAL video frame decode (round 4): animated-GIF clips decode
-    frame by frame (per-clip frame counts, luma, inter-frame delta);
-    MP4 clips count as pixel-undecodable here (H.264 entropy decode is
-    out of scope) — their container structure is covered by
-    mm_mp4_stats instead."""
+    """ACTUAL video frame decode: animated-GIF, MJPEG-in-AVI/MP4, and
+    (round 5) H.264 I_PCM avc1 clips decode frame by frame (per-clip
+    frame counts, luma, inter-frame delta); compressed-H.264 stand-ins
+    count as pixel-undecodable — container structure for those is
+    covered by mm_mp4_stats, per-profile decode by mm_avc1_stats."""
     from cc_extract import multimodal as mm
 
     df = mm.media_df(spark, 400, partitions=8)
@@ -911,6 +911,17 @@ def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample(df, every_n=10)
 
 
+def _mm_avc1_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 avc1 decode triage by SPS profile (round 5): I_PCM clips
+    decode to real pixels (frame counts + measured luma); compressed-
+    bitstream stand-ins are counted refusals.  Ref:
+    multimodal.avc1_decode_stats."""
+    from cc_extract import multimodal as mm
+
+    df = mm.media_df(spark, 400, partitions=8)
+    return mm.avc1_decode_stats(df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DRIVER-WINDOW ROTATION (the driver's correctness gate verifies only
     # the FIRST 50 registry entries, in insertion order):
@@ -925,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "cc_encrypted_stats": _cc_encrypted_stats,  # r5: PDF password routes
+        "mm_avc1_stats": _mm_avc1_stats,  # r5: I_PCM frame decode by profile
         "emb_semdedup": embedops.semdedup,  # r5: SemDeDup k-means+cosine prune
         "mm_mp4_stats": _mm_mp4_stats,  # r5: avcC SPS profile/level/dims
         "emb_lsh_near_dup": embedops.lsh_near_dup_pairs,  # r5: banded scale path
@@ -3449,6 +3461,19 @@ SELECT mp4_brand, mp4_codec, count(*) AS n_clips,
 FROM read_parquet('{media}')
 WHERE kind = 'video' AND mp4_ok IS NOT NULL
 GROUP BY mp4_brand, mp4_codec ORDER BY mp4_brand, mp4_codec
+"""
+
+    sql["mm_avc1_stats"] = f"""
+SELECT mp4_profile, count(*) AS n_clips,
+       CAST(sum(CAST(vid_ok AS BIGINT)) AS BIGINT) AS n_decoded,
+       round(avg(CASE WHEN vid_ok THEN vid_n_frames END), 4) AS avg_n_frames,
+       round(avg(CASE WHEN vid_ok THEN vid_avg_frame_luma END), 4)
+           AS avg_frame_luma,
+       round(avg(mp4_sps_w), 4) AS avg_sps_w,
+       round(avg(mp4_sps_h), 4) AS avg_sps_h
+FROM read_parquet('{media}')
+WHERE mp4_codec = 'avc1'
+GROUP BY mp4_profile ORDER BY mp4_profile
 """
 
     sql["mm_frame_sample"] = f"""

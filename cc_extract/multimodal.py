@@ -1858,6 +1858,58 @@ def mp4_structure_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def avc1_decode_stats(df: DataFrame) -> DataFrame:
+    """Per-H.264-profile avc1 frame-decode outcomes (round 5): now that
+    I_PCM clips decode for real, split the avc1 population by SPS
+    profile_idc into decoded (n frames, mean luma from actual pixel
+    reads) vs refused (compressed-bitstream stand-ins, the honest
+    quarantine) — the codec-capability triage a video pipeline runs to
+    size its GPU-decoder fleet.  Shares the normative parse_mp4_meta +
+    video_row_stats row implementations with the oracle."""
+    def avc1_batches(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"],
+                                    pdf["payload"]):
+                b = bytes(p)
+                if kind != "video" or len(b) < 16 or b[4:8] != b"ftyp":
+                    continue
+                meta = parse_mp4_meta(b)
+                if meta["mp4_codec"] != "avc1":
+                    continue
+                v = video_row_stats(b)
+                rows.append({
+                    "media_id": mid, "mp4_profile": meta["mp4_profile"],
+                    "mp4_sps_w": meta["mp4_sps_w"],
+                    "mp4_sps_h": meta["mp4_sps_h"],
+                    "vid_ok": v["vid_ok"], "vid_n_frames": v["vid_n_frames"],
+                    "vid_avg_frame_luma": v["vid_avg_frame_luma"]})
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "mp4_profile", "mp4_sps_w", "mp4_sps_h",
+                         "vid_ok", "vid_n_frames", "vid_avg_frame_luma"])
+
+    per = df.mapInPandas(
+        avc1_batches,
+        "media_id long, mp4_profile int, mp4_sps_w int, mp4_sps_h int, "
+        "vid_ok boolean, vid_n_frames int, vid_avg_frame_luma double")
+    return (
+        per.groupBy("mp4_profile")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum(F.col("vid_ok").cast("long")).alias("n_decoded"),
+            F.round(F.avg(F.when(F.col("vid_ok"), F.col("vid_n_frames"))),
+                    4).alias("avg_n_frames"),
+            F.round(F.avg(F.when(F.col("vid_ok"),
+                                 F.col("vid_avg_frame_luma"))),
+                    4).alias("avg_frame_luma"),
+            F.round(F.avg("mp4_sps_w"), 4).alias("avg_sps_w"),
+            F.round(F.avg("mp4_sps_h"), 4).alias("avg_sps_h"),
+        )
+        .orderBy("mp4_profile")
+    )
+
+
 # ----------------------------------------------------------- perceptual hash
 
 PHASH_BANDS = 4          # 4 x 16-bit bands over the 63-coefficient signature
