@@ -1985,7 +1985,7 @@ FROM pt ORDER BY source
 """
 
     _gstop = ", ".join(f"'{w}'" for w in textops.GOPHER_STOP)
-    sql["doc_gopher_rules"] = f"""
+    sql["doc_gopher_rules"] = rf"""
 WITH t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(text, '\s+'), w -> w != '')
