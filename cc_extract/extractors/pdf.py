@@ -428,18 +428,20 @@ def _decrypt_objects(data: bytes, objects, passwords=None) -> None:
         ue = _str_bytes(ed.get("UE"))
         if len(u) < 48 or ue is None or len(ue) < 32:
             raise _PdfError("encrypted: malformed V5 /U or /UE")
-        def _v5_hashes(pwd: bytes, vs: bytes, ks: bytes,
-                       udata: bytes) -> tuple[bytes, bytes]:
+        def _v5_hash(pwd: bytes, salt: bytes, udata: bytes) -> bytes:
             pwd = pwd[:127]  # ISO 32000-2 7.6.4.3.3: truncate to 127 bytes
             if r == 6:
-                return _hash_2b(pwd, vs, udata), _hash_2b(pwd, ks, udata)
+                return _hash_2b(pwd, salt, udata)
             # R5: the deprecated single-SHA-256 draft
-            return (hashlib.sha256(pwd + vs + udata).digest(),
-                    hashlib.sha256(pwd + ks + udata).digest())
+            return hashlib.sha256(pwd + salt + udata).digest()
 
+        # the key hash (key salt) is derived LAZILY, only after the
+        # validation hash matches: on R6 each hash is a full Algorithm
+        # 2.B KDF (~10^4 AES blocks), and misses dominate a candidate
+        # sweep — eager pairing doubled the KDF cost of every miss
         for pwd in cand:  # as USER password (empty first)
-            hv, hk = _v5_hashes(pwd, u[32:40], u[40:48], b"")
-            if hv == u[:32]:
+            if _v5_hash(pwd, u[32:40], b"") == u[:32]:
+                hk = _v5_hash(pwd, u[40:48], b"")
                 key = _aes.cbc_decrypt(hk, b"\x00" * 16, ue[:32])
                 break
         if key is None:
@@ -448,8 +450,8 @@ def _decrypt_objects(data: bytes, objects, passwords=None) -> None:
             oe = _str_bytes(ed.get("OE"))
             if oe is not None and len(oe) >= 32 and len(o) >= 48:
                 for pwd in cand:
-                    hv, hk = _v5_hashes(pwd, o[32:40], o[40:48], u[:48])
-                    if hv == o[:32]:
+                    if _v5_hash(pwd, o[32:40], u[:48]) == o[:32]:
+                        hk = _v5_hash(pwd, o[40:48], u[:48])
                         key = _aes.cbc_decrypt(hk, b"\x00" * 16, oe[:32])
                         break
         if key is None:
