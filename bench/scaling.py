@@ -95,8 +95,15 @@ def ensure_corpus(n_docs: int) -> str:
     # to wave quantization + stragglers while the 8-core leg amortized
     # over 8 waves (measured: 1M-doc 8->32 eff 0.31 with 64 files).  At
     # 100 TB this never arises — a real lake gives ~3M splits — so the
-    # generator mirrors that: ~4k docs (~4 MB) per file.
-    partitions = max(64, n_docs // 4000)
+    # generator mirrors that.  r5 sharpened the floor: 240k docs under
+    # //4000 still hit max(64,60)=64 files = 2.0 waves at 32 cores, and
+    # the password slate raised per-task variance enormously (an
+    # unknown-password R6 doc costs ~1.7 s of KDF vs ~1 ms for a plain
+    # doc), so each 32-wide wave waited on its slowest encrypted-heavy
+    # task (clean-weather pairs measured 0.40-0.46).  ~1k docs (~1 MB)
+    # per file keeps every level >=7 waves and lets dynamic scheduling
+    # absorb the CPU-skew, which is exactly what 3M real splits do.
+    partitions = max(64, n_docs // 1000)
     gen = (
         f"import sys; sys.path.insert(0, {REPO!r})\n"
         "from cc_extract.session import build_session\n"
