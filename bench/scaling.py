@@ -45,6 +45,37 @@ def cpu_jiffies():
         vals = list(map(int, f.readline().split()[1:]))
     return sum(vals), vals[7]  # total, steal
 
+def tree_cpu_sec():
+    # Protocol note 84: on this host-shared guest, identical legs consume
+    # 2-25x the cpu-SECONDS minute to minute while steal%% and the md5
+    # probe look clean — a throttled vCPU ticks jiffies while doing a
+    # fraction of a core's work.  cpu-sec per doc is the only signal that
+    # exposes such a window after the fact, so every leg records the
+    # utime+stime of its whole process tree (this python driver, the
+    # Spark JVM child, and the pyspark.daemon worker pool).
+    import glob
+    procs = {{}}
+    for st in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(st) as f:
+                data = f.read()
+        except OSError:
+            continue
+        pid = int(data.split(" ", 1)[0])
+        fields = data[data.rindex(")") + 2:].split()
+        procs[pid] = (int(fields[1]), int(fields[11]) + int(fields[12]))
+    # NB: workers that exit mid-run take their cpu time with them; the
+    # daemon pool is persistent during a leg, so the delta is complete.
+    children = {{}}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        total += procs.get(p, (0, 0))[1]
+        stack.extend(children.get(p, []))
+    return total / os.sysconf("SC_CLK_TCK")
+
 spark = build_session(cpus=cpus, app_name=f"scaling-{{cpus}}")
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(corpus)
@@ -52,13 +83,15 @@ bytes_in = docs.agg(F.sum(F.length("html"))).collect()[0][0]  # warms scan too
 
 def run_once():
     tot0, st0 = cpu_jiffies()
+    cpu0 = tree_cpu_sec()
     t0 = time.time()
     res = pipeline_df(docs, n_buckets=128)
     row = res.agg(F.count("*").alias("n"), F.sum(F.length("text_out")).alias("c")).collect()[0]
     wall = time.time() - t0
+    cpu = tree_cpu_sec() - cpu0
     tot1, st1 = cpu_jiffies()
     steal = (st1 - st0) / max(tot1 - tot0, 1)
-    return wall, row["n"], steal
+    return wall, row["n"], steal, cpu
 
 # warm python workers + codegen on a slice
 pipeline_df(docs.limit(4000), n_buckets=128).agg(F.sum(F.length("text_out"))).collect()
@@ -67,18 +100,22 @@ pipeline_df(docs.limit(4000), n_buckets=128).agg(F.sum(F.length("text_out"))).co
 best = None
 attempts = []
 for attempt in range(2):
-    wall, n, steal = run_once()
-    attempts.append({{"wall": round(wall, 2), "steal": round(steal, 4)}})
+    wall, n, steal, cpu = run_once()
+    attempts.append({{"wall": round(wall, 2), "steal": round(steal, 4),
+                      "cpu_sec": round(cpu, 1)}})
     if best is None or wall < best[0]:
-        best = (wall, n, steal)
+        best = (wall, n, steal, cpu)
     if steal < 0.02:
         break
     time.sleep(10)
-wall, n, steal = best
+wall, n, steal, cpu = best
 spark.stop()
 print(json.dumps({{"cpus": cpus, "wall_sec": wall, "docs": n,
                    "docs_per_sec": n/wall, "mb_per_sec": bytes_in/1e6/wall,
-                   "steal_during_best": steal, "attempts": attempts}}))
+                   "steal_during_best": steal,
+                   "cpu_sec": round(cpu, 1),
+                   "cpu_sec_per_kdoc": round(cpu / max(n, 1) * 1000, 3),
+                   "attempts": attempts}}))
 """
 
 
@@ -179,7 +216,9 @@ def main() -> None:
                           "lo": round(r_lo["wall_sec"], 1),
                           "hi": round(r_hi["wall_sec"], 1),
                           "weather_lo": w_lo["slowdown"],
-                          "weather_hi": w_hi["slowdown"]}))
+                          "weather_hi": w_hi["slowdown"],
+                          "cpu_per_kdoc_lo": r_lo.get("cpu_sec_per_kdoc"),
+                          "cpu_per_kdoc_hi": r_hi.get("cpu_sec_per_kdoc")}))
         for cpus, r in ((args.n, r_lo), (args.n4, r_hi)):
             if results[cpus] is None or r["wall_sec"] < results[cpus]["wall_sec"]:
                 results[cpus] = r
@@ -198,6 +237,8 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "pair_efficiencies": pairs,
         "pair_weather": weather,  # width-matched probe slowdowns (lo, hi)
+        "cpu_sec_per_kdoc": {str(c): results[c].get("cpu_sec_per_kdoc")
+                             for c in (args.n, args.n4)},
         "target": 0.8,
         "pass": eff >= 0.8,
     }
@@ -213,10 +254,10 @@ Campaigns append below (history preserved across rounds).
     md = f"""
 ## Campaign {time.strftime('%Y-%m-%d %H:%M:%S')} — local[{args.n}] vs local[{args.n4}], {args.docs:,} docs
 
-| level | wall (s) | docs/sec | MB/sec | steal during run |
-| --- | --- | --- | --- | --- |
-| local[{args.n}]  (N)  | {results[args.n]['wall_sec']:.1f} | {thr8:,.0f} | {results[args.n]['mb_per_sec']:.1f} | {results[args.n].get('steal_during_best', 0):.2%} |
-| local[{args.n4}] (4N) | {results[args.n4]['wall_sec']:.1f} | {thr32:,.0f} | {results[args.n4]['mb_per_sec']:.1f} | {results[args.n4].get('steal_during_best', 0):.2%} |
+| level | wall (s) | docs/sec | MB/sec | steal during run | cpu-sec/kdoc |
+| --- | --- | --- | --- | --- | --- |
+| local[{args.n}]  (N)  | {results[args.n]['wall_sec']:.1f} | {thr8:,.0f} | {results[args.n]['mb_per_sec']:.1f} | {results[args.n].get('steal_during_best', 0):.2%} | {results[args.n].get('cpu_sec_per_kdoc', float('nan')):.2f} |
+| local[{args.n4}] (4N) | {results[args.n4]['wall_sec']:.1f} | {thr32:,.0f} | {results[args.n4]['mb_per_sec']:.1f} | {results[args.n4].get('steal_during_best', 0):.2%} | {results[args.n4].get('cpu_sec_per_kdoc', float('nan')):.2f} |
 
 **Scaling efficiency (median over {len(pairs)} interleaved pairs) = {eff:.3f}**
 (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"}); per-pair efficiencies: {pairs}.

@@ -16,6 +16,7 @@ def build_session(
     app_name: str = "cc_extract",
     shuffle_partitions: int | None = None,
     arrow_batch: int = 1024,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     """Local session for tests/bench; on a cluster only master() changes.
 
@@ -41,8 +42,11 @@ def build_session(
     # scale with core count, which would understate scaling efficiency —
     # on a real cluster every executor brings its own shuffle disks.
     local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp/spark-local"
+    builder = SparkSession.builder
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return (
-        SparkSession.builder.master(master)
+        builder.master(master)
         .config("spark.local.dir", local_dir)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
