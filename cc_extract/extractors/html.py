@@ -106,6 +106,15 @@ class _BlockState:
         if self._anchor_depth:
             self._anchor_chars += len(_WS.sub(" ", data).strip())
 
+    def data_at(self, data: str, start: int, end: int) -> None:
+        """Position-aware data event from the fast scanner: *start*/*end*
+        are the segment's [start, end) char offsets in the decoded
+        document (pre-``unescape`` — charrefs live wholly inside one
+        segment, so slicing at segment boundaries never bisects one).
+        The base walker discards positions; _BlockStateSpans records
+        them per block."""
+        self.data(data)
+
     def finish(self) -> None:
         self._flush()
 
@@ -186,18 +195,18 @@ def _scan_html(doc: str, st: _BlockState) -> None:
         # html.parser's close() flushes unterminated markup as
         # (charref-decoded) data; mirror that exactly
         seg = doc[start:]
-        st.data(unescape(seg) if "&" in seg else seg)
+        st.data_at(unescape(seg) if "&" in seg else seg, start, n)
         return n
 
     while pos < n:
         lt = doc.find("<", pos)
         if lt == -1:
             seg = doc[pos:]
-            st.data(unescape(seg) if "&" in seg else seg)
+            st.data_at(unescape(seg) if "&" in seg else seg, pos, n)
             break
         if lt > pos:
             seg = doc[pos:lt]
-            st.data(unescape(seg) if "&" in seg else seg)
+            st.data_at(unescape(seg) if "&" in seg else seg, pos, lt)
         nxt = doc[lt + 1 : lt + 2]
         if nxt == "!":
             if doc.startswith("<!--", lt):
@@ -223,7 +232,7 @@ def _scan_html(doc: str, st: _BlockState) -> None:
         m = _TAGNAME_RX.match(doc, lt + 1)
         if not m:
             # literal '<' in text
-            st.data("<")
+            st.data_at("<", lt, lt + 1)
             pos = lt + 1
             continue
         tag = m.group(0).lower()
@@ -273,3 +282,124 @@ def extract_html(payload: bytes) -> str:
     _scan_html(doc, st)
     kept = [t for (t, a, n) in st.blocks if _keep_block(t, a, n)]
     return normalize_text("\n".join(kept))
+
+
+# ------------------------------------------------- span provenance (X1+)
+
+class _BlockStateSpans(_BlockState):
+    """Fast-scanner state that additionally records, per emitted block,
+    the [start, end) char span in the DECODED document covering every
+    visible (non-whitespace) data segment that contributed to the block.
+
+    Spans are strictly increasing and non-overlapping: data events
+    arrive in document order, and a block-tag event always flushes
+    before the next block accumulates — which is also why a span is
+    self-contained (no block boundary can occur inside one; pinned by
+    the rescan test in tests/test_html_spans.py).  Only the fast
+    scanner feeds this class; the stdlib differential twin has no
+    positions and keeps using the base ``data`` path."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.spans: list[tuple[int, int]] = []
+        self._lo: int | None = None
+        self._hi: int | None = None
+
+    def data_at(self, data: str, start: int, end: int) -> None:
+        if self._skip_depth or not data:
+            return
+        super().data(data)
+        if data.strip():
+            if self._lo is None:
+                self._lo = start
+            self._hi = end
+
+    def _flush(self) -> None:
+        n_before = len(self.blocks)
+        super()._flush()
+        if len(self.blocks) > n_before:
+            # non-empty block text implies >=1 non-ws segment, so _lo is set
+            self.spans.append((self._lo, self._hi))
+        self._lo = None
+        self._hi = None
+
+
+def extract_html_blocks(payload: bytes) -> list[dict]:
+    """X1 with span provenance — the "spans" half of the north rule's
+    per-document match [D: BASELINE.json north_rule]: the same decode ->
+    scan -> block walk as extract_html, returning every block with its
+    [start, end) char span in the decoded document plus the density
+    stats the keep rule uses.  Invariants (tests/test_html_spans.py):
+
+    - normalize_text("\\n".join(kept texts)) == extract_html(payload)
+      — byte-identity by construction (same state machine);
+    - spans strictly increasing, non-overlapping, in-bounds;
+    - re-scanning doc[start:end] alone reproduces the block's text.
+    """
+    declared = None
+    m = _META_CHARSET.search(payload[:4096])
+    if m:
+        declared = m.group(1).decode("ascii", "ignore")
+    doc = decode_bytes(payload, declared)
+    st = _BlockStateSpans()
+    _scan_html(doc, st)
+    out = []
+    for i, ((text, anchor, n_tags), (lo, hi)) in enumerate(
+            zip(st.blocks, st.spans)):
+        out.append({
+            "block_idx": i,
+            "text": text,
+            "span_start": lo,
+            "span_end": hi,
+            "anchor_chars": anchor,
+            "n_tags": n_tags,
+            "kept": _keep_block(text, anchor, n_tags),
+        })
+    return out
+
+
+def html_span_stats(payload: bytes, url: str | None = None) -> dict | None:
+    """Per-document span-provenance stats for the ``cc_html_spans``
+    contract query — the SINGLE row-semantics implementation both the
+    Spark ``mapInPandas`` batch fn and the DuckDB oracle table builder
+    call (the extraction_table pattern: shared row code, independently
+    expressed relational layer).  Routing mirrors extract_document
+    exactly (sniff + depth-1 gzip transfer-encoding unwrap); returns
+    None for documents that do not route to the html extractor, and —
+    matching extract_document's never-raises quarantine — for the rare
+    payload the extractor would reject."""
+    from ..sniff import sniff_format
+
+    if not payload:
+        return None
+    payload = bytes(payload)
+    fmt = sniff_format(payload, url)
+    if fmt == "gzip":
+        import gzip as _gzip
+        import zlib as _zlib
+        try:
+            payload = _gzip.decompress(payload)
+        except (OSError, EOFError, _zlib.error):
+            return None
+        fmt = sniff_format(payload, url)
+    if fmt != "html":
+        return None
+    try:
+        declared = None
+        m = _META_CHARSET.search(payload[:4096])
+        if m:
+            declared = m.group(1).decode("ascii", "ignore")
+        doc_chars = len(decode_bytes(payload, declared))
+        blocks = extract_html_blocks(payload)
+    except Exception:  # noqa: BLE001 — quarantine parity with extract_document
+        return None
+    kept = [b for b in blocks if b["kept"]]
+    return {
+        "n_blocks": len(blocks),
+        "n_kept": len(kept),
+        "kept_chars": sum(len(b["text"]) for b in kept),
+        "span_chars": sum(b["span_end"] - b["span_start"] for b in kept),
+        "doc_chars": doc_chars,
+        "first_kept_start": kept[0]["span_start"] if kept else None,
+        "last_kept_end": kept[-1]["span_end"] if kept else None,
+    }

@@ -348,3 +348,49 @@ def robots_rules_table(seed: int | None = None) -> str:
     _atomic_write_table(table, path)
     _memo[key] = path
     return path
+
+
+def html_spans_table(n_docs: int = 1200) -> str:
+    """Per-INPUT-ROW span-provenance stats for html-routed documents
+    (pre-dedup; the SQL side performs the keep-newest window itself).
+
+    The row semantics live in ONE shared function —
+    ``cc_extract.extractors.html.html_span_stats`` — called here per row
+    single-process and by the Spark ``mapInPandas`` batch fn in
+    ``_cc_html_spans``; only the relational layer (dedup + projection) is
+    independently expressed on each side, exactly the extraction_table
+    pattern."""
+    key = f"html_spans:{n_docs}"
+    if key in _memo:
+        return _memo[key]
+    import pyarrow as pa
+
+    from .corpusgen import gen_corpus
+    from .extractors.html import html_span_stats
+
+    names = ("url", "warc_ts", "n_blocks", "n_kept", "kept_chars",
+             "span_chars", "doc_chars", "first_kept_start", "last_kept_end")
+    cols: dict[str, list] = {c: [] for c in names}
+    for r in gen_corpus(n_docs):
+        s = html_span_stats(r["html"], r["url"])
+        if s is None:
+            continue
+        cols["url"].append(r["url"])
+        cols["warc_ts"].append(r["warc_ts"])
+        for k, v in s.items():
+            cols[k].append(v)
+    table = pa.table({
+        "url": pa.array(cols["url"], pa.string()),
+        "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+        "n_blocks": pa.array(cols["n_blocks"], pa.int32()),
+        "n_kept": pa.array(cols["n_kept"], pa.int32()),
+        "kept_chars": pa.array(cols["kept_chars"], pa.int64()),
+        "span_chars": pa.array(cols["span_chars"], pa.int64()),
+        "doc_chars": pa.array(cols["doc_chars"], pa.int64()),
+        "first_kept_start": pa.array(cols["first_kept_start"], pa.int64()),
+        "last_kept_end": pa.array(cols["last_kept_end"], pa.int64()),
+    })
+    path = os.path.join(_ORACLE_DIR, f"html_spans_{n_docs}.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path

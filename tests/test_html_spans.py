@@ -1,0 +1,165 @@
+"""X1 span provenance (extract_html_blocks / html_span_stats) — the
+"text/spans" half of the north rule's per-document match [D: BASELINE.json
+north_rule "matching the reference's extracted text/spans per document"].
+
+Invariants pinned here:
+
+1. byte-identity by construction: joining the kept blocks reproduces
+   extract_html exactly (same state machine, so this can never drift);
+2. spans are strictly increasing, non-overlapping, in-bounds;
+3. self-containment: re-scanning doc[start:end] alone reproduces the
+   block's visible text (no block-tag event can occur inside a span —
+   it would have flushed — so a span is a closed visible-text region);
+4. the stats row both engines share (html_span_stats) never raises and
+   is gzip-transfer-encoding transparent.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+from hypothesis import given, settings, strategies as st
+
+from cc_extract.corpusgen import gen_corpus
+from cc_extract.extractors.charset import decode_bytes
+from cc_extract.extractors.html import (
+    _META_CHARSET,
+    _BlockStateSpans,
+    _scan_html,
+    extract_html,
+    extract_html_blocks,
+    html_span_stats,
+)
+from cc_extract.extractors.normalize import normalize_text
+from cc_extract.sniff import sniff_format
+
+
+def _html_corpus(n_docs: int = 400) -> list[bytes]:
+    out = []
+    for r in gen_corpus(n_docs):
+        p = bytes(r["html"])
+        if sniff_format(p, r["url"]) == "html":
+            out.append(p)
+    return out
+
+
+CORPUS_HTML = _html_corpus()
+
+
+def _decoded(payload: bytes) -> str:
+    m = _META_CHARSET.search(payload[:4096])
+    declared = m.group(1).decode("ascii", "ignore") if m else None
+    return decode_bytes(payload, declared)
+
+
+def test_corpus_exercises_the_html_route():
+    assert len(CORPUS_HTML) > 50
+
+
+def test_kept_blocks_join_to_extract_html_byte_identically():
+    for p in CORPUS_HTML:
+        blocks = extract_html_blocks(p)
+        joined = normalize_text(
+            "\n".join(b["text"] for b in blocks if b["kept"])
+        )
+        assert joined == extract_html(p)
+
+
+def test_spans_monotonic_nonoverlapping_inbounds():
+    for p in CORPUS_HTML:
+        doc_len = len(_decoded(p))
+        prev_end = 0
+        for b in extract_html_blocks(p):
+            assert 0 <= b["span_start"] < b["span_end"] <= doc_len
+            assert b["span_start"] >= prev_end
+            prev_end = b["span_end"]
+
+
+def test_span_rescan_reproduces_block_text():
+    """Invariant 3: each span slice is self-contained — scanning it in
+    isolation yields exactly the block's visible text (density stats may
+    differ: an <a>/<b> opened before the span is outside the slice)."""
+    for p in CORPUS_HTML[:120]:
+        doc = _decoded(p)
+        for b in extract_html_blocks(p):
+            sub = doc[b["span_start"]:b["span_end"]]
+            st_ = _BlockStateSpans()
+            _scan_html(sub, st_)
+            texts = [t for (t, _a, _n) in st_.blocks]
+            assert texts == [b["text"]], (b, sub[:200])
+
+
+# Structured random markup (the differential-test shape from
+# test_properties): the block/span invariants must hold on arbitrary
+# nesting, charrefs, self-closing forms and case-mixed tags.
+_TAGS = ["p", "div", "span", "b", "a", "li", "td", "em", "h2", "script"]
+_texts = st.text(
+    alphabet=st.characters(blacklist_characters="<>&", max_codepoint=0x2FF),
+    max_size=24,
+)
+
+
+@st.composite
+def _frag(draw, depth=0):
+    kind = draw(st.integers(0, 5 if depth < 3 else 1))
+    if kind <= 1:
+        return draw(_texts)
+    if kind == 2:
+        return "&amp;" + draw(_texts)
+    tag = draw(st.sampled_from(_TAGS))
+    attr = draw(st.sampled_from(["", ' href="x>y"', " id='a'", " data-x=1"]))
+    if kind == 3:
+        return f"<{tag}{attr}/>"
+    inner = "".join(draw(st.lists(_frag(depth + 1), max_size=3)))
+    close = tag if tag != "script" else "script"
+    return f"<{tag}{attr}>{inner}</{close}>"
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_frag(), max_size=6))
+def test_block_span_invariants_on_random_markup(frags):
+    doc = "<html><body>" + "".join(frags) + "</body></html>"
+    payload = doc.encode("utf-8")
+    blocks = extract_html_blocks(payload)
+    joined = normalize_text(
+        "\n".join(b["text"] for b in blocks if b["kept"])
+    )
+    assert joined == extract_html(payload)
+    prev_end = 0
+    decoded = _decoded(payload)
+    for b in blocks:
+        assert 0 <= b["span_start"] < b["span_end"] <= len(decoded)
+        assert b["span_start"] >= prev_end
+        prev_end = b["span_end"]
+        sub = decoded[b["span_start"]:b["span_end"]]
+        st_ = _BlockStateSpans()
+        _scan_html(sub, st_)
+        assert [t for (t, _a, _n) in st_.blocks] == [b["text"]]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_span_stats_never_raises_on_arbitrary_bytes(payload):
+    s = html_span_stats(payload)
+    if s is not None:
+        assert 0 <= s["n_kept"] <= s["n_blocks"]
+        assert s["span_chars"] >= 0 and s["kept_chars"] >= 0
+        if s["n_kept"]:
+            assert 0 <= s["first_kept_start"] < s["last_kept_end"]
+            assert s["last_kept_end"] <= s["doc_chars"]
+        else:
+            assert s["first_kept_start"] is None
+            assert s["last_kept_end"] is None
+
+
+def test_span_stats_gzip_transparent():
+    hits = 0
+    for p in CORPUS_HTML[:40]:
+        inner = html_span_stats(p)
+        wrapped = html_span_stats(
+            gzip.compress(p, compresslevel=6, mtime=0)
+        )
+        if inner is not None:
+            assert wrapped == inner
+            hits += 1
+    assert hits > 10
