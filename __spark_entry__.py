@@ -238,116 +238,37 @@ def _cc_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPAN_COLS = ("n_blocks", "n_kept", "kept_chars", "span_chars",
-              "doc_chars", "first_kept_start", "last_kept_end")
+_SNAPSHOT_PIVOT = "2025-07-02 00:00:00"  # midpoint of the 2025 crawl year
 
 
 def _cc_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 span provenance — the "spans" half of the north rule's
     per-document match [D: BASELINE.json north_rule "matching the
-    reference's extracted text/spans per document"]: per html-routed
-    document, where in the decoded page the kept main-content blocks
-    live (block/kept counts, kept chars, raw span coverage, first/last
-    kept offsets).  Row semantics are ONE shared function
-    (cc_extract.extractors.html.html_span_stats — sniff + depth-1 gzip
-    unwrap + position-aware scan) called per element inside the Arrow
-    batch here and per row single-process in
-    oracle_data.html_spans_table; each side independently expresses the
-    keep-newest dedup.  Scale shape: one payload-bearing mapInPandas
-    pass that REDUCES every page to a 7-int row before the only
-    shuffle (url-hash window dedup) — offsets travel, payloads never
-    do.  The span invariants themselves (byte-identity of the kept
-    join, monotonic non-overlap, rescan self-containment) are pinned in
-    tests/test_html_spans.py."""
-    import pandas as pd
-
-    from cc_extract.extractors.html import html_span_stats
+    reference's extracted text/spans per document"].  Thin contract
+    wrapper over cc_extract.job.html_spans_df (shared with bench.py);
+    row semantics are ONE function (extractors.html.html_span_stats)
+    called per element in the Arrow batch here and per row
+    single-process in oracle_data.html_spans_table — each side
+    independently expresses only the keep-newest dedup.  Span
+    invariants (kept-join byte-identity, monotonic non-overlap, rescan
+    self-containment) are pinned in tests/test_html_spans.py."""
+    from cc_extract.job import html_spans_df
 
     docs, _ = _cc_corpus_and_extracted(spark)
-    schema = ("url string, warc_ts timestamp, n_blocks int, n_kept int, "
-              "kept_chars long, span_chars long, doc_chars long, "
-              "first_kept_start long, last_kept_end long")
-    cols = ("url", "warc_ts", *_SPAN_COLS)
-
-    def batches(it):
-        for pdf in it:
-            rows: dict[str, list] = {c: [] for c in cols}
-            for url, ts, payload in zip(pdf["url"], pdf["warc_ts"],
-                                        pdf["html"]):
-                s = html_span_stats(payload, url)
-                if s is None:
-                    continue
-                rows["url"].append(url)
-                rows["warc_ts"].append(ts)
-                for k in _SPAN_COLS:
-                    rows[k].append(s[k])
-            yield pd.DataFrame(rows, columns=list(cols))
-
-    spans = docs.select("url", "warc_ts", "html").mapInPandas(
-        batches, schema=schema
-    )
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-    return (
-        spans.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("url", *_SPAN_COLS)
-        .orderBy("url")
-    )
-
-
-_SNAPSHOT_PIVOT = "2025-07-02 00:00:00"  # midpoint of the 2025 crawl year
+    return html_spans_df(docs)
 
 
 def _cc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inter-crawl snapshot diff — the refresh/frontier table a recurring
-    crawl pipeline derives before deciding what to refetch: split the
-    corpus into the early and late half-year snapshots, keep the newest
-    crawl of each url within each snapshot, and report per-domain counts
-    of new / gone / changed / unchanged urls (change = payload sha256
-    differs).  Scale shape: two url-partitioned window dedups + one
-    url-keyed full-outer sort-merge join (same uniform hash key, AQE
-    coalesced) + an O(domains) partial-aggregable groupBy; payloads
-    collapse to 64-hex digests before any shuffle."""
+    """Inter-crawl snapshot diff (cc_extract.job.snapshot_diff_df over
+    the contract corpus): per-domain new / gone / changed / same url
+    counts between the early and late half-year snapshots, newest crawl
+    per url within each; change = payload sha256 differs.  Payloads
+    collapse to digests before any shuffle; see job.py for the full
+    scale-shape note."""
+    from cc_extract.job import snapshot_diff_df
+
     docs, _ = _cc_corpus_and_extracted(spark)
-    pivot = F.to_timestamp(F.lit(_SNAPSHOT_PIVOT))
-    d = docs.select(
-        "url", "warc_ts", F.sha2(F.col("html"), 256).alias("sha")
-    )
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-
-    def snap(pred, alias):
-        return (
-            d.filter(pred)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("url", F.col("sha").alias(alias))
-        )
-
-    a = snap(F.col("warc_ts") < pivot, "sha_a")
-    b = snap(F.col("warc_ts") >= pivot, "sha_b")
-    j = a.join(b, "url", "full_outer")
-    both = F.col("sha_a").isNotNull() & F.col("sha_b").isNotNull()
-    return (
-        j.select(
-            F.lower(F.regexp_extract("url", r"^https://([^/:?#]+)", 1))
-            .alias("domain"),
-            F.col("sha_a").isNull().cast("long").alias("is_new"),
-            F.col("sha_b").isNull().cast("long").alias("is_gone"),
-            (both & (F.col("sha_a") != F.col("sha_b")))
-            .cast("long").alias("is_changed"),
-            (both & (F.col("sha_a") == F.col("sha_b")))
-            .cast("long").alias("is_same"),
-        )
-        .groupBy("domain")
-        .agg(
-            F.count("*").alias("n_urls"),
-            F.sum("is_new").alias("n_new"),
-            F.sum("is_gone").alias("n_gone"),
-            F.sum("is_changed").alias("n_changed"),
-            F.sum("is_same").alias("n_same"),
-        )
-        .orderBy("domain")
-    )
+    return snapshot_diff_df(docs, _SNAPSHOT_PIVOT)
 
 
 def _cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -148,6 +148,28 @@ def main() -> None:
     timings["cc_extract_e2e"] = round(ext_sec, 3)
     steals["cc_extract_e2e"] = round(ext_steal, 4)
 
+    # span provenance + snapshot diff over the same bench corpus (r5):
+    # both reduce payloads to fixed-size rows before their only shuffle
+    from cc_extract.job import html_spans_df, snapshot_diff_df
+
+    bench_docs = spark.read.parquet(CORPUS_DIR)
+
+    def _force(df):
+        return lambda: df.agg(
+            F.count("*"), F.sum(F.length(df.columns[0]))
+        ).collect()
+
+    for name, df in (
+        ("cc_html_spans", html_spans_df(bench_docs)),
+        ("cc_snapshot_diff",
+         snapshot_diff_df(bench_docs, "2025-07-02 00:00:00")),
+    ):
+        fn = _force(df)
+        fn()  # warm-up (untimed)
+        sec, steal, _ = gated_best(fn)
+        timings[name] = round(sec, 3)
+        steals[name] = round(steal, 4)
+
     def timed(name: str, fn) -> None:
         # One untimed warm-up (codegen, shuffle-file page cache, Python
         # worker reuse) — round-1 recorded a 48 s number for a query whose

@@ -111,6 +111,105 @@ def with_bucket(df: DataFrame, n_buckets: int, url_col: str = "url") -> DataFram
     )
 
 
+SPAN_COLS = ("n_blocks", "n_kept", "kept_chars", "span_chars",
+             "doc_chars", "first_kept_start", "last_kept_end")
+
+
+def html_spans_df(docs: DataFrame) -> DataFrame:
+    """X1 span provenance over a corpus frame (url, warc_ts, html) — the
+    "spans" half of the north rule's per-document match: per html-routed
+    document (newest crawl per url), where in the decoded page the kept
+    main-content blocks live.  Row semantics are the shared
+    cc_extract.extractors.html.html_span_stats (sniff + depth-1 gzip
+    unwrap + position-aware scan; invariants pinned in
+    tests/test_html_spans.py).  Scale shape: ONE payload-bearing
+    mapInPandas pass REDUCES every page to a 7-int row before the only
+    shuffle (url-hash window dedup) — offsets travel, payloads never
+    do."""
+    from .extractors.html import html_span_stats
+
+    schema = ("url string, warc_ts timestamp, n_blocks int, n_kept int, "
+              "kept_chars long, span_chars long, doc_chars long, "
+              "first_kept_start long, last_kept_end long")
+    cols = ("url", "warc_ts", *SPAN_COLS)
+
+    def batches(it):
+        for pdf in it:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for url, ts, payload in zip(pdf["url"], pdf["warc_ts"],
+                                        pdf["html"]):
+                s = html_span_stats(payload, url)
+                if s is None:
+                    continue
+                rows["url"].append(url)
+                rows["warc_ts"].append(ts)
+                for k in SPAN_COLS:
+                    rows[k].append(s[k])
+            yield pd.DataFrame(rows, columns=list(cols))
+
+    spans = docs.select("url", "warc_ts", "html").mapInPandas(
+        batches, schema=schema
+    )
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        spans.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url", *SPAN_COLS)
+        .orderBy("url")
+    )
+
+
+def snapshot_diff_df(docs: DataFrame, pivot_ts: str) -> DataFrame:
+    """Inter-crawl snapshot diff over a corpus frame — the
+    refresh/frontier table a recurring crawl derives before deciding
+    what to refetch: split at *pivot_ts*, keep the newest crawl per url
+    within each half, report per-domain new / gone / changed / same
+    counts (change = payload sha256 differs).  Scale shape: payloads
+    collapse to 64-hex digests before any shuffle; two url-partitioned
+    window dedups + one url-keyed full-outer sort-merge join (same
+    uniform hash key, AQE coalesced) + an O(domains) partial-aggregable
+    groupBy."""
+    pivot = F.to_timestamp(F.lit(pivot_ts))
+    d = docs.select(
+        "url", "warc_ts", F.sha2(F.col("html"), 256).alias("sha")
+    )
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+
+    def snap(pred, alias):
+        return (
+            d.filter(pred)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("url", F.col("sha").alias(alias))
+        )
+
+    a = snap(F.col("warc_ts") < pivot, "sha_a")
+    b = snap(F.col("warc_ts") >= pivot, "sha_b")
+    j = a.join(b, "url", "full_outer")
+    both = F.col("sha_a").isNotNull() & F.col("sha_b").isNotNull()
+    return (
+        j.select(
+            F.lower(F.regexp_extract("url", r"^https://([^/:?#]+)", 1))
+            .alias("domain"),
+            F.col("sha_a").isNull().cast("long").alias("is_new"),
+            F.col("sha_b").isNull().cast("long").alias("is_gone"),
+            (both & (F.col("sha_a") != F.col("sha_b")))
+            .cast("long").alias("is_changed"),
+            (both & (F.col("sha_a") == F.col("sha_b")))
+            .cast("long").alias("is_same"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum("is_new").alias("n_new"),
+            F.sum("is_gone").alias("n_gone"),
+            F.sum("is_changed").alias("n_changed"),
+            F.sum("is_same").alias("n_same"),
+        )
+        .orderBy("domain")
+    )
+
+
 def pipeline_df(
     docs: DataFrame,
     n_buckets: int = DEFAULT_BUCKETS,
