@@ -340,7 +340,11 @@ def extract_html_blocks(payload: bytes) -> list[dict]:
     m = _META_CHARSET.search(payload[:4096])
     if m:
         declared = m.group(1).decode("ascii", "ignore")
-    doc = decode_bytes(payload, declared)
+    return blocks_of_doc(decode_bytes(payload, declared))
+
+
+def blocks_of_doc(doc: str) -> list[dict]:
+    """extract_html_blocks over an already-decoded document string."""
     st = _BlockStateSpans()
     _scan_html(doc, st)
     out = []
@@ -389,8 +393,9 @@ def html_span_stats(payload: bytes, url: str | None = None) -> dict | None:
         m = _META_CHARSET.search(payload[:4096])
         if m:
             declared = m.group(1).decode("ascii", "ignore")
-        doc_chars = len(decode_bytes(payload, declared))
-        blocks = extract_html_blocks(payload)
+        doc = decode_bytes(payload, declared)
+        doc_chars = len(doc)
+        blocks = blocks_of_doc(doc)
     except Exception:  # noqa: BLE001 — quarantine parity with extract_document
         return None
     kept = [b for b in blocks if b["kept"]]
