@@ -258,6 +258,19 @@ def _cc_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_spans_df(docs)
 
 
+def _cc_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block span rows (cc_extract.job.html_blocks_df over the
+    contract corpus): the literal per-block "spans match" — one row per
+    block of the newest crawl of every html-routed url, carrying the
+    block's [start, end) span, keep decision, char count and an md5 pin
+    of the exact block text.  Strongest extraction-parity surface after
+    the 20k byte-identity golden."""
+    from cc_extract.job import html_blocks_df
+
+    docs, _ = _cc_corpus_and_extracted(spark)
+    return html_blocks_df(docs)
+
+
 def _cc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-crawl snapshot diff (cc_extract.job.snapshot_diff_df over
     the contract corpus): per-domain new / gone / changed / same url
@@ -969,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "cc_html_spans": _cc_html_spans,  # r5: X1 span provenance
+        "cc_html_blocks": _cc_html_blocks,  # r5: per-block span parity
         "cc_snapshot_diff": _cc_snapshot_diff,  # r5: inter-crawl refresh diff
         "cc_encrypted_stats": _cc_encrypted_stats,  # r5: PDF password routes
         "mm_avc1_stats": _mm_avc1_stats,  # r5: I_PCM frame decode by profile
@@ -3183,6 +3197,19 @@ WITH ranked AS (
 SELECT url, n_blocks, n_kept, kept_chars, span_chars, doc_chars,
        first_kept_start, last_kept_end
 FROM ranked WHERE rn = 1 ORDER BY url
+"""
+
+    # per-block span parity: rank crawls per url by ts (dense — blocks
+    # of one crawl share its ts), keep rank 1
+    blocks_tbl = oracle_data.html_blocks_table(_CC_N_DOCS)
+    sql["cc_html_blocks"] = f"""
+WITH ranked AS (
+  SELECT *, dense_rank() OVER (
+    PARTITION BY url ORDER BY warc_ts DESC) AS rk
+  FROM read_parquet('{blocks_tbl}')
+)
+SELECT url, block_idx, span_start, span_end, kept, n_chars, text_md5
+FROM ranked WHERE rk = 1 ORDER BY url, block_idx
 """
 
     # inter-crawl snapshot diff over the generator-direct corpus table:

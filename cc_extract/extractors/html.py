@@ -362,16 +362,11 @@ def blocks_of_doc(doc: str) -> list[dict]:
     return out
 
 
-def html_span_stats(payload: bytes, url: str | None = None) -> dict | None:
-    """Per-document span-provenance stats for the ``cc_html_spans``
-    contract query — the SINGLE row-semantics implementation both the
-    Spark ``mapInPandas`` batch fn and the DuckDB oracle table builder
-    call (the extraction_table pattern: shared row code, independently
-    expressed relational layer).  Routing mirrors extract_document
-    exactly (sniff + depth-1 gzip transfer-encoding unwrap); returns
-    None for documents that do not route to the html extractor, and —
-    matching extract_document's never-raises quarantine — for the rare
-    payload the extractor would reject."""
+def _resolve_html_doc(payload: bytes, url: str | None = None) -> str | None:
+    """Sniff + depth-1 gzip transfer-encoding unwrap + charset decode —
+    the exact routing extract_document applies before the html extractor
+    runs.  Returns the decoded document, or None if the payload does not
+    route to html (or the decode fails — quarantine parity)."""
     from ..sniff import sniff_format
 
     if not payload:
@@ -393,7 +388,54 @@ def html_span_stats(payload: bytes, url: str | None = None) -> dict | None:
         m = _META_CHARSET.search(payload[:4096])
         if m:
             declared = m.group(1).decode("ascii", "ignore")
-        doc = decode_bytes(payload, declared)
+        return decode_bytes(payload, declared)
+    except Exception:  # noqa: BLE001 — quarantine parity with extract_document
+        return None
+
+
+def html_block_rows(payload: bytes, url: str | None = None) -> list[dict] | None:
+    """Per-BLOCK span rows for the ``cc_html_blocks`` contract query —
+    the literal per-block "spans match" surface: one row per block with
+    its [start, end) offsets, keep decision, char count and an md5 pin
+    of the exact block text.  Shared by the Spark mapInPandas batch fn
+    and the oracle table builder (single row-semantics implementation);
+    returns None for non-html documents."""
+    import hashlib
+
+    doc = _resolve_html_doc(payload, url)
+    if doc is None:
+        return None
+    try:
+        blocks = blocks_of_doc(doc)
+    except Exception:  # noqa: BLE001 — quarantine parity
+        return None
+    return [
+        {
+            "block_idx": b["block_idx"],
+            "span_start": b["span_start"],
+            "span_end": b["span_end"],
+            "kept": int(b["kept"]),
+            "n_chars": len(b["text"]),
+            "text_md5": hashlib.md5(b["text"].encode("utf-8")).hexdigest(),
+        }
+        for b in blocks
+    ]
+
+
+def html_span_stats(payload: bytes, url: str | None = None) -> dict | None:
+    """Per-document span-provenance stats for the ``cc_html_spans``
+    contract query — the SINGLE row-semantics implementation both the
+    Spark ``mapInPandas`` batch fn and the DuckDB oracle table builder
+    call (the extraction_table pattern: shared row code, independently
+    expressed relational layer).  Routing mirrors extract_document
+    exactly (sniff + depth-1 gzip transfer-encoding unwrap); returns
+    None for documents that do not route to the html extractor, and —
+    matching extract_document's never-raises quarantine — for the rare
+    payload the extractor would reject."""
+    doc = _resolve_html_doc(payload, url)
+    if doc is None:
+        return None
+    try:
         doc_chars = len(doc)
         blocks = blocks_of_doc(doc)
     except Exception:  # noqa: BLE001 — quarantine parity with extract_document

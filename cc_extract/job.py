@@ -159,6 +159,53 @@ def html_spans_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def html_blocks_df(docs: DataFrame) -> DataFrame:
+    """Per-BLOCK span rows over a corpus frame — the literal per-block
+    "spans match" surface for the newest crawl of every html-routed url:
+    (url, block_idx, span_start, span_end, kept, n_chars, text_md5).
+    Same scale shape as html_spans_df: the one payload-bearing
+    mapInPandas pass reduces each page to O(blocks) fixed-size rows
+    (offsets + a 32-hex pin), so the url-hash dedup window shuffles
+    block rows, never payloads.  Row semantics shared with
+    oracle_data.html_blocks_table via extractors.html.html_block_rows."""
+    from .extractors.html import html_block_rows
+
+    schema = ("url string, warc_ts timestamp, block_idx int, "
+              "span_start long, span_end long, kept int, n_chars long, "
+              "text_md5 string")
+    bcols = ("block_idx", "span_start", "span_end", "kept", "n_chars",
+             "text_md5")
+    cols = ("url", "warc_ts", *bcols)
+
+    def batches(it):
+        for pdf in it:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for url, ts, payload in zip(pdf["url"], pdf["warc_ts"],
+                                        pdf["html"]):
+                brs = html_block_rows(payload, url)
+                if brs is None:
+                    continue
+                for b in brs:
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(ts)
+                    for k in bcols:
+                        rows[k].append(b[k])
+            yield pd.DataFrame(rows, columns=list(cols))
+
+    blocks = docs.select("url", "warc_ts", "html").mapInPandas(
+        batches, schema=schema
+    )
+    # keep-newest per url: rank crawls by ts (dense — all blocks of the
+    # newest crawl share its ts), then keep rank 1
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        blocks.withColumn("_rk", F.dense_rank().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("url", *bcols)
+        .orderBy("url", "block_idx")
+    )
+
+
 def snapshot_diff_df(docs: DataFrame, pivot_ts: str) -> DataFrame:
     """Inter-crawl snapshot diff over a corpus frame — the
     refresh/frontier table a recurring crawl derives before deciding

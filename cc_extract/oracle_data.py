@@ -394,3 +394,48 @@ def html_spans_table(n_docs: int = 1200) -> str:
     _atomic_write_table(table, path)
     _memo[key] = path
     return path
+
+
+def html_blocks_table(n_docs: int = 1200) -> str:
+    """Per-INPUT-ROW per-BLOCK span rows for html-routed documents
+    (cc_extract.extractors.html.html_block_rows — the shared row
+    semantics; the SQL side re-expresses the keep-newest dedup +
+    projection).  One row per (url, warc_ts, block_idx) with the block's
+    [start, end) span, keep decision, char count and text md5 pin."""
+    key = f"html_blocks:{n_docs}"
+    if key in _memo:
+        return _memo[key]
+    import pyarrow as pa
+
+    from .corpusgen import gen_corpus
+    from .extractors.html import html_block_rows
+
+    urls, tss, idxs, starts, ends, kepts, nchars, md5s = \
+        [], [], [], [], [], [], [], []
+    for r in gen_corpus(n_docs):
+        rows = html_block_rows(r["html"], r["url"])
+        if rows is None:
+            continue
+        for b in rows:
+            urls.append(r["url"])
+            tss.append(r["warc_ts"])
+            idxs.append(b["block_idx"])
+            starts.append(b["span_start"])
+            ends.append(b["span_end"])
+            kepts.append(b["kept"])
+            nchars.append(b["n_chars"])
+            md5s.append(b["text_md5"])
+    table = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "block_idx": pa.array(idxs, pa.int32()),
+        "span_start": pa.array(starts, pa.int64()),
+        "span_end": pa.array(ends, pa.int64()),
+        "kept": pa.array(kepts, pa.int32()),
+        "n_chars": pa.array(nchars, pa.int64()),
+        "text_md5": pa.array(md5s, pa.string()),
+    })
+    path = os.path.join(_ORACLE_DIR, f"html_blocks_{n_docs}.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path

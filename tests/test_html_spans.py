@@ -163,3 +163,27 @@ def test_span_stats_gzip_transparent():
             assert wrapped == inner
             hits += 1
     assert hits > 10
+
+
+def test_block_rows_pin_blocks_exactly():
+    import hashlib
+
+    from cc_extract.extractors.html import html_block_rows
+
+    hits = 0
+    for p in CORPUS_HTML[:60]:
+        rows = html_block_rows(p)
+        if rows is None:
+            continue
+        hits += 1
+        blocks = extract_html_blocks(p)
+        assert len(rows) == len(blocks)
+        for r, b in zip(rows, blocks):
+            assert r["block_idx"] == b["block_idx"]
+            assert (r["span_start"], r["span_end"]) == (
+                b["span_start"], b["span_end"])
+            assert r["kept"] == int(b["kept"])
+            assert r["n_chars"] == len(b["text"])
+            assert r["text_md5"] == hashlib.md5(
+                b["text"].encode("utf-8")).hexdigest()
+    assert hits > 20
