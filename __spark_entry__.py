@@ -284,6 +284,49 @@ def _cc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff_df(docs, _SNAPSHOT_PIVOT)
 
 
+def _cc_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refetch-priority frontier — the consumer that closes the crawl
+    loop, composed from three shipped operators (the consumer pattern:
+    correctness by composition, no semantics of its own to drift): per
+    domain, how DYNAMIC it is (cc_snapshot_diff change rates), how
+    HEALTHY extraction is there (cc_domain_stats error rate), and how
+    much of it robots.txt lets a polite fetcher take
+    (cc_robots_filter allow rate).
+
+        refetch_score = (change_rate * allow_rate) * (1 - err_rate)
+
+    — doubles in one fixed expression tree, rounded at output (the repo's
+    cross-engine float discipline; rates are per-row ratios, never
+    order-sensitive sums).  Scale shape: every input is already an
+    O(domains) aggregate, so the two joins are broadcastable dims and
+    the sort is O(domains) — nothing here touches the corpus again."""
+    diff = _cc_snapshot_diff(spark, sf_dir)
+    stats = _cc_domain_stats(spark, sf_dir)
+    allow = (
+        _cc_robots_filter(spark, sf_dir)
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls_checked"),
+            F.sum((~F.col("blocked")).cast("long")).alias("n_allowed"),
+        )
+    )
+    j = diff.join(stats, "domain").join(allow, "domain")
+    change_rate = (F.col("n_new") + F.col("n_changed")) / F.col("n_urls")
+    err_rate = F.col("n_error") / F.col("n_docs")
+    allow_rate = F.col("n_allowed") / F.col("n_urls_checked")
+    score = (change_rate * allow_rate) * (F.lit(1.0) - err_rate)
+    return (
+        j.select(
+            "domain", "n_urls", "n_new", "n_changed", "n_error",
+            F.round(change_rate, 6).alias("change_rate"),
+            F.round(err_rate, 6).alias("err_rate"),
+            F.round(allow_rate, 6).alias("allow_rate"),
+            F.round(score, 6).alias("refetch_score"),
+        )
+        .orderBy(F.desc("refetch_score"), "domain")
+    )
+
+
 def _cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain extraction accounting over the deduped pipeline output:
     doc counts, ok/error splits and extracted-text volume keyed by the
@@ -984,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_html_spans": _cc_html_spans,  # r5: X1 span provenance
         "cc_html_blocks": _cc_html_blocks,  # r5: per-block span parity
         "cc_snapshot_diff": _cc_snapshot_diff,  # r5: inter-crawl refresh diff
+        "cc_crawl_frontier": _cc_crawl_frontier,  # r5: refetch-priority consumer
         "cc_encrypted_stats": _cc_encrypted_stats,  # r5: PDF password routes
         "mm_avc1_stats": _mm_avc1_stats,  # r5: I_PCM frame decode by profile
         "emb_semdedup": embedops.semdedup,  # r5: SemDeDup k-means+cosine prune
@@ -3363,6 +3407,91 @@ SELECT u.url, u.domain,
        coalesce(b.pattern, '') AS rule
 FROM u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (url)
 ORDER BY u.url
+"""
+
+    # refetch frontier: the three ingredient relations re-derived from
+    # their own oracle tables (snapshot halves from the corpus table,
+    # error rates from the dedup'd extraction table, allow rates from
+    # urls x robots rules), composed with the identical fixed-order
+    # double expression tree
+    sql["cc_crawl_frontier"] = f"""
+WITH sranked AS (
+  SELECT url, payload_sha256,
+         warc_ts >= TIMESTAMP '{_SNAPSHOT_PIVOT}' AS late,
+         row_number() OVER (
+           PARTITION BY url, warc_ts >= TIMESTAMP '{_SNAPSHOT_PIVOT}'
+           ORDER BY warc_ts DESC) AS rn
+  FROM read_parquet('{corpus}')
+),
+sa AS (SELECT url, payload_sha256 AS sha_a FROM sranked
+       WHERE NOT late AND rn = 1),
+sb AS (SELECT url, payload_sha256 AS sha_b FROM sranked
+       WHERE late AND rn = 1),
+sj AS (SELECT coalesce(sa.url, sb.url) AS url, sha_a, sha_b
+       FROM sa FULL OUTER JOIN sb ON sa.url = sb.url),
+diff AS (
+  SELECT lower(regexp_extract(url, '^https://([^/:?#]+)', 1)) AS domain,
+         count(*) AS n_urls,
+         CAST(sum(CASE WHEN sha_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN sha_a IS NOT NULL AND sha_b IS NOT NULL
+                        AND sha_a <> sha_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changed
+  FROM sj GROUP BY domain
+),
+{dedup_cte},
+stats AS (
+  SELECT lower(regexp_extract(url, '^https://([^/:?#]+)', 1)) AS domain,
+         count(*) AS n_docs,
+         CAST(sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_error
+  FROM d GROUP BY domain
+),
+rurls AS (
+  SELECT DISTINCT url FROM read_parquet('{corpus}')
+),
+ru AS (
+  SELECT url,
+         lower(regexp_extract(url, '^https://([^/:?#]+)', 1)) AS domain,
+         regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path
+  FROM rurls
+),
+rm AS (
+  SELECT ru.url, r.pattern, r.allow
+  FROM ru JOIN read_parquet('{robots}') r USING (domain)
+  WHERE CASE
+    WHEN r.pattern LIKE '/*.%' THEN CASE
+      WHEN r.pattern LIKE '%$'
+        THEN ends_with(ru.path, substring(r.pattern, 3, length(r.pattern) - 3))
+      ELSE contains(ru.path, substring(r.pattern, 3)) END
+    ELSE starts_with(ru.path, r.pattern) END
+),
+rbest AS (
+  SELECT url, allow,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY length(pattern) DESC, allow DESC,
+                                     pattern ASC) AS rn
+  FROM rm
+),
+rallow AS (
+  SELECT ru.domain,
+         count(*) AS n_urls_checked,
+         CAST(sum(CASE WHEN coalesce(NOT b.allow, FALSE)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_allowed
+  FROM ru LEFT JOIN (SELECT * FROM rbest WHERE rn = 1) b USING (url)
+  GROUP BY ru.domain
+)
+SELECT diff.domain, n_urls, n_new, n_changed, n_error,
+       round(CAST(n_new + n_changed AS DOUBLE) / n_urls, 6)
+         AS change_rate,
+       round(CAST(n_error AS DOUBLE) / n_docs, 6) AS err_rate,
+       round(CAST(n_allowed AS DOUBLE) / n_urls_checked, 6) AS allow_rate,
+       round((CAST(n_new + n_changed AS DOUBLE) / n_urls
+              * (CAST(n_allowed AS DOUBLE) / n_urls_checked))
+             * (1.0 - CAST(n_error AS DOUBLE) / n_docs), 6)
+         AS refetch_score
+FROM diff JOIN stats USING (domain) JOIN rallow USING (domain)
+ORDER BY refetch_score DESC, domain
 """
 
     # link graph + PageRank: link rows come from the single-process
