@@ -1011,6 +1011,55 @@ def _mm_avc1_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.avc1_decode_stats(df)
 
 
+def _cc_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (round 5): per html-routed url (newest
+    crawl), title / meta description / og:title / canonical link / html
+    lang — the page-metadata surface real extraction stacks ship next to
+    main content.  Row semantics are ONE shared function
+    (extractors.html.html_meta, first-occurrence-wins spec) called per
+    element in the Arrow batch here and per row single-process in
+    oracle_data.html_meta_table; each side independently expresses only
+    the keep-newest dedup.  Scale shape: the payload-bearing pass reduces
+    each page to five short strings before the only shuffle."""
+    from cc_extract.job import html_meta_df
+
+    docs, _ = _cc_corpus_and_extracted(spark)
+    return html_meta_df(docs)
+
+
+def _cc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index (round 5) — the URL-index artifact a real
+    crawl publishes next to its WARC segments: one row per CAPTURE (not
+    per url — a CDX records every fetch), keyed by the SURT
+    (Sort-friendly URI Reordering Transform) of the url: reversed
+    comma-joined lowercase host (default port dropped), ')' , path
+    ('/' when empty), '?query' when present.  Columns: surt_key, 14-digit
+    timestamp, url, payload sha256, byte length.  Pure native projection
+    — regexp_extract / split / reverse / sha2, zero Python rows, no
+    shuffle at all except the output sort; at 100 TB this is a map-only
+    pass over the scan."""
+    docs, _ = _cc_corpus_and_extracted(spark)
+    host = F.lower(F.regexp_extract("url", r"^https://([^/:?#]+)", 1))
+    path = F.regexp_extract("url", r"^https://[^/?#]+([^?#]*)", 1)
+    qry = F.regexp_extract("url", r"\?([^#]*)", 1)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(path == "", "/").otherwise(path),
+        F.when(qry == "", "").otherwise(F.concat(F.lit("?"), qry)),
+    )
+    return (
+        docs.select(
+            surt.alias("surt_key"),
+            F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
+            "url",
+            F.sha2("html", 256).alias("payload_sha256"),
+            F.length("html").cast("long").alias("n_bytes"),
+        )
+        .orderBy("surt_key", "ts14", "url")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DRIVER-WINDOW ROTATION (the driver's correctness gate verifies only
     # the FIRST 50 registry entries, in insertion order):
@@ -1024,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "cc_html_meta": _cc_html_meta,  # r5: head metadata extraction
+        "cc_cdx_index": _cc_cdx_index,  # r5: SURT capture index
         "cc_html_spans": _cc_html_spans,  # r5: X1 span provenance
         "cc_html_blocks": _cc_html_blocks,  # r5: per-block span parity
         "cc_snapshot_diff": _cc_snapshot_diff,  # r5: inter-crawl refresh diff
@@ -3241,6 +3292,41 @@ WITH ranked AS (
 SELECT url, n_blocks, n_kept, kept_chars, span_chars, doc_chars,
        first_kept_start, last_kept_end
 FROM ranked WHERE rn = 1 ORDER BY url
+"""
+
+    # head metadata: row semantics shared (html_meta via
+    # oracle_data.html_meta_table); SQL re-expresses only the
+    # keep-newest dedup + projection
+    meta_tbl = oracle_data.html_meta_table(_CC_N_DOCS)
+    sql["cc_html_meta"] = f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY url ORDER BY warc_ts DESC) AS rn
+  FROM read_parquet('{meta_tbl}')
+)
+SELECT url, title, meta_description, og_title, canonical, lang
+FROM ranked WHERE rn = 1 ORDER BY url
+"""
+
+    # CDX capture index over the generator-direct corpus table: the SURT
+    # transform re-expressed in DuckDB string/list functions — one row
+    # per capture, both engines compute the key independently
+    sql["cc_cdx_index"] = f"""
+WITH p AS (
+  SELECT url, warc_ts, payload_sha256, n_bytes,
+         lower(regexp_extract(url, '^https://([^/:?#]+)', 1)) AS host,
+         regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM read_parquet('{corpus}')
+)
+SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+         || ')'
+         || (CASE WHEN coalesce(path, '') = '' THEN '/' ELSE path END)
+         || (CASE WHEN coalesce(q, '') = '' THEN '' ELSE '?' || q END)
+         AS surt_key,
+       strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14,
+       url, payload_sha256, CAST(n_bytes AS BIGINT) AS n_bytes
+FROM p ORDER BY surt_key, ts14, url
 """
 
     # per-block span parity: rank crawls per url by ts (dense — blocks

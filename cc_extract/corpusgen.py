@@ -119,8 +119,10 @@ _PACK_STOP = {"Shift_JIS": "。", "GBK": "。", "EUC-KR": "。",
 
 def _gen_html(rng: random.Random) -> bytes:
     pack = None
+    lang = "en"
     if rng.random() < 0.15:
-        pack = _LANG_PACKS[rng.choice(sorted(_LANG_PACKS))]
+        lang = rng.choice(sorted(_LANG_PACKS))
+        pack = _LANG_PACKS[lang]
         charset = pack[0]
     else:
         charset = rng.choice(["utf-8", "utf-8", "utf-8", "cp1252"])
@@ -161,8 +163,20 @@ def _gen_html(rng: random.Random) -> bytes:
         )
         lis = "".join(f"<li>{_sentences(rng, 1)}</li>" for _ in range(rng.randint(2, 5)))
     title = _words(rng, 4)
+    # Head metadata (description / og:title / canonical / lang) is DERIVED
+    # from draws already made above — zero extra rng consumption, so the
+    # 20k extracted-text golden is untouched (head subtrees are
+    # blacklisted by X1) while cc_html_meta gets real fields to extract.
+    first_para = paras.split("</p>", 1)[0]
+    first_para = first_para[first_para.find(">") + 1:]
+    desc = f"{title}: {first_para}"[:160].rstrip()
+    slug = title.replace(" ", "-")
     doc = f"""<!DOCTYPE html>
-<html><head><meta charset="{charset}"><title>{title}</title>
+<html lang="{lang}"><head><meta charset="{charset}"><title>{title}</title>
+<meta name="description" content="{desc}">
+<meta property="og:title" content="{title}">
+<meta property="og:type" content="article">
+<link rel="canonical" href="/canonical/{slug}">
 <style>body {{ color: #333; }} .x {{ display:none }}</style>
 <script>var tracker = "{_words(rng, 3)}"; loadAds();</script>
 </head><body>

@@ -422,6 +422,81 @@ def html_block_rows(payload: bytes, url: str | None = None) -> list[dict] | None
     ]
 
 
+_TITLE_RX = re.compile(r"<title[^>]*>(.*?)</title", re.IGNORECASE | re.DOTALL)
+_HEADTAG_RX = re.compile(r"<(meta|link|html)\b([^>]*?)/?>", re.IGNORECASE | re.DOTALL)
+_ATTR_RX = re.compile(
+    r"""([a-zA-Z][a-zA-Z0-9:_\-]*)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))"""
+)
+
+META_COLS = ("title", "meta_description", "og_title", "canonical", "lang")
+
+
+def html_meta(payload: bytes, url: str | None = None) -> dict | None:
+    """Head-metadata extraction — the page-metadata surface every real
+    extraction stack ships next to main content (trafilatura/newspaper
+    expose the same five fields): first ``<title>``, first
+    ``<meta name=description>``, first ``<meta property=og:title>``,
+    first ``<link rel=canonical>``, and the ``<html lang>`` attribute.
+
+    Normative spec (shared row code between the Spark ``mapInPandas``
+    batch fn and the DuckDB oracle table builder, the html_span_stats
+    pattern):
+
+    - routing parity with extract_document (sniff + depth-1 gzip unwrap
+      + charset decode via ``_resolve_html_doc``; non-html -> None);
+    - FIRST occurrence wins for each field, scanning the whole document
+      in order (the WHATWG-shaped simplification: a meta in <body> still
+      counts — real crawl HTML routinely leaks head tags past an
+      unclosed head, and first-wins is what browsers' speculative
+      parsers do);
+    - attribute values may be double-quoted, single-quoted or bare;
+      charrefs decode; title/content whitespace collapses; empty values
+      are NULL, never '';
+    - a '>' inside a quoted attribute value terminates the tag match (a
+      documented divergence from the block scanner's quote-aware skip —
+      acceptable here because both engines share this exact code, and
+      the field regexes re-anchor at the next tag).
+    """
+    from html import unescape
+
+    doc = _resolve_html_doc(payload, url)
+    if doc is None:
+        return None
+    out: dict[str, str | None] = {c: None for c in META_COLS}
+    m = _TITLE_RX.search(doc)
+    if m:
+        out["title"] = _WS.sub(" ", unescape(m.group(1))).strip() or None
+    for tm in _HEADTAG_RX.finditer(doc):
+        tag = tm.group(1).lower()
+        attrs: dict[str, str] = {}
+        for am in _ATTR_RX.finditer(tm.group(2)):
+            aname = am.group(1).lower()
+            if aname not in attrs:
+                raw = next(g for g in am.groups()[1:] if g is not None)
+                attrs[aname] = unescape(raw)
+        if tag == "html":
+            if out["lang"] is None and attrs.get("lang", "").strip():
+                out["lang"] = attrs["lang"].strip().lower()
+        elif tag == "meta":
+            content = _WS.sub(" ", attrs.get("content", "")).strip()
+            if not content:
+                continue
+            name = attrs.get("name", "").strip().lower()
+            prop = attrs.get("property", "").strip().lower()
+            if name == "description" and out["meta_description"] is None:
+                out["meta_description"] = content
+            elif prop == "og:title" and out["og_title"] is None:
+                out["og_title"] = content
+        elif tag == "link":
+            rel = attrs.get("rel", "").strip().lower()
+            href = attrs.get("href", "").strip()
+            if rel == "canonical" and href and out["canonical"] is None:
+                out["canonical"] = href
+        if all(out[c] is not None for c in META_COLS):
+            break
+    return out
+
+
 def html_span_stats(payload: bytes, url: str | None = None) -> dict | None:
     """Per-document span-provenance stats for the ``cc_html_spans``
     contract query — the SINGLE row-semantics implementation both the

@@ -159,6 +159,47 @@ def html_spans_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def html_meta_df(docs: DataFrame) -> DataFrame:
+    """Head-metadata extraction over a corpus frame — per html-routed
+    document (newest crawl per url): title, meta description, og:title,
+    canonical link, html lang.  Row semantics are the shared
+    cc_extract.extractors.html.html_meta (first-occurrence-wins spec;
+    see its docstring); same scale shape as html_spans_df — the ONE
+    payload-bearing mapInPandas pass reduces each page to five short
+    strings before the only shuffle (url-hash keep-newest window)."""
+    from .extractors.html import META_COLS, html_meta
+
+    schema = ("url string, warc_ts timestamp, title string, "
+              "meta_description string, og_title string, "
+              "canonical string, lang string")
+    cols = ("url", "warc_ts", *META_COLS)
+
+    def batches(it):
+        for pdf in it:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for url, ts, payload in zip(pdf["url"], pdf["warc_ts"],
+                                        pdf["html"]):
+                m = html_meta(payload, url)
+                if m is None:
+                    continue
+                rows["url"].append(url)
+                rows["warc_ts"].append(ts)
+                for k in META_COLS:
+                    rows[k].append(m[k])
+            yield pd.DataFrame(rows, columns=list(cols))
+
+    meta = docs.select("url", "warc_ts", "html").mapInPandas(
+        batches, schema=schema
+    )
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        meta.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url", *META_COLS)
+        .orderBy("url")
+    )
+
+
 def html_blocks_df(docs: DataFrame) -> DataFrame:
     """Per-BLOCK span rows over a corpus frame — the literal per-block
     "spans match" surface for the newest crawl of every html-routed url:

@@ -396,6 +396,38 @@ def html_spans_table(n_docs: int = 1200) -> str:
     return path
 
 
+def html_meta_table(n_docs: int = 1200) -> str:
+    """Per-INPUT-ROW head metadata for html-routed documents
+    (cc_extract.extractors.html.html_meta — the shared row semantics;
+    the SQL side re-expresses the keep-newest dedup + projection)."""
+    key = f"html_meta:{n_docs}"
+    if key in _memo:
+        return _memo[key]
+    import pyarrow as pa
+
+    from .corpusgen import gen_corpus
+    from .extractors.html import META_COLS, html_meta
+
+    cols: dict[str, list] = {c: [] for c in ("url", "warc_ts", *META_COLS)}
+    for r in gen_corpus(n_docs):
+        m = html_meta(r["html"], r["url"])
+        if m is None:
+            continue
+        cols["url"].append(r["url"])
+        cols["warc_ts"].append(r["warc_ts"])
+        for k in META_COLS:
+            cols[k].append(m[k])
+    table = pa.table({
+        "url": pa.array(cols["url"], pa.string()),
+        "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+        **{k: pa.array(cols[k], pa.string()) for k in META_COLS},
+    })
+    path = os.path.join(_ORACLE_DIR, f"html_meta_{n_docs}.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path
+
+
 def html_blocks_table(n_docs: int = 1200) -> str:
     """Per-INPUT-ROW per-BLOCK span rows for html-routed documents
     (cc_extract.extractors.html.html_block_rows — the shared row

@@ -187,3 +187,68 @@ def test_block_rows_pin_blocks_exactly():
             assert r["text_md5"] == hashlib.md5(
                 b["text"].encode("utf-8")).hexdigest()
     assert hits > 20
+
+
+# ------------------------------------------------------- head metadata
+
+def test_html_meta_fields_and_first_wins():
+    from cc_extract.extractors.html import html_meta
+
+    doc = (b"<html lang='EN-us'><head>"
+           b"<title> Hello &amp;\n World </title>"
+           b'<meta name="Description" content="first &lt;desc&gt;">'
+           b'<meta name="description" content="second (must lose)">'
+           b"<meta property='og:title' content='OG title'>"
+           b"<link rel=canonical href=https://ex.org/c>"
+           b"</head><body><p>hi</p></body></html>")
+    m = html_meta(doc, "https://x/a.html")
+    assert m == {
+        "title": "Hello & World",
+        "meta_description": "first <desc>",
+        "og_title": "OG title",
+        "canonical": "https://ex.org/c",
+        "lang": "en-us",
+    }
+
+
+def test_html_meta_missing_and_empty_fields_are_null():
+    from cc_extract.extractors.html import html_meta
+
+    m = html_meta(b"<html><head><title></title>"
+                  b'<meta name="description" content="">'
+                  b"</head><body><p>x</p></body></html>", "https://x/a.html")
+    assert m == {"title": None, "meta_description": None, "og_title": None,
+                 "canonical": None, "lang": None}
+
+
+def test_html_meta_body_meta_counts_and_routing_parity():
+    from cc_extract.extractors.html import html_meta
+
+    # unclosed-head leakage: a meta in body still counts (first-wins)
+    m = html_meta(b"<html><body><p>text</p>"
+                  b'<meta property="og:title" content="late">'
+                  b"</body></html>", "https://x/a.html")
+    assert m["og_title"] == "late"
+    # non-html payloads return None (routing parity with extract_document)
+    assert html_meta(b"%PDF-1.4 whatever", "https://x/a.pdf") is None
+    assert html_meta(b"", "https://x/a.html") is None
+    # gzip transfer-encoding unwraps
+    z = gzip.compress(b"<html lang=de><head><title>T</title></head>"
+                      b"<body><p>x</p></body></html>", mtime=0)
+    assert html_meta(z, "https://x/a.html")["lang"] == "de"
+
+
+def test_html_meta_populated_on_corpus():
+    from cc_extract.extractors.html import html_meta
+
+    n = have_all = 0
+    for p in CORPUS_HTML[:80]:
+        m = html_meta(p)
+        if m is None:
+            continue
+        n += 1
+        if all(m[k] for k in m):
+            have_all += 1
+            assert m["og_title"] == m["title"]
+            assert m["canonical"].startswith("/canonical/")
+    assert n > 20 and have_all > 20
