@@ -1085,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp4_stats": _mm_mp4_stats,  # r5: avcC SPS profile/level/dims
         "emb_lsh_near_dup": embedops.lsh_near_dup_pairs,  # r5: banded scale path
         "emb_lsh_near_dup_recall": embedops.lsh_near_dup_recall,  # r5 frontier
+        "doc_span_dedup_rewrite": textops.span_dedup_rewrite,  # r5: Lee et al. consumer
         # --- r4 judge-only set: VERDICT-named ten first ---
         "doc_gopher_rules": textops.gopher_rules,
         "doc_duplicate_spans": textops.duplicate_spans,
@@ -2331,6 +2332,55 @@ SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
        CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
        round(coalesce(c.dup_tokens, 0) * 1.0 / len(b.t), 6) AS dup_frac
 FROM base b LEFT JOIN cov c USING (doc_id) ORDER BY b.doc_id
+"""
+
+    # span-dedup rewrite: same window-hash CTE chain as duplicate_spans,
+    # plus the canonical-first-occurrence pick and the per-position
+    # removal anti-join; the md5 pins the exact rewritten token string
+    sql["doc_span_dedup_rewrite"] = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+),
+posn AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS p
+  FROM base WHERE len(t) >= 8
+),
+hashed AS (
+  SELECT doc_id, p, md5(array_to_string(t[p : p + 7], ' ')) AS h FROM posn
+),
+dup AS (SELECT h FROM hashed GROUP BY h HAVING count(*) > 1),
+occ AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+  FROM hashed WHERE h IN (SELECT h FROM dup)
+),
+drop_pos AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest(range(p, p + 8)) AS pos FROM occ WHERE rn > 1
+  )
+),
+toks AS (
+  SELECT doc_id, unnest(t) AS token, generate_subscripts(t, 1) AS pos
+  FROM base
+),
+kept AS (
+  SELECT tk.doc_id, tk.pos, tk.token
+  FROM toks tk LEFT JOIN drop_pos d
+    ON tk.doc_id = d.doc_id AND tk.pos = d.pos
+  WHERE d.pos IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(token, ' ' ORDER BY pos)) AS kept_text_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.t) AS BIGINT) AS n_tokens,
+       CAST(len(b.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       round(coalesce(a.n_kept, 0) * 1.0 / greatest(len(b.t), 1), 6)
+         AS kept_frac,
+       coalesce(a.kept_text_md5, md5('')) AS kept_text_md5
+FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id
 """
 
     sql["doc_corpus_filter"] = f"""

@@ -1178,6 +1178,81 @@ def duplicate_spans(spark, sf_dir: str, k: int = 8) -> DataFrame:
     )
 
 
+# ------------------------------------------------- span dedup rewrite
+
+def span_dedup_rewrite(spark, sf_dir: str, k: int = 8) -> DataFrame:
+    """The exact-substring dedup CONSUMER (Lee et al. 2022 §4: "we remove
+    all but one occurrence" of each duplicated substring) — the rewrite
+    pass duplicate_spans only accounts for.  A token position p in doc d
+    is REMOVED iff some k-token window (d, s), s <= p < s+k, has a hash
+    that occurs more than once corpus-wide AND (d, s) is NOT the
+    canonical first occurrence of that hash (canonical = lexicographic
+    min (doc_id, position) — deterministic, engine-independent).  The
+    output pins the EXACT rewritten text per document via md5 of the
+    kept tokens space-joined in position order — both engines must
+    produce the identical string, not just agree on counts.
+
+    Scale shape: reuses the per-(app, sf, k) checkpointed window-hash
+    relation (the stored artifact duplicate_spans reads); the canonical
+    pick is one window over uniform md5 keys; the removal set explodes
+    non-canonical windows to (doc, pos) rows — O(k x duplicated windows),
+    bounded by k x corpus tokens and typically far smaller (at the
+    paper's k=50 one would merge overlapping intervals per doc first to
+    cut the constant; the plan is otherwise identical).  The rewrite
+    itself is one partial-aggregable groupBy over an anti-joined token
+    relation — no all-pairs work anywhere."""
+    pos = _window_hash_positions(spark, sf_dir, k)
+    dup = (
+        pos.groupBy("h").agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    occ = pos.join(dup, "h", "left_semi")
+    w = Window.partitionBy("h").orderBy("doc_id", "p")
+    removal = (
+        occ.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + (k - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = (
+        with_tokens(load_documents(spark, sf_dir))
+        .select("doc_id", "tokens")
+    )
+    posn = toks.select(
+        "doc_id", F.posexplode("tokens").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    kept = posn.join(removal, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            )
+        ).alias("kept_text_md5"),
+    )
+    base = toks.select("doc_id", F.size("tokens").cast("long").alias("n_tokens"))
+    n_kept = F.coalesce("n_kept", F.lit(0)).cast("long")
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - n_kept).cast("long").alias("n_removed"),
+            F.round(n_kept / F.greatest("n_tokens", F.lit(1)), 6).alias("kept_frac"),
+            F.coalesce("kept_text_md5", F.md5(F.lit(""))).alias("kept_text_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ----------------------------------------------------- dedup keep decision
 
 def dedup_keep_decision(spark, sf_dir: str, threshold: float = 0.5,

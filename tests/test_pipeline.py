@@ -506,6 +506,47 @@ def test_duplicate_spans_interval_union(spark, tmp_path):
     assert got[3] == (16, 16, 1.0)
 
 
+def test_span_dedup_rewrite_keeps_canonical_occurrence(spark, tmp_path):
+    """The rewrite consumer on the same hand-built corpus as the
+    accounting test above: the CANONICAL (lexicographic-min (doc_id, p))
+    occurrence of each duplicated window survives, every other occurrence
+    is removed, and the md5 pins the exact rewritten token string."""
+    import hashlib
+
+    from cc_extract.textops import span_dedup_rewrite
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    texts = [
+        f"one two three {span} uniq0a uniq0b uniq0c",
+        f"{span} uniq1a uniq1b uniq1c uniq1d uniq1e uniq1f",
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+        "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8",
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["kept_frac"],
+                      r["kept_text_md5"])
+        for r in span_dedup_rewrite(spark, str(sf)).collect()
+    }
+    # doc 0 holds the canonical occurrence of all three shared windows:
+    # nothing removed, rewritten text == original token string
+    assert got[0] == (16, 0, 1.0, md5(texts[0]))
+    # doc 1's copy is non-canonical: the 10 shared tokens go
+    assert got[1] == (16, 10, 0.375,
+                      md5("uniq1a uniq1b uniq1c uniq1d uniq1e uniq1f"))
+    # doc 2 shares nothing
+    assert got[2] == (10, 0, 1.0, md5(texts[2]))
+    # doc 3's within-doc repeat: second run (p=9..16) removed, first kept
+    assert got[3] == (16, 8, 0.5, md5("r1 r2 r3 r4 r5 r6 r7 r8"))
+
+
 def test_robots_parser_grammar(spark):
     """The in-row robots.txt fold against a hand-written body exercising
     every pinned grammar rule — cross-checked against the independent
