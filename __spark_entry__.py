@@ -238,6 +238,51 @@ def _cc_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export round-trip (round 5) — the extracted-TEXT sidecar
+    artifact Common Crawl publishes next to its WARC segments: the
+    deduped pipeline output is grouped into 16 url-hashed segments, each
+    serialized as a genuine ``.wet.gz`` (warcinfo member + one gzip
+    member per *conversion* record, utf-8 text block, no HTTP message),
+    then parsed BACK through the same mapInPandas segment reader.  One
+    row per conversion record: (url, second-precision ts, sha256 of the
+    recovered text bytes, byte length).  The oracle is the single-process
+    extraction table after its own keep-newest window — so any loss or
+    mojibake in the WET writer OR reader breaks the hash.  Scale shape
+    identical to cc_warc_roundtrip: per-segment grain, parallelism =
+    segment count."""
+    import pandas as pd
+
+    from cc_extract import warc as W
+
+    _, res = _cc_corpus_and_extracted(spark)
+    seg = res.select(
+        F.pmod(F.xxhash64("url"), F.lit(16)).alias("seg_id"),
+        "url", "warc_ts", "text_out",
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["url", "warc_ts"])
+        seg_id = int(pdf["seg_id"].iloc[0])
+        blob = W.write_wet_gz(
+            ((u, t.to_pydatetime(), x) for u, t, x in
+             zip(pdf["url"], pdf["warc_ts"], pdf["text_out"])),
+            segment=f"seg{seg_id}",
+        )
+        return pd.DataFrame({"seg_id": [seg_id], "warc": [blob]})
+
+    seg_df = seg.groupBy("seg_id").applyInPandas(
+        build, schema="seg_id long, warc binary"
+    )
+    rec = W.records_df(seg_df).filter(F.col("rec_type") == "conversion")
+    return rec.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
+        F.sha2("payload", 256).alias("text_sha256"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
 _SNAPSHOT_PIVOT = "2025-07-02 00:00:00"  # midpoint of the 2025 crawl year
 
 
@@ -1075,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "cc_html_meta": _cc_html_meta,  # r5: head metadata extraction
         "cc_cdx_index": _cc_cdx_index,  # r5: SURT capture index
+        "cc_wet_roundtrip": _cc_wet_roundtrip,  # r5: WET text sidecar
         "cc_html_spans": _cc_html_spans,  # r5: X1 span provenance
         "cc_html_blocks": _cc_html_blocks,  # r5: per-block span parity
         "cc_snapshot_diff": _cc_snapshot_diff,  # r5: inter-crawl refresh diff
@@ -3732,6 +3778,16 @@ FROM r2 WHERE rn2 = 1 ORDER BY canonical
 SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
        payload_sha256, CAST(n_bytes AS BIGINT) AS n_bytes
 FROM read_parquet('{corpus}')
+"""
+
+    # WET round-trip: the oracle side applies the SAME keep-newest window
+    # the pipeline does, then states the invariant — recovered conversion
+    # records equal the extraction output byte-for-byte (strlen = BYTES)
+    sql["cc_wet_roundtrip"] = f"""
+WITH {dedup_cte}
+SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
+       text_sha256, CAST(strlen(text_out) AS BIGINT) AS n_bytes
+FROM d
 """
 
     media = oracle_data.media_table(400)

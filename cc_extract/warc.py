@@ -74,6 +74,38 @@ def build_response_record(url: str, dt: datetime, payload: bytes,
     return CRLF.join(headers) + CRLF + CRLF + http + CRLF + CRLF
 
 
+def build_conversion_record(url: str, dt: datetime, text: str) -> bytes:
+    """One uncompressed WARC/1.0 *conversion* record — the record type
+    WET files carry (spec §6.8: content converted from another record,
+    here extracted plain text).  Block is the utf-8 text, Content-Type
+    text/plain; record id deterministic like the response writer."""
+    body = text.encode("utf-8")
+    rid = hashlib.sha1(
+        ("conversion:" + url + _warc_date(dt)).encode("utf-8")
+    ).hexdigest()
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: conversion",
+        b"WARC-Record-ID: <urn:uuid:" + rid.encode("ascii") + b">",
+        b"WARC-Date: " + _warc_date(dt).encode("ascii"),
+        b"WARC-Target-URI: " + url.encode("utf-8"),
+        b"Content-Type: text/plain; charset=utf-8",
+        b"Content-Length: " + str(len(body)).encode("ascii"),
+    ]
+    return CRLF.join(headers) + CRLF + CRLF + body + CRLF + CRLF
+
+
+def write_wet_gz(records, segment: str = "seg0") -> bytes:
+    """Serialize (url, datetime, text) triples as a ``.wet.gz`` segment —
+    warcinfo member + one gzip member per conversion record, the layout
+    Common Crawl publishes its extracted-text sidecar files in."""
+    out = [gzip.compress(build_warcinfo_record(segment), mtime=0)]
+    for url, dt, text in records:
+        out.append(gzip.compress(build_conversion_record(url, dt, text),
+                                 mtime=0))
+    return b"".join(out)
+
+
 def build_warcinfo_record(segment: str) -> bytes:
     """The leading warcinfo record every Common Crawl segment carries."""
     body = (
@@ -190,6 +222,21 @@ def iter_warc_gz(data: bytes):
                 return
             h = rec["headers"]
             rtype = h.get("warc-type", "unknown")
+            if rtype == "conversion":
+                # WET record: the block IS the payload (no HTTP message)
+                try:
+                    ts = datetime.strptime(h.get("warc-date", ""), _DATE_FMT)
+                except ValueError as e:
+                    yield {"rec_type": "corrupt",
+                           "url": h.get("warc-target-uri"), "warc_ts": None,
+                           "payload": None, "http_status": None,
+                           "error": str(e)}
+                    continue
+                yield {"rec_type": "conversion",
+                       "url": h.get("warc-target-uri"), "warc_ts": ts,
+                       "payload": rec["block"], "http_status": None,
+                       "error": None}
+                continue
             if rtype != "response":
                 yield {"rec_type": rtype, "url": h.get("warc-target-uri"),
                        "warc_ts": None, "payload": None,

@@ -246,3 +246,55 @@ def test_warc_stream_ingest_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == len(rows)
+
+
+# -------------------------------------------------- WET conversion records
+
+def test_conversion_record_spec_fixture_parses():
+    """Reader independence for WET: a hand-transcribed conversion record
+    (ISO 28500 §6.8 layout, not produced by our writer) must parse with
+    the block as payload and no HTTP split."""
+    import gzip as _gzip
+
+    from cc_extract import warc as W
+
+    body = "héllo wet\n".encode("utf-8")
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Record-ID: <urn:uuid:deadbeef>\r\n"
+        b"WARC-Date: 2025-03-04T05:06:07Z\r\n"
+        b"WARC-Target-URI: https://ex.org/a\r\n"
+        b"Content-Type: text/plain; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body + b"\r\n\r\n"
+    )
+    out = list(W.iter_warc_gz(_gzip.compress(rec, mtime=0)))
+    assert len(out) == 1
+    r = out[0]
+    assert r["rec_type"] == "conversion"
+    assert r["url"] == "https://ex.org/a"
+    assert r["warc_ts"].isoformat() == "2025-03-04T05:06:07"
+    assert bytes(r["payload"]) == body
+    assert r["http_status"] is None
+
+
+def test_wet_writer_reader_roundtrip_including_empty_and_unicode():
+    from datetime import datetime
+
+    from cc_extract import warc as W
+
+    rows = [
+        ("https://ex.org/a", datetime(2025, 1, 2, 3, 4, 5), "plain text"),
+        ("https://ex.org/b", datetime(2025, 1, 2, 3, 4, 6), ""),
+        ("https://ex.org/c", datetime(2025, 1, 2, 3, 4, 7), "данные 処理 ß"),
+    ]
+    blob = W.write_wet_gz(iter(rows), segment="segX")
+    got = [r for r in W.iter_warc_gz(blob) if r["rec_type"] == "conversion"]
+    assert [(r["url"], r["warc_ts"], bytes(r["payload"]).decode("utf-8"))
+            for r in got] == rows
+    # leading warcinfo member still present and typed
+    first = next(iter(W.iter_warc_gz(blob)))
+    assert first["rec_type"] == "warcinfo"
+    # determinism: same input -> same bytes
+    assert blob == W.write_wet_gz(iter(rows), segment="segX")
