@@ -283,6 +283,62 @@ def _cc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT export round-trip (round 5) — the metadata sidecar that
+    completes the Common Crawl artifact trio (WARC response bytes, WAT
+    per-page metadata JSON, WET extracted text; cc_warc_roundtrip /
+    cc_wet_roundtrip are the other two).  Every corpus row becomes a WAT
+    *metadata* record: Envelope + payload digest + (for html-routed
+    pages) the five html_meta Head fields and the full document-order
+    html_links Links list, serialized per url-hash segment as real
+    ``.wat.gz`` and parsed BACK through the shared mapInPandas segment
+    reader.  The contract output sha-pins the recovered JSON block AND
+    re-derives n_links/title NATIVELY from it (get_json_object /
+    json_array_length over the recovered string), while the oracle table
+    derives those two straight from html_links/html_meta single-process
+    — so a JSON corruption anywhere in writer or reader breaks the hash,
+    and a structural drift breaks the derived columns independently.
+    Scale shape identical to the other two sidecars: per-segment grain,
+    parallelism = segment count."""
+    import pandas as pd
+
+    from cc_extract import warc as W
+
+    docs, _ = _cc_corpus_and_extracted(spark)
+    seg = docs.select(
+        F.pmod(F.xxhash64("url"), F.lit(16)).alias("seg_id"),
+        "url", "warc_ts", "html",
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["url", "warc_ts"])
+        seg_id = int(pdf["seg_id"].iloc[0])
+        blob = W.write_wat_gz(
+            ((u, t.to_pydatetime(),
+              W.build_wat_json(u, t.to_pydatetime(), bytes(h)))
+             for u, t, h in zip(pdf["url"], pdf["warc_ts"], pdf["html"])),
+            segment=f"seg{seg_id}",
+        )
+        return pd.DataFrame({"seg_id": [seg_id], "warc": [blob]})
+
+    seg_df = seg.groupBy("seg_id").applyInPandas(
+        build, schema="seg_id long, warc binary"
+    )
+    rec = W.records_df(seg_df).filter(F.col("rec_type") == "metadata")
+    js = F.col("payload").cast("string")
+    html_md = ("$['Envelope']['Payload-Metadata']"
+               "['HTTP-Response-Metadata']['HTML-Metadata']")
+    return rec.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
+        F.sha2("payload", 256).alias("wat_sha256"),
+        F.json_array_length(
+            F.get_json_object(js, html_md + "['Links']")
+        ).cast("long").alias("n_links"),
+        F.get_json_object(js, html_md + "['Head']['title']").alias("title"),
+    )
+
+
 _SNAPSHOT_PIVOT = "2025-07-02 00:00:00"  # midpoint of the 2025 crawl year
 
 
@@ -1118,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "cc_wat_roundtrip": _cc_wat_roundtrip,  # r5: WAT metadata sidecar
         "cc_html_meta": _cc_html_meta,  # r5: head metadata extraction
         "cc_cdx_index": _cc_cdx_index,  # r5: SURT capture index
         "cc_wet_roundtrip": _cc_wet_roundtrip,  # r5: WET text sidecar
@@ -3788,6 +3845,17 @@ WITH {dedup_cte}
 SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
        text_sha256, CAST(strlen(text_out) AS BIGINT) AS n_bytes
 FROM d
+"""
+
+    # WAT round-trip: the oracle table pins the shared build_wat_json sha
+    # per input row and derives n_links/title DIRECTLY from html_links/
+    # html_meta (not from the JSON) — the Spark side must recover the
+    # exact block from .wat.gz and re-derive both via native JSON paths
+    wat_tbl = oracle_data.wat_table(_CC_N_DOCS)
+    sql["cc_wat_roundtrip"] = f"""
+SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
+       wat_sha256, CAST(n_links AS BIGINT) AS n_links, title
+FROM read_parquet('{wat_tbl}')
 """
 
     media = oracle_data.media_table(400)

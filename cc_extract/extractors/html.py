@@ -497,6 +497,45 @@ def html_meta(payload: bytes, url: str | None = None) -> dict | None:
     return out
 
 
+_A_TAG_RX = re.compile(r"<a\b([^>]*?)/?>", re.IGNORECASE | re.DOTALL)
+
+
+def html_links(payload: bytes, url: str | None = None) -> list[str] | None:
+    """All ``<a href>`` targets of an html-routed document, in document
+    order — the link inventory a WAT metadata sidecar publishes per page
+    (Common Crawl's ``HTML-Metadata.Links`` list).
+
+    Normative spec (shared row code between the Spark segment writer in
+    ``cc_wat_roundtrip`` and the DuckDB oracle table builder, the
+    html_meta pattern):
+
+    - routing parity with extract_document (``_resolve_html_doc``;
+      non-html -> None, html with zero anchors -> ``[]``);
+    - an anchor is any ``<a ...>`` start tag carrying an ``href``
+      attribute (double-quoted, single-quoted or bare, first href wins
+      within a tag — the html_meta attribute convention); charrefs
+      decode; whitespace inside the value is preserved (urls are not
+      prose); empty hrefs are skipped;
+    - duplicates are KEPT (document order, one entry per anchor) — the
+      consumer decides about dedup, the sidecar records the page.
+    """
+    from html import unescape
+
+    doc = _resolve_html_doc(payload, url)
+    if doc is None:
+        return None
+    out: list[str] = []
+    for tm in _A_TAG_RX.finditer(doc):
+        for am in _ATTR_RX.finditer(tm.group(1)):
+            if am.group(1).lower() == "href":
+                raw = next(g for g in am.groups()[1:] if g is not None)
+                href = unescape(raw)
+                if href:
+                    out.append(href)
+                break
+    return out
+
+
 def html_span_stats(payload: bytes, url: str | None = None) -> dict | None:
     """Per-document span-provenance stats for the ``cc_html_spans``
     contract query — the SINGLE row-semantics implementation both the

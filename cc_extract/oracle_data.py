@@ -471,3 +471,46 @@ def html_blocks_table(n_docs: int = 1200) -> str:
     _atomic_write_table(table, path)
     _memo[key] = path
     return path
+
+
+def wat_table(n_docs: int = 1200) -> str:
+    """Per-INPUT-ROW WAT metadata — the oracle side of the WAT sidecar
+    round-trip.  The JSON block is the ONE shared row-semantics function
+    (cc_extract.warc.build_wat_json: envelope + html_meta Head +
+    html_links Links), sha-pinned here straight from the generator row;
+    n_links/title are derived DIRECTLY from html_links/html_meta (not by
+    re-parsing the JSON), so the Spark side's native JSON-path extraction
+    over the RECOVERED block is an independent derivation route."""
+    key = f"wat:{n_docs}"
+    if key in _memo:
+        return _memo[key]
+    import hashlib as _hashlib
+
+    import pyarrow as pa
+
+    from .corpusgen import gen_corpus
+    from .extractors.html import html_links, html_meta
+    from .warc import build_wat_json
+
+    urls, tss, shas, nlinks, titles = [], [], [], [], []
+    for r in gen_corpus(n_docs):
+        payload = bytes(r["html"])
+        wat = build_wat_json(r["url"], r["warc_ts"], payload)
+        links = html_links(payload, r["url"])
+        meta = html_meta(payload, r["url"]) if links is not None else None
+        urls.append(r["url"])
+        tss.append(r["warc_ts"])
+        shas.append(_hashlib.sha256(wat.encode("utf-8")).hexdigest())
+        nlinks.append(len(links) if links is not None else None)
+        titles.append(meta["title"] if meta is not None else None)
+    table = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "wat_sha256": pa.array(shas, pa.string()),
+        "n_links": pa.array(nlinks, pa.int64()),
+        "title": pa.array(titles, pa.string()),
+    })
+    path = os.path.join(_ORACLE_DIR, f"wat_{n_docs}.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path

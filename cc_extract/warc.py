@@ -95,6 +95,83 @@ def build_conversion_record(url: str, dt: datetime, text: str) -> bytes:
     return CRLF.join(headers) + CRLF + CRLF + body + CRLF + CRLF
 
 
+def build_wat_json(url: str, dt: datetime, payload: bytes) -> str:
+    """The deterministic JSON block of one WAT *metadata* record — the
+    per-page metadata sidecar Common Crawl publishes next to its WARC
+    segments (Envelope / WARC-Header-Metadata / Payload-Metadata shape,
+    hyphenated keys per that public convention).  For html-routed pages
+    the HTTP-Response-Metadata carries ``HTML-Metadata`` with the five
+    head fields (html_meta, nulls omitted) and the full document-order
+    ``Links`` list (html_links) — so BOTH page-metadata surfaces ride
+    the same artifact.  Non-html payloads get the envelope only.
+
+    Key order is sorted and separators are minimal, so the string — and
+    therefore the record bytes and the segment digest — is a pure
+    function of (url, dt, payload)."""
+    import json
+
+    from .extractors.html import html_links, html_meta
+
+    env: dict = {
+        "Format": "WARC",
+        "WARC-Header-Metadata": {
+            "WARC-Date": _warc_date(dt),
+            "WARC-Target-URI": url,
+            "WARC-Type": "response",
+        },
+        "Payload-Metadata": {
+            "Actual-Content-Length": len(payload),
+            "Block-Digest": "sha256:" + hashlib.sha256(payload).hexdigest(),
+        },
+    }
+    links = html_links(payload, url)
+    if links is not None:
+        meta = html_meta(payload, url) or {}
+        head = {k: v for k, v in meta.items() if v is not None}
+        env["Payload-Metadata"]["HTTP-Response-Metadata"] = {
+            "HTML-Metadata": {
+                "Head": head,
+                "Links": [{"path": "A@/href", "url": u} for u in links],
+            }
+        }
+    return json.dumps({"Envelope": env}, sort_keys=True,
+                      separators=(",", ":"), ensure_ascii=False)
+
+
+def build_metadata_record(url: str, dt: datetime, wat_json: str) -> bytes:
+    """One uncompressed WARC/1.0 *metadata* record (spec §6.9) carrying a
+    WAT JSON block.  ``WARC-Refers-To`` is the deterministic id of the
+    response record the metadata describes (same sha1 convention as
+    build_response_record, so the cross-reference is real)."""
+    body = wat_json.encode("utf-8")
+    rid = hashlib.sha1(
+        ("metadata:" + url + _warc_date(dt)).encode("utf-8")
+    ).hexdigest()
+    refers = hashlib.sha1((url + _warc_date(dt)).encode("utf-8")).hexdigest()
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: metadata",
+        b"WARC-Record-ID: <urn:uuid:" + rid.encode("ascii") + b">",
+        b"WARC-Refers-To: <urn:uuid:" + refers.encode("ascii") + b">",
+        b"WARC-Date: " + _warc_date(dt).encode("ascii"),
+        b"WARC-Target-URI: " + url.encode("utf-8"),
+        b"Content-Type: application/json",
+        b"Content-Length: " + str(len(body)).encode("ascii"),
+    ]
+    return CRLF.join(headers) + CRLF + CRLF + body + CRLF + CRLF
+
+
+def write_wat_gz(records, segment: str = "seg0") -> bytes:
+    """Serialize (url, datetime, wat_json) triples as a ``.wat.gz``
+    segment — warcinfo member + one gzip member per metadata record, the
+    layout Common Crawl publishes its metadata sidecar files in."""
+    out = [gzip.compress(build_warcinfo_record(segment), mtime=0)]
+    for url, dt, wat_json in records:
+        out.append(gzip.compress(build_metadata_record(url, dt, wat_json),
+                                 mtime=0))
+    return b"".join(out)
+
+
 def write_wet_gz(records, segment: str = "seg0") -> bytes:
     """Serialize (url, datetime, text) triples as a ``.wet.gz`` segment —
     warcinfo member + one gzip member per conversion record, the layout
@@ -222,6 +299,22 @@ def iter_warc_gz(data: bytes):
                 return
             h = rec["headers"]
             rtype = h.get("warc-type", "unknown")
+            if rtype == "metadata" and h.get("warc-target-uri"):
+                # WAT record: the block IS the payload (JSON, no HTTP
+                # message).  Target-less metadata records stay structural.
+                try:
+                    ts = datetime.strptime(h.get("warc-date", ""), _DATE_FMT)
+                except ValueError as e:
+                    yield {"rec_type": "corrupt",
+                           "url": h.get("warc-target-uri"), "warc_ts": None,
+                           "payload": None, "http_status": None,
+                           "error": str(e)}
+                    continue
+                yield {"rec_type": "metadata",
+                       "url": h.get("warc-target-uri"), "warc_ts": ts,
+                       "payload": rec["block"], "http_status": None,
+                       "error": None}
+                continue
             if rtype == "conversion":
                 # WET record: the block IS the payload (no HTTP message)
                 try:

@@ -298,3 +298,117 @@ def test_wet_writer_reader_roundtrip_including_empty_and_unicode():
     assert first["rec_type"] == "warcinfo"
     # determinism: same input -> same bytes
     assert blob == W.write_wet_gz(iter(rows), segment="segX")
+
+
+def test_metadata_record_spec_fixture_parses():
+    """Reader independence for WAT: a hand-transcribed metadata record
+    (ISO 28500 §6.9 layout, not produced by our writer) must parse with
+    the JSON block as payload and no HTTP split; a target-less metadata
+    record stays structural (payload None)."""
+    import gzip as _gzip
+
+    from cc_extract import warc as W
+
+    body = b'{"Envelope":{"Format":"WARC"}}'
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Record-ID: <urn:uuid:feedface>\r\n"
+        b"WARC-Refers-To: <urn:uuid:deadbeef>\r\n"
+        b"WARC-Date: 2025-03-04T05:06:07Z\r\n"
+        b"WARC-Target-URI: https://ex.org/a\r\n"
+        b"Content-Type: application/json\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body + b"\r\n\r\n"
+    )
+    out = list(W.iter_warc_gz(_gzip.compress(rec, mtime=0)))
+    assert len(out) == 1
+    r = out[0]
+    assert r["rec_type"] == "metadata"
+    assert r["url"] == "https://ex.org/a"
+    assert r["warc_ts"].isoformat() == "2025-03-04T05:06:07"
+    assert bytes(r["payload"]) == body
+    assert r["http_status"] is None
+
+    # target-less metadata (e.g. crawl-level metadata) stays structural
+    rec2 = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Record-ID: <urn:uuid:feedface>\r\n"
+        b"WARC-Date: 2025-03-04T05:06:07Z\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: 0\r\n"
+        b"\r\n\r\n\r\n"
+    )
+    out2 = list(W.iter_warc_gz(_gzip.compress(rec2, mtime=0)))
+    assert len(out2) == 1 and out2[0]["rec_type"] == "metadata"
+    assert out2[0]["payload"] is None
+
+
+def test_wat_json_shape_and_roundtrip():
+    """build_wat_json over real corpus rows: JSON is deterministic and
+    loads back; html-routed pages carry Head (= html_meta non-nulls) and
+    document-order Links (= html_links); non-html pages carry the
+    envelope only; the .wat.gz round-trip recovers every block
+    byte-for-byte."""
+    import hashlib
+    import json
+
+    from cc_extract import warc as W
+    from cc_extract.corpusgen import gen_corpus
+    from cc_extract.extractors.html import html_links, html_meta
+
+    rows = list(gen_corpus(40))
+    trip = [(r["url"], r["warc_ts"],
+             W.build_wat_json(r["url"], r["warc_ts"], bytes(r["html"])))
+            for r in rows]
+    saw_html = saw_other = False
+    for r, (_, _, wat) in zip(rows, trip):
+        assert wat == W.build_wat_json(r["url"], r["warc_ts"],
+                                       bytes(r["html"]))  # deterministic
+        j = json.loads(wat)
+        env = j["Envelope"]
+        assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == r["url"]
+        pm = env["Payload-Metadata"]
+        assert pm["Actual-Content-Length"] == len(r["html"])
+        assert pm["Block-Digest"] == (
+            "sha256:" + hashlib.sha256(bytes(r["html"])).hexdigest())
+        links = html_links(bytes(r["html"]), r["url"])
+        if links is None:
+            saw_other = True
+            assert "HTTP-Response-Metadata" not in pm
+        else:
+            saw_html = True
+            hm = pm["HTTP-Response-Metadata"]["HTML-Metadata"]
+            assert [e["url"] for e in hm["Links"]] == links
+            meta = html_meta(bytes(r["html"]), r["url"])
+            assert hm["Head"] == {k: v for k, v in meta.items()
+                                  if v is not None}
+    assert saw_html and saw_other  # corpus exercises both branches
+
+    blob = W.write_wat_gz(iter(trip), segment="segW")
+    assert blob == W.write_wat_gz(iter(trip), segment="segW")
+    got = [r for r in W.iter_warc_gz(blob) if r["rec_type"] == "metadata"]
+    assert [(r["url"], bytes(r["payload"]).decode("utf-8")) for r in got] \
+        == [(u, w) for u, _, w in trip]
+
+
+def test_html_links_conventions():
+    """html_links row semantics: quote styles, charref decode, first
+    href per tag, empties skipped, duplicates kept in document order;
+    non-html -> None; html without anchors -> []."""
+    from cc_extract.extractors.html import html_links
+
+    doc = (b"<html><body>"
+           b'<a href="/a">x</a>'
+           b"<a href='/b&amp;c'>y</a>"
+           b"<a id=z href=/bare>w</a>"
+           b'<a href="">empty</a>'
+           b"<a>none</a>"
+           b'<a href="/a">dup</a>'
+           b"</body></html>")
+    assert html_links(doc, "https://e.x/p.html") == \
+        ["/a", "/b&c", "/bare", "/a"]
+    assert html_links(b"\x89PNG\r\n\x1a\n", "https://e.x/i.png") is None
+    assert html_links(b"<html><body><p>t</p></body></html>",
+                      "https://e.x/p.html") == []
