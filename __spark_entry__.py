@@ -283,6 +283,72 @@ def _cc_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_revisit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revisit-record storage dedup (round 5) — ISO 28500 §6.7.2's
+    ``identical-payload-digest`` profile, the crawl-time dedup real
+    archives use: when a re-crawl of a url yields byte-identical content,
+    the segment stores a ~300-byte revisit record (digest + back-pointer)
+    instead of the full body.  The corpus's dup-url second crawls include
+    'same' outcomes (the cc_snapshot_diff classes), so both paths are
+    naturally populated.  The invariant under test is LOSSLESSNESS of the
+    dedup: write every segment with write_warc_gz_dedup, read it back,
+    then resolve each revisit against its stored response (join on
+    seg_id+url+digest — all crawls of a url share a segment by
+    construction) and emit one row per LOGICAL record: (url, ts, payload
+    sha, recovered byte length, is_revisit).  The oracle re-derives
+    stored-vs-revisit relationally from the generator-direct corpus table
+    (row_number over (url, sha) by ts), so a wrong dedup decision, a lost
+    record, or a broken resolution all hash-mismatch.  Scale shape:
+    per-segment grain for the imperative part; the resolution join keys
+    on (seg_id, url, digest) — co-partitioned by construction, never
+    wider than a segment's own records."""
+    import pandas as pd
+
+    from cc_extract import warc as W
+
+    docs, _ = _cc_corpus_and_extracted(spark)
+    seg = docs.select(
+        F.pmod(F.xxhash64("url"), F.lit(16)).alias("seg_id"),
+        "url", "warc_ts", "html",
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["url", "warc_ts"])
+        seg_id = int(pdf["seg_id"].iloc[0])
+        blob = W.write_warc_gz_dedup(
+            ((u, t.to_pydatetime(), bytes(h)) for u, t, h in
+             zip(pdf["url"], pdf["warc_ts"], pdf["html"])),
+            segment=f"seg{seg_id}",
+        )
+        return pd.DataFrame({"seg_id": [seg_id], "warc": [blob]})
+
+    seg_df = seg.groupBy("seg_id").applyInPandas(
+        build, schema="seg_id long, warc binary"
+    )
+    rec = W.records_df(seg_df)
+    ts_s = F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s")
+    resp = rec.filter(F.col("rec_type") == "response").select(
+        "seg_id", "url", "warc_ts",
+        F.sha2("payload", 256).alias("payload_sha256"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+    rev = rec.filter(F.col("rec_type") == "revisit").select(
+        "seg_id", "url", "warc_ts",
+        F.col("payload_digest").alias("payload_sha256"),
+    )
+    resolved = rev.join(
+        resp.select("seg_id", "url", "payload_sha256", "n_bytes"),
+        on=["seg_id", "url", "payload_sha256"],
+    )
+    return (
+        resp.select("url", ts_s, "payload_sha256", "n_bytes",
+                    F.lit(0).alias("is_revisit"))
+        .unionByName(
+            resolved.select("url", ts_s, "payload_sha256", "n_bytes",
+                            F.lit(1).alias("is_revisit")))
+    )
+
+
 def _cc_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAT export round-trip (round 5) — the metadata sidecar that
     completes the Common Crawl artifact trio (WARC response bytes, WAT
@@ -1175,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "cc_wat_roundtrip": _cc_wat_roundtrip,  # r5: WAT metadata sidecar
+        "cc_revisit_roundtrip": _cc_revisit_roundtrip,  # r5: §6.7.2 dedup
         "cc_html_meta": _cc_html_meta,  # r5: head metadata extraction
         "cc_cdx_index": _cc_cdx_index,  # r5: SURT capture index
         "cc_wet_roundtrip": _cc_wet_roundtrip,  # r5: WET text sidecar
@@ -3845,6 +3912,24 @@ WITH {dedup_cte}
 SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
        text_sha256, CAST(strlen(text_out) AS BIGINT) AS n_bytes
 FROM d
+"""
+
+    # Revisit dedup round-trip: stored-vs-revisit re-derived relationally
+    # from the generator-direct corpus (first crawl of each (url, sha) by
+    # ts is stored, later identical re-crawls are revisits); the Spark
+    # side must make the same dedup decision at WRITE time and then
+    # recover every logical record through the resolution join
+    sql["cc_revisit_roundtrip"] = f"""
+WITH c AS (
+  SELECT url, warc_ts, payload_sha256, n_bytes,
+         row_number() OVER (PARTITION BY url, payload_sha256
+                            ORDER BY warc_ts) AS rn
+  FROM read_parquet('{corpus}')
+)
+SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
+       payload_sha256, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(rn > 1 AS INT) AS is_revisit
+FROM c
 """
 
     # WAT round-trip: the oracle table pins the shared build_wat_json sha

@@ -212,6 +212,54 @@ def write_warc_gz(records, segment: str = "seg0") -> bytes:
     return b"".join(out)
 
 
+def build_revisit_record(url: str, dt: datetime, digest_hex: str) -> bytes:
+    """One uncompressed WARC/1.0 *revisit* record (spec §6.7.2,
+    ``identical-payload-digest`` profile) — what a crawler writes instead
+    of re-storing an unchanged page: no payload, just the digest of the
+    content it re-observed plus the uri it refers back to.  Block is
+    empty; the digest rides ``WARC-Payload-Digest`` (sha256, labeled)."""
+    rid = hashlib.sha1(
+        ("revisit:" + url + _warc_date(dt)).encode("utf-8")
+    ).hexdigest()
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: revisit",
+        b"WARC-Record-ID: <urn:uuid:" + rid.encode("ascii") + b">",
+        b"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
+        b"identical-payload-digest",
+        b"WARC-Refers-To-Target-URI: " + url.encode("utf-8"),
+        b"WARC-Payload-Digest: sha256:" + digest_hex.encode("ascii"),
+        b"WARC-Date: " + _warc_date(dt).encode("ascii"),
+        b"WARC-Target-URI: " + url.encode("utf-8"),
+        b"Content-Length: 0",
+    ]
+    return CRLF.join(headers) + CRLF + CRLF + CRLF + CRLF
+
+
+def write_warc_gz_dedup(records, segment: str = "seg0") -> bytes:
+    """Storage-deduplicating twin of write_warc_gz: the FIRST occurrence
+    of each (url, payload-digest) pair in *records* order becomes a full
+    response record; every later identical re-crawl of the same url
+    becomes a revisit record (spec §6.7.2) — the crawl-time dedup real
+    archives use so an unchanged page costs ~300 bytes instead of its
+    full body on every visit.  Dedup scope is the segment, which is the
+    honest boundary: segments are independent gzip chains, and the
+    caller's url-hash segmenting puts all crawls of a url in one
+    segment.  Caller supplies records in (url, ts) order so "first"
+    means earliest crawl."""
+    out = [gzip.compress(build_warcinfo_record(segment), mtime=0)]
+    seen: set[tuple[str, str]] = set()
+    for url, dt, payload in records:
+        digest = hashlib.sha256(payload).hexdigest()
+        if (url, digest) in seen:
+            rec = build_revisit_record(url, dt, digest)
+        else:
+            seen.add((url, digest))
+            rec = build_response_record(url, dt, payload)
+        out.append(gzip.compress(rec, mtime=0))
+    return b"".join(out)
+
+
 # ------------------------------------------------------------------ reader
 
 class WarcError(ValueError):
@@ -281,74 +329,67 @@ def _parse_http_response(block: bytes) -> tuple[int, bytes]:
     return status, block[sep + 4 :]
 
 
+def _rec_row(rec_type, url=None, warc_ts=None, payload=None,
+             http_status=None, error=None, payload_digest=None) -> dict:
+    """Uniform record-row shape shared by every iter_warc_gz yield."""
+    return {"rec_type": rec_type, "url": url, "warc_ts": warc_ts,
+            "payload": payload, "http_status": http_status,
+            "error": error, "payload_digest": payload_digest}
+
+
 def iter_warc_gz(data: bytes):
     """Yield one dict per WARC record in a ``.warc.gz`` segment:
-    ``{'rec_type', 'url', 'warc_ts', 'payload', 'http_status', 'error'}``.
-    Non-response records yield with payload=None; a corrupt member or
-    record yields a single ``rec_type='corrupt'`` row carrying the error
-    and STOPS (members form a byte chain — after a corrupt member the
-    next boundary is unknowable), which matches how a crawl reader
-    quarantines a bad segment tail."""
+    ``{'rec_type', 'url', 'warc_ts', 'payload', 'http_status', 'error',
+    'payload_digest'}``.  metadata/conversion records carry the block as
+    payload; revisit records carry no payload but their
+    ``WARC-Payload-Digest`` (sha256 label stripped) — the pointer a
+    resolution join dereferences.  Other non-response records yield with
+    payload=None; a corrupt member or record yields a single
+    ``rec_type='corrupt'`` row carrying the error and STOPS (members
+    form a byte chain — after a corrupt member the next boundary is
+    unknowable), which matches how a crawl reader quarantines a bad
+    segment tail."""
     try:
         for raw in _gzip_members(data):
             try:
                 rec = _parse_record(raw)
             except WarcError as e:
-                yield {"rec_type": "corrupt", "url": None, "warc_ts": None,
-                       "payload": None, "http_status": None, "error": str(e)}
+                yield _rec_row("corrupt", error=str(e))
                 return
             h = rec["headers"]
             rtype = h.get("warc-type", "unknown")
-            if rtype == "metadata" and h.get("warc-target-uri"):
-                # WAT record: the block IS the payload (JSON, no HTTP
-                # message).  Target-less metadata records stay structural.
+            uri = h.get("warc-target-uri")
+            if rtype in ("metadata", "conversion", "revisit") and uri:
+                # WAT / WET / revisit: the block IS the payload (no HTTP
+                # message; empty for revisit).  Target-less ones stay
+                # structural via the generic branch below.
                 try:
                     ts = datetime.strptime(h.get("warc-date", ""), _DATE_FMT)
                 except ValueError as e:
-                    yield {"rec_type": "corrupt",
-                           "url": h.get("warc-target-uri"), "warc_ts": None,
-                           "payload": None, "http_status": None,
-                           "error": str(e)}
+                    yield _rec_row("corrupt", url=uri, error=str(e))
                     continue
-                yield {"rec_type": "metadata",
-                       "url": h.get("warc-target-uri"), "warc_ts": ts,
-                       "payload": rec["block"], "http_status": None,
-                       "error": None}
-                continue
-            if rtype == "conversion":
-                # WET record: the block IS the payload (no HTTP message)
-                try:
-                    ts = datetime.strptime(h.get("warc-date", ""), _DATE_FMT)
-                except ValueError as e:
-                    yield {"rec_type": "corrupt",
-                           "url": h.get("warc-target-uri"), "warc_ts": None,
-                           "payload": None, "http_status": None,
-                           "error": str(e)}
-                    continue
-                yield {"rec_type": "conversion",
-                       "url": h.get("warc-target-uri"), "warc_ts": ts,
-                       "payload": rec["block"], "http_status": None,
-                       "error": None}
+                digest = h.get("warc-payload-digest")
+                if digest and digest.startswith("sha256:"):
+                    digest = digest[len("sha256:"):]
+                yield _rec_row(
+                    rtype, url=uri, warc_ts=ts,
+                    payload=None if rtype == "revisit" else rec["block"],
+                    payload_digest=digest,
+                )
                 continue
             if rtype != "response":
-                yield {"rec_type": rtype, "url": h.get("warc-target-uri"),
-                       "warc_ts": None, "payload": None,
-                       "http_status": None, "error": None}
+                yield _rec_row(rtype, url=uri)
                 continue
             try:
                 ts = datetime.strptime(h.get("warc-date", ""), _DATE_FMT)
                 status, body = _parse_http_response(rec["block"])
             except (WarcError, ValueError) as e:
-                yield {"rec_type": "corrupt", "url": h.get("warc-target-uri"),
-                       "warc_ts": None, "payload": None,
-                       "http_status": None, "error": str(e)}
+                yield _rec_row("corrupt", url=uri, error=str(e))
                 continue
-            yield {"rec_type": "response", "url": h.get("warc-target-uri"),
-                   "warc_ts": ts, "payload": body,
-                   "http_status": status, "error": None}
+            yield _rec_row("response", url=uri, warc_ts=ts, payload=body,
+                           http_status=status)
     except WarcError as e:
-        yield {"rec_type": "corrupt", "url": None, "warc_ts": None,
-               "payload": None, "http_status": None, "error": str(e)}
+        yield _rec_row("corrupt", error=str(e))
 
 
 # ------------------------------------------------------------- Spark side
@@ -410,7 +451,7 @@ def read_warc_stream(spark, path: str):
 
 RECORDS_SCHEMA = (
     "seg_id long, rec_type string, url string, warc_ts timestamp, "
-    "payload binary, http_status int, error string"
+    "payload binary, http_status int, error string, payload_digest string"
 )
 
 
@@ -435,11 +476,13 @@ def records_df(seg_df):
                         "payload": r["payload"],
                         "http_status": r["http_status"],
                         "error": r["error"],
+                        "payload_digest": r["payload_digest"],
                     })
             yield pd.DataFrame(
                 rows,
                 columns=["seg_id", "rec_type", "url", "warc_ts",
-                         "payload", "http_status", "error"],
+                         "payload", "http_status", "error",
+                         "payload_digest"],
             )
 
     return seg_df.mapInPandas(parse, schema=RECORDS_SCHEMA)
