@@ -494,6 +494,106 @@ def _cc_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_crawl_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl-politeness policy — the OTHER half of what a
+    fetcher reads out of robots.txt besides allow/disallow rules
+    (cc_robots_filter): the ``Crawl-delay`` of the ``User-agent: *``
+    group, the (non-group-scoped, per RFC 9309 §2.3/sitemaps.org)
+    ``Sitemap`` url, rule counts and the full-block flag.  One row per
+    corpus domain; domains without a robots file carry NULL policy.
+
+    Pinned line-grammar spec (BOTH engines re-derive it independently —
+    Spark relationally over posexploded lines here, DuckDB over
+    string_split_regex in the oracle SQL; no shared parsing code):
+    comments strip from the first '#', fields split at the FIRST ':',
+    keys compare case-insensitively, the star group runs from the
+    ``User-agent: *`` line to the next User-agent line (the generator —
+    and common practice — puts '*' last in a stacked-UA block, so
+    "directives after the star line" is the group's directive set),
+    first directive wins for scalar fields, empty-valued rules don't
+    count.
+
+    Scale shape: robots bodies are an O(domains) dimension (they ARE
+    the fetcher's cached politeness index) — everything here is
+    explode + two windows + one groupBy on domain, all within the
+    dimension; the corpus is never touched."""
+    from cc_extract.corpusgen import robots_rows
+
+    robots = spark.createDataFrame(
+        robots_rows(), "domain string, robots string"
+    )
+    return _robots_policy_df(robots)
+
+
+def _robots_policy_df(robots: DataFrame) -> DataFrame:
+    """The relational policy derivation over a (domain, robots) dimension
+    — split out of _cc_crawl_policy so tests can feed adversarial robots
+    texts (crawl-delay in a foreign group, star-last stacked UA blocks,
+    missing star group) beyond what the corpus generator emits."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        "domain", "robots",
+        F.posexplode_outer(F.split("robots", "\r\n|\n")).alias("ord", "line"),
+    )
+    novel = F.trim(F.regexp_replace("line", "#.*$", ""))
+    ns = F.col("novel_s")
+    has_colon = F.instr(ns, ":") > 0
+    key = F.when(has_colon, F.lower(F.trim(F.substring_index(ns, ":", 1))))
+    val = F.when(has_colon,
+                 F.trim(F.expr("substring(novel_s, instr(novel_s, ':') + 1)")))
+    kv = lines.select(
+        "domain", "robots", "ord", novel.alias("novel_s")
+    ).select(
+        "domain", "robots", "ord",
+        key.alias("key"), val.alias("val"),
+        F.lower(F.regexp_replace("novel_s", r"\s", "")).alias("squished"),
+    )
+    w = Window.partitionBy("domain")
+    kv = kv.withColumn(
+        "star_start",
+        F.min(F.when(F.col("squished") == "user-agent:*", F.col("ord"))).over(w),
+    )
+    kv = kv.withColumn(
+        "next_ua",
+        F.min(F.when((F.col("key") == "user-agent")
+                     & (F.col("ord") > F.col("star_start")),
+                     F.col("ord"))).over(w),
+    )
+    in_group = (
+        (F.col("ord") > F.col("star_start"))
+        & ((F.col("next_ua").isNull()) | (F.col("ord") < F.col("next_ua")))
+    )
+    is_rule = lambda k: (F.col("key") == k) & (F.col("val") != "")  # noqa: E731
+    count_if = lambda c: F.coalesce(  # trap 81: all-NULL groups sum to NULL
+        F.sum(F.coalesce(c.cast("long"), F.lit(0))), F.lit(0))  # noqa: E731
+    first_val = lambda c, cast: F.min(  # noqa: E731 — min(struct) = first by ord
+        F.when(c, F.struct(F.col("ord"),
+                           F.col("val").cast(cast).alias("v")))).getField("v")
+    agg = kv.groupBy("domain").agg(
+        F.max(F.col("robots").isNotNull().cast("int")).alias("has_robots"),
+        first_val(in_group & (F.col("key") == "crawl-delay"), "long")
+        .alias("crawl_delay"),
+        first_val(F.col("key") == "sitemap", "string").alias("sitemap_url"),
+        count_if(in_group & is_rule("disallow")).alias("n_disallow"),
+        count_if(in_group & is_rule("allow")).alias("n_allow"),
+        F.coalesce(F.max((in_group & (F.col("key") == "disallow")
+                          & (F.col("val") == "/")).cast("int")), F.lit(0))
+        .alias("full_block"),
+    )
+    null_l = F.lit(None).cast("long")
+    return agg.select(
+        "domain", "has_robots",
+        "crawl_delay", "sitemap_url",
+        F.when(F.col("has_robots") == 1, F.col("n_disallow"))
+        .otherwise(null_l).alias("n_disallow"),
+        F.when(F.col("has_robots") == 1, F.col("n_allow"))
+        .otherwise(null_l).alias("n_allow"),
+        F.when(F.col("has_robots") == 1, F.col("full_block"))
+        .otherwise(F.lit(None).cast("int")).alias("full_block"),
+    ).orderBy("domain")
+
+
 def _cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain extraction accounting over the deduped pipeline output:
     doc counts, ok/error splits and extracted-text volume keyed by the
@@ -1242,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "cc_wat_roundtrip": _cc_wat_roundtrip,  # r5: WAT metadata sidecar
         "cc_revisit_roundtrip": _cc_revisit_roundtrip,  # r5: §6.7.2 dedup
+        "cc_crawl_policy": _cc_crawl_policy,  # r5: politeness policy table
         "cc_html_meta": _cc_html_meta,  # r5: head metadata extraction
         "cc_cdx_index": _cc_cdx_index,  # r5: SURT capture index
         "cc_wet_roundtrip": _cc_wet_roundtrip,  # r5: WET text sidecar
@@ -3912,6 +4013,72 @@ WITH {dedup_cte}
 SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
        text_sha256, CAST(strlen(text_out) AS BIGINT) AS n_bytes
 FROM d
+"""
+
+    # Crawl policy: DuckDB re-derives the full line grammar (comment
+    # strip, first-colon split, star-group scoping, first-wins scalars)
+    # with its OWN string/list functions over the RAW robots dimension —
+    # no parsing code shared with the Spark side
+    robots_raw = oracle_data.robots_table()
+    sql["cc_crawl_policy"] = f"""
+WITH lines AS (
+  SELECT domain,
+         unnest(string_split_regex(robots, '\\r?\\n')) AS line,
+         unnest(generate_series(1, len(string_split_regex(robots, '\\r?\\n')))) AS ord
+  FROM read_parquet('{robots_raw}') WHERE robots IS NOT NULL
+), kv AS (
+  SELECT domain, ord,
+         CASE WHEN strpos(novel, ':') > 0
+              THEN lower(trim(substr(novel, 1, strpos(novel, ':') - 1))) END AS key,
+         CASE WHEN strpos(novel, ':') > 0
+              THEN trim(substr(novel, strpos(novel, ':') + 1)) END AS val,
+         lower(regexp_replace(novel, '\\s', '', 'g')) AS squished
+  FROM (SELECT domain, ord, trim(regexp_replace(line, '#.*$', '')) AS novel
+        FROM lines)
+), star AS (
+  SELECT domain, min(ord) AS star_start
+  FROM kv WHERE squished = 'user-agent:*' GROUP BY domain
+), nxt AS (
+  SELECT kv.domain, min(kv.ord) AS next_ua
+  FROM kv JOIN star USING (domain)
+  WHERE kv.key = 'user-agent' AND kv.ord > star.star_start
+  GROUP BY kv.domain
+), grp AS (
+  SELECT kv.* FROM kv
+  JOIN star USING (domain) LEFT JOIN nxt USING (domain)
+  WHERE kv.ord > star.star_start
+    AND (nxt.next_ua IS NULL OR kv.ord < nxt.next_ua)
+), agg AS (
+  SELECT domain,
+         min(CASE WHEN key = 'crawl-delay' THEN ord END) AS cd_ord,
+         coalesce(sum(CAST(key = 'disallow' AND val <> '' AS BIGINT)), 0) AS n_disallow,
+         coalesce(sum(CAST(key = 'allow' AND val <> '' AS BIGINT)), 0) AS n_allow,
+         coalesce(max(CAST(key = 'disallow' AND val = '/' AS INT)), 0) AS full_block
+  FROM grp GROUP BY domain
+), cd AS (
+  SELECT grp.domain, CAST(grp.val AS BIGINT) AS crawl_delay
+  FROM grp JOIN agg ON grp.domain = agg.domain AND grp.ord = agg.cd_ord
+), sm AS (
+  SELECT domain, min(ord) AS sm_ord FROM kv WHERE key = 'sitemap' GROUP BY domain
+), smv AS (
+  SELECT kv.domain, kv.val AS sitemap_url
+  FROM kv JOIN sm ON kv.domain = sm.domain AND kv.ord = sm.sm_ord
+)
+SELECT r.domain,
+       CAST(r.robots IS NOT NULL AS INT) AS has_robots,
+       cd.crawl_delay, smv.sitemap_url,
+       -- a robots file with no star group has ZERO star-group rules,
+       -- not NULL ones (matches the Spark side's empty-group counts)
+       coalesce(agg.n_disallow,
+                CASE WHEN r.robots IS NOT NULL THEN 0 END) AS n_disallow,
+       coalesce(agg.n_allow,
+                CASE WHEN r.robots IS NOT NULL THEN 0 END) AS n_allow,
+       coalesce(agg.full_block,
+                CASE WHEN r.robots IS NOT NULL THEN 0 END) AS full_block
+FROM read_parquet('{robots_raw}') r
+LEFT JOIN agg USING (domain) LEFT JOIN cd USING (domain)
+LEFT JOIN smv USING (domain)
+ORDER BY r.domain
 """
 
     # Revisit dedup round-trip: stored-vs-revisit re-derived relationally

@@ -514,3 +514,26 @@ def wat_table(n_docs: int = 1200) -> str:
     _atomic_write_table(table, path)
     _memo[key] = path
     return path
+
+
+def robots_table() -> str:
+    """RAW per-domain robots.txt dimension (domain, robots text or NULL)
+    straight from the generator — the oracle side of cc_crawl_policy
+    parses it with DuckDB's OWN string/list functions, so the two
+    engines' policy derivations share no parsing code at all."""
+    key = "robots_raw"
+    if key in _memo:
+        return _memo[key]
+    import pyarrow as pa
+
+    from .corpusgen import robots_rows
+
+    rows = robots_rows()
+    table = pa.table({
+        "domain": pa.array([d for d, _ in rows], pa.string()),
+        "robots": pa.array([t for _, t in rows], pa.string()),
+    })
+    path = os.path.join(_ORACLE_DIR, "robots_raw.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path

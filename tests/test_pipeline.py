@@ -584,6 +584,56 @@ def test_robots_parser_grammar(spark):
     assert [(r["pat"], r["allow"]) for r in got] == expect
 
 
+def test_crawl_policy_grammar(spark):
+    """_robots_policy_df against adversarial robots bodies the corpus
+    generator never emits: a Crawl-delay in a FOREIGN group must not
+    leak into the star group's policy, a missing star group zeroes the
+    rule counts but keeps the (non-group-scoped) Sitemap, first-wins
+    holds for duplicated scalar directives, and a NULL robots file
+    yields a NULL policy row."""
+    import __spark_entry__ as entry_mod
+
+    bodies = {
+        "foreign-delay": (
+            "User-agent: BadBot\nCrawl-delay: 99\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /x\n"
+        ),
+        "star-stacked": (
+            "User-agent: FriendlyCrawler\nUser-agent: *\n"
+            "Crawl-delay: 7\nCrawl-delay: 8\n"
+            "Sitemap: https://a.example/s1.xml\n"
+            "Sitemap: https://a.example/s2.xml\n"
+            "Allow: /keep\nDisallow: /\n"
+        ),
+        "no-star": (
+            "User-agent: OtherBot\nDisallow: /never\n"
+            "Sitemap: https://b.example/sm.xml\n"
+        ),
+        "no-robots": None,
+    }
+    df = spark.createDataFrame(list(bodies.items()),
+                               "domain string, robots string")
+    got = {r["domain"]: r.asDict()
+           for r in entry_mod._robots_policy_df(df).collect()}
+    fd = got["foreign-delay"]
+    assert fd["crawl_delay"] is None and fd["n_disallow"] == 1
+    assert fd["full_block"] == 0  # BadBot's 'Disallow: /' is not ours
+    ss = got["star-stacked"]
+    assert ss["crawl_delay"] == 7  # first wins
+    assert ss["sitemap_url"] == "https://a.example/s1.xml"
+    assert ss["n_allow"] == 1 and ss["n_disallow"] == 1
+    assert ss["full_block"] == 1
+    ns = got["no-star"]
+    assert ns["has_robots"] == 1 and ns["crawl_delay"] is None
+    assert ns["n_disallow"] == 0 and ns["n_allow"] == 0
+    assert ns["sitemap_url"] == "https://b.example/sm.xml"
+    nr = got["no-robots"]
+    assert nr["has_robots"] == 0
+    assert all(nr[c] is None for c in
+               ("crawl_delay", "sitemap_url", "n_disallow", "n_allow",
+                "full_block"))
+
+
 def test_quality_classifier_learns_past_the_prior(spark):
     """The GD-trained linear model must actually learn: training accuracy
     beats the keep-class prior (always-keep baseline), and the learned
