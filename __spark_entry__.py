@@ -594,6 +594,56 @@ def _robots_policy_df(robots: DataFrame) -> DataFrame:
     ).orderBy("domain")
 
 
+def _cc_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parse — the url-discovery artifact the robots ``Sitemap:``
+    line (cc_crawl_policy) points at, per the public sitemaps.org 0.9
+    protocol: one row per ``<url>`` entry with its <loc> (XML predefined
+    entities unescaped — the corpus emits ``&amp;``-escaped query
+    strings), optional <lastmod>/<changefreq>/<priority>, and the
+    entry's document-order position.  A sitemap exists iff the domain's
+    robots advertises one, so the discovery chain is real end-to-end.
+
+    Both engines parse the RAW XML independently (Spark:
+    regexp_extract_all + posexplode here; DuckDB: its own
+    regexp_extract_all + unnest in the oracle SQL) — no shared code.
+    Scale shape: sitemaps are an O(domains) dimension; explode fan-out
+    is bounded by entries-per-sitemap, the corpus is never touched."""
+    from cc_extract.corpusgen import sitemap_rows
+
+    sm = spark.createDataFrame(
+        sitemap_rows(), "domain string, sitemap string"
+    )
+    url_rx = r"(?s)<url>(.*?)</url>"
+    blocks = (
+        sm.filter(F.col("sitemap").isNotNull())
+        .select(
+            "domain",
+            F.posexplode(
+                F.regexp_extract_all("sitemap", F.lit(url_rx), 1)
+            ).alias("pos", "block"),
+        )
+    )
+
+    def field(tag: str) -> "F.Column":
+        return F.nullif(
+            F.regexp_extract(
+                "block", rf"(?s)<{tag}>\s*(.*?)\s*</{tag}>", 1),
+            F.lit(""))
+
+    # XML 1.0 predefined entities, &amp; last so &amp;lt; -> &lt;
+    loc = field("loc")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    return blocks.select(
+        "domain", "pos",
+        loc.alias("loc"),
+        field("lastmod").alias("lastmod"),
+        field("changefreq").alias("changefreq"),
+        field("priority").cast("double").alias("priority"),
+    ).orderBy("domain", "pos")
+
+
 def _cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain extraction accounting over the deduped pipeline output:
     doc counts, ok/error splits and extracted-text volume keyed by the
@@ -1343,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_wat_roundtrip": _cc_wat_roundtrip,  # r5: WAT metadata sidecar
         "cc_revisit_roundtrip": _cc_revisit_roundtrip,  # r5: §6.7.2 dedup
         "cc_crawl_policy": _cc_crawl_policy,  # r5: politeness policy table
+        "cc_sitemap_urls": _cc_sitemap_urls,  # r5: sitemaps.org url discovery
         "cc_html_meta": _cc_html_meta,  # r5: head metadata extraction
         "cc_cdx_index": _cc_cdx_index,  # r5: SURT capture index
         "cc_wet_roundtrip": _cc_wet_roundtrip,  # r5: WET text sidecar
@@ -4079,6 +4130,33 @@ FROM read_parquet('{robots_raw}') r
 LEFT JOIN agg USING (domain) LEFT JOIN cd USING (domain)
 LEFT JOIN smv USING (domain)
 ORDER BY r.domain
+"""
+
+    # Sitemap parse: DuckDB re-derives the XML entry fan-out + field
+    # extraction + entity unescape with its own regexp/list functions
+    sitemaps_raw = oracle_data.sitemaps_table()
+    _sm_field = (
+        "nullif(regexp_extract(block, '(?s)<{t}>\\s*(.*?)\\s*</{t}>', 1), '')"
+    )
+    _sm_loc = _sm_field.format(t="loc")
+    for _ent, _ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                      ("&apos;", "''"), ("&amp;", "&")):
+        _sm_loc = f"replace({_sm_loc}, '{_ent}', '{_ch}')"
+    sql["cc_sitemap_urls"] = f"""
+WITH b AS (
+  SELECT domain,
+         unnest(regexp_extract_all(sitemap, '(?s)<url>(.*?)</url>', 1)) AS block,
+         unnest(generate_series(0,
+             len(regexp_extract_all(sitemap, '(?s)<url>(.*?)</url>', 1)) - 1)) AS pos
+  FROM read_parquet('{sitemaps_raw}') WHERE sitemap IS NOT NULL
+)
+SELECT domain, CAST(pos AS INT) AS pos,
+       {_sm_loc} AS loc,
+       {_sm_field.format(t="lastmod")} AS lastmod,
+       {_sm_field.format(t="changefreq")} AS changefreq,
+       CAST({_sm_field.format(t="priority")} AS DOUBLE) AS priority
+FROM b
+ORDER BY domain, pos
 """
 
     # Revisit dedup round-trip: stored-vs-revisit re-derived relationally

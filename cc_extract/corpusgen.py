@@ -2698,6 +2698,65 @@ def robots_rows(seed: int = SEED) -> list[tuple[str, str | None]]:
     return out
 
 
+_CHANGEFREQS = ["always", "hourly", "daily", "weekly", "monthly",
+                "yearly", "never"]
+# sitemap <loc> values stay ascii (the protocol expects percent-encoded
+# urls; the corpus's accented words would need escaping, not raw bytes)
+_ASCII_WORDS = [w for w in _WORDS if w.isascii()]
+
+
+def gen_sitemap(domain: str, seed: int = SEED) -> bytes | None:
+    """Deterministic sitemap.xml for *domain* (sitemaps.org protocol
+    0.9), existing iff the domain's robots.txt ADVERTISES one (the
+    ``Sitemap:`` line gen_robots may emit) — the discovery chain a
+    polite fetcher actually follows.  Own rng stream keyed off the
+    domain, so adding this touches no existing corpus draw.
+
+    Grammar quirks a parser must survive: mixed quote styles in the XML
+    declaration, irregular inter-tag whitespace, optional per-entry
+    lastmod/changefreq/priority, and ``&amp;``-escaped query strings in
+    <loc> (the XML predefined entities — the reader must unescape)."""
+    b = gen_robots(domain, seed)
+    if b is None or b"Sitemap:" not in b:
+        return None
+    rng = random.Random((seed << 24) ^ zlib.crc32(b"sitemap:" + domain.encode("ascii")))
+    q = "'" if rng.random() < 0.3 else '"'
+    parts = [
+        f"<?xml version={q}1.0{q} encoding={q}UTF-8{q}?>",
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+    ]
+    for j in range(rng.randint(5, 30)):
+        w1, w2 = rng.choice(_ASCII_WORDS), rng.choice(_ASCII_WORDS)
+        loc = f"https://{domain}/{w1}/{w2}-{j}.html"
+        if rng.random() < 0.2:
+            loc += f"?page={rng.randint(1, 9)}&amp;ref={rng.choice(_ASCII_WORDS)}"
+        pad = " " * rng.randint(0, 4)
+        entry = [f"{pad}<url>", f"{pad} <loc>{loc}</loc>"]
+        if rng.random() < 0.7:
+            entry.append(
+                f"{pad} <lastmod>2025-{rng.randint(1, 12):02d}-"
+                f"{rng.randint(1, 28):02d}</lastmod>")
+        if rng.random() < 0.5:
+            entry.append(
+                f"{pad} <changefreq>{rng.choice(_CHANGEFREQS)}</changefreq>")
+        if rng.random() < 0.4:
+            entry.append(f"{pad} <priority>0.{rng.randint(1, 9)}</priority>")
+        entry.append(f"{pad}</url>")
+        parts.append("\n".join(entry))
+    parts.append("</urlset>")
+    eol = "\n" if rng.random() < 0.7 else "\r\n"
+    return (eol.join(parts) + eol).encode("ascii")
+
+
+def sitemap_rows(seed: int = SEED) -> list[tuple[str, str | None]]:
+    """(domain, sitemap.xml text or None) for every corpus domain."""
+    out = []
+    for d in _DOMAINS:
+        b = gen_sitemap(d, seed)
+        out.append((d, b.decode("ascii") if b is not None else None))
+    return out
+
+
 def gen_doc(i: int, seed: int = SEED) -> list[dict]:
     """Rows for document id *i* — usually one, two when it's a dup url.
 

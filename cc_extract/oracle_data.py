@@ -537,3 +537,26 @@ def robots_table() -> str:
     _atomic_write_table(table, path)
     _memo[key] = path
     return path
+
+
+def sitemaps_table() -> str:
+    """RAW per-domain sitemap.xml dimension (domain, xml text or NULL)
+    straight from the generator — the oracle side of cc_sitemap_urls
+    parses it with DuckDB's OWN regexp/list functions (no shared code
+    with the Spark side)."""
+    key = "sitemaps_raw"
+    if key in _memo:
+        return _memo[key]
+    import pyarrow as pa
+
+    from .corpusgen import sitemap_rows
+
+    rows = sitemap_rows()
+    table = pa.table({
+        "domain": pa.array([d for d, _ in rows], pa.string()),
+        "sitemap": pa.array([t for _, t in rows], pa.string()),
+    })
+    path = os.path.join(_ORACLE_DIR, "sitemaps_raw.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path

@@ -634,6 +634,33 @@ def test_crawl_policy_grammar(spark):
                 "full_block"))
 
 
+def test_sitemap_discovery_chain_and_entity_unescape(spark):
+    """gen_sitemap exists iff the robots advertises one (the discovery
+    chain a fetcher follows), and the cc_sitemap_urls parse unescapes
+    XML predefined entities in the pinned order (&amp; LAST, so the
+    double-escape &amp;lt; recovers the literal text '&lt;')."""
+    import __spark_entry__ as entry_mod
+    from cc_extract.corpusgen import gen_robots, gen_sitemap, robots_rows
+
+    for domain, robots in robots_rows():
+        advertised = robots is not None and "Sitemap:" in robots
+        assert (gen_sitemap(domain) is not None) == advertised
+    assert gen_sitemap("site02.example") == gen_sitemap("site02.example")
+    assert gen_robots("site02.example")  # chain sanity: robots exists too
+
+    rows = entry_mod._cc_sitemap_urls(spark, "").collect()
+    assert len(rows) > 100
+    assert any("&" in r["loc"] for r in rows)       # &amp; unescaped
+    assert not any("&amp;" in r["loc"] for r in rows)
+    assert any(r["lastmod"] is None for r in rows)  # optional fields
+    assert any(r["priority"] is not None for r in rows)
+    # per-domain positions are dense from 0 (document order preserved)
+    bydom: dict = {}
+    for r in rows:
+        bydom.setdefault(r["domain"], []).append(r["pos"])
+    assert all(sorted(v) == list(range(len(v))) for v in bydom.values())
+
+
 def test_quality_classifier_learns_past_the_prior(spark):
     """The GD-trained linear model must actually learn: training accuracy
     beats the keep-class prior (always-keep baseline), and the learned
