@@ -644,6 +644,47 @@ def _cc_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("domain", "pos")
 
 
+def _cc_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain fetch BUDGET — the final consumer of the crawl cycle,
+    composed entirely from shipped operators (the consumer pattern:
+    correctness by composition, no semantics of its own to drift):
+    cc_crawl_frontier says how much a domain is WORTH refetching,
+    cc_crawl_policy says how fast politeness LETS us fetch it
+    (Crawl-delay; a missing delay defaults to 1 s — the documented
+    convention here — and a full block zeroes the plan), and
+    cc_sitemap_urls says how many urls the domain ADVERTISES for
+    discovery.  planned_fetches = min(known urls, 86400 div delay) in
+    exact integer arithmetic (the q11 float-parity pattern: no doubles
+    introduced beyond the frontier's already-6dp-rounded score).
+
+    Scale shape: all three inputs are O(domains) relations by the time
+    they meet; the joins are dimension-size."""
+    fr = _cc_crawl_frontier(spark, sf_dir)
+    pol = _cc_crawl_policy(spark, sf_dir)
+    sm = (
+        _cc_sitemap_urls(spark, sf_dir)
+        .groupBy("domain").agg(F.count("*").alias("n_sitemap_urls"))
+    )
+    j = (
+        fr.select("domain", "n_urls", "refetch_score")
+        .join(pol.select("domain", "crawl_delay", "full_block"), "domain")
+        .join(sm, "domain", "left")
+    )
+    delay = F.coalesce(F.col("crawl_delay"), F.lit(1).cast("long"))
+    cap = F.expr("86400 div coalesce(crawl_delay, 1)")
+    blocked = F.coalesce(F.col("full_block"), F.lit(0))
+    return j.select(
+        "domain", "refetch_score",
+        delay.alias("crawl_delay_s"),
+        cap.alias("daily_capacity"),
+        F.coalesce(F.col("n_sitemap_urls"), F.lit(0).cast("long"))
+        .alias("n_sitemap_urls"),
+        F.when(blocked == 1, F.lit(0).cast("long"))
+        .otherwise(F.least(F.col("n_urls"), cap)).alias("planned_fetches"),
+        blocked.alias("blocked"),
+    ).orderBy(F.desc("refetch_score"), "domain")
+
+
 def _cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain extraction accounting over the deduped pipeline output:
     doc counts, ok/error splits and extracted-text volume keyed by the
@@ -1394,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_revisit_roundtrip": _cc_revisit_roundtrip,  # r5: §6.7.2 dedup
         "cc_crawl_policy": _cc_crawl_policy,  # r5: politeness policy table
         "cc_sitemap_urls": _cc_sitemap_urls,  # r5: sitemaps.org url discovery
+        "cc_fetch_schedule": _cc_fetch_schedule,  # r5: budgeted crawl plan
         "cc_html_meta": _cc_html_meta,  # r5: head metadata extraction
         "cc_cdx_index": _cc_cdx_index,  # r5: SURT capture index
         "cc_wet_roundtrip": _cc_wet_roundtrip,  # r5: WET text sidecar
@@ -4157,6 +4199,29 @@ SELECT domain, CAST(pos AS INT) AS pos,
        CAST({_sm_field.format(t="priority")} AS DOUBLE) AS priority
 FROM b
 ORDER BY domain, pos
+"""
+
+    # Fetch schedule: the three inputs' full oracle SQL nested as CTE
+    # subqueries (composition on the ORACLE side too — the consumer
+    # pattern end to end); integer-exact budget arithmetic
+    sql["cc_fetch_schedule"] = f"""
+WITH frontier AS ({sql["cc_crawl_frontier"]}),
+policy AS ({sql["cc_crawl_policy"]}),
+smc AS (
+  SELECT domain, count(*) AS n_sitemap_urls
+  FROM ({sql["cc_sitemap_urls"]}) GROUP BY domain
+)
+SELECT f.domain, f.refetch_score,
+       coalesce(p.crawl_delay, 1) AS crawl_delay_s,
+       86400 // coalesce(p.crawl_delay, 1) AS daily_capacity,
+       coalesce(smc.n_sitemap_urls, 0) AS n_sitemap_urls,
+       CASE WHEN coalesce(p.full_block, 0) = 1 THEN 0
+            ELSE least(f.n_urls, 86400 // coalesce(p.crawl_delay, 1)) END
+         AS planned_fetches,
+       coalesce(p.full_block, 0) AS blocked
+FROM frontier f JOIN policy p USING (domain)
+LEFT JOIN smc USING (domain)
+ORDER BY f.refetch_score DESC, f.domain
 """
 
     # Revisit dedup round-trip: stored-vs-revisit re-derived relationally
