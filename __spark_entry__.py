@@ -1385,6 +1385,25 @@ def _cc_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_meta_df(docs)
 
 
+def _cc_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema.org JSON-LD structured-data extraction (round 5): per
+    html-routed url (newest crawl), ld+json block/valid counts, the
+    document-order entity @type list, first Article headline, and
+    breadcrumb size — the machine-readable page-semantics surface WAT
+    sidecars and extruct-style stacks publish next to main content.
+    Row semantics are ONE shared function (extractors.html.html_jsonld:
+    strict-JSON parse, @graph flattening, malformed blocks counted not
+    raised) called per element in the Arrow batch here and per row
+    single-process in oracle_data.jsonld_table; each side independently
+    expresses only the keep-newest dedup.  Scale shape: the
+    payload-bearing pass reduces each page to five small values before
+    the only shuffle."""
+    from cc_extract.job import html_jsonld_df
+
+    docs, _ = _cc_corpus_and_extracted(spark)
+    return html_jsonld_df(docs)
+
+
 def _cc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX-style capture index (round 5) — the URL-index artifact a real
     crawl publishes next to its WARC segments: one row per CAPTURE (not
@@ -1431,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "cc_jsonld": _cc_jsonld,  # r5: schema.org JSON-LD extraction
         "cc_wat_roundtrip": _cc_wat_roundtrip,  # r5: WAT metadata sidecar
         "cc_revisit_roundtrip": _cc_revisit_roundtrip,  # r5: §6.7.2 dedup
         "cc_crawl_policy": _cc_crawl_policy,  # r5: politeness policy table
@@ -3719,6 +3739,20 @@ WITH ranked AS (
   FROM read_parquet('{meta_tbl}')
 )
 SELECT url, title, meta_description, og_title, canonical, lang
+FROM ranked WHERE rn = 1 ORDER BY url
+"""
+
+    # JSON-LD extraction: row semantics shared (html_jsonld via
+    # oracle_data.jsonld_table); SQL re-expresses only the keep-newest
+    # dedup + projection
+    ld_tbl = oracle_data.jsonld_table(_CC_N_DOCS)
+    sql["cc_jsonld"] = f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY url ORDER BY warc_ts DESC) AS rn
+  FROM read_parquet('{ld_tbl}')
+)
+SELECT url, ld_blocks, ld_valid, ld_types, ld_headline, ld_breadcrumbs
 FROM ranked WHERE rn = 1 ORDER BY url
 """
 

@@ -171,13 +171,52 @@ def _gen_html(rng: random.Random) -> bytes:
     first_para = first_para[first_para.find(">") + 1:]
     desc = f"{title}: {first_para}"[:160].rstrip()
     slug = title.replace(" ", "-")
+    # JSON-LD structured data (schema.org) — like the head metadata
+    # above, DERIVED from draws already made (title/desc/slug/lang)
+    # through an md5 stream, zero extra rng consumption: the 20k
+    # extracted-text golden is untouched (script subtrees are
+    # X1-blacklisted) while cc_jsonld gets real blocks to extract.
+    # Variant classes by hash: attr quote style / case, @graph wrapper,
+    # BreadcrumbList second block, a malformed-JSON block (must count
+    # as invalid, never crash), and a no-JSON-LD class.
+    import hashlib as _hashlib
+    import json as _json
+    hv = int(_hashlib.md5(f"ld:{slug}:{lang}".encode()).hexdigest(), 16)
+    if hv % 13 == 0:
+        ld_scripts = ""
+    else:
+        ld_attr = ['type="application/ld+json"',
+                   "type='application/ld+json'",
+                   'TYPE="application/LD+JSON"'][hv % 3]
+        art = {"@context": "https://schema.org", "@type": "Article",
+               "headline": title, "description": desc,
+               "inLanguage": lang,
+               "mainEntityOfPage": f"/canonical/{slug}"}
+        if hv % 7 == 0:
+            body1 = _json.dumps({"@context": "https://schema.org",
+                                 "@graph": [art, {"@type": "WebSite",
+                                                  "name": title}]})
+        else:
+            body1 = _json.dumps(art)
+        ld_scripts = f"<script {ld_attr}>{body1}</script>\n"
+        if hv % 4 == 0:
+            crumbs = [{"@type": "ListItem", "position": j + 1, "name": w}
+                      for j, w in enumerate(slug.split("-")[:3])]
+            body2 = _json.dumps({"@context": "https://schema.org",
+                                 "@type": "BreadcrumbList",
+                                 "itemListElement": crumbs})
+            ld_scripts += ('<script type="application/ld+json">'
+                           f"{body2}</script>\n")
+        if hv % 11 == 0:
+            ld_scripts += ('<script type="application/ld+json">'
+                           '{"@type": "Thing",,}</script>\n')
     doc = f"""<!DOCTYPE html>
 <html lang="{lang}"><head><meta charset="{charset}"><title>{title}</title>
 <meta name="description" content="{desc}">
 <meta property="og:title" content="{title}">
 <meta property="og:type" content="article">
 <link rel="canonical" href="/canonical/{slug}">
-<style>body {{ color: #333; }} .x {{ display:none }}</style>
+{ld_scripts}<style>body {{ color: #333; }} .x {{ display:none }}</style>
 <script>var tracker = "{_words(rng, 3)}"; loadAds();</script>
 </head><body>
 <nav><ul>{nav_links}</ul></nav>

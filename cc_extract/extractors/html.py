@@ -536,6 +536,94 @@ def html_links(payload: bytes, url: str | None = None) -> list[str] | None:
     return out
 
 
+_SCRIPT_RX = re.compile(r"<script\b([^>]*)>(.*?)</script\s*>",
+                        re.IGNORECASE | re.DOTALL)
+
+JSONLD_COLS = ("ld_blocks", "ld_valid", "ld_types", "ld_headline",
+               "ld_breadcrumbs")
+
+
+def html_jsonld(payload: bytes, url: str | None = None) -> dict | None:
+    """Schema.org JSON-LD structured-data extraction — the machine-
+    readable page-semantics surface real extraction stacks publish next
+    to main content and head metadata (Common Crawl's WAT captures the
+    same script blocks; trafilatura/extruct expose the parsed entities).
+
+    Normative spec (shared row code between the Spark ``mapInPandas``
+    batch fn and the DuckDB oracle table builder, the html_meta
+    pattern):
+
+    - routing parity with extract_document (``_resolve_html_doc``;
+      non-html -> None);
+    - a JSON-LD block is any ``<script>`` element whose ``type``
+      attribute equals ``application/ld+json`` case-insensitively
+      (quote styles and attribute-name case per the html_meta
+      convention); ``ld_blocks`` counts them in document order;
+    - each block body parses with a strict JSON parser; parse failures
+      count toward ``ld_blocks`` but not ``ld_valid`` (real crawl
+      JSON-LD is routinely malformed — never raise);
+    - top-level entities are the parsed value itself (object), its
+      ``@graph`` array members (object with ``@graph``), or the array
+      members (top-level array) — in document order;
+    - ``ld_types``: comma-joined ``@type`` of every entity in order
+      (a list-valued ``@type`` joins its members with ``+``); NULL when
+      no valid entity declares one (empty-is-NULL, never '');
+    - ``ld_headline``: first ``headline`` string of an Article-typed
+      entity; ``ld_breadcrumbs``: total ``itemListElement`` length over
+      BreadcrumbList-typed entities.
+    """
+    import json as _json
+
+    doc = _resolve_html_doc(payload, url)
+    if doc is None:
+        return None
+    n_blocks = n_valid = n_crumbs = 0
+    types: list[str] = []
+    headline: str | None = None
+    for sm in _SCRIPT_RX.finditer(doc):
+        attrs: dict[str, str] = {}
+        for am in _ATTR_RX.finditer(sm.group(1)):
+            aname = am.group(1).lower()
+            if aname not in attrs:
+                raw = next(g for g in am.groups()[1:] if g is not None)
+                attrs[aname] = raw
+        if attrs.get("type", "").strip().lower() != "application/ld+json":
+            continue
+        n_blocks += 1
+        try:
+            val = _json.loads(sm.group(2))
+        except ValueError:
+            continue
+        n_valid += 1
+        if isinstance(val, dict) and isinstance(val.get("@graph"), list):
+            entities = val["@graph"]
+        elif isinstance(val, list):
+            entities = val
+        else:
+            entities = [val]
+        for ent in entities:
+            if not isinstance(ent, dict):
+                continue
+            t = ent.get("@type")
+            if isinstance(t, list):
+                t = "+".join(str(x) for x in t)
+            if t is not None:
+                types.append(str(t))
+            if t == "Article" and headline is None and \
+                    isinstance(ent.get("headline"), str):
+                headline = ent["headline"]
+            if t == "BreadcrumbList" and \
+                    isinstance(ent.get("itemListElement"), list):
+                n_crumbs += len(ent["itemListElement"])
+    return {
+        "ld_blocks": n_blocks,
+        "ld_valid": n_valid,
+        "ld_types": ",".join(types) or None,
+        "ld_headline": headline,
+        "ld_breadcrumbs": n_crumbs,
+    }
+
+
 def html_span_stats(payload: bytes, url: str | None = None) -> dict | None:
     """Per-document span-provenance stats for the ``cc_html_spans``
     contract query — the SINGLE row-semantics implementation both the

@@ -200,6 +200,48 @@ def html_meta_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def html_jsonld_df(docs: DataFrame) -> DataFrame:
+    """Schema.org JSON-LD extraction over a corpus frame — per
+    html-routed document (newest crawl per url): block/valid counts,
+    document-order entity types, first Article headline, breadcrumb
+    size.  Row semantics are the shared
+    cc_extract.extractors.html.html_jsonld (see its docstring); same
+    scale shape as html_meta_df — the ONE payload-bearing mapInPandas
+    pass reduces each page to five small values before the only shuffle
+    (url-hash keep-newest window)."""
+    from .extractors.html import JSONLD_COLS, html_jsonld
+
+    schema = ("url string, warc_ts timestamp, ld_blocks int, "
+              "ld_valid int, ld_types string, ld_headline string, "
+              "ld_breadcrumbs int")
+    cols = ("url", "warc_ts", *JSONLD_COLS)
+
+    def batches(it):
+        for pdf in it:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for url, ts, payload in zip(pdf["url"], pdf["warc_ts"],
+                                        pdf["html"]):
+                m = html_jsonld(payload, url)
+                if m is None:
+                    continue
+                rows["url"].append(url)
+                rows["warc_ts"].append(ts)
+                for k in JSONLD_COLS:
+                    rows[k].append(m[k])
+            yield pd.DataFrame(rows, columns=list(cols))
+
+    ld = docs.select("url", "warc_ts", "html").mapInPandas(
+        batches, schema=schema
+    )
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        ld.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url", *JSONLD_COLS)
+        .orderBy("url")
+    )
+
+
 def html_blocks_df(docs: DataFrame) -> DataFrame:
     """Per-BLOCK span rows over a corpus frame — the literal per-block
     "spans match" surface for the newest crawl of every html-routed url:

@@ -428,6 +428,42 @@ def html_meta_table(n_docs: int = 1200) -> str:
     return path
 
 
+def jsonld_table(n_docs: int = 1200) -> str:
+    """Per-INPUT-ROW JSON-LD extraction for html-routed documents
+    (cc_extract.extractors.html.html_jsonld — the shared row semantics;
+    the SQL side re-expresses the keep-newest dedup + projection)."""
+    key = f"jsonld:{n_docs}"
+    if key in _memo:
+        return _memo[key]
+    import pyarrow as pa
+
+    from .corpusgen import gen_corpus
+    from .extractors.html import JSONLD_COLS, html_jsonld
+
+    cols: dict[str, list] = {c: [] for c in ("url", "warc_ts", *JSONLD_COLS)}
+    for r in gen_corpus(n_docs):
+        m = html_jsonld(r["html"], r["url"])
+        if m is None:
+            continue
+        cols["url"].append(r["url"])
+        cols["warc_ts"].append(r["warc_ts"])
+        for k in JSONLD_COLS:
+            cols[k].append(m[k])
+    table = pa.table({
+        "url": pa.array(cols["url"], pa.string()),
+        "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+        "ld_blocks": pa.array(cols["ld_blocks"], pa.int32()),
+        "ld_valid": pa.array(cols["ld_valid"], pa.int32()),
+        "ld_types": pa.array(cols["ld_types"], pa.string()),
+        "ld_headline": pa.array(cols["ld_headline"], pa.string()),
+        "ld_breadcrumbs": pa.array(cols["ld_breadcrumbs"], pa.int32()),
+    })
+    path = os.path.join(_ORACLE_DIR, f"jsonld_{n_docs}.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path
+
+
 def html_blocks_table(n_docs: int = 1200) -> str:
     """Per-INPUT-ROW per-BLOCK span rows for html-routed documents
     (cc_extract.extractors.html.html_block_rows — the shared row

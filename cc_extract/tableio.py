@@ -72,7 +72,22 @@ def write_bucketed(df, table_name: str, n_buckets: int, key: str = "url") -> Non
     ``sortedBy(key)`` write order; here it is Spark's native bucketing
     via ``saveAsTable`` (bucket metadata needs a catalog entry — a plain
     ``.parquet(path)`` write silently drops it).  Verified shuffle-free
-    in tests/test_tableio.py::test_bucketed_join_is_shuffle_free."""
+    in tests/test_tableio.py::test_bucketed_join_is_shuffle_free.
+
+    Orphaned-location guard: with the default in-memory catalog a table's
+    warehouse directory can outlive its catalog entry (killed process,
+    fresh session), and ``saveAsTable`` then fails LOCATION_ALREADY_EXISTS
+    even in overwrite mode.  A location with no catalog entry is dead
+    state from an aborted run, so it is removed before the write."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table_name):
+        import shutil
+
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(os.path.join(warehouse, table_name.lower()),
+                      ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, key)

@@ -252,3 +252,72 @@ def test_html_meta_populated_on_corpus():
             assert m["og_title"] == m["title"]
             assert m["canonical"].startswith("/canonical/")
     assert n > 20 and have_all > 20
+
+
+def test_html_jsonld_variants_and_flattening():
+    from cc_extract.extractors.html import html_jsonld
+
+    # top-level array, list-valued @type
+    m = html_jsonld(b"<html><head><script type='application/ld+json'>"
+                    b'[{"@type":["A","B"]},3]</script></head>'
+                    b"<body><p>x</p></body></html>", "https://x/a.html")
+    assert m["ld_blocks"] == 1 and m["ld_valid"] == 1
+    assert m["ld_types"] == "A+B"
+    # @graph flattening + case-insensitive type attr + Article headline
+    m = html_jsonld(b'<html><script TYPE="APPLICATION/LD+JSON">'
+                    b'{"@graph":[{"@type":"Article","headline":"h"},'
+                    b'{"@type":"WebSite","name":"n"}]}</script>'
+                    b"<body><p>x</p></body></html>", "https://x/a.html")
+    assert m["ld_types"] == "Article,WebSite"
+    assert m["ld_headline"] == "h"
+    # bare attr + malformed JSON counts the block, not the entity
+    m = html_jsonld(b"<html><script type=application/ld+json>{bad}"
+                    b"</script><body><p>x</p></body></html>",
+                    "https://x/a.html")
+    assert m == {"ld_blocks": 1, "ld_valid": 0, "ld_types": None,
+                 "ld_headline": None, "ld_breadcrumbs": 0}
+    # breadcrumbs total across entities; plain js scripts are ignored
+    m = html_jsonld(b"<html><script>var x=1;</script>"
+                    b'<script type="application/ld+json">'
+                    b'{"@type":"BreadcrumbList","itemListElement":[1,2,3]}'
+                    b"</script><body><p>x</p></body></html>",
+                    "https://x/a.html")
+    assert m["ld_blocks"] == 1 and m["ld_breadcrumbs"] == 3
+
+
+def test_html_jsonld_routing_parity_and_gzip():
+    from cc_extract.extractors.html import html_jsonld
+
+    assert html_jsonld(b"%PDF-1.4 whatever", "https://x/a.pdf") is None
+    assert html_jsonld(b"", "https://x/a.html") is None
+    z = gzip.compress(b'<html><script type="application/ld+json">'
+                      b'{"@type":"Thing"}</script>'
+                      b"<body><p>x</p></body></html>", mtime=0)
+    assert html_jsonld(z, "https://x/a.html")["ld_types"] == "Thing"
+
+
+def test_html_jsonld_populated_on_corpus():
+    from cc_extract.extractors.html import html_jsonld
+
+    n = with_blocks = invalid = crumbs = graphs = zero = 0
+    for p in CORPUS_HTML[:200]:
+        m = html_jsonld(p)
+        if m is None:
+            continue
+        n += 1
+        if m["ld_blocks"] == 0:
+            zero += 1
+            continue
+        with_blocks += 1
+        if m["ld_valid"] < m["ld_blocks"]:
+            invalid += 1
+        if m["ld_breadcrumbs"]:
+            crumbs += 1
+            assert "BreadcrumbList" in m["ld_types"]
+        if m["ld_types"] and "WebSite" in m["ld_types"]:
+            graphs += 1
+        if m["ld_headline"] is not None:
+            assert "Article" in m["ld_types"]
+    # every generator variant class is populated in a 200-doc window
+    assert n > 100 and with_blocks > 80
+    assert invalid > 3 and crumbs > 10 and graphs > 3 and zero > 3
