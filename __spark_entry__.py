@@ -644,6 +644,88 @@ def _cc_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("domain", "pos")
 
 
+def _cc_feed_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syndication-feed parse — RSS 2.0 / Atom 1.0, the OTHER
+    url-discovery artifact a crawler polls next to sitemaps
+    (cc_sitemap_urls): one row per <item>/<entry> with the unified
+    (kind, pos, title, url, published, entry_id) projection.  Spec pins:
+    CDATA-wrapped titles are LITERAL (no entity unescape — a raw '&'
+    inside CDATA survives); titles/urls outside CDATA unescape the XML
+    predefined entities (&amp; last, the cc_sitemap_urls order); RSS
+    urls come from <link> element text, Atom urls from the self-closing
+    <link href="...">; dates stay RAW strings (RFC 822 pubDate vs
+    RFC 3339 updated — parsing them to timestamps is a consumer
+    decision, and cross-engine date-parsing of RFC 822 is exactly the
+    kind of locale trap the float-parity discipline exists to avoid).
+
+    Both engines parse the RAW XML independently (Spark:
+    regexp_extract_all + posexplode + when ladders here; DuckDB: its own
+    regexp/list functions + CASE in the oracle SQL) — no shared code.
+    Scale shape: feeds are an O(domains) dimension; fan-out is bounded
+    by entries-per-feed, the corpus is never touched."""
+    from cc_extract.corpusgen import feed_rows
+
+    fd = spark.createDataFrame(feed_rows(), "domain string, feed string")
+    kind = F.when(F.col("feed").contains("<feed"),
+                  F.lit("atom")).otherwise(F.lit("rss"))
+    blocks = (
+        fd.filter(F.col("feed").isNotNull())
+        .select(
+            "domain", kind.alias("kind"),
+            F.posexplode(
+                F.when(
+                    kind == "atom",
+                    F.regexp_extract_all(
+                        "feed", F.lit(r"(?s)<entry>(.*?)</entry>"), 1),
+                ).otherwise(
+                    F.regexp_extract_all(
+                        "feed", F.lit(r"(?s)<item>(.*?)</item>"), 1)
+                )
+            ).alias("pos", "block"),
+        )
+    )
+
+    def field(tag: str) -> "F.Column":
+        return F.nullif(
+            F.regexp_extract(
+                "block", rf"(?s)<{tag}>\s*(.*?)\s*</{tag}>", 1),
+            F.lit(""))
+
+    def unesc(col: "F.Column") -> "F.Column":
+        # XML 1.0 predefined entities, &amp; last so &amp;lt; -> &lt;
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&apos;", "'"), ("&amp;", "&")):
+            col = F.replace(col, F.lit(ent), F.lit(ch))
+        return col
+
+    title_raw = field("title")
+    title = F.when(
+        title_raw.startswith("<![CDATA["),
+        title_raw.substr(F.lit(10), F.length(title_raw) - F.lit(12)),
+    ).otherwise(unesc(title_raw))
+    url_raw = F.nullif(
+        F.when(
+            F.col("kind") == "atom",
+            F.regexp_extract("block", r'<link[^>]*href\s*=\s*"([^"]*)"', 1),
+        ).otherwise(
+            F.regexp_extract("block", r"(?s)<link>\s*(.*?)\s*</link>", 1)
+        ),
+        F.lit(""))
+    published = F.when(F.col("kind") == "atom",
+                       field("updated")).otherwise(field("pubDate"))
+    entry_id = F.when(F.col("kind") == "atom", field("id")).otherwise(
+        F.nullif(
+            F.regexp_extract("block", r"(?s)<guid[^>]*>\s*(.*?)\s*</guid>", 1),
+            F.lit("")))
+    return blocks.select(
+        "domain", "kind", "pos",
+        title.alias("title"),
+        unesc(url_raw).alias("url"),
+        published.alias("published"),
+        entry_id.alias("entry_id"),
+    ).orderBy("domain", "pos")
+
+
 def _cc_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain fetch BUDGET — the final consumer of the crawl cycle,
     composed entirely from shipped operators (the consumer pattern:
@@ -1451,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "cc_jsonld": _cc_jsonld,  # r5: schema.org JSON-LD extraction
+        "cc_feed_urls": _cc_feed_urls,  # r5: RSS/Atom feed discovery
         "cc_wat_roundtrip": _cc_wat_roundtrip,  # r5: WAT metadata sidecar
         "cc_revisit_roundtrip": _cc_revisit_roundtrip,  # r5: §6.7.2 dedup
         "cc_crawl_policy": _cc_crawl_policy,  # r5: politeness policy table
@@ -4218,6 +4301,57 @@ ORDER BY r.domain
     for _ent, _ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                       ("&apos;", "''"), ("&amp;", "&")):
         _sm_loc = f"replace({_sm_loc}, '{_ent}', '{_ch}')"
+    # Feed parse: DuckDB re-derives the RSS/Atom fan-out + unified
+    # projection + CDATA/entity rules with its own regexp/CASE functions
+    feeds_raw = oracle_data.feeds_table()
+    _fd_field = (
+        "nullif(regexp_extract(block, '(?s)<{t}>\\s*(.*?)\\s*</{t}>', 1), '')"
+    )
+    _fd_unesc_title = "title_raw"
+    _fd_unesc_url = "url_raw"
+    for _ent, _ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                      ("&apos;", "''"), ("&amp;", "&")):
+        _fd_unesc_title = f"replace({_fd_unesc_title}, '{_ent}', '{_ch}')"
+        _fd_unesc_url = f"replace({_fd_unesc_url}, '{_ent}', '{_ch}')"
+    sql["cc_feed_urls"] = f"""
+WITH f AS (
+  SELECT domain,
+         CASE WHEN feed LIKE '%<feed%' THEN 'atom' ELSE 'rss' END AS kind,
+         CASE WHEN feed LIKE '%<feed%'
+              THEN regexp_extract_all(feed, '(?s)<entry>(.*?)</entry>', 1)
+              ELSE regexp_extract_all(feed, '(?s)<item>(.*?)</item>', 1)
+         END AS blocks
+  FROM read_parquet('{feeds_raw}') WHERE feed IS NOT NULL
+), b AS (
+  SELECT domain, kind, unnest(blocks) AS block,
+         unnest(generate_series(0, len(blocks) - 1)) AS pos
+  FROM f
+), x AS (
+  SELECT domain, kind, CAST(pos AS INT) AS pos,
+         {_fd_field.format(t="title")} AS title_raw,
+         CASE WHEN kind = 'atom'
+              THEN nullif(regexp_extract(block,
+                     '<link[^>]*href\\s*=\\s*"([^"]*)"', 1), '')
+              ELSE {_fd_field.format(t="link")} END AS url_raw,
+         CASE WHEN kind = 'atom'
+              THEN {_fd_field.format(t="updated")}
+              ELSE {_fd_field.format(t="pubDate")} END AS published,
+         CASE WHEN kind = 'atom'
+              THEN {_fd_field.format(t="id")}
+              ELSE nullif(regexp_extract(block,
+                     '(?s)<guid[^>]*>\\s*(.*?)\\s*</guid>', 1), '')
+         END AS entry_id
+  FROM b
+)
+SELECT domain, kind, pos,
+       CASE WHEN starts_with(title_raw, '<![CDATA[')
+            THEN substring(title_raw, 10, length(title_raw) - 12)
+            ELSE {_fd_unesc_title} END AS title,
+       {_fd_unesc_url} AS url,
+       published, entry_id
+FROM x ORDER BY domain, pos
+"""
+
     sql["cc_sitemap_urls"] = f"""
 WITH b AS (
   SELECT domain,

@@ -2796,6 +2796,93 @@ def sitemap_rows(seed: int = SEED) -> list[tuple[str, str | None]]:
     return out
 
 
+_RSS_DOW = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+_RSS_MON = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+            "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+def gen_feed(domain: str, seed: int = SEED) -> bytes | None:
+    """Deterministic syndication feed for *domain* — RSS 2.0 or Atom
+    1.0 (both public specs), the OTHER url-discovery artifact a crawler
+    polls next to sitemaps.  Own rng stream keyed off the domain, so
+    adding this touches no existing corpus draw.
+
+    Grammar quirks a parser must survive: CDATA-wrapped titles whose
+    content is LITERAL (``&`` inside CDATA must not unescape),
+    entity-escaped titles and link query strings outside CDATA, RSS
+    ``<link>`` element text vs Atom self-closing ``<link href=.../>``,
+    ``<guid>`` attributes (isPermaLink), optional date fields (RFC 822
+    pubDate vs RFC 3339 updated — kept as raw strings, see
+    _cc_feed_urls), and mixed EOL."""
+    rng = random.Random(
+        (seed << 25) ^ zlib.crc32(b"feed:" + domain.encode("ascii")))
+    if rng.random() < 0.35:
+        return None
+    atom = rng.random() < 0.45
+    n = rng.randint(3, 12)
+    entries = []
+    for j in range(n):
+        w1, w2 = rng.choice(_ASCII_WORDS), rng.choice(_ASCII_WORDS)
+        title_words = f"{w1} &amp; {w2}" if rng.random() < 0.25 else \
+            f"{w1} {w2} {rng.choice(_ASCII_WORDS)}"
+        if rng.random() < 0.3:
+            # CDATA: literal content, raw '&' allowed and must survive
+            title = f"<![CDATA[{w1} & {w2} (raw)]]>"
+        else:
+            title = title_words
+        link = f"https://{domain}/{w1}/post-{j}.html"
+        if rng.random() < 0.25:
+            link += f"?utm={rng.choice(_ASCII_WORDS)}&amp;p={rng.randint(1, 9)}"
+        from datetime import date as _date
+        m, d = rng.randint(1, 12), rng.randint(1, 28)
+        h, mi = rng.randint(0, 23), rng.randint(0, 59)
+        if atom:
+            ent = [f"  <entry>", f"    <title>{title}</title>",
+                   f'    <link href="{link}"/>']
+            if rng.random() < 0.8:
+                ent.append(f"    <updated>2025-{m:02d}-{d:02d}"
+                           f"T{h:02d}:{mi:02d}:00Z</updated>")
+            ent.append(f"    <id>tag:{domain},2025:/post-{j}</id>")
+            ent.append("  </entry>")
+        else:
+            ent = ["  <item>", f"    <title>{title}</title>",
+                   f"    <link>{link}</link>"]
+            if rng.random() < 0.8:
+                dow = _RSS_DOW[_date(2025, m, d).weekday()]
+                ent.append(f"    <pubDate>{dow}, {d:02d} {_RSS_MON[m - 1]}"
+                           f" 2025 {h:02d}:{mi:02d}:00 GMT</pubDate>")
+            if rng.random() < 0.6:
+                perma = "true" if rng.random() < 0.5 else "false"
+                ent.append(f'    <guid isPermaLink="{perma}">'
+                           f"https://{domain}/g/{j}</guid>")
+            ent.append("  </item>")
+        entries.append("\n".join(ent))
+    body = "\n".join(entries)
+    if atom:
+        doc = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+               '<feed xmlns="http://www.w3.org/2005/Atom">\n'
+               f"  <title>{domain} feed</title>\n"
+               f'  <link href="https://{domain}/"/>\n'
+               f"{body}\n</feed>")
+    else:
+        doc = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+               '<rss version="2.0">\n<channel>\n'
+               f"  <title>{domain} feed</title>\n"
+               f"  <link>https://{domain}/</link>\n"
+               f"{body}\n</channel>\n</rss>")
+    eol = "\n" if rng.random() < 0.7 else "\r\n"
+    return doc.replace("\n", eol).encode("ascii")
+
+
+def feed_rows(seed: int = SEED) -> list[tuple[str, str | None]]:
+    """(domain, feed xml text or None) for every corpus domain."""
+    out = []
+    for d in _DOMAINS:
+        b = gen_feed(d, seed)
+        out.append((d, b.decode("ascii") if b is not None else None))
+    return out
+
+
 def gen_doc(i: int, seed: int = SEED) -> list[dict]:
     """Rows for document id *i* — usually one, two when it's a dup url.
 

@@ -596,3 +596,26 @@ def sitemaps_table() -> str:
     _atomic_write_table(table, path)
     _memo[key] = path
     return path
+
+
+def feeds_table() -> str:
+    """RAW per-domain syndication-feed dimension (domain, RSS/Atom xml
+    text or NULL) straight from the generator — the oracle side of
+    cc_feed_urls parses it with DuckDB's OWN regexp/list functions (no
+    shared code with the Spark side)."""
+    key = "feeds_raw"
+    if key in _memo:
+        return _memo[key]
+    import pyarrow as pa
+
+    from .corpusgen import feed_rows
+
+    rows = feed_rows()
+    table = pa.table({
+        "domain": pa.array([d for d, _ in rows], pa.string()),
+        "feed": pa.array([t for _, t in rows], pa.string()),
+    })
+    path = os.path.join(_ORACLE_DIR, "feeds_raw.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path

@@ -661,6 +661,53 @@ def test_sitemap_discovery_chain_and_entity_unescape(spark):
     assert all(sorted(v) == list(range(len(v))) for v in bydom.values())
 
 
+def test_feed_parse_unified_projection_and_cdata(spark):
+    """cc_feed_urls spec pins: CDATA titles are LITERAL (raw '&'
+    survives, no entity unescape), non-CDATA titles/urls unescape the
+    XML predefined entities, RSS links come from element text vs Atom
+    from <link href>, dates stay raw strings per kind, and per-domain
+    positions are dense from 0."""
+    import __spark_entry__ as entry_mod
+    from cc_extract.corpusgen import feed_rows
+
+    feeds = dict(feed_rows())
+    assert feeds == dict(feed_rows())  # deterministic, own rng stream
+
+    rows = entry_mod._cc_feed_urls(spark, "").collect()
+    assert len(rows) > 100
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"rss", "atom"}
+    # CDATA literal: the generator's CDATA titles end in '(raw)' and
+    # carry a bare '&' that must survive unchanged
+    cdata = [r for r in rows if r["title"] and r["title"].endswith("(raw)")]
+    assert cdata and all(" & " in r["title"] for r in cdata)
+    assert not any("CDATA" in (r["title"] or "") for r in rows)
+    # non-CDATA entity unescape: '&amp;' never leaks through
+    assert any("&" in (r["title"] or "") for r in rows if not
+               r["title"].endswith("(raw)"))
+    assert not any("&amp;" in (r["title"] or "") for r in rows)
+    assert any("&" in (r["url"] or "") for r in rows)
+    assert not any("&amp;" in (r["url"] or "") for r in rows)
+    # url shape per kind + date dialect per kind
+    for r in rows:
+        assert r["url"].startswith(f"https://{r['domain']}/")
+        if r["published"] is not None:
+            if r["kind"] == "atom":
+                assert r["published"].endswith("Z") and "T" in r["published"]
+            else:
+                assert r["published"].endswith(" GMT")
+        if r["kind"] == "atom":
+            assert r["entry_id"].startswith("tag:")
+    # optional fields show as NULL
+    assert any(r["published"] is None for r in rows)
+    assert any(r["entry_id"] is None for r in rows if r["kind"] == "rss")
+    # dense document-order positions per domain
+    bydom: dict = {}
+    for r in rows:
+        bydom.setdefault(r["domain"], []).append(r["pos"])
+    assert all(sorted(v) == list(range(len(v))) for v in bydom.values())
+
+
 def test_quality_classifier_learns_past_the_prior(spark):
     """The GD-trained linear model must actually learn: training accuracy
     beats the keep-class prior (always-keep baseline), and the learned
