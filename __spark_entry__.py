@@ -1486,6 +1486,26 @@ def _cc_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_jsonld_df(docs)
 
 
+def _cc_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured table extraction (round 5): per CELL of the newest
+    crawl of every html-routed url — (table_idx, caption, row_idx,
+    col_idx, is_header, cell).  The tabular-data surface a training
+    pipeline harvests SEPARATELY from prose: the block scanner's
+    text-density heuristic drops most table rows as boilerplate (they
+    are not prose), and this operator is where that data comes out
+    structured instead.  Row semantics are ONE shared function
+    (extractors.html.html_tables: positional geometry, tag-strip +
+    charref + ws-collapse cell text, empty-is-NULL) called per element
+    in the Arrow batch here and per row single-process in
+    oracle_data.tables_table; each side independently expresses only
+    the keep-newest dedup.  Scale shape: the payload-bearing pass
+    reduces each page to O(cells) short rows before the only shuffle."""
+    from cc_extract.job import html_tables_df
+
+    docs, _ = _cc_corpus_and_extracted(spark)
+    return html_tables_df(docs)
+
+
 def _cc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX-style capture index (round 5) — the URL-index artifact a real
     crawl publishes next to its WARC segments: one row per CAPTURE (not
@@ -1534,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "cc_jsonld": _cc_jsonld,  # r5: schema.org JSON-LD extraction
         "cc_feed_urls": _cc_feed_urls,  # r5: RSS/Atom feed discovery
+        "cc_html_tables": _cc_html_tables,  # r5: structured table cells
         "cc_wat_roundtrip": _cc_wat_roundtrip,  # r5: WAT metadata sidecar
         "cc_revisit_roundtrip": _cc_revisit_roundtrip,  # r5: §6.7.2 dedup
         "cc_crawl_policy": _cc_crawl_policy,  # r5: politeness policy table
@@ -3837,6 +3858,20 @@ WITH ranked AS (
 )
 SELECT url, ld_blocks, ld_valid, ld_types, ld_headline, ld_breadcrumbs
 FROM ranked WHERE rn = 1 ORDER BY url
+"""
+
+    # Table extraction: row semantics shared (html_tables via
+    # oracle_data.tables_table); SQL re-expresses only the keep-newest
+    # dedup (dense over the per-cell rows) + projection
+    tbl_tbl = oracle_data.tables_table(_CC_N_DOCS)
+    sql["cc_html_tables"] = f"""
+WITH ranked AS (
+  SELECT *, dense_rank() OVER (
+    PARTITION BY url ORDER BY warc_ts DESC) AS rk
+  FROM read_parquet('{tbl_tbl}')
+)
+SELECT url, table_idx, caption, row_idx, col_idx, is_header, cell
+FROM ranked WHERE rk = 1 ORDER BY url, table_idx, row_idx, col_idx
 """
 
     # CDX capture index over the generator-direct corpus table: the SURT

@@ -182,6 +182,32 @@ def _gen_html(rng: random.Random) -> bytes:
     import hashlib as _hashlib
     import json as _json
     hv = int(_hashlib.md5(f"ld:{slug}:{lang}".encode()).hexdigest(), 16)
+    # Data table (2/3 of html docs) — same hash-only derivation: header
+    # row (<th>), word first column + numeric cells, optional <caption>,
+    # cells separated by markup whitespace.  The prose heuristic drops
+    # most table rows as boilerplate (low text density — tables are not
+    # prose), which is exactly the real-stack split cc_html_tables
+    # exists for: tables come out as STRUCTURED rows, not prose text.
+    hv2 = int(_hashlib.md5(f"tbl:{slug}:{lang}".encode()).hexdigest(), 16)
+    if hv2 % 3 == 0:
+        table_html = ""
+    else:
+        ncols = 2 + (hv2 >> 4) % 3
+        nrows = 2 + (hv2 >> 8) % 5
+        hdr = [_WORDS[(hv2 >> (12 + 7 * c)) % len(_WORDS)]
+               for c in range(ncols)]
+        trs = ["<tr>" + " ".join(f"<th>{w}</th>" for w in hdr) + "</tr>"]
+        for ri in range(nrows):
+            cells = []
+            for c in range(ncols):
+                x = (hv2 >> ((ri * ncols + c) % 40)) & 0xFFFF
+                cells.append(f"<td>{_WORDS[x % len(_WORDS)]}</td>"
+                             if c == 0 else f"<td>{x % 1000}</td>")
+            trs.append("<tr>\n" + "\n".join(cells) + "\n</tr>")
+        cap = (f"<caption>{hdr[0]} by {hdr[-1]}</caption>\n"
+               if hv2 % 5 == 0 else "")
+        table_html = ('<table class="data">\n' + cap
+                      + "\n".join(trs) + "\n</table>\n")
     if hv % 13 == 0:
         ld_scripts = ""
     else:
@@ -226,7 +252,7 @@ def _gen_html(rng: random.Random) -> bytes:
 {paras}
 <h2>{_words(rng, 3)}</h2>
 <ul>{lis}</ul>
-</div>
+{table_html}</div>
 <aside><div>{farm}</div><div class="related">{related}</div></aside>
 <footer><p><a href="/about">about</a> <a href="/tos">tos</a> <a href="/priv">priv</a></p></footer>
 <script type="text/javascript">trailer();</script>

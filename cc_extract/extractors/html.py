@@ -624,6 +624,73 @@ def html_jsonld(payload: bytes, url: str | None = None) -> dict | None:
     }
 
 
+_TABLE_RX = re.compile(r"<table\b[^>]*>(.*?)</table\s*>",
+                       re.IGNORECASE | re.DOTALL)
+_TR_RX = re.compile(r"<tr\b[^>]*>(.*?)</tr\s*>", re.IGNORECASE | re.DOTALL)
+_CELL_RX = re.compile(r"<(t[dh])\b[^>]*>(.*?)</t[dh]\s*>",
+                      re.IGNORECASE | re.DOTALL)
+_CAPTION_RX = re.compile(r"<caption\b[^>]*>(.*?)</caption\s*>",
+                         re.IGNORECASE | re.DOTALL)
+_ANYTAG_RX = re.compile(r"<[^>]*>")
+
+TABLE_COLS = ("table_idx", "caption", "row_idx", "col_idx", "is_header",
+              "cell")
+
+
+def html_tables(payload: bytes, url: str | None = None) -> list[dict] | None:
+    """Structured TABLE extraction — the tabular-data surface a
+    training-data pipeline harvests separately from prose (the block
+    scanner deliberately drops most table rows as boilerplate: low text
+    density, not prose — tables belong in structured rows, the
+    trafilatura/table-corpus split).
+
+    Normative spec (shared row code between the Spark ``mapInPandas``
+    batch fn and the DuckDB oracle table builder, the html_meta
+    pattern):
+
+    - routing parity with extract_document (``_resolve_html_doc``;
+      non-html -> None, html with zero tables -> ``[]``);
+    - one output row per CELL: (table_idx, caption, row_idx, col_idx,
+      is_header, cell) — document-order indices, ``col_idx`` positional
+      (rowspan/colspan geometry is out of scope, a documented
+      simplification), ``is_header`` = the cell is ``<th>``;
+    - cell text: inner tags stripped to spaces, charrefs decoded,
+      whitespace collapsed; EMPTY cells keep their position with
+      ``cell`` NULL (empty-is-NULL, never '');
+    - ``caption``: the table's first <caption>, same text rules, NULL
+      when absent; repeated on each of the table's rows;
+    - nested tables are out of scope (non-greedy innermost match; the
+      corpus emits none) and a row with zero cells emits nothing —
+      never raises on arbitrary markup.
+    """
+    from html import unescape
+
+    doc = _resolve_html_doc(payload, url)
+    if doc is None:
+        return None
+
+    def txt(raw: str) -> str | None:
+        return _WS.sub(" ", unescape(_ANYTAG_RX.sub(" ", raw))).strip() \
+            or None
+
+    out: list[dict] = []
+    for ti, tm in enumerate(_TABLE_RX.finditer(doc)):
+        body = tm.group(1)
+        cm = _CAPTION_RX.search(body)
+        caption = txt(cm.group(1)) if cm else None
+        for ri, rm in enumerate(_TR_RX.finditer(body)):
+            for ci, cellm in enumerate(_CELL_RX.finditer(rm.group(1))):
+                out.append({
+                    "table_idx": ti,
+                    "caption": caption,
+                    "row_idx": ri,
+                    "col_idx": ci,
+                    "is_header": int(cellm.group(1).lower() == "th"),
+                    "cell": txt(cellm.group(2)),
+                })
+    return out
+
+
 def html_span_stats(payload: bytes, url: str | None = None) -> dict | None:
     """Per-document span-provenance stats for the ``cc_html_spans``
     contract query — the SINGLE row-semantics implementation both the

@@ -289,6 +289,50 @@ def html_blocks_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def html_tables_df(docs: DataFrame) -> DataFrame:
+    """Structured table extraction over a corpus frame — per CELL of the
+    newest crawl of every html-routed url: (url, table_idx, caption,
+    row_idx, col_idx, is_header, cell).  Row semantics are the shared
+    cc_extract.extractors.html.html_tables (see its docstring); same
+    scale shape as html_blocks_df — the one payload-bearing mapInPandas
+    pass reduces each page to O(cells) short rows, so the url-hash
+    dedup window shuffles cell rows, never payloads."""
+    from .extractors.html import TABLE_COLS, html_tables
+
+    schema = ("url string, warc_ts timestamp, table_idx int, "
+              "caption string, row_idx int, col_idx int, is_header int, "
+              "cell string")
+    cols = ("url", "warc_ts", *TABLE_COLS)
+
+    def batches(it):
+        for pdf in it:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for url, ts, payload in zip(pdf["url"], pdf["warc_ts"],
+                                        pdf["html"]):
+                trs = html_tables(payload, url)
+                if not trs:
+                    continue
+                for t in trs:
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(ts)
+                    for k in TABLE_COLS:
+                        rows[k].append(t[k])
+            yield pd.DataFrame(rows, columns=list(cols))
+
+    cells = docs.select("url", "warc_ts", "html").mapInPandas(
+        batches, schema=schema
+    )
+    # keep-newest per url: dense rank — all cells of the newest crawl
+    # share its ts
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        cells.withColumn("_rk", F.dense_rank().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("url", *TABLE_COLS)
+        .orderBy("url", "table_idx", "row_idx", "col_idx")
+    )
+
+
 def snapshot_diff_df(docs: DataFrame, pivot_ts: str) -> DataFrame:
     """Inter-crawl snapshot diff over a corpus frame — the
     refresh/frontier table a recurring crawl derives before deciding

@@ -598,6 +598,44 @@ def sitemaps_table() -> str:
     return path
 
 
+def tables_table(n_docs: int = 1200) -> str:
+    """Per-INPUT-ROW table cells for html-routed documents
+    (cc_extract.extractors.html.html_tables — the shared row semantics;
+    the SQL side re-expresses the keep-newest dedup + projection)."""
+    key = f"tables:{n_docs}"
+    if key in _memo:
+        return _memo[key]
+    import pyarrow as pa
+
+    from .corpusgen import gen_corpus
+    from .extractors.html import TABLE_COLS, html_tables
+
+    cols: dict[str, list] = {c: [] for c in ("url", "warc_ts", *TABLE_COLS)}
+    for r in gen_corpus(n_docs):
+        trs = html_tables(r["html"], r["url"])
+        if not trs:
+            continue
+        for t in trs:
+            cols["url"].append(r["url"])
+            cols["warc_ts"].append(r["warc_ts"])
+            for k in TABLE_COLS:
+                cols[k].append(t[k])
+    table = pa.table({
+        "url": pa.array(cols["url"], pa.string()),
+        "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+        "table_idx": pa.array(cols["table_idx"], pa.int32()),
+        "caption": pa.array(cols["caption"], pa.string()),
+        "row_idx": pa.array(cols["row_idx"], pa.int32()),
+        "col_idx": pa.array(cols["col_idx"], pa.int32()),
+        "is_header": pa.array(cols["is_header"], pa.int32()),
+        "cell": pa.array(cols["cell"], pa.string()),
+    })
+    path = os.path.join(_ORACLE_DIR, f"tables_{n_docs}.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path
+
+
 def feeds_table() -> str:
     """RAW per-domain syndication-feed dimension (domain, RSS/Atom xml
     text or NULL) straight from the generator — the oracle side of

@@ -321,3 +321,59 @@ def test_html_jsonld_populated_on_corpus():
     # every generator variant class is populated in a 200-doc window
     assert n > 100 and with_blocks > 80
     assert invalid > 3 and crumbs > 10 and graphs > 3 and zero > 3
+
+
+def test_html_tables_geometry_and_text_rules():
+    from cc_extract.extractors.html import html_tables
+
+    doc = (b"<html><body><p>prose</p>"
+           b"<table><caption>C &amp; cap</caption>"
+           b"<tr><th>h1</th> <th>h2</th></tr>"
+           b"<tr><td><b>bold</b> text</td><td></td></tr>"
+           b"<tr><td>42</td></tr>"
+           b"</table>"
+           b"<table><tr><td>t2</td></tr></table>"
+           b"</body></html>")
+    rows = html_tables(doc, "https://x/a.html")
+    # geometry: 2 tables, positional indices, ragged rows allowed
+    assert [(r["table_idx"], r["row_idx"], r["col_idx"]) for r in rows] == [
+        (0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1), (0, 2, 0), (1, 0, 0)]
+    assert [r["is_header"] for r in rows] == [1, 1, 0, 0, 0, 0]
+    # caption repeats per row of ITS table only; charrefs decode
+    assert rows[0]["caption"] == "C & cap" and rows[5]["caption"] is None
+    # inner tags strip to spaces; empty cell is NULL not ''
+    assert rows[2]["cell"] == "bold text"
+    assert rows[3]["cell"] is None
+    assert rows[4]["cell"] == "42"
+    # routing parity + never-raises on weird markup
+    assert html_tables(b"%PDF-1.4 x", "https://x/a.pdf") is None
+    assert html_tables(b"<html><body><p>no tables</p></body></html>",
+                       "https://x/a.html") == []
+    assert html_tables(b"<html><table><tr><td>open",
+                       "https://x/a.html") == []
+
+
+def test_html_tables_populated_on_corpus():
+    from cc_extract.extractors.html import html_tables
+
+    docs_with = headers = captions = numeric = 0
+    for p in CORPUS_HTML[:120]:
+        rows = html_tables(p)
+        if not rows:
+            continue
+        docs_with += 1
+        assert all(r["table_idx"] == 0 for r in rows)  # one table per doc
+        hdr = [r for r in rows if r["is_header"]]
+        assert hdr and all(r["row_idx"] == 0 for r in hdr)
+        headers += 1
+        if rows[0]["caption"]:
+            captions += 1
+        if any(r["cell"] and r["cell"].isdigit() for r in rows):
+            numeric += 1
+        # rectangular within this corpus: every body row has the header width
+        ncols = len(hdr)
+        bydrow: dict = {}
+        for r in rows:
+            bydrow.setdefault(r["row_idx"], []).append(r["col_idx"])
+        assert all(v == list(range(ncols)) for v in bydrow.values())
+    assert docs_with > 50 and captions > 5 and numeric > 40
