@@ -98,6 +98,31 @@ def _cc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_ole_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy-Office family accounting (round 5): the OLE magic routes by
+    CFB directory stream names to doc (Word97 piece table), xls (BIFF8
+    Workbook incl. SST CONTINUE spill), ppt (text atoms) or the
+    unsupported_legacy quarantine (unknown-app containers).  Pins the new
+    extractors' OUTPUT BYTES, not just counts: min/max/distinct text
+    sha256 per (fmt, status) — a value drift in any xls cell-record or
+    ppt atom decode flips the hash aggregate.  Oracle re-aggregates the
+    single-process per-row extraction table.  Scale shape: pure
+    post-extraction aggregation, partial-aggregable, no payload moves."""
+    _, res = _cc_corpus_and_extracted(spark)
+    return (
+        res.filter(F.col("fmt").isin("doc", "xls", "ppt", "ole"))
+        .groupBy("fmt", "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text_out")).alias("total_chars"),
+            F.countDistinct("text_sha256").alias("n_distinct_texts"),
+            F.min("text_sha256").alias("min_sha"),
+            F.max("text_sha256").alias("max_sha"),
+        )
+        .orderBy("fmt", "status")
+    )
+
+
 def _cc_encrypted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encrypted-PDF accounting across handler generations (RC4 V1/R2,
     /AESV2 V4/R4, /AESV3 V5/R6) x extraction outcome: documents whose
@@ -1552,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "cc_ole_stats": _cc_ole_stats,  # r5: legacy xls/ppt/ole routing
         "cc_jsonld": _cc_jsonld,  # r5: schema.org JSON-LD extraction
         "cc_feed_urls": _cc_feed_urls,  # r5: RSS/Atom feed discovery
         "cc_html_tables": _cc_html_tables,  # r5: structured table cells
@@ -3614,6 +3640,16 @@ WITH {dedup_cte}
 SELECT fmt, status, count(*) AS n_docs,
        CAST(sum(length(text_out)) AS BIGINT) AS total_chars
 FROM d GROUP BY fmt, status ORDER BY fmt, status
+"""
+
+    sql["cc_ole_stats"] = f"""
+WITH {dedup_cte}
+SELECT fmt, status, count(*) AS n_docs,
+       CAST(sum(length(text_out)) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT text_sha256) AS BIGINT) AS n_distinct_texts,
+       min(text_sha256) AS min_sha, max(text_sha256) AS max_sha
+FROM d WHERE fmt IN ('doc', 'xls', 'ppt', 'ole')
+GROUP BY fmt, status ORDER BY fmt, status
 """
 
     sql["cc_needs_ocr"] = f"""

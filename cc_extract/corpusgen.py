@@ -1150,10 +1150,13 @@ def _cfb_container(streams: list[tuple[str, bytes]]) -> bytes:
         struct.pack_into("<Q", e, 120, size)
         return bytes(e)
 
+    assert 1 <= len(padded) <= 3  # one directory sector
     dirs = dir_entry("Root Entry", 5, ENDOFCHAIN, 0, child=1)
-    dirs += dir_entry(padded[0][0], 2, starts[0], len(padded[0][1]), right=2)
-    dirs += dir_entry(padded[1][0], 2, starts[1], len(padded[1][1]))
-    dirs += dir_entry("", 0, 0, 0)  # unused slot -> skipped by readers
+    for k, ((name, data), start) in enumerate(zip(padded, starts)):
+        right = k + 2 if k + 1 < len(padded) else NOSTREAM
+        dirs += dir_entry(name, 2, start, len(data), right=right)
+    while len(dirs) < 4 * 128:
+        dirs += dir_entry("", 0, 0, 0)  # unused slot -> skipped by readers
     sectors[dir_sector_idx] = dirs.ljust(SS, b"\x00")
 
     header = bytearray(512)
@@ -1212,6 +1215,217 @@ def _gen_doc(rng: random.Random) -> bytes:
     struct.pack_into("<I", word, 0x01A6, len(clx))   # lcbClx
 
     return _cfb_container([("WordDocument", bytes(word)), ("1Table", clx)])
+
+
+# ----------------------------------------------------- legacy .xls/.ppt
+
+def _biff_rec(rt: int, data: bytes) -> bytes:
+    import struct
+    return struct.pack("<HH", rt, len(data)) + data
+
+
+def _xls_sst_fragments(strings: list[tuple[str, bool]],
+                       cap: int) -> list[bytes]:
+    """Serialize XLUnicodeRichExtendedStrings into SST + CONTINUE payload
+    fragments of at most *cap* bytes, splitting only at legal points:
+    never inside a header, char splits restate the option byte in the
+    next fragment ([MS-XLS] 2.5.293).  ``strings`` carries (text, rich);
+    rich strings get one synthetic FormatRun and are kept unsplit."""
+    import struct
+
+    frags: list[bytearray] = [bytearray()]
+
+    def room() -> int:
+        return cap - len(frags[-1])
+
+    def new_frag() -> None:
+        frags.append(bytearray())
+
+    frags[0] += struct.pack("<II", len(strings), len(strings))
+    for text, rich in strings:
+        # write non-ascii strings uncompressed (UTF-16) so the reader's
+        # fHighByte path sees real traffic even though latin-1 would fit
+        high = any(ord(c) > 0x7F for c in text)
+        flags = (0x01 if high else 0x00) | (0x08 if rich else 0x00)
+        hdr = struct.pack("<HB", len(text), flags)
+        if rich:
+            hdr += struct.pack("<H", 1)  # one FormatRun
+        chars = (text.encode("utf-16-le") if high
+                 else text.encode("latin-1"))
+        run = struct.pack("<HH", 0, 0) if rich else b""
+        if rich:
+            # keep rich strings whole (writer simplification; the reader
+            # handles raw-continued run data anyway)
+            if room() < len(hdr) + len(chars) + len(run):
+                new_frag()
+            frags[-1] += hdr + chars + run
+            continue
+        if room() < len(hdr) + (2 if high else 1):
+            new_frag()  # header + at least one char must fit
+        frags[-1] += hdr
+        width = 2 if high else 1
+        pos = 0
+        while pos < len(chars):
+            if room() < width:
+                new_frag()
+                frags[-1].append(0x01 if high else 0x00)  # restated flags
+            take = min(len(chars) - pos, (room() // width) * width)
+            frags[-1] += chars[pos : pos + take]
+            pos += take
+    return [bytes(f) for f in frags]
+
+
+def _gen_xls(rng: random.Random) -> bytes:
+    """Spec-correct minimal BIFF8 workbook: globals substream (BOF,
+    BOUNDSHEETs, SST with CONTINUE spill, EOF) + 1-2 worksheet substreams
+    exercising every cell record the reader supports (LABELSST incl.
+    UTF-16 strings, LABEL, NUMBER, RK int/x100/double, MULRK, BOOLERR,
+    FORMULA cached number/string/bool + STRING)."""
+    import struct
+
+    n_sheets = 1 if rng.random() < 0.6 else 2
+    sst_strings: list[tuple[str, bool]] = []
+
+    def sst_add(text: str, rich: bool = False) -> int:
+        sst_strings.append((text, rich))
+        return len(sst_strings) - 1
+
+    sheets: list[bytes] = []
+    for _ in range(n_sheets):
+        ncols = rng.randint(2, 5)
+        nrows = rng.randint(3, 8)
+        body = bytearray()
+        # header row: shared strings (one occasionally rich)
+        for c in range(ncols):
+            isst = sst_add(rng.choice(_WORDS), rich=(rng.random() < 0.15))
+            body += _biff_rec(0x00FD, struct.pack("<HHHI", 0, c, 0, isst))
+        for r in range(1, nrows):
+            for c in range(ncols):
+                kind = rng.random()
+                base = struct.pack("<HHH", r, c, 0)
+                if kind < 0.35:
+                    isst = sst_add(_words(rng, rng.randint(1, 3)))
+                    body += _biff_rec(
+                        0x00FD, struct.pack("<HHHI", r, c, 0, isst))
+                elif kind < 0.5:
+                    body += _biff_rec(
+                        0x0203, base + struct.pack("<d", rng.randint(1, 9999)
+                                                   + rng.randint(0, 3) * 0.25))
+                elif kind < 0.62:  # RK integer (sometimes x100)
+                    v = rng.randint(-5000, 5000)
+                    if rng.random() < 0.4:
+                        rk = ((v & 0x3FFFFFFF) << 2) | 0x03  # int, /100
+                    else:
+                        rk = ((v & 0x3FFFFFFF) << 2) | 0x02  # int
+                    body += _biff_rec(0x027E, base + struct.pack("<I", rk))
+                elif kind < 0.7:  # RK double (low 34 bits zero)
+                    v = rng.choice([1.5, 2.25, -3.5, 100.0, 0.75])
+                    (bits,) = struct.unpack("<Q", struct.pack("<d", v))
+                    rk = (bits >> 32) & 0xFFFFFFFC
+                    body += _biff_rec(0x027E, base + struct.pack("<I", rk))
+                elif kind < 0.78 and c + 2 < ncols:
+                    n = min(rng.randint(2, 3), ncols - c)
+                    payload = struct.pack("<HH", r, c)
+                    for k in range(n):
+                        v = rng.randint(0, 999)
+                        payload += struct.pack("<HI", 0, (v << 2) | 0x02)
+                    payload += struct.pack("<H", c + n - 1)
+                    body += _biff_rec(0x00BD, payload)
+                elif kind < 0.85:
+                    if rng.random() < 0.7:
+                        body += _biff_rec(0x0205, base + bytes(
+                            [1 if rng.random() < 0.5 else 0, 0]))
+                    else:
+                        body += _biff_rec(0x0205, base + bytes([0x0F, 1]))
+                elif kind < 0.93:  # FORMULA cached number
+                    num = struct.pack("<d", rng.randint(1, 500) + 0.5)
+                    body += _biff_rec(
+                        0x0006, base + num + struct.pack("<HIH", 0, 0, 0))
+                else:  # FORMULA cached string + STRING record
+                    s = rng.choice(_WORDS)
+                    body += _biff_rec(0x0006, base
+                                      + b"\x00\x00\x00\x00\x00\x00\xff\xff"
+                                      + struct.pack("<HIH", 0, 0, 0))
+                    enc = s.encode("latin-1")
+                    body += _biff_rec(0x0207, struct.pack("<HB", len(s), 0)
+                                      + enc)
+        bof = _biff_rec(0x0809, struct.pack("<HHHHII",
+                                            0x0600, 0x0010, 0x0DBB,
+                                            0x07CC, 0, 0))
+        sheets.append(bof + bytes(body) + _biff_rec(0x000A, b""))
+
+    # a low cap forces CONTINUE records (incl. mid-string char splits)
+    # on roughly half the workbooks
+    cap = rng.choice([64, 96, 8224])
+    sst_frags = _xls_sst_fragments(sst_strings, cap)
+    sst_recs = _biff_rec(0x00FC, sst_frags[0]) + b"".join(
+        _biff_rec(0x003C, f) for f in sst_frags[1:])
+
+    bof_g = _biff_rec(0x0809, struct.pack("<HHHHII",
+                                          0x0600, 0x0005, 0x0DBB,
+                                          0x07CC, 0, 0))
+    eof = _biff_rec(0x000A, b"")
+    # two-pass BOUNDSHEET lbPlyPos fixup
+    names = [f"Sheet{k + 1}" for k in range(n_sheets)]
+    bs_len = [4 + (4 + 2 + 1 + 1 + len(nm)) for nm in names]
+    globals_len = (len(bof_g) + sum(bs_len) + len(sst_recs) + len(eof))
+    positions, acc = [], globals_len
+    for sh in sheets:
+        positions.append(acc)
+        acc += len(sh)
+    bs_recs = b""
+    for nm, pos in zip(names, positions):
+        bs_recs += _biff_rec(0x0085, struct.pack("<IHB", pos, 0, len(nm))
+                             + b"\x00" + nm.encode("latin-1"))
+    workbook = bof_g + bs_recs + sst_recs + eof + b"".join(sheets)
+    return _cfb_container([("Workbook", workbook)])
+
+
+def _ppt_rec(ver_inst: int, rec_type: int, data: bytes) -> bytes:
+    import struct
+    return struct.pack("<HHI", ver_inst, rec_type, len(data)) + data
+
+
+def _gen_ppt(rng: random.Random) -> bytes:
+    """Spec-shaped minimal [MS-PPT] deck: DocumentContainer >
+    SlideListWithTextContainer > per slide a SlidePersistAtom +
+    TextHeaderAtom + TextCharsAtom (UTF-16) or TextBytesAtom (cp1252),
+    which is exactly how linear saves store outline text."""
+    import struct
+
+    slides = []
+    n_slides = rng.randint(2, 6)
+    for s in range(n_slides):
+        parts = [_ppt_rec(0x0000, 0x03F3,
+                          struct.pack("<IIIHH", 0, 0, s + 1, 0, 0))]
+        for _ in range(rng.randint(1, 3)):
+            tx_type = rng.randint(0, 8)
+            parts.append(_ppt_rec(0x0000, 0x0F9F,
+                                  struct.pack("<I", tx_type)))
+            text = _sentences(rng, rng.randint(1, 3))
+            if rng.random() < 0.3:  # multi-paragraph atom: CR separator
+                text += "\r" + _sentences(rng, 1)
+            if rng.random() < 0.5:
+                parts.append(_ppt_rec(0x0000, 0x0FA0,
+                                      text.encode("utf-16-le")))
+            else:
+                parts.append(_ppt_rec(
+                    0x0000, 0x0FA8,
+                    text.encode("cp1252", "replace")))
+        slides.append(b"".join(parts))
+    slwt = _ppt_rec(0x000F, 0x0FF0, b"".join(slides))
+    doc = _ppt_rec(0x000F, 0x03E8, slwt)
+    current_user = struct.pack("<IIIIHHHH", 20, 0xE391C05F, 0, 0,
+                               3, 0, 4, 0)
+    return _cfb_container([("Current User", current_user),
+                           ("PowerPoint Document", doc)])
+
+
+def _gen_ole_other(rng: random.Random) -> bytes:
+    """A valid CFB container that is neither Word nor Excel nor PowerPoint
+    (Visio-style) — populates the ``unsupported_legacy`` quarantine."""
+    junk = bytes(rng.randrange(256) for _ in range(rng.randint(64, 256)))
+    return _cfb_container([("VisioDocument", junk)])
 
 
 # ------------------------------------------------------------- the rest
@@ -2658,6 +2872,7 @@ def _gen_corrupt(rng: random.Random) -> bytes:
 
 _GENERATORS = {
     "html": _gen_html, "pdf": _gen_pdf, "txt": _gen_txt, "doc": _gen_doc,
+    "xls": _gen_xls, "ppt": _gen_ppt, "ole": _gen_ole_other,
     "ps": _gen_ps,
     "docx": _gen_docx,
     "rtf": _gen_rtf, "odt": _gen_odt, "epub": _gen_epub,
@@ -2667,6 +2882,7 @@ _GENERATORS = {
 }
 
 _EXT = {"html": "html", "pdf": "pdf", "txt": "txt", "doc": "doc", "ps": "ps",
+        "xls": "xls", "ppt": "ppt", "ole": "bin",
         "docx": "docx",
         "rtf": "rtf", "odt": "odt", "epub": "epub",
         "xlsx": "xlsx", "pptx": "pptx",
@@ -2917,6 +3133,15 @@ def gen_doc(i: int, seed: int = SEED) -> list[dict]:
     rng = random.Random((seed << 20) ^ i)
     pick = rng.random()
     fmt = next(f for c, f in _CUM if pick < c)
+    if fmt == "doc":
+        # the legacy-Office family shares the OLE slot of the mix,
+        # hash-split (NOT rng-drawn) so docs that stay .doc keep their
+        # exact pre-split rng stream: ~6/16 doc, 4/16 xls, 4/16 ppt,
+        # 2/16 unknown-OLE (the unsupported_legacy quarantine class)
+        import hashlib as _hl
+        h = int(_hl.md5(f"ole:{i}".encode()).hexdigest(), 16) % 16
+        fmt = ("doc" if h < 6 else "xls" if h < 10
+               else "ppt" if h < 14 else "ole")
     # Zipf-ish domain draw: top domain ~20% of rows (FIXTURES.md §1)
     d = rng.random()
     domain = _DOMAINS[0] if d < 0.2 else _DOMAINS[1 + int(d * 49) % 49]

@@ -18,6 +18,8 @@ from __future__ import annotations
 from ..sniff import sniff_format
 from .doc import extract_doc
 from .epub import extract_epub
+from .ppt import extract_ppt
+from .xls import extract_xls
 from .html import extract_html
 from .normalize import normalize_text
 from .odt import extract_odt
@@ -39,6 +41,7 @@ __all__ = [
     "extract_html", "extract_pdf", "extract_ps", "extract_docx",
     "extract_pptx", "extract_epub",
     "extract_xlsx", "extract_odt", "extract_rtf", "extract_txt", "extract_doc",
+    "extract_xls", "extract_ppt",
     "extract_csv", "extract_xml", "extract_json", "extract_eml",
     "normalize_text",
 ]
@@ -49,6 +52,8 @@ EXTRACTORS = {
     "pdf": extract_pdf,
     "ps": extract_ps,
     "doc": extract_doc,
+    "xls": extract_xls,
+    "ppt": extract_ppt,
     "docx": extract_docx,
     "pptx": extract_pptx,
     "xlsx": extract_xlsx,
@@ -89,8 +94,11 @@ def extract_document(payload: bytes | None, url: str | None = None,
     - pdf w/ empty text layer -> OCR-lite over its page-image XObjects
                        (scanned-PDF shape); no recognizable raster ->
                        needs_ocr (D3)
-    - legacy .doc   -> real CFB + Word97 piece-table extraction (doc.py);
-                       non-Word OLE files (.xls/.ppt) land in status=error
+    - legacy OLE    -> routed by CFB directory stream names: .doc (Word97
+                       piece table, doc.py), .xls (BIFF8 Workbook, xls.py),
+                       .ppt (text atoms, ppt.py); an OLE container with
+                       none of those streams (e.g. MSI, Visio) ->
+                       status=unsupported_legacy
     - unknown fmt   -> unsupported
     - extractor exception -> error (message truncated to 200 chars)
     """
@@ -126,6 +134,10 @@ def extract_document(payload: bytes | None, url: str | None = None,
             return {"fmt": fmt, "status": STATUS_NEEDS_OCR, "text": "",
                     "error": "blank raster"}
         return {"fmt": fmt, "status": STATUS_OK_OCR, "text": text, "error": ""}
+    if fmt == "ole":
+        return {"fmt": fmt, "status": STATUS_UNSUPPORTED_LEGACY, "text": "",
+                "error": "unknown OLE compound document "
+                         "(no Word/Excel/PowerPoint stream)"}
     fn = EXTRACTORS.get(fmt)
     if fn is None:
         return {"fmt": fmt, "status": STATUS_UNSUPPORTED,

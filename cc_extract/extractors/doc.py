@@ -150,6 +150,33 @@ class CfbFile:
         raise _DocError(f"stream {name!r} not found")
 
 
+def ole_subtype(payload: bytes) -> str:
+    """CFB directory sniff: ``doc`` | ``xls`` | ``ppt`` | ``ole``.
+
+    The OLE magic alone can't distinguish the legacy Office family — the
+    application lives in the directory's stream names ([MS-CFB] storage
+    conventions).  An unparseable container returns ``doc`` so the
+    extractor surfaces the real parse error in the status row; a parseable
+    container with none of the known streams is ``ole`` (routed to the
+    ``unsupported_legacy`` quarantine by the dispatcher)."""
+    try:
+        names = {e["name"] for e in CfbFile(payload).dir_entries
+                 if e["type"] == 2}
+    except Exception:  # noqa: BLE001 — sniff never raises
+        return "doc"
+    if not names:
+        # a directory with no streams at all is damage (truncation), not
+        # an unknown application: let extract_doc report the real error
+        return "doc"
+    if "WordDocument" in names:
+        return "doc"
+    if "Workbook" in names or "Book" in names:
+        return "xls"
+    if "PowerPoint Document" in names:
+        return "ppt"
+    return "ole"
+
+
 # ------------------------------------------------------------------ .doc
 
 _CONTROL_MAP = {

@@ -78,7 +78,11 @@ def sniff_format(payload: bytes, url: str | None = None) -> str:
     if head.startswith(b"{\\rtf"):
         return "rtf"
     if head.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
-        return "doc"  # legacy OLE compound file (.doc/.xls/.ppt)
+        # legacy OLE compound file: the application is in the CFB
+        # directory's stream names, not the magic (doc/xls/ppt/ole)
+        from .extractors.doc import ole_subtype
+
+        return ole_subtype(payload)
     if head.startswith((b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF87a", b"GIF89a")):
         return "image"
     if head.startswith((b"II*\x00", b"MM\x00*")):

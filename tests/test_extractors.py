@@ -541,13 +541,84 @@ def test_doc_truncated_is_error_row():
     assert res["fmt"] == "doc" and res["status"] == "error"
 
 
-def test_doc_non_word_ole_is_error_row():
-    # valid CFB magic but no WordDocument stream
+def test_ole_subtype_routing():
+    # the CFB directory's stream names route the legacy Office family
     from cc_extract.corpusgen import _cfb_container
     payload = _cfb_container([("Workbook", b"\x00" * 64), ("Extra", b"\x01" * 64)])
     res = extract_document(payload)
-    assert res["fmt"] == "doc" and res["status"] == "error"
-    assert "WordDocument" in res["error"]
+    # garbage Workbook stream: routed to xls, fails with the real reason
+    assert res["fmt"] == "xls" and res["status"] == "error"
+    assert "BOF" in res["error"]
+    res = extract_document(_cfb_container([("VisioDocument", b"\x02" * 64)]))
+    assert res["fmt"] == "ole" and res["status"] == "unsupported_legacy"
+    assert "OLE" in res["error"]
+
+
+def test_xls_roundtrip_and_cell_records():
+    import random
+    from cc_extract.corpusgen import _gen_xls
+    from cc_extract.extractors.xls import extract_xls
+    for seed in (0, 7, 23):
+        out = extract_xls(_gen_xls(random.Random(seed)))
+        assert out.strip()
+        assert "\t" in out  # TAB-joined cells, the xlsx convention
+    # hand-built workbook pinning every cell record + formats
+    import struct
+    from cc_extract.corpusgen import (_biff_rec, _cfb_container,
+                                      _xls_sst_fragments)
+    frags = _xls_sst_fragments([("héllo wörld", False), ("plain", True)],
+                               cap=12)  # forces mid-string CONTINUE
+    sst = _biff_rec(0x00FC, frags[0]) + b"".join(
+        _biff_rec(0x003C, f) for f in frags[1:])
+    cells = (
+        _biff_rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0))      # héllo wörld
+        + _biff_rec(0x00FD, struct.pack("<HHHI", 0, 1, 0, 1))    # plain (rich)
+        + _biff_rec(0x0203, struct.pack("<HHHd", 1, 0, 0, 2.5))  # 2.5
+        + _biff_rec(0x027E, struct.pack("<HHHI", 1, 1, 0,
+                                        ((1234 & 0x3FFFFFFF) << 2) | 0x03))
+        + _biff_rec(0x0205, struct.pack("<HHH", 2, 0, 0) + bytes([1, 0]))
+        + _biff_rec(0x0205, struct.pack("<HHH", 2, 1, 0) + bytes([0x0F, 1]))
+        + _biff_rec(0x0006, struct.pack("<HHH", 3, 0, 0)
+                    + b"\x00\x00\x00\x00\x00\x00\xff\xff"
+                    + struct.pack("<HIH", 0, 0, 0))
+        + _biff_rec(0x0207, struct.pack("<HB", 6, 0) + b"cached")
+    )
+    bof = struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0)
+    bof_g = struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0)
+    sheet = _biff_rec(0x0809, bof) + cells + _biff_rec(0x000A, b"")
+    name = b"S1"
+    glob_len = (20 + (4 + 8 + len(name)) + len(sst) + 4)
+    bs = _biff_rec(0x0085, struct.pack("<IHB", glob_len, 0, len(name))
+                   + b"\x00" + name)
+    wb = _biff_rec(0x0809, bof_g) + bs + sst + _biff_rec(0x000A, b"") + sheet
+    out = extract_xls(_cfb_container([("Workbook", wb)]))
+    lines = out.split("\n")
+    assert lines[0] == "héllo wörld\tplain"
+    assert lines[1] == "2.5\t12.34"       # NUMBER + RK int/x100
+    assert lines[2] == "TRUE\t#VALUE!"    # BOOLERR both kinds
+    assert lines[3] == "cached"           # FORMULA string via STRING
+
+
+def test_ppt_roundtrip_and_text_atoms():
+    import random
+    from cc_extract.corpusgen import _gen_ppt, _ppt_rec, _cfb_container
+    from cc_extract.extractors.ppt import extract_ppt
+    for seed in (1, 9, 31):
+        out = extract_ppt(_gen_ppt(random.Random(seed)))
+        assert out.strip() and "\n" in out
+    # hand-built deck: both atom kinds, CR/VT paragraph marks, nesting
+    import struct
+    atoms = (
+        _ppt_rec(0x0000, 0x0F9F, struct.pack("<I", 0))
+        + _ppt_rec(0x0000, 0x0FA0, "titré one\rline two".encode("utf-16-le"))
+        + _ppt_rec(0x0000, 0x0FA8, b"bytes caf\xe9\x0bwrapped")
+    )
+    doc = _ppt_rec(0x000F, 0x03E8, _ppt_rec(0x000F, 0x0FF0, atoms))
+    payload = _cfb_container([("Current User", b"\x00" * 24),
+                              ("PowerPoint Document", doc)])
+    out = extract_ppt(payload)
+    assert out.split("\n") == ["titré one", "line two", "bytes café",
+                               "wrapped"]
 
 
 # ------------------------------------------------------------------ gzip
