@@ -110,7 +110,7 @@ def _cc_ole_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-extraction aggregation, partial-aggregable, no payload moves."""
     _, res = _cc_corpus_and_extracted(spark)
     return (
-        res.filter(F.col("fmt").isin("doc", "xls", "ppt", "ole"))
+        res.filter(F.col("fmt").isin("doc", "xls", "ppt", "msg", "ole"))
         .groupBy("fmt", "status")
         .agg(
             F.count("*").alias("n_docs"),
@@ -3648,7 +3648,7 @@ SELECT fmt, status, count(*) AS n_docs,
        CAST(sum(length(text_out)) AS BIGINT) AS total_chars,
        CAST(count(DISTINCT text_sha256) AS BIGINT) AS n_distinct_texts,
        min(text_sha256) AS min_sha, max(text_sha256) AS max_sha
-FROM d WHERE fmt IN ('doc', 'xls', 'ppt', 'ole')
+FROM d WHERE fmt IN ('doc', 'xls', 'ppt', 'msg', 'ole')
 GROUP BY fmt, status ORDER BY fmt, status
 """
 

@@ -1040,6 +1040,143 @@ def _gen_odt(rng: random.Random) -> bytes:
     ])
 
 
+def _gen_ods(rng: random.Random) -> bytes:
+    """OpenDocument spreadsheet: 1-2 tables, cells with repeated-column
+    runs, multi-paragraph cells, trailing repeat-padded filler cells."""
+    tables = []
+    for t in range(1 if rng.random() < 0.7 else 2):
+        rows = []
+        ncols = rng.randint(2, 4)
+        for r in range(rng.randint(2, 6)):
+            cells = []
+            for c in range(ncols):
+                if rng.random() < 0.15:
+                    cells.append('<table:table-cell '
+                                 'table:number-columns-repeated="2">'
+                                 f"<text:p>{_words(rng, 1)}</text:p>"
+                                 "</table:table-cell>")
+                elif rng.random() < 0.1:
+                    cells.append("<table:table-cell>"
+                                 f"<text:p>{_words(rng, 2)}</text:p>"
+                                 f"<text:p>{_words(rng, 1)}</text:p>"
+                                 "</table:table-cell>")
+                else:
+                    v = (str(rng.randint(0, 9999)) if rng.random() < 0.4
+                         else _words(rng, rng.randint(1, 2)))
+                    cells.append("<table:table-cell>"
+                                 f"<text:p>{v}</text:p></table:table-cell>")
+            # ODF writers pad rows to the column max with repeated empties
+            cells.append('<table:table-cell '
+                         'table:number-columns-repeated="1000"/>')
+            rows.append(f"<table:table-row>{''.join(cells)}"
+                        "</table:table-row>")
+        tables.append(f'<table:table table:name="T{t}">{"".join(rows)}'
+                      "</table:table>")
+    content = (
+        '<?xml version="1.0"?><office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        f'<office:body><office:spreadsheet>{"".join(tables)}'
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    return _zip_bytes([
+        ("mimetype", b"application/vnd.oasis.opendocument.spreadsheet"),
+        ("content.xml", content.encode("utf-8")),
+    ])
+
+
+def _gen_odp(rng: random.Random) -> bytes:
+    """OpenDocument presentation: draw:pages with title + outline frames."""
+    pages = []
+    for p in range(rng.randint(2, 6)):
+        paras = "".join(
+            f"<text:p>{_sentences(rng, rng.randint(1, 2))}</text:p>"
+            for _ in range(rng.randint(1, 4)))
+        pages.append(
+            f'<draw:page draw:name="page{p + 1}">'
+            f"<draw:frame><draw:text-box>"
+            f"<text:p>{_words(rng, 3)}</text:p></draw:text-box></draw:frame>"
+            f"<draw:frame><draw:text-box>{paras}</draw:text-box>"
+            "</draw:frame></draw:page>")
+    content = (
+        '<?xml version="1.0"?><office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        f'<office:body><office:presentation>{"".join(pages)}'
+        "</office:presentation></office:body></office:document-content>"
+    )
+    return _zip_bytes([
+        ("mimetype", b"application/vnd.oasis.opendocument.presentation"),
+        ("content.xml", content.encode("utf-8")),
+    ])
+
+
+def _gen_msg(rng: random.Random) -> bytes:
+    """Outlook .msg: CFB with MAPI property streams — subject 0x0037,
+    body 0x1000, each PT_UNICODE (001F) or PT_STRING8 (001E)."""
+    subject = _words(rng, rng.randint(3, 6))
+    body = _sentences(rng, rng.randint(3, 10))
+    if rng.random() < 0.3:
+        body += " café résumé"
+    streams = []
+    if rng.random() < 0.6:
+        streams.append(("__substg1.0_0037001F",
+                        subject.encode("utf-16-le")))
+    else:
+        streams.append(("__substg1.0_0037001E",
+                        subject.encode("cp1252", "replace")))
+    if rng.random() < 0.6:
+        streams.append(("__substg1.0_1000001F", body.encode("utf-16-le")))
+    else:
+        streams.append(("__substg1.0_1000001E",
+                        body.encode("cp1252", "replace")))
+    streams.append(("__properties_version1.0", b"\x00" * 32))
+    return _cfb_container(streams)
+
+
+def _gen_mht(rng: random.Random) -> bytes:
+    """MHTML saved web page: multipart/related with a quoted-printable or
+    base64 text/html root part (+ an image part that must be ignored).
+    Sniffs as eml — extract_eml routes the html part through X1."""
+    import base64
+    import quopri
+
+    title = _words(rng, 3)
+    paras = "\n".join(f"<p>{_sentences(rng, rng.randint(1, 3))}</p>"
+                      for _ in range(rng.randint(2, 6)))
+    html = (f"<html><head><title>{title}</title></head><body>"
+            f"<h1>{title}</h1>\n{paras}\n"
+            "<div><a href='/x'>nav</a> <a href='/y'>links</a> "
+            "<a href='/z'>bar</a></div></body></html>").encode("utf-8")
+    boundary = f"----MultipartBoundary--{rng.randrange(10 ** 12):012d}----"
+    if rng.random() < 0.5:
+        enc, payload = "quoted-printable", quopri.encodestring(html)
+    else:
+        enc, payload = "base64", base64.encodebytes(html)
+    img = base64.encodebytes(bytes(rng.randrange(256) for _ in range(48)))
+    dom = rng.choice(_DOMAINS)
+    parts = [
+        f"From: <Saved by cc_extract>\r\n"
+        f"Subject: {title.encode('ascii', 'replace').decode()}\r\n"
+        f"MIME-Version: 1.0\r\n"
+        f"Content-Type: multipart/related; type=\"text/html\"; "
+        f"boundary=\"{boundary}\"\r\n\r\n",
+        f"--{boundary}\r\n"
+        f"Content-Type: text/html; charset=utf-8\r\n"
+        f"Content-Transfer-Encoding: {enc}\r\n"
+        f"Content-Location: https://{dom}/saved.html\r\n\r\n",
+        payload.decode("ascii"), "\r\n",
+        f"--{boundary}\r\n"
+        f"Content-Type: image/png\r\n"
+        f"Content-Transfer-Encoding: base64\r\n\r\n",
+        img.decode("ascii"), "\r\n",
+        f"--{boundary}--\r\n",
+    ]
+    return "".join(parts).encode("ascii")
+
+
 def _gen_epub(rng: random.Random) -> bytes:
     """EPUB OCF container: stored-first ``mimetype``, container.xml ->
     OPF rootfile, manifest in SHUFFLED order with the spine defining the
@@ -2873,18 +3010,22 @@ def _gen_corrupt(rng: random.Random) -> bytes:
 _GENERATORS = {
     "html": _gen_html, "pdf": _gen_pdf, "txt": _gen_txt, "doc": _gen_doc,
     "xls": _gen_xls, "ppt": _gen_ppt, "ole": _gen_ole_other,
+    "msg": _gen_msg, "mht": _gen_mht,
     "ps": _gen_ps,
     "docx": _gen_docx,
-    "rtf": _gen_rtf, "odt": _gen_odt, "epub": _gen_epub,
+    "rtf": _gen_rtf, "odt": _gen_odt, "ods": _gen_ods, "odp": _gen_odp,
+    "epub": _gen_epub,
     "xlsx": _gen_xlsx, "pptx": _gen_pptx,
     "xml": _gen_xml, "json": _gen_json, "eml": _gen_eml, "csv": _gen_csv,
     "image": _gen_image, "corrupt": _gen_corrupt,
 }
 
 _EXT = {"html": "html", "pdf": "pdf", "txt": "txt", "doc": "doc", "ps": "ps",
-        "xls": "xls", "ppt": "ppt", "ole": "bin",
+        "xls": "xls", "ppt": "ppt", "ole": "bin", "msg": "msg",
+        "mht": "mht",
         "docx": "docx",
-        "rtf": "rtf", "odt": "odt", "epub": "epub",
+        "rtf": "rtf", "odt": "odt", "ods": "ods", "odp": "odp",
+        "epub": "epub",
         "xlsx": "xlsx", "pptx": "pptx",
         "xml": "xml", "json": "json", "eml": "eml", "csv": "csv",
         "image": "png", "corrupt": "bin"}
@@ -3136,12 +3277,22 @@ def gen_doc(i: int, seed: int = SEED) -> list[dict]:
     if fmt == "doc":
         # the legacy-Office family shares the OLE slot of the mix,
         # hash-split (NOT rng-drawn) so docs that stay .doc keep their
-        # exact pre-split rng stream: ~6/16 doc, 4/16 xls, 4/16 ppt,
-        # 2/16 unknown-OLE (the unsupported_legacy quarantine class)
+        # exact pre-split rng stream: ~5/16 doc, 4/16 xls, 3/16 ppt,
+        # 2/16 msg, 2/16 unknown-OLE (the unsupported_legacy class)
         import hashlib as _hl
         h = int(_hl.md5(f"ole:{i}".encode()).hexdigest(), 16) % 16
         fmt = ("doc" if h < 6 else "xls" if h < 10
-               else "ppt" if h < 14 else "ole")
+               else "ppt" if h < 13 else "msg" if h < 15 else "ole")
+    elif fmt == "odt":
+        # OpenDocument family shares the odt slot, same discipline
+        import hashlib as _hl
+        h = int(_hl.md5(f"odf:{i}".encode()).hexdigest(), 16) % 16
+        fmt = "odt" if h < 8 else "ods" if h < 12 else "odp"
+    elif fmt == "eml":
+        # message family: rfc822 mail, MHTML saved page (sniffs as eml)
+        import hashlib as _hl
+        h = int(_hl.md5(f"msg:{i}".encode()).hexdigest(), 16) % 16
+        fmt = "eml" if h < 10 else "mht"
     # Zipf-ish domain draw: top domain ~20% of rows (FIXTURES.md §1)
     d = rng.random()
     domain = _DOMAINS[0] if d < 0.2 else _DOMAINS[1 + int(d * 49) % 49]

@@ -18,11 +18,12 @@ from __future__ import annotations
 from ..sniff import sniff_format
 from .doc import extract_doc
 from .epub import extract_epub
+from .msg import extract_msg
 from .ppt import extract_ppt
 from .xls import extract_xls
 from .html import extract_html
 from .normalize import normalize_text
-from .odt import extract_odt
+from .odt import extract_odp, extract_ods, extract_odt
 from .ooxml import extract_docx, extract_pptx, extract_xlsx
 from .pdf import extract_pdf
 from .ps import extract_ps
@@ -41,7 +42,8 @@ __all__ = [
     "extract_html", "extract_pdf", "extract_ps", "extract_docx",
     "extract_pptx", "extract_epub",
     "extract_xlsx", "extract_odt", "extract_rtf", "extract_txt", "extract_doc",
-    "extract_xls", "extract_ppt",
+    "extract_xls", "extract_ppt", "extract_msg",
+    "extract_ods", "extract_odp",
     "extract_csv", "extract_xml", "extract_json", "extract_eml",
     "normalize_text",
 ]
@@ -54,10 +56,13 @@ EXTRACTORS = {
     "doc": extract_doc,
     "xls": extract_xls,
     "ppt": extract_ppt,
+    "msg": extract_msg,
     "docx": extract_docx,
     "pptx": extract_pptx,
     "xlsx": extract_xlsx,
     "odt": extract_odt,
+    "ods": extract_ods,
+    "odp": extract_odp,
     "epub": extract_epub,
     "rtf": extract_rtf,
     "txt": extract_txt,
@@ -96,8 +101,9 @@ def extract_document(payload: bytes | None, url: str | None = None,
                        needs_ocr (D3)
     - legacy OLE    -> routed by CFB directory stream names: .doc (Word97
                        piece table, doc.py), .xls (BIFF8 Workbook, xls.py),
-                       .ppt (text atoms, ppt.py); an OLE container with
-                       none of those streams (e.g. MSI, Visio) ->
+                       .ppt (text atoms, ppt.py), .msg (MAPI property
+                       streams, msg.py); an OLE container with none of
+                       those streams (e.g. MSI, Visio) ->
                        status=unsupported_legacy
     - unknown fmt   -> unsupported
     - extractor exception -> error (message truncated to 200 chars)

@@ -174,6 +174,9 @@ def ole_subtype(payload: bytes) -> str:
         return "xls"
     if "PowerPoint Document" in names:
         return "ppt"
+    if ("__properties_version1.0" in names
+            or any(n.startswith("__substg1.0_") for n in names)):
+        return "msg"
     return "ole"
 
 

@@ -61,3 +61,63 @@ def extract_odt(payload: bytes) -> str:
         if _local(el.tag) in ("p", "h") and "text" in el.tag:
             lines.append(_para_text(el))
     return normalize_text("\n".join(lines))
+
+
+def extract_ods(payload: bytes) -> str:
+    """OpenDocument spreadsheet: same content.xml grammar, spreadsheet
+    conventions matching X5/xls — cells TAB-joined in column order
+    (``table:number-columns-repeated`` expanded, capped), rows ->
+    lines, tables blank-line separated; a cell's paragraphs join with a
+    space."""
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        root = ET.fromstring(zf.read("content.xml"))
+    tables: list[str] = []
+    for tbl in root.iter():
+        if _local(tbl.tag) != "table" or "table" not in tbl.tag:
+            continue
+        rows: list[str] = []
+        for row in tbl:
+            if _local(row.tag) != "table-row":
+                continue
+            cells: list[str] = []
+            for cell in row:
+                loc = _local(cell.tag)
+                if loc not in ("table-cell", "covered-table-cell"):
+                    continue
+                paras = [
+                    _para_text(el) for el in cell.iter()
+                    if _local(el.tag) in ("p", "h") and "text" in el.tag
+                ]
+                text = " ".join(t for t in paras if t)
+                rep = 1
+                for k, v in cell.attrib.items():
+                    if k.endswith("number-columns-repeated"):
+                        try:
+                            rep = min(max(int(v), 1), 256)
+                        except ValueError:
+                            rep = 1
+                cells.extend([text] * rep)
+            # trailing empty cells (repeat-padded filler) are dropped
+            while cells and not cells[-1]:
+                cells.pop()
+            rows.append("\t".join(cells))
+        while rows and not rows[-1]:
+            rows.pop()
+        tables.append("\n".join(rows))
+    return normalize_text("\n\n".join(tables))
+
+
+def extract_odp(payload: bytes) -> str:
+    """OpenDocument presentation: ``draw:page`` -> slide, paragraphs ->
+    lines, slide boundary -> blank line (the X4/pptx convention)."""
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        root = ET.fromstring(zf.read("content.xml"))
+    pages: list[str] = []
+    for el in root.iter():
+        if _local(el.tag) == "page" and "drawing" in el.tag:
+            lines = [
+                _para_text(p) for p in el.iter()
+                if _local(p.tag) in ("p", "h") and "text" in p.tag
+            ]
+            pages.append("\n".join(lines))
+    return normalize_text("\n\n".join(pages))

@@ -22,8 +22,8 @@ import re
 import zipfile
 
 FORMATS = (
-    "html pdf txt docx pptx xlsx odt epub rtf xml json eml csv image doc ps "
-    "unknown".split()
+    "html pdf txt docx pptx xlsx odt ods odp epub rtf xml json eml csv image "
+    "doc xls ppt msg ole ps unknown".split()
 )
 
 _EML_HEADER = re.compile(
@@ -51,6 +51,10 @@ def _sniff_zip(payload: bytes) -> str:
                     mt = b""
                 if b"epub+zip" in mt:
                     return "epub"
+                if b"opendocument.spreadsheet" in mt:
+                    return "ods"
+                if b"opendocument.presentation" in mt:
+                    return "odp"
                 if b"opendocument" in mt:
                     return "odt"
             if "META-INF/container.xml" in names:

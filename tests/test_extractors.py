@@ -2256,3 +2256,82 @@ def test_ccitt_uncompressed_mode():
         payload = _tiff_gray(w, h, bytes(raster), uncompressed=True, **kw)
         dw, dh, dec = decode_tiff_gray(payload)
         assert "UNCOMP PAGE 7" in ocr_raster(dw, dh, dec)
+
+
+def test_ods_table_conventions():
+    import random
+    from cc_extract.corpusgen import _gen_ods
+    from cc_extract.extractors.odt import extract_ods
+    from cc_extract.extractors import extract_document
+    payload = _gen_ods(random.Random(7))
+    out = extract_ods(payload)
+    assert "\t" in out  # TAB-joined cells, the xls/xlsx convention
+    res = extract_document(payload, "https://x/a.ods")
+    assert res["fmt"] == "ods" and res["status"] == "ok"
+    # hand-built content pinning repeat expansion, multi-para cells,
+    # trailing-filler drop and the repeat cap
+    from cc_extract.corpusgen import _zip_bytes
+    content = (
+        '<?xml version="1.0"?><office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:spreadsheet>"
+        '<table:table table:name="T0"><table:table-row>'
+        '<table:table-cell table:number-columns-repeated="2">'
+        "<text:p>x</text:p></table:table-cell>"
+        "<table:table-cell><text:p>a</text:p><text:p>b</text:p>"
+        "</table:table-cell>"
+        '<table:table-cell table:number-columns-repeated="1000"/>'
+        "</table:table-row></table:table>"
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    payload = _zip_bytes([
+        ("mimetype", b"application/vnd.oasis.opendocument.spreadsheet"),
+        ("content.xml", content.encode()),
+    ])
+    assert extract_ods(payload) == "x\tx\ta b"
+
+
+def test_odp_page_conventions():
+    import random
+    from cc_extract.corpusgen import _gen_odp
+    from cc_extract.extractors.odt import extract_odp
+    from cc_extract.extractors import extract_document
+    payload = _gen_odp(random.Random(3))
+    out = extract_odp(payload)
+    assert "\n\n" in out  # slide boundary -> blank line (pptx convention)
+    res = extract_document(payload, "https://x/a.odp")
+    assert res["fmt"] == "odp" and res["status"] == "ok"
+
+
+def test_msg_property_streams():
+    from cc_extract.corpusgen import _cfb_container
+    from cc_extract.extractors.msg import extract_msg
+    from cc_extract.extractors import extract_document
+    payload = _cfb_container([
+        ("__substg1.0_0037001F", "sujét line".encode("utf-16-le")),
+        ("__substg1.0_1000001E", b"body caf\xe9 text"),
+    ])
+    assert extract_msg(payload) == "sujét line\n\nbody café text"
+    res = extract_document(payload, "https://x/a.msg")
+    assert res["fmt"] == "msg" and res["status"] == "ok"
+    # properties stream alone routes to msg but extraction errors honestly
+    only_props = _cfb_container([("__properties_version1.0", b"\x00" * 16)])
+    res = extract_document(only_props)
+    assert res["fmt"] == "msg" and res["status"] == "error"
+    assert "property" in res["error"]
+
+
+def test_mht_rides_the_eml_route():
+    import random
+    from cc_extract.corpusgen import _gen_mht
+    from cc_extract.extractors import extract_document
+    for seed in (0, 5, 11):
+        payload = _gen_mht(random.Random(seed))
+        res = extract_document(payload, "https://x/saved.mht")
+        # MHTML is MIME: sniffs as eml; the html root part goes through X1
+        assert res["fmt"] == "eml" and res["status"] == "ok"
+        assert res["text"].strip()
+        assert "MultipartBoundary" not in res["text"]
+        assert "base64" not in res["text"]
