@@ -1177,6 +1177,25 @@ def _gen_mht(rng: random.Random) -> bytes:
     return "".join(parts).encode("ascii")
 
 
+def _gen_zip(rng: random.Random) -> bytes:
+    """Plain zip bundle: 2-4 text-ish members (txt/csv/html/json mix),
+    occasionally a nested zip (must be SKIPPED: depth-1) and an empty
+    directory entry; insertion order deliberately differs from name
+    order (the reader sorts by name)."""
+    members: list[tuple[str, bytes]] = []
+    n = rng.randint(2, 4)
+    kinds = [rng.choice(["txt", "csv", "html", "json"]) for _ in range(n)]
+    for k, kind in enumerate(kinds):
+        name = f"part{k + 1:02d}.{kind}"
+        members.append((name, _GENERATORS[kind](rng)))
+    if rng.random() < 0.3:
+        inner = _zip_bytes([("inner.txt", _gen_txt(rng))])
+        members.append(("nested.zip", inner))
+    members.append(("empty_dir/", b""))
+    rng.shuffle(members)
+    return _zip_bytes(members)
+
+
 def _gen_epub(rng: random.Random) -> bytes:
     """EPUB OCF container: stored-first ``mimetype``, container.xml ->
     OPF rootfile, manifest in SHUFFLED order with the spine defining the
@@ -3010,7 +3029,7 @@ def _gen_corrupt(rng: random.Random) -> bytes:
 _GENERATORS = {
     "html": _gen_html, "pdf": _gen_pdf, "txt": _gen_txt, "doc": _gen_doc,
     "xls": _gen_xls, "ppt": _gen_ppt, "ole": _gen_ole_other,
-    "msg": _gen_msg, "mht": _gen_mht,
+    "msg": _gen_msg, "mht": _gen_mht, "zip": _gen_zip,
     "ps": _gen_ps,
     "docx": _gen_docx,
     "rtf": _gen_rtf, "odt": _gen_odt, "ods": _gen_ods, "odp": _gen_odp,
@@ -3022,7 +3041,7 @@ _GENERATORS = {
 
 _EXT = {"html": "html", "pdf": "pdf", "txt": "txt", "doc": "doc", "ps": "ps",
         "xls": "xls", "ppt": "ppt", "ole": "bin", "msg": "msg",
-        "mht": "mht",
+        "mht": "mht", "zip": "zip",
         "docx": "docx",
         "rtf": "rtf", "odt": "odt", "ods": "ods", "odp": "odp",
         "epub": "epub",
@@ -3293,6 +3312,11 @@ def gen_doc(i: int, seed: int = SEED) -> list[dict]:
         import hashlib as _hl
         h = int(_hl.md5(f"msg:{i}".encode()).hexdigest(), 16) % 16
         fmt = "eml" if h < 10 else "mht"
+    elif fmt == "txt":
+        # plain-text slot donates 2/16 to zip BUNDLES of documents
+        import hashlib as _hl
+        h = int(_hl.md5(f"arc:{i}".encode()).hexdigest(), 16) % 16
+        fmt = "txt" if h < 14 else "zip"
     # Zipf-ish domain draw: top domain ~20% of rows (FIXTURES.md §1)
     d = rng.random()
     domain = _DOMAINS[0] if d < 0.2 else _DOMAINS[1 + int(d * 49) % 49]

@@ -16,6 +16,7 @@ the Lambda result JSON [R: functions/simple/main.py ⚠].
 from __future__ import annotations
 
 from ..sniff import sniff_format
+from .archive import extract_zip
 from .doc import extract_doc
 from .epub import extract_epub
 from .msg import extract_msg
@@ -42,7 +43,7 @@ __all__ = [
     "extract_html", "extract_pdf", "extract_ps", "extract_docx",
     "extract_pptx", "extract_epub",
     "extract_xlsx", "extract_odt", "extract_rtf", "extract_txt", "extract_doc",
-    "extract_xls", "extract_ppt", "extract_msg",
+    "extract_xls", "extract_ppt", "extract_msg", "extract_zip",
     "extract_ods", "extract_odp",
     "extract_csv", "extract_xml", "extract_json", "extract_eml",
     "normalize_text",
@@ -70,6 +71,7 @@ EXTRACTORS = {
     "xml": extract_xml,
     "json": extract_json,
     "eml": extract_eml,
+    "zip": extract_zip,
 }
 
 # statuses: ok | ok_ocr | needs_ocr | error | unsupported | unsupported_legacy

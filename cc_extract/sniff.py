@@ -23,7 +23,7 @@ import zipfile
 
 FORMATS = (
     "html pdf txt docx pptx xlsx odt ods odp epub rtf xml json eml csv image "
-    "doc xls ppt msg ole ps unknown".split()
+    "doc xls ppt msg ole zip ps unknown".split()
 )
 
 _EML_HEADER = re.compile(
@@ -61,6 +61,9 @@ def _sniff_zip(payload: bytes) -> str:
                 return "epub"  # OCF container with a lost/garbled mimetype
             if "content.xml" in names:
                 return "odt"
+            # a readable zip matching no known container layout is a
+            # plain BUNDLE of files: each member re-dispatches (depth 1)
+            return "zip"
     except (zipfile.BadZipFile, OSError, EOFError, NotImplementedError):
         pass
     return "unknown"

@@ -2335,3 +2335,29 @@ def test_mht_rides_the_eml_route():
         assert res["text"].strip()
         assert "MultipartBoundary" not in res["text"]
         assert "base64" not in res["text"]
+
+
+def test_zip_bundle_depth1_and_order():
+    import random
+    from cc_extract.corpusgen import _gen_zip, _zip_bytes
+    from cc_extract.extractors.archive import extract_zip
+    from cc_extract.extractors import extract_document
+    for seed in (0, 4, 9):
+        res = extract_document(_gen_zip(random.Random(seed)),
+                               "https://x/bundle.zip")
+        assert res["fmt"] == "zip" and res["status"] == "ok"
+        assert res["text"].strip()
+    # hand-built: name order (not insertion order), nested zip skipped,
+    # directory skipped, all-binary bundle errors honestly
+    inner = _zip_bytes([("i.txt", b"inner must not appear")])
+    payload = _zip_bytes([
+        ("b.txt", b"second part"),
+        ("nested.zip", inner),
+        ("dir/", b""),
+        ("a.txt", b"first part"),
+    ])
+    out = extract_zip(payload)
+    assert out == "first part\n\nsecond part"
+    res = extract_document(_zip_bytes([("x.zip", inner)]))
+    assert res["fmt"] == "zip" and res["status"] == "error"
+    assert "no extractable members" in res["error"]
