@@ -123,6 +123,51 @@ def _cc_ole_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_archive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive/transport-encoding accounting (round 5): compression
+    wrappers (gzip / bz2 / xz — unwrap + re-sniff, nested wrappers are
+    honest error rows) x bundle archives (zip / tar incl. .tar.gz, whose
+    members re-dispatch depth-1 through the full format matrix).  Pins
+    the routed OUTPUT BYTES per (wrap, fmt, status) cell: min/max/
+    distinct text sha256 — a drift in member ordering, tar header walk,
+    or wrapper dispatch flips the aggregate.  The wrapper kind is
+    sniffed from the raw payload with native substring-prefix rules (no
+    Python row path); the DuckDB oracle re-derives the identical rule
+    per row in the single-process extraction table.  Scale shape: the
+    sniff projection is (url, ts, 4-char kind) — no payload moves; AQE
+    broadcasts it into the extracted relation; aggregation is
+    partial-aggregable."""
+    docs, res = _cc_corpus_and_extracted(spark)
+    wrap = (
+        F.when(F.substring("html", 1, 2) == F.lit(b"\x1f\x8b"), "gzip")
+        .when(F.substring("html", 1, 6) == F.lit(b"\xfd7zXZ\x00"), "xz")
+        .when(
+            (F.substring("html", 1, 3) == F.lit(b"BZh"))
+            & (F.substring("html", 5, 6) == F.lit(b"\x31\x41\x59\x26\x53\x59")),
+            "bz2",
+        )
+    )
+    w = docs.select("url", "warc_ts", wrap.alias("wrap_kind"))
+    j = res.join(w, ["url", "warc_ts"]).filter(
+        F.col("wrap_kind").isNotNull()
+        | F.col("fmt").isin("zip", "tar", "gzip", "bz2", "xz")
+    )
+    return (
+        j.groupBy(
+            F.coalesce("wrap_kind", F.lit("none")).alias("wrap"),
+            "fmt", "status",
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text_out")).alias("total_chars"),
+            F.countDistinct("text_sha256").alias("n_distinct_texts"),
+            F.min("text_sha256").alias("min_sha"),
+            F.max("text_sha256").alias("max_sha"),
+        )
+        .orderBy("wrap", "fmt", "status")
+    )
+
+
 def _cc_encrypted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encrypted-PDF accounting across handler generations (RC4 V1/R2,
     /AESV2 V4/R4, /AESV3 V5/R6) x extraction outcome: documents whose
@@ -1577,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "cc_archive_stats": _cc_archive_stats,  # r5: tar/zip bundles + gz/bz2/xz wrappers
         "cc_ole_stats": _cc_ole_stats,  # r5: legacy xls/ppt/ole routing
         "cc_jsonld": _cc_jsonld,  # r5: schema.org JSON-LD extraction
         "cc_feed_urls": _cc_feed_urls,  # r5: RSS/Atom feed discovery
@@ -3650,6 +3696,18 @@ SELECT fmt, status, count(*) AS n_docs,
        min(text_sha256) AS min_sha, max(text_sha256) AS max_sha
 FROM d WHERE fmt IN ('doc', 'xls', 'ppt', 'msg', 'ole')
 GROUP BY fmt, status ORDER BY fmt, status
+"""
+
+    sql["cc_archive_stats"] = f"""
+WITH {dedup_cte}
+SELECT coalesce(wrap_kind, 'none') AS wrap, fmt, status,
+       count(*) AS n_docs,
+       CAST(sum(length(text_out)) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT text_sha256) AS BIGINT) AS n_distinct_texts,
+       min(text_sha256) AS min_sha, max(text_sha256) AS max_sha
+FROM d
+WHERE wrap_kind IS NOT NULL OR fmt IN ('zip', 'tar', 'gzip', 'bz2', 'xz')
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
     sql["cc_needs_ocr"] = f"""

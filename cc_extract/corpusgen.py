@@ -1196,6 +1196,61 @@ def _gen_zip(rng: random.Random) -> bytes:
     return _zip_bytes(members)
 
 
+def _tar_bytes(entries: list[tuple[str, bytes]]) -> bytes:
+    """Deterministic POSIX ustar container: member mtimes/uid/gid PINNED
+    (same discipline as ``_zip_bytes`` — bundle headers never reach the
+    extracted text, but byte-level corpus identity must be stable).
+    A name ending in '/' becomes a directory entry."""
+    import tarfile as _tarfile
+
+    buf = io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w",
+                       format=_tarfile.USTAR_FORMAT) as tf:
+        for name, data in entries:
+            ti = _tarfile.TarInfo(name.rstrip("/"))
+            ti.mtime = 1735689600  # 2025-01-01T00:00:00Z
+            ti.uid = ti.gid = 0
+            ti.uname = ti.gname = ""
+            if name.endswith("/"):
+                ti.type = _tarfile.DIRTYPE
+                ti.mode = 0o755
+                tf.addfile(ti)
+            else:
+                ti.size = len(data)
+                ti.mode = 0o644
+                tf.addfile(ti, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def _gen_tar(rng: random.Random) -> bytes:
+    """Plain tar bundle, the ``_gen_zip`` semantics on the other archive
+    family: 2-4 text-ish members in shuffled insertion order (reader
+    sorts by name), occasionally a nested archive (SKIPPED: depth-1) and
+    a directory entry; ~25% of bundles ship compression-wrapped as
+    .tar.gz (the dispatcher unwraps, then routes tar)."""
+    members: list[tuple[str, bytes]] = []
+    n = rng.randint(2, 4)
+    kinds = [rng.choice(["txt", "csv", "html", "json"]) for _ in range(n)]
+    for k, kind in enumerate(kinds):
+        name = f"part{k + 1:02d}.{kind}"
+        members.append((name, _GENERATORS[kind](rng)))
+    if rng.random() < 0.3:
+        nested_kind = rng.random()
+        if nested_kind < 0.5:
+            members.append(("nested.tar",
+                            _tar_bytes([("inner.txt", _gen_txt(rng))])))
+        else:
+            members.append(("nested.zip",
+                            _zip_bytes([("inner.txt", _gen_txt(rng))])))
+    members.append(("subdir/", b""))
+    rng.shuffle(members)
+    payload = _tar_bytes(members)
+    if rng.random() < 0.25:
+        import gzip as _gzip
+        payload = _gzip.compress(payload, compresslevel=6, mtime=0)
+    return payload
+
+
 def _gen_epub(rng: random.Random) -> bytes:
     """EPUB OCF container: stored-first ``mimetype``, container.xml ->
     OPF rootfile, manifest in SHUFFLED order with the spine defining the
@@ -3029,7 +3084,7 @@ def _gen_corrupt(rng: random.Random) -> bytes:
 _GENERATORS = {
     "html": _gen_html, "pdf": _gen_pdf, "txt": _gen_txt, "doc": _gen_doc,
     "xls": _gen_xls, "ppt": _gen_ppt, "ole": _gen_ole_other,
-    "msg": _gen_msg, "mht": _gen_mht, "zip": _gen_zip,
+    "msg": _gen_msg, "mht": _gen_mht, "zip": _gen_zip, "tar": _gen_tar,
     "ps": _gen_ps,
     "docx": _gen_docx,
     "rtf": _gen_rtf, "odt": _gen_odt, "ods": _gen_ods, "odp": _gen_odp,
@@ -3041,7 +3096,7 @@ _GENERATORS = {
 
 _EXT = {"html": "html", "pdf": "pdf", "txt": "txt", "doc": "doc", "ps": "ps",
         "xls": "xls", "ppt": "ppt", "ole": "bin", "msg": "msg",
-        "mht": "mht", "zip": "zip",
+        "mht": "mht", "zip": "zip", "tar": "tar",
         "docx": "docx",
         "rtf": "rtf", "odt": "odt", "ods": "ods", "odp": "odp",
         "epub": "epub",
@@ -3313,10 +3368,12 @@ def gen_doc(i: int, seed: int = SEED) -> list[dict]:
         h = int(_hl.md5(f"msg:{i}".encode()).hexdigest(), 16) % 16
         fmt = "eml" if h < 10 else "mht"
     elif fmt == "txt":
-        # plain-text slot donates 2/16 to zip BUNDLES of documents
+        # plain-text slot donates 2/16 to zip BUNDLES and 1/16 to tar
+        # bundles (same hash-split discipline: docs that stay txt keep
+        # their exact pre-split rng stream)
         import hashlib as _hl
         h = int(_hl.md5(f"arc:{i}".encode()).hexdigest(), 16) % 16
-        fmt = "txt" if h < 14 else "zip"
+        fmt = "txt" if h < 13 else "tar" if h < 14 else "zip"
     # Zipf-ish domain draw: top domain ~20% of rows (FIXTURES.md §1)
     d = rng.random()
     domain = _DOMAINS[0] if d < 0.2 else _DOMAINS[1 + int(d * 49) % 49]
@@ -3327,11 +3384,23 @@ def gen_doc(i: int, seed: int = SEED) -> list[dict]:
     if decorated:
         url = _decorate_url(url, rng)
     payload = _GENERATORS[fmt](rng)
-    # ~5% of text-ish payloads are stored gzip-transfer-encoded, as real
-    # CC-style stores do; the dispatcher must unwrap and re-sniff
+    # ~5% of text-ish payloads are stored transfer-encoded, as real
+    # CC-style stores do; the dispatcher must unwrap and re-sniff.  The
+    # wrapper codec is hash-split (NOT rng-drawn — the rng stream is
+    # identical to the gzip-only corpus): ~10/16 gzip, 3/16 bz2, 3/16 xz
     if fmt in ("html", "txt", "xml", "json", "csv") and rng.random() < 0.05:
-        import gzip as _gzip
-        payload = _gzip.compress(payload, compresslevel=6, mtime=0)
+        import hashlib as _hl
+        hw = int(_hl.md5(f"wrap:{i}".encode()).hexdigest(), 16) % 16
+        if hw < 10:
+            import gzip as _gzip
+            payload = _gzip.compress(payload, compresslevel=6, mtime=0)
+        elif hw < 13:
+            import bz2 as _bz2
+            payload = _bz2.compress(payload, compresslevel=6)
+        else:
+            import lzma as _lzma
+            payload = _lzma.compress(payload, format=_lzma.FORMAT_XZ,
+                                     preset=6)
     ts = _EPOCH + timedelta(seconds=rng.randrange(365 * 24 * 3600))
     lang = rng.choices(["en", "de", "fr", "und"], weights=[80, 7, 7, 6])[0]
     stale = ""

@@ -16,7 +16,7 @@ the Lambda result JSON [R: functions/simple/main.py ⚠].
 from __future__ import annotations
 
 from ..sniff import sniff_format
-from .archive import extract_zip
+from .archive import extract_tar, extract_zip
 from .doc import extract_doc
 from .epub import extract_epub
 from .msg import extract_msg
@@ -43,7 +43,7 @@ __all__ = [
     "extract_html", "extract_pdf", "extract_ps", "extract_docx",
     "extract_pptx", "extract_epub",
     "extract_xlsx", "extract_odt", "extract_rtf", "extract_txt", "extract_doc",
-    "extract_xls", "extract_ppt", "extract_msg", "extract_zip",
+    "extract_xls", "extract_ppt", "extract_msg", "extract_zip", "extract_tar",
     "extract_ods", "extract_odp",
     "extract_csv", "extract_xml", "extract_json", "extract_eml",
     "normalize_text",
@@ -72,6 +72,7 @@ EXTRACTORS = {
     "json": extract_json,
     "eml": extract_eml,
     "zip": extract_zip,
+    "tar": extract_tar,
 }
 
 # statuses: ok | ok_ocr | needs_ocr | error | unsupported | unsupported_legacy
@@ -84,7 +85,8 @@ STATUS_UNSUPPORTED_LEGACY = "unsupported_legacy"
 
 
 def extract_document(payload: bytes | None, url: str | None = None,
-                     pdf_passwords: tuple[str, ...] | None = None) -> dict:
+                     pdf_passwords: tuple[str, ...] | None = None,
+                     _depth: int = 0) -> dict:
     """Normative per-document extraction. Returns
     ``{fmt, status, text, error}``; never raises.
 
@@ -115,22 +117,36 @@ def extract_document(payload: bytes | None, url: str | None = None,
                 "text": "", "error": "empty payload"}
     payload = bytes(payload)
     fmt = sniff_format(payload, url)
-    if fmt == "gzip":
-        # CC stores often hold transfer-encoded bodies; unwrap and
-        # re-dispatch on the inner content (depth 1 — nested gzip is
-        # treated as a corrupt payload)
-        import gzip as _gzip
-        import zlib as _zlib
+    if fmt in ("gzip", "bz2", "xz"):
+        # CC stores often hold transfer-encoded bodies (gzip the common
+        # case, bz2/xz the long tail); unwrap and re-dispatch on the
+        # inner content (depth 1 — a wrapper inside a wrapper is treated
+        # as a corrupt payload, not decompressed again)
+        outer = fmt
         try:
-            inner = _gzip.decompress(payload)
-        except (OSError, EOFError, _zlib.error) as e:
-            return {"fmt": "gzip", "status": STATUS_ERROR, "text": "",
+            if fmt == "gzip":
+                import gzip as _gzip
+                inner = _gzip.decompress(payload)
+            elif fmt == "bz2":
+                import bz2 as _bz2
+                inner = _bz2.decompress(payload)
+            else:
+                import lzma as _lzma
+                inner = _lzma.decompress(payload, format=_lzma.FORMAT_XZ)
+        except Exception as e:  # noqa: BLE001 — corrupt stream -> error row
+            return {"fmt": outer, "status": STATUS_ERROR, "text": "",
                     "error": repr(e)[:200]}
         fmt = sniff_format(inner, url)
-        if fmt == "gzip":
-            return {"fmt": "gzip", "status": STATUS_ERROR, "text": "",
-                    "error": "nested gzip"}
+        if fmt in ("gzip", "bz2", "xz"):
+            return {"fmt": outer, "status": STATUS_ERROR, "text": "",
+                    "error": f"nested {fmt} in {outer}"}
         payload = inner
+    if _depth > 0 and fmt in ("zip", "tar"):
+        # archive member that is itself an archive: bundles are depth-1
+        # by contract; refuse BEFORE recursing (a zip-in-gzip-in-zip
+        # chain must not walk the stack)
+        return {"fmt": fmt, "status": STATUS_UNSUPPORTED, "text": "",
+                "error": "nested archive (bundles are depth-1)"}
     if fmt == "image":
         from .ocr import extract_image_ocr
         try:

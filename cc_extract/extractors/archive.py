@@ -55,8 +55,49 @@ def extract_zip(payload: bytes) -> str:
                 data = zf.read(info)
             except (zipfile.BadZipFile, OSError, NotImplementedError):
                 continue
-            res = extract_document(data, info.filename)
-            if res["fmt"] == "zip":
+            res = extract_document(data, info.filename, _depth=1)
+            if res["fmt"] in ("zip", "tar"):
+                continue  # depth-1: no nested archives
+            if res["text"]:
+                texts.append(res["text"])
+    if not texts:
+        raise _ZipError("no extractable members")
+    return normalize_text("\n\n".join(texts))
+
+
+def extract_tar(payload: bytes) -> str:
+    """bytes (.tar bundle, incl. the inner of .tar.gz/.tar.bz2/.tar.xz —
+    the dispatcher strips the compression wrapper first) -> plain text.
+
+    Same normative semantics as ``extract_zip``: regular-file members in
+    NAME order, first 16 members under 8 MiB each (size read from the
+    header before extraction), nested archives skipped, no extractable
+    member -> raise (status=error for the bundle)."""
+    import tarfile
+
+    from . import extract_document
+
+    texts: list[str] = []
+    try:
+        tf = tarfile.open(fileobj=io.BytesIO(payload), mode="r:")
+    except tarfile.TarError as e:
+        raise _ZipError(f"bad tar: {e}") from e
+    with tf:
+        members = [m for m in tf.getmembers() if m.isreg()]
+        members.sort(key=lambda m: m.name)
+        n_taken = 0
+        for m in members:
+            if n_taken >= _MAX_MEMBERS:
+                break
+            if m.size > _MAX_MEMBER_BYTES:
+                continue
+            n_taken += 1
+            f = tf.extractfile(m)
+            if f is None:
+                continue
+            data = f.read(_MAX_MEMBER_BYTES + 1)
+            res = extract_document(data, m.name, _depth=1)
+            if res["fmt"] in ("zip", "tar"):
                 continue  # depth-1: no nested archives
             if res["text"]:
                 texts.append(res["text"])

@@ -48,7 +48,7 @@ def extraction_table(n_docs: int = 1200) -> str:
     from .extractors import extract_document
 
     urls, tss, fmts, statuses, errors = [], [], [], [], []
-    texts, shas, nbytes, enc_kinds = [], [], [], []
+    texts, shas, nbytes, enc_kinds, wrap_kinds = [], [], [], [], []
     for r in gen_corpus(n_docs):
         res = extract_document(r["html"], r["url"])
         urls.append(r["url"])
@@ -68,6 +68,17 @@ def extraction_table(n_docs: int = 1200) -> str:
         else:
             enc_kinds.append("aesv3" if b"/AESV3" in h
                              else "aesv2" if b"/AESV2" in h else "rc4")
+        # compression-wrapper kind, sniffed from the RAW payload with the
+        # same pure magic-prefix rule the Spark side applies natively
+        # (substring comparisons — see __spark_entry__._cc_archive_stats)
+        if h[:2] == b"\x1f\x8b":
+            wrap_kinds.append("gzip")
+        elif h[:6] == b"\xfd7zXZ\x00":
+            wrap_kinds.append("xz")
+        elif h[:3] == b"BZh" and h[4:10] == b"\x31\x41\x59\x26\x53\x59":
+            wrap_kinds.append("bz2")
+        else:
+            wrap_kinds.append(None)
     table = pa.table({
         "url": pa.array(urls, pa.string()),
         "warc_ts": pa.array(tss, pa.timestamp("us")),
@@ -78,6 +89,7 @@ def extraction_table(n_docs: int = 1200) -> str:
         "text_sha256": pa.array(shas, pa.string()),
         "n_bytes_in": pa.array(nbytes, pa.int32()),
         "enc_kind": pa.array(enc_kinds, pa.string()),
+        "wrap_kind": pa.array(wrap_kinds, pa.string()),
     })
     path = os.path.join(_ORACLE_DIR, f"extracted_{n_docs}.parquet")
     _atomic_write_table(table, path)

@@ -23,8 +23,13 @@ import zipfile
 
 FORMATS = (
     "html pdf txt docx pptx xlsx odt ods odp epub rtf xml json eml csv image "
-    "doc xls ppt msg ole zip ps unknown".split()
+    "doc xls ppt msg ole zip tar ps unknown".split()
 )
+
+# transport/compression wrappers the dispatcher unwraps (depth 1) before
+# re-sniffing the inner content; all three appear as stored
+# transfer-encodings in real CC-style corpora
+WRAPPER_FORMATS = ("gzip", "bz2", "xz")
 
 _EML_HEADER = re.compile(
     rb"^(Received|From|To|Subject|Date|Return-Path|MIME-Version|"
@@ -69,6 +74,24 @@ def _sniff_zip(payload: bytes) -> str:
     return "unknown"
 
 
+def _looks_like_tar(payload: bytes) -> bool:
+    """POSIX ustar detection: magic at header offset 257 ('ustar\\0' POSIX
+    or 'ustar  ' GNU) AND a valid first-header checksum (octal sum of the
+    512-byte header with the chksum field read as spaces) — the magic
+    alone is 5 mid-file bytes that prose or markup can collide with, the
+    checksum pin cannot.  Pre-POSIX v7 tar has no magic and stays
+    whatever the body sniffs as."""
+    if len(payload) < 512 or payload[257:262] != b"ustar":
+        return False
+    hdr = payload[:512]
+    try:
+        stored = int(bytes(hdr[148:156]).split(b"\x00")[0].strip() or b"0", 8)
+    except ValueError:
+        return False
+    calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+    return stored == calc
+
+
 def sniff_format(payload: bytes, url: str | None = None) -> str:
     """Exact content sniff; pure function of (payload head, url extension)."""
     if not payload:
@@ -76,6 +99,12 @@ def sniff_format(payload: bytes, url: str | None = None) -> str:
     head = payload[:4096]
     if head.startswith(b"\x1f\x8b"):
         return "gzip"  # transport encoding: dispatcher decompresses + re-sniffs
+    if head.startswith(b"\xfd7zXZ\x00"):
+        return "xz"  # .xz stream header magic (xz file format §2.1.1.1)
+    if (head.startswith(b"BZh") and head[4:10] == b"\x31\x41\x59\x26\x53\x59"):
+        # 'BZh' + level + the compressed-block magic (BCD pi): the 3-byte
+        # prefix alone is guessable text, the 10-byte pin is not
+        return "bz2"
     if head.startswith(b"%PDF"):
         return "pdf"
     if head.startswith(b"%!"):
@@ -101,6 +130,8 @@ def sniff_format(payload: bytes, url: str | None = None) -> str:
 
         if looks_like_bmp(payload):
             return "image"
+    if _looks_like_tar(payload):
+        return "tar"
     stripped = head.lstrip(b" \t\r\n\xef\xbb\xbf")
     if _XML_DECL.match(stripped):
         return "html" if b"<html" in head.lower() else "xml"

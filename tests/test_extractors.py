@@ -640,6 +640,110 @@ def test_gzip_corrupt_and_nested_are_error_rows():
     assert nested["status"] == "error" and "nested" in nested["error"]
 
 
+def test_bz2_xz_transport_encodings_unwrapped():
+    """bz2/xz wrappers route exactly like gzip: unwrap + re-sniff, inner
+    text byte-identical to the unwrapped extraction; mixed nesting (any
+    wrapper inside any wrapper) is a single honest error row, never a
+    second decompression."""
+    import bz2
+    import gzip
+    import lzma
+    html = (b"<html><body><p>A long enough paragraph of plain visible "
+            b"content to keep after density filters.</p></body></html>")
+    plain = extract_document(html)
+    for codec, name in ((bz2.compress, "bz2"),
+                        (lambda b: lzma.compress(b, format=lzma.FORMAT_XZ),
+                         "xz")):
+        res = extract_document(codec(html))
+        assert res["fmt"] == "html" and res["status"] == "ok"
+        assert res["text"] == plain["text"]
+        corrupt = extract_document(codec(html)[:12])
+        assert corrupt["fmt"] == name and corrupt["status"] == "error"
+    mixed = extract_document(bz2.compress(gzip.compress(b"x")))
+    assert mixed["fmt"] == "bz2" and mixed["status"] == "error"
+    assert "nested" in mixed["error"]
+    mixed2 = extract_document(
+        gzip.compress(lzma.compress(b"x", format=lzma.FORMAT_XZ)))
+    assert mixed2["fmt"] == "gzip" and mixed2["status"] == "error"
+    assert "nested" in mixed2["error"]
+
+
+def test_tar_bundle_depth1_order_and_tgz():
+    """tar bundles mirror the zip semantics: NAME order (not archive
+    order), directories skipped, nested tar AND nested zip skipped
+    without recursing, all-binary bundle errors honestly; a .tar.gz
+    rides gzip-unwrap -> tar route to the identical text."""
+    import gzip
+    import random
+    from cc_extract.corpusgen import _gen_tar, _tar_bytes, _zip_bytes
+    from cc_extract.extractors.archive import extract_tar
+
+    for seed in (0, 4, 9, 23):
+        res = extract_document(_gen_tar(random.Random(seed)),
+                               "https://x/bundle.tar")
+        assert res["fmt"] == "tar" and res["status"] == "ok"
+        assert res["text"].strip()
+    inner_tar = _tar_bytes([("i.txt", b"inner must not appear")])
+    inner_zip = _zip_bytes([("z.txt", b"zip inner must not appear")])
+    payload = _tar_bytes([
+        ("b.txt", b"second part"),
+        ("nested.tar", inner_tar),
+        ("nested.zip", inner_zip),
+        ("dir/", b""),
+        ("a.txt", b"first part"),
+    ])
+    out = extract_tar(payload)
+    assert out == "first part\n\nsecond part"
+    tgz = extract_document(gzip.compress(payload, mtime=0))
+    assert tgz["fmt"] == "tar" and tgz["status"] == "ok"
+    assert tgz["text"] == out
+    res = extract_document(_tar_bytes([("x.tar", inner_tar)]))
+    assert res["fmt"] == "tar" and res["status"] == "error"
+    assert "no extractable members" in res["error"]
+
+
+def test_archive_depth1_refuses_before_recursing():
+    """A gzip-wrapped archive member inside a bundle must be REFUSED at
+    dispatch depth 1 (fmt-level unsupported), not recursively extracted:
+    a zip(gzip(zip(...))) chain keeps only surface members."""
+    import gzip
+    from cc_extract.corpusgen import _tar_bytes, _zip_bytes
+    from cc_extract.extractors import extract_document as ed
+
+    deep = _zip_bytes([("t.txt", b"deep text must not surface")])
+    chain = _zip_bytes([
+        ("a.zip.gz", gzip.compress(deep, mtime=0)),
+        ("ok.txt", b"surface text"),
+    ])
+    res = ed(chain)
+    assert res["fmt"] == "zip" and res["status"] == "ok"
+    assert res["text"] == "surface text"
+    # and the member-level refusal is visible when dispatched directly
+    member = ed(gzip.compress(deep, mtime=0), _depth=1)
+    assert member["status"] == "unsupported"
+    assert "nested archive" in member["error"]
+    # same contract on the tar side
+    chain_t = _tar_bytes([
+        ("a.tar.gz", gzip.compress(_tar_bytes([("t.txt", b"deep")]),
+                                   mtime=0)),
+        ("ok.txt", b"surface text"),
+    ])
+    res_t = ed(chain_t)
+    assert res_t["fmt"] == "tar" and res_t["status"] == "ok"
+    assert res_t["text"] == "surface text"
+
+
+def test_tar_sniff_checksum_guard():
+    """5 mid-file magic bytes alone must NOT claim tar: prose with
+    'ustar' at offset 257 fails the header-checksum pin and stays txt."""
+    from cc_extract.sniff import sniff_format
+    fake = (b"x" * 257 + b"ustar" + b"y" * 300)
+    assert sniff_format(fake) == "txt"
+    from cc_extract.corpusgen import _tar_bytes
+    real = _tar_bytes([("a.txt", b"hello")])
+    assert sniff_format(real) == "tar"
+
+
 # -------------------------------------------------- PDF 1.5+ xref streams
 
 def test_pdf_xref_stream_layout_extracts_identically():
