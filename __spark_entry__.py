@@ -1537,6 +1537,26 @@ def _cc_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_meta_df(docs)
 
 
+def _cc_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots directives (round 5): per html-routed url
+    (newest crawl), meta-robots noindex/nofollow flags (restrictive
+    union across tags, 'none' implies both), robots-meta count, anchor
+    count and rel=nofollow anchor count — the in-page half of the
+    Robots Exclusion Protocol next to cc_robots_filter's RFC 9309
+    robots.txt half.  A polite corpus builder anti-joins noindex pages
+    out; a ranker drops the nofollow edge fraction this reports.  Row
+    semantics are ONE shared function (extractors.html.html_robots)
+    called per element in the Arrow batch here and per row
+    single-process in oracle_data.robots_meta_table; each side
+    independently expresses only the keep-newest dedup.  Scale shape:
+    the payload-bearing pass reduces each page to five scalars before
+    the only shuffle."""
+    from cc_extract.job import html_robots_df
+
+    docs, _ = _cc_corpus_and_extracted(spark)
+    return html_robots_df(docs)
+
+
 def _cc_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema.org JSON-LD structured-data extraction (round 5): per
     html-routed url (newest crawl), ld+json block/valid counts, the
@@ -1623,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "cc_archive_stats": _cc_archive_stats,  # r5: tar/zip bundles + gz/bz2/xz wrappers
+        "cc_meta_robots": _cc_meta_robots,  # r5: page-level REP (meta robots + rel=nofollow)
         "cc_ole_stats": _cc_ole_stats,  # r5: legacy xls/ppt/ole routing
         "cc_jsonld": _cc_jsonld,  # r5: schema.org JSON-LD extraction
         "cc_feed_urls": _cc_feed_urls,  # r5: RSS/Atom feed discovery
@@ -3937,6 +3958,21 @@ WITH ranked AS (
   FROM read_parquet('{meta_tbl}')
 )
 SELECT url, title, meta_description, og_title, canonical, lang
+FROM ranked WHERE rn = 1 ORDER BY url
+"""
+
+    # page-level robots directives: row semantics shared (html_robots
+    # via oracle_data.robots_meta_table); SQL re-expresses only the
+    # keep-newest dedup + projection
+    rb_tbl = oracle_data.robots_meta_table(_CC_N_DOCS)
+    sql["cc_meta_robots"] = f"""
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY url ORDER BY warc_ts DESC) AS rn
+  FROM read_parquet('{rb_tbl}')
+)
+SELECT url, noindex, nofollow, n_robots_metas, n_anchors,
+       n_nofollow_anchors
 FROM ranked WHERE rn = 1 ORDER BY url
 """
 

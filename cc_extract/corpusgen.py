@@ -208,6 +208,31 @@ def _gen_html(rng: random.Random) -> bytes:
                if hv2 % 5 == 0 else "")
         table_html = ('<table class="data">\n' + cap
                       + "\n".join(trs) + "\n</table>\n")
+    # Page-level robots directives (cc_meta_robots) — same hash-only
+    # derivation, zero rng consumption: ~1/5 of html docs carry a
+    # <meta name=robots> (directive mix incl. 'none', positive no-ops,
+    # attr case/quote/order variants), and 0-2 related + 0-3 farm
+    # anchors gain rel=nofollow.  rel goes BEFORE href so the
+    # cc_link_graph edge regex (href="...">) keeps matching — the graph
+    # op stays pinned while cc_meta_robots reports which edges a
+    # polite ranker would drop.  Head/attr bytes never reach extracted
+    # text, so the 20k golden is untouched.
+    hv3 = int(_hashlib.md5(f"rb:{slug}:{lang}".encode()).hexdigest(), 16)
+    if hv3 % 5 == 0:
+        rb_content = ["noindex", "noindex, nofollow", "NOFOLLOW", "none",
+                      "index, follow"][(hv3 >> 4) % 5]
+        robots_meta = [
+            f'<meta name="robots" content="{rb_content}">',
+            f"<meta NAME='ROBOTS' CONTENT='{rb_content}'>",
+            f'<meta content="{rb_content}" name=robots>',
+        ][(hv3 >> 8) % 3] + "\n"
+    else:
+        robots_meta = ""
+    related = related.replace(
+        '<a href="https://', '<a rel="nofollow" href="https://',
+        (hv3 >> 12) % 3)
+    farm = farm.replace(
+        '<a href="/p', '<a rel=NOFOLLOW href="/p', (hv3 >> 16) % 4)
     if hv % 13 == 0:
         ld_scripts = ""
     else:
@@ -241,7 +266,7 @@ def _gen_html(rng: random.Random) -> bytes:
 <meta name="description" content="{desc}">
 <meta property="og:title" content="{title}">
 <meta property="og:type" content="article">
-<link rel="canonical" href="/canonical/{slug}">
+{robots_meta}<link rel="canonical" href="/canonical/{slug}">
 {ld_scripts}<style>body {{ color: #333; }} .x {{ display:none }}</style>
 <script>var tracker = "{_words(rng, 3)}"; loadAds();</script>
 </head><body>

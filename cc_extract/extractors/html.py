@@ -536,6 +536,84 @@ def html_links(payload: bytes, url: str | None = None) -> list[str] | None:
     return out
 
 
+ROBOTS_COLS = ("noindex", "nofollow", "n_robots_metas", "n_anchors",
+               "n_nofollow_anchors")
+
+
+def html_robots(payload: bytes, url: str | None = None) -> dict | None:
+    """Page-level robots directives — the in-page half of the Robots
+    Exclusion Protocol that ``cc_robots_filter`` (RFC 9309 robots.txt)
+    does not cover: the ``<meta name=robots>`` tag and the
+    ``rel=nofollow`` anchor microformat.  A polite corpus builder drops
+    noindex pages and a ranker drops nofollow edges; this row function
+    surfaces both signals.
+
+    Normative spec (shared row code between the Spark ``mapInPandas``
+    batch fn and the DuckDB oracle table builder, the html_meta
+    pattern):
+
+    - routing parity with extract_document (``_resolve_html_doc``;
+      non-html -> None);
+    - a robots meta is any ``<meta>`` whose ``name`` equals ``robots``
+      case-insensitively (generic only — per-crawler names like
+      ``googlebot`` are a documented out-of-scope simplification);
+      its ``content`` is a comma-separated directive list, tokens
+      lowercased/stripped; ``none`` means ``noindex`` + ``nofollow``;
+      positive tokens (``all``/``index``/``follow``) are no-ops;
+      MULTIPLE robots metas combine restrictively (union of
+      restrictions — the documented crawler convention);
+    - an anchor is an ``<a>`` start tag carrying a non-empty ``href``
+      (the ``html_links`` population, so n_nofollow_anchors/n_anchors
+      is a well-defined edge fraction); its ``rel`` is a
+      space-separated token list (HTML spec), counted nofollow iff any
+      token equals ``nofollow`` case-insensitively;
+    - attribute conventions (quote styles, bare values, first-wins
+      within a tag, charref decode) are the html_meta conventions.
+    """
+    from html import unescape
+
+    doc = _resolve_html_doc(payload, url)
+    if doc is None:
+        return None
+    noindex = nofollow = False
+    n_metas = 0
+    for tm in _HEADTAG_RX.finditer(doc):
+        if tm.group(1).lower() != "meta":
+            continue
+        attrs: dict[str, str] = {}
+        for am in _ATTR_RX.finditer(tm.group(2)):
+            aname = am.group(1).lower()
+            if aname not in attrs:
+                raw = next(g for g in am.groups()[1:] if g is not None)
+                attrs[aname] = unescape(raw)
+        if attrs.get("name", "").strip().lower() != "robots":
+            continue
+        n_metas += 1
+        tokens = {t.strip().lower()
+                  for t in attrs.get("content", "").split(",")}
+        if "noindex" in tokens or "none" in tokens:
+            noindex = True
+        if "nofollow" in tokens or "none" in tokens:
+            nofollow = True
+    n_anchors = n_nofollow = 0
+    for tm in _A_TAG_RX.finditer(doc):
+        attrs = {}
+        for am in _ATTR_RX.finditer(tm.group(1)):
+            aname = am.group(1).lower()
+            if aname not in attrs:
+                raw = next(g for g in am.groups()[1:] if g is not None)
+                attrs[aname] = unescape(raw)
+        if not attrs.get("href", ""):
+            continue
+        n_anchors += 1
+        rel_tokens = {t.lower() for t in attrs.get("rel", "").split()}
+        if "nofollow" in rel_tokens:
+            n_nofollow += 1
+    return {"noindex": noindex, "nofollow": nofollow,
+            "n_robots_metas": n_metas, "n_anchors": n_anchors,
+            "n_nofollow_anchors": n_nofollow}
+
+
 _SCRIPT_RX = re.compile(r"<script\b([^>]*)>(.*?)</script\s*>",
                         re.IGNORECASE | re.DOTALL)
 

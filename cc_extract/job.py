@@ -200,6 +200,48 @@ def html_meta_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def html_robots_df(docs: DataFrame) -> DataFrame:
+    """Page-level robots directives over a corpus frame — per
+    html-routed document (newest crawl per url): meta-robots
+    noindex/nofollow flags, robots-meta count, anchor count and
+    rel=nofollow anchor count.  Row semantics are the shared
+    cc_extract.extractors.html.html_robots (restrictive-union spec;
+    see its docstring); same scale shape as html_meta_df — the ONE
+    payload-bearing mapInPandas pass reduces each page to five scalars
+    before the only shuffle (url-hash keep-newest window)."""
+    from .extractors.html import ROBOTS_COLS, html_robots
+
+    schema = ("url string, warc_ts timestamp, noindex boolean, "
+              "nofollow boolean, n_robots_metas int, n_anchors int, "
+              "n_nofollow_anchors int")
+    cols = ("url", "warc_ts", *ROBOTS_COLS)
+
+    def batches(it):
+        for pdf in it:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for url, ts, payload in zip(pdf["url"], pdf["warc_ts"],
+                                        pdf["html"]):
+                m = html_robots(payload, url)
+                if m is None:
+                    continue
+                rows["url"].append(url)
+                rows["warc_ts"].append(ts)
+                for k in ROBOTS_COLS:
+                    rows[k].append(m[k])
+            yield pd.DataFrame(rows, columns=list(cols))
+
+    rb = docs.select("url", "warc_ts", "html").mapInPandas(
+        batches, schema=schema
+    )
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        rb.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("url", *ROBOTS_COLS)
+        .orderBy("url")
+    )
+
+
 def html_jsonld_df(docs: DataFrame) -> DataFrame:
     """Schema.org JSON-LD extraction over a corpus frame — per
     html-routed document (newest crawl per url): block/valid counts,

@@ -440,6 +440,44 @@ def html_meta_table(n_docs: int = 1200) -> str:
     return path
 
 
+def robots_meta_table(n_docs: int = 1200) -> str:
+    """Per-INPUT-ROW page-level robots directives for html-routed
+    documents (cc_extract.extractors.html.html_robots — the shared row
+    semantics; the SQL side re-expresses the keep-newest dedup +
+    projection)."""
+    key = f"robots_meta:{n_docs}"
+    if key in _memo:
+        return _memo[key]
+    import pyarrow as pa
+
+    from .corpusgen import gen_corpus
+    from .extractors.html import ROBOTS_COLS, html_robots
+
+    cols: dict[str, list] = {c: [] for c in ("url", "warc_ts", *ROBOTS_COLS)}
+    for r in gen_corpus(n_docs):
+        m = html_robots(r["html"], r["url"])
+        if m is None:
+            continue
+        cols["url"].append(r["url"])
+        cols["warc_ts"].append(r["warc_ts"])
+        for k in ROBOTS_COLS:
+            cols[k].append(m[k])
+    table = pa.table({
+        "url": pa.array(cols["url"], pa.string()),
+        "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+        "noindex": pa.array(cols["noindex"], pa.bool_()),
+        "nofollow": pa.array(cols["nofollow"], pa.bool_()),
+        "n_robots_metas": pa.array(cols["n_robots_metas"], pa.int32()),
+        "n_anchors": pa.array(cols["n_anchors"], pa.int32()),
+        "n_nofollow_anchors": pa.array(cols["n_nofollow_anchors"],
+                                       pa.int32()),
+    })
+    path = os.path.join(_ORACLE_DIR, f"robots_meta_{n_docs}.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path
+
+
 def jsonld_table(n_docs: int = 1200) -> str:
     """Per-INPUT-ROW JSON-LD extraction for html-routed documents
     (cc_extract.extractors.html.html_jsonld — the shared row semantics;

@@ -254,6 +254,75 @@ def test_html_meta_populated_on_corpus():
     assert n > 20 and have_all > 20
 
 
+def test_html_robots_directive_union_and_case():
+    from cc_extract.extractors.html import html_robots
+
+    # two robots metas combine restrictively; attr case/quote/order and
+    # token whitespace/case are all normalized; positive tokens no-op
+    doc = (b"<html><head>"
+           b"<meta NAME='ROBOTS' CONTENT=' NoIndex , index '>"
+           b'<meta content="follow, NOFOLLOW" name=robots>'
+           b'<meta name="viewport" content="width=device-width">'
+           b"</head><body><p>hi</p></body></html>")
+    m = html_robots(doc, "https://x/a.html")
+    assert m["noindex"] is True and m["nofollow"] is True
+    assert m["n_robots_metas"] == 2
+    # 'none' implies both restrictions in a single tag
+    m = html_robots(b"<html><head><meta name=robots content=none>"
+                    b"</head><body><p>x</p></body></html>", "https://x/a.html")
+    assert m["noindex"] is True and m["nofollow"] is True
+    assert m["n_robots_metas"] == 1
+    # per-crawler names (googlebot) are out of scope — NOT counted
+    m = html_robots(b'<html><head><meta name="googlebot" content="noindex">'
+                    b"</head><body><p>x</p></body></html>", "https://x/a.html")
+    assert m == {"noindex": False, "nofollow": False, "n_robots_metas": 0,
+                 "n_anchors": 0, "n_nofollow_anchors": 0}
+
+
+def test_html_robots_anchor_rel_counting():
+    from cc_extract.extractors.html import html_robots
+
+    doc = (b"<html><body>"
+           b'<a href="/a" rel="external NOFOLLOW">one</a>'   # counted
+           b"<a rel=nofollow href=/b>two</a>"                # bare attrs
+           b'<a href="/c" rel="noopener">three</a>'          # rel, no nofollow
+           b'<a href="/d">four</a>'                          # no rel
+           b'<a name="anchor-only">five</a>'                 # no href: not an edge
+           b'<a href="" rel=nofollow>six</a>'                # empty href: not an edge
+           b"<p>text</p></body></html>")
+    m = html_robots(doc, "https://x/a.html")
+    assert m["n_anchors"] == 4
+    assert m["n_nofollow_anchors"] == 2
+    # 'nofollow' must be a whole rel token, not a substring
+    m = html_robots(b'<html><body><a href="/x" rel="nofollowish">t</a>'
+                    b"<p>x</p></body></html>", "https://x/a.html")
+    assert m["n_anchors"] == 1 and m["n_nofollow_anchors"] == 0
+
+
+def test_html_robots_routing_parity_and_corpus():
+    from cc_extract.extractors.html import html_robots
+
+    assert html_robots(b"%PDF-1.4 whatever", "https://x/a.pdf") is None
+    assert html_robots(b"", "https://x/a.html") is None
+    z = gzip.compress(b"<html><head><meta name=robots content=noindex>"
+                      b"</head><body><p>x</p></body></html>", mtime=0)
+    assert html_robots(z, "https://x/a.html")["noindex"] is True
+    # corpus population: directives, nofollow edges and plain pages all occur
+    n = with_meta = with_nf = 0
+    for p in CORPUS_HTML[:120]:
+        m = html_robots(p)
+        if m is None:
+            continue
+        n += 1
+        assert m["n_nofollow_anchors"] <= m["n_anchors"]
+        if m["n_robots_metas"]:
+            with_meta += 1
+        if m["n_nofollow_anchors"]:
+            with_nf += 1
+    assert n > 60 and with_meta > 5 and with_nf > 10
+    assert with_meta < n  # plain pages remain the majority
+
+
 def test_html_jsonld_variants_and_flattening():
     from cc_extract.extractors.html import html_jsonld
 
