@@ -1557,6 +1557,55 @@ def _cc_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_robots_df(docs)
 
 
+def _cc_index_eligible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-eligibility verdict (round 5): the consumer that joins the
+    THREE gate surfaces a polite corpus builder applies before a page
+    may enter a training corpus — per deduped url (newest crawl):
+
+    - ``status``: the extraction outcome (eligible text needs
+      ``ok``/``ok_ocr`` — quarantined/unsupported/error rows carry no
+      trustworthy text);
+    - ``robots_blocked``: the crawl-time half of the Robots Exclusion
+      Protocol (cc_robots_filter's RFC 9309 longest-match verdict);
+    - ``noindex``: the in-page half (cc_meta_robots' restrictive-union
+      meta directive; non-html formats carry no meta robots, so the
+      flag coalesces to false — REP metas are an html surface);
+
+    and ``eligible`` = ok-ish AND NOT robots_blocked AND NOT noindex.
+    Composed verbatim from the shipped operators (the curation_funnel
+    discipline: a consumer built from parts cannot drift from them);
+    the oracle composes the same three relations' full SQL as CTEs.
+
+    Scale shape: the payload-bearing passes are the ones the parts
+    already make (extraction + meta scan); this query adds only
+    url-equi joins of O(corpus) five-scalar relations — AQE broadcasts
+    the O(domains)-derived verdict side at this scale, and at 100 TB
+    all three sides share the url-hash bucketing so the joins
+    co-locate without a new shuffle."""
+    docs, res = _cc_corpus_and_extracted(spark)
+    from cc_extract.job import html_robots_df
+
+    verdicts = _cc_robots_filter(spark, sf_dir).select("url", "blocked")
+    noidx = html_robots_df(docs).select("url", "noindex")
+    blocked = F.coalesce(F.col("blocked"), F.lit(False))
+    noindex = F.coalesce(F.col("noindex"), F.lit(False))
+    return (
+        res.select("url", "status")
+        .join(verdicts, "url", "left")
+        .join(noidx, "url", "left")
+        .select(
+            "url",
+            _cc_host(F.col("url")).alias("domain"),
+            "status",
+            blocked.alias("robots_blocked"),
+            noindex.alias("noindex"),
+            (F.col("status").isin("ok", "ok_ocr") & ~blocked
+             & ~noindex).alias("eligible"),
+        )
+        .orderBy("url")
+    )
+
+
 def _cc_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema.org JSON-LD structured-data extraction (round 5): per
     html-routed url (newest crawl), ld+json block/valid counts, the
@@ -1644,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "cc_archive_stats": _cc_archive_stats,  # r5: tar/zip bundles + gz/bz2/xz wrappers
         "cc_meta_robots": _cc_meta_robots,  # r5: page-level REP (meta robots + rel=nofollow)
+        "cc_index_eligible": _cc_index_eligible,  # r5: status x robots.txt x noindex gate
         "cc_ole_stats": _cc_ole_stats,  # r5: legacy xls/ppt/ole routing
         "cc_jsonld": _cc_jsonld,  # r5: schema.org JSON-LD extraction
         "cc_feed_urls": _cc_feed_urls,  # r5: RSS/Atom feed discovery
@@ -4189,6 +4239,64 @@ SELECT u.url, u.domain,
        coalesce(b.pattern, '') AS rule
 FROM u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (url)
 ORDER BY u.url
+"""
+
+    # corpus-eligibility verdict: the three gate relations re-derived
+    # independently (deduped extraction status from the single-process
+    # table, the RFC 9309 verdict from urls x transcribed robots rules,
+    # the meta-robots noindex flag keep-newest over its own row table),
+    # composed with the identical coalesce-false AND logic
+    sql["cc_index_eligible"] = f"""
+WITH {dedup_cte},
+iu AS (
+  SELECT DISTINCT url FROM read_parquet('{corpus}')
+),
+iup AS (
+  SELECT url,
+         lower(regexp_extract(url, '^https://([^/:?#]+)', 1)) AS domain,
+         regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path
+  FROM iu
+),
+im AS (
+  SELECT iup.url, r.pattern, r.allow
+  FROM iup JOIN read_parquet('{robots}') r USING (domain)
+  WHERE CASE
+    WHEN r.pattern LIKE '/*.%' THEN CASE
+      WHEN r.pattern LIKE '%$'
+        THEN ends_with(iup.path, substring(r.pattern, 3, length(r.pattern) - 3))
+      ELSE contains(iup.path, substring(r.pattern, 3)) END
+    ELSE starts_with(iup.path, r.pattern) END
+),
+ibest AS (
+  SELECT url, allow,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY length(pattern) DESC, allow DESC,
+                                     pattern ASC) AS rn
+  FROM im
+),
+iverdict AS (
+  SELECT iup.url, coalesce(NOT b.allow, FALSE) AS blocked
+  FROM iup LEFT JOIN (SELECT * FROM ibest WHERE rn = 1) b USING (url)
+),
+inoidx AS (
+  SELECT url, noindex FROM (
+    SELECT url, noindex, row_number() OVER (
+      PARTITION BY url ORDER BY warc_ts DESC) AS rn
+    FROM read_parquet('{rb_tbl}')
+  ) WHERE rn = 1
+)
+SELECT d.url,
+       lower(regexp_extract(d.url, '^https://([^/:?#]+)', 1)) AS domain,
+       d.status,
+       coalesce(v.blocked, FALSE) AS robots_blocked,
+       coalesce(ni.noindex, FALSE) AS noindex,
+       (d.status IN ('ok', 'ok_ocr')
+        AND NOT coalesce(v.blocked, FALSE)
+        AND NOT coalesce(ni.noindex, FALSE)) AS eligible
+FROM d
+LEFT JOIN iverdict v USING (url)
+LEFT JOIN inoidx ni USING (url)
+ORDER BY d.url
 """
 
     # refetch frontier: the three ingredient relations re-derived from
