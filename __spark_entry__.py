@@ -1691,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "doc_chunk_stats": textops.chunk_stats,  # r5: context-window chunking
         "cc_archive_stats": _cc_archive_stats,  # r5: tar/zip bundles + gz/bz2/xz wrappers
         "cc_meta_robots": _cc_meta_robots,  # r5: page-level REP (meta robots + rel=nofollow)
         "cc_index_eligible": _cc_index_eligible,  # r5: status x robots.txt x noindex gate
@@ -2326,6 +2327,30 @@ SELECT doc_id,
        len(list_distinct({_TOKENS})) AS n_uniq_tokens,
        length(text) AS n_chars_actual
 FROM documents ORDER BY doc_id
+"""
+
+    # context-window chunking: Spark sequence(0, n-1, stride) and DuckDB
+    # range(0, n, stride) enumerate the identical start set; both engines
+    # md5 the space-joined 1-based [start+1, start+CHUNK] token window
+    sql["doc_chunk_stats"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS tokens FROM documents
+),
+e AS (
+  SELECT doc_id, tokens,
+         unnest(range(0, len(tokens), {textops.CHUNK_STRIDE})) AS start_tok
+  FROM t
+)
+SELECT doc_id,
+       CAST(start_tok // {textops.CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(least({textops.CHUNK_TOKENS}, len(tokens) - start_tok) AS INT)
+         AS n_tokens,
+       md5(array_to_string(
+             list_slice(tokens, start_tok + 1,
+                        start_tok + {textops.CHUNK_TOKENS}), ' '))
+         AS chunk_md5
+FROM e
 """
 
     sql["doc_quality_scores"] = f"""

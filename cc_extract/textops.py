@@ -113,6 +113,49 @@ def token_stats(spark, sf_dir: str) -> DataFrame:
     )  # no orderBy: a global sort of per-doc rows is pure cost at scale
 
 
+# ------------------------------------------------------- context chunking
+
+CHUNK_TOKENS = 128   # training context-window chunk length (tokens)
+CHUNK_STRIDE = 96    # stride between chunk starts -> 32-token overlap
+
+
+def chunk_stats(spark, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap — the context-window prep
+    step every LLM training pipeline runs between curation and
+    tokenizer-encoding: each document becomes ceil(n_tokens/stride)
+    overlapping windows of CHUNK_TOKENS tokens at CHUNK_STRIDE spacing
+    (the trailing chunk is short, never dropped — training pipelines pad
+    it, they don't lose the document tail).  Output pins the chunk
+    CONTENT (md5 of the space-joined token window), not just geometry,
+    so any tokenizer or slicing drift flips the contract.
+
+    Scale shape: one tokenize pass, then a same-partition posexplode of
+    O(n_tokens/stride) start offsets per doc — the expansion is ~1/96 of
+    the token relation other doc_* operators already build, all native
+    (sequence/slice/array_join/md5, zero Python), no shuffle at all
+    (per-doc rows stay where the scan put them; no global sort — same
+    discipline as token_stats)."""
+    df = with_tokens(load_documents(spark, sf_dir))
+    n = F.size("tokens")
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    e = (
+        df.filter(n > 0)
+        .select("doc_id", "tokens",
+                F.posexplode(starts).alias("chunk_idx", "start_tok"))
+    )
+    window = F.slice("tokens", F.col("start_tok") + 1, F.lit(CHUNK_TOKENS))
+    return e.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.least(F.lit(CHUNK_TOKENS),
+                F.size("tokens") - F.col("start_tok")).alias("n_tokens"),
+        F.md5(F.encode(F.array_join(window, " "), "utf-8")).alias("chunk_md5"),
+    )
+
+
 # --------------------------------------------------------- quality score
 
 def quality_scores(spark, sf_dir: str) -> DataFrame:

@@ -506,6 +506,47 @@ def test_duplicate_spans_interval_union(spark, tmp_path):
     assert got[3] == (16, 16, 1.0)
 
 
+def test_chunk_stats_geometry_and_content(spark, tmp_path):
+    """Context-window chunking on a hand-built corpus: a 300-token doc at
+    CHUNK_TOKENS=128 / CHUNK_STRIDE=96 yields starts 0/96/192/288 with
+    lengths 128/128/108/12 (short tail kept); consecutive chunks overlap
+    by 32 tokens; chunk_md5 pins the exact token window (verified against
+    an independent hashlib computation); an empty doc yields no chunks
+    and a 1-token doc yields exactly one."""
+    import hashlib
+
+    from cc_extract.textops import CHUNK_STRIDE, CHUNK_TOKENS, chunk_stats
+
+    assert (CHUNK_TOKENS, CHUNK_STRIDE) == (128, 96)
+    toks = [f"w{i}" for i in range(300)]
+    texts = [" ".join(toks), "", "solo"]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    rows = chunk_stats(spark, str(sf)).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc  # empty doc: no chunks
+    assert [(r["chunk_idx"], r["start_tok"], r["n_tokens"])
+            for r in sorted(by_doc[0], key=lambda r: r["chunk_idx"])] == [
+        (0, 0, 128), (1, 96, 128), (2, 192, 108), (3, 288, 12)]
+    assert [(r["chunk_idx"], r["start_tok"], r["n_tokens"])
+            for r in by_doc[2]] == [(0, 0, 1)]
+
+    def md5_of(start):
+        window = toks[start:start + CHUNK_TOKENS]
+        return hashlib.md5(" ".join(window).encode()).hexdigest()
+
+    got = {r["start_tok"]: r["chunk_md5"] for r in by_doc[0]}
+    assert got == {s: md5_of(s) for s in (0, 96, 192, 288)}
+    assert by_doc[2][0]["chunk_md5"] == hashlib.md5(b"solo").hexdigest()
+
+
 def test_span_dedup_rewrite_keeps_canonical_occurrence(spark, tmp_path):
     """The rewrite consumer on the same hand-built corpus as the
     accounting test above: the CANONICAL (lexicographic-min (doc_id, p))
