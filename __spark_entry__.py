@@ -1645,6 +1645,26 @@ def _cc_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_tables_df(docs)
 
 
+def _cc_html_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-outline extraction (round 5): per closed h1-h6 heading
+    of the newest crawl of every html-routed url — (heading_idx, level,
+    heading).  The structure surface a training pipeline uses for
+    section-aware chunking and section-title metadata (the
+    readability/trafilatura outline next to main content).  Row
+    semantics are ONE shared function (extractors.html.html_headings:
+    document order, close tag must echo the open level, tag-strip then
+    charref-decode then ws-collapse, empty-is-NULL) called per element
+    in the Arrow batch here and per row single-process in
+    oracle_data.headings_table; each side independently expresses only
+    the keep-newest dedup.  Scale shape: the payload-bearing pass
+    reduces each page to O(headings) short rows before the only
+    shuffle (url-hash dense-rank window)."""
+    from cc_extract.job import html_headings_df
+
+    docs, _ = _cc_corpus_and_extracted(spark)
+    return html_headings_df(docs)
+
+
 def _cc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX-style capture index (round 5) — the URL-index artifact a real
     crawl publishes next to its WARC segments: one row per CAPTURE (not
@@ -1692,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "doc_chunk_stats": textops.chunk_stats,  # r5: context-window chunking
+        "cc_html_headings": _cc_html_headings,  # r5: h1-h6 outline rows
         "cc_archive_stats": _cc_archive_stats,  # r5: tar/zip bundles + gz/bz2/xz wrappers
         "cc_meta_robots": _cc_meta_robots,  # r5: page-level REP (meta robots + rel=nofollow)
         "cc_index_eligible": _cc_index_eligible,  # r5: status x robots.txt x noindex gate
@@ -4077,6 +4098,20 @@ WITH ranked AS (
 )
 SELECT url, table_idx, caption, row_idx, col_idx, is_header, cell
 FROM ranked WHERE rk = 1 ORDER BY url, table_idx, row_idx, col_idx
+"""
+
+    # document outline: row semantics shared (html_headings via
+    # oracle_data.headings_table); SQL re-expresses only the keep-newest
+    # dedup (dense over the per-heading rows) + projection
+    hd_tbl = oracle_data.headings_table(_CC_N_DOCS)
+    sql["cc_html_headings"] = f"""
+WITH ranked AS (
+  SELECT *, dense_rank() OVER (
+    PARTITION BY url ORDER BY warc_ts DESC) AS rk
+  FROM read_parquet('{hd_tbl}')
+)
+SELECT url, heading_idx, level, heading
+FROM ranked WHERE rk = 1 ORDER BY url, heading_idx
 """
 
     # CDX capture index over the generator-direct corpus table: the SURT

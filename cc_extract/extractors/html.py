@@ -769,6 +769,49 @@ def html_tables(payload: bytes, url: str | None = None) -> list[dict] | None:
     return out
 
 
+_HEADING_RX = re.compile(r"<h([1-6])\b[^>]*>(.*?)</h\1\s*>",
+                         re.IGNORECASE | re.DOTALL)
+
+
+def html_headings(payload: bytes, url: str | None = None) -> list[dict] | None:
+    """Document-OUTLINE extraction — the heading hierarchy surface a
+    training-data pipeline harvests for structure-aware chunking and
+    section-title metadata (readability/trafilatura expose the same
+    h1-h6 ladder next to main content).
+
+    Normative spec (shared row code between the Spark ``mapInPandas``
+    batch fn and the DuckDB oracle table builder, the html_meta
+    pattern):
+
+    - routing parity with extract_document (``_resolve_html_doc``;
+      non-html -> None, html with zero headings -> ``[]``);
+    - one output row per CLOSED ``<hN>...</hN>`` pair in document order:
+      (heading_idx, level, heading) — an unclosed heading emits nothing
+      (the scanner cannot know where it ends; a documented convention);
+    - heading text: inner tags stripped to spaces, charrefs decoded
+      AFTER the strip (entity-encoded markup is text, not markup),
+      whitespace collapsed; an all-markup/empty heading keeps its
+      position with ``heading`` NULL (the empty-is-NULL cell
+      convention);
+    - mismatched nesting (``<h2>..</h3>``) never matches — the close
+      tag must echo the open level; never raises on arbitrary markup.
+    """
+    from html import unescape
+
+    doc = _resolve_html_doc(payload, url)
+    if doc is None:
+        return None
+    out: list[dict] = []
+    for m in _HEADING_RX.finditer(doc):
+        text = _WS.sub(" ", unescape(_ANYTAG_RX.sub(" ", m.group(2)))).strip()
+        out.append({
+            "heading_idx": len(out),
+            "level": int(m.group(1)),
+            "heading": text or None,
+        })
+    return out
+
+
 def html_span_stats(payload: bytes, url: str | None = None) -> dict | None:
     """Per-document span-provenance stats for the ``cc_html_spans``
     contract query — the SINGLE row-semantics implementation both the

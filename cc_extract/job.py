@@ -375,6 +375,50 @@ def html_tables_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def html_headings_df(docs: DataFrame) -> DataFrame:
+    """Document-outline extraction over a corpus frame — per closed
+    h1-h6 heading of the newest crawl of every html-routed url:
+    (url, heading_idx, level, heading).  Row semantics are the shared
+    cc_extract.extractors.html.html_headings (see its docstring); same
+    scale shape as html_tables_df — the one payload-bearing mapInPandas
+    pass reduces each page to O(headings) short rows, so the url-hash
+    dedup window shuffles heading rows, never payloads."""
+    from .extractors.html import html_headings
+
+    schema = ("url string, warc_ts timestamp, heading_idx int, "
+              "level int, heading string")
+    hcols = ("heading_idx", "level", "heading")
+    cols = ("url", "warc_ts", *hcols)
+
+    def batches(it):
+        for pdf in it:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for url, ts, payload in zip(pdf["url"], pdf["warc_ts"],
+                                        pdf["html"]):
+                hs = html_headings(payload, url)
+                if not hs:
+                    continue
+                for h in hs:
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(ts)
+                    for k in hcols:
+                        rows[k].append(h[k])
+            yield pd.DataFrame(rows, columns=list(cols))
+
+    heads = docs.select("url", "warc_ts", "html").mapInPandas(
+        batches, schema=schema
+    )
+    # keep-newest per url: dense rank — all headings of the newest
+    # crawl share its ts
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    return (
+        heads.withColumn("_rk", F.dense_rank().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("url", *hcols)
+        .orderBy("url", "heading_idx")
+    )
+
+
 def snapshot_diff_df(docs: DataFrame, pivot_ts: str) -> DataFrame:
     """Inter-crawl snapshot diff over a corpus frame — the
     refresh/frontier table a recurring crawl derives before deciding

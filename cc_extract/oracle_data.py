@@ -686,6 +686,43 @@ def tables_table(n_docs: int = 1200) -> str:
     return path
 
 
+def headings_table(n_docs: int = 1200) -> str:
+    """Per-INPUT-ROW h1-h6 outline rows for html-routed documents
+    (cc_extract.extractors.html.html_headings — the shared row
+    semantics; the SQL side re-expresses the keep-newest dedup +
+    projection)."""
+    key = f"headings:{n_docs}"
+    if key in _memo:
+        return _memo[key]
+    import pyarrow as pa
+
+    from .corpusgen import gen_corpus
+    from .extractors.html import html_headings
+
+    hcols = ("heading_idx", "level", "heading")
+    cols: dict[str, list] = {c: [] for c in ("url", "warc_ts", *hcols)}
+    for r in gen_corpus(n_docs):
+        hs = html_headings(r["html"], r["url"])
+        if not hs:
+            continue
+        for h in hs:
+            cols["url"].append(r["url"])
+            cols["warc_ts"].append(r["warc_ts"])
+            for k in hcols:
+                cols[k].append(h[k])
+    table = pa.table({
+        "url": pa.array(cols["url"], pa.string()),
+        "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+        "heading_idx": pa.array(cols["heading_idx"], pa.int32()),
+        "level": pa.array(cols["level"], pa.int32()),
+        "heading": pa.array(cols["heading"], pa.string()),
+    })
+    path = os.path.join(_ORACLE_DIR, f"headings_{n_docs}.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path
+
+
 def feeds_table() -> str:
     """RAW per-domain syndication-feed dimension (domain, RSS/Atom xml
     text or NULL) straight from the generator — the oracle side of

@@ -446,3 +446,55 @@ def test_html_tables_populated_on_corpus():
             bydrow.setdefault(r["row_idx"], []).append(r["col_idx"])
         assert all(v == list(range(ncols)) for v in bydrow.values())
     assert docs_with > 50 and captions > 5 and numeric > 40
+
+
+def test_html_headings_outline_and_text_rules():
+    from cc_extract.extractors.html import html_headings
+
+    doc = (b"<html><body>"
+           b"<h1 class=\"t\">Top &amp; <em>emph</em> title</h1>"
+           b"<p>prose</p>"
+           b"<h2>Section</h2><h3>Sub \xe2\x80\x94 part</h3>"
+           b"<h4></h4>"               # empty heading: row kept, text NULL
+           b"<h5>&lt;b&gt;literal&lt;/b&gt;</h5>"  # entity markup is TEXT
+           b"<h2>Second</h2>"
+           b"<h6>deep</h6>"
+           b"<h2>unclosed"            # no close tag: emits nothing
+           b"</body></html>")
+    rows = html_headings(doc, "https://x/a.html")
+    assert [(r["heading_idx"], r["level"], r["heading"]) for r in rows] == [
+        (0, 1, "Top & emph title"),
+        (1, 2, "Section"),
+        (2, 3, "Sub — part"),
+        (3, 4, None),
+        (4, 5, "<b>literal</b>"),
+        (5, 2, "Second"),
+        (6, 6, "deep"),
+    ]
+    # mismatched nesting never matches; routing parity; never raises
+    assert html_headings(b"<html><body><h2>x</h3></body></html>",
+                         "https://x/a.html") == []
+    assert html_headings(b"%PDF-1.4 x", "https://x/a.pdf") is None
+    assert html_headings(b"<html><body><p>none</p></body></html>",
+                         "https://x/a.html") == []
+
+
+def test_html_headings_populated_on_corpus():
+    from cc_extract.extractors.html import html_headings
+
+    docs_with = h1s = charref = 0
+    for p in CORPUS_HTML[:120]:
+        rows = html_headings(p)
+        if not rows:
+            continue
+        docs_with += 1
+        levels = [r["level"] for r in rows]
+        # classic corpus docs: one h1 first, then an h2 later
+        if levels and levels[0] == 1:
+            h1s += 1
+            assert rows[0]["heading"]  # title-derived, never empty
+        if any(r["heading"] and ("&" in r["heading"] or
+                                 "—" in r["heading"]) for r in rows):
+            charref += 1
+        assert [r["heading_idx"] for r in rows] == list(range(len(rows)))
+    assert docs_with > 50 and h1s > 50 and charref > 40
