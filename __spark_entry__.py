@@ -1712,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "doc_chunk_stats": textops.chunk_stats,  # r5: context-window chunking
+        "doc_sequence_pack": textops.sequence_pack,  # r5: concat-and-split packing
         "cc_html_headings": _cc_html_headings,  # r5: h1-h6 outline rows
         "cc_archive_stats": _cc_archive_stats,  # r5: tar/zip bundles + gz/bz2/xz wrappers
         "cc_meta_robots": _cc_meta_robots,  # r5: page-level REP (meta robots + rel=nofollow)
@@ -2372,6 +2373,34 @@ SELECT doc_id,
                         start_tok + {textops.CHUNK_TOKENS}), ' '))
          AS chunk_md5
 FROM e
+"""
+
+    # sequence packing: both engines run the identical per-source
+    # running-offset window (ROWS UNBOUNDED PRECEDING..1 PRECEDING) and
+    # integer sequence arithmetic
+    sql["doc_sequence_pack"] = f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+nz AS (SELECT * FROM t WHERE n_tokens > 0),
+c AS (
+  SELECT *,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS cum_before
+  FROM nz
+)
+SELECT doc_id, source, n_tokens, cum_before,
+       CAST(cum_before // {textops.SEQ_LEN} AS BIGINT) AS seq_start,
+       CAST((cum_before + n_tokens - 1) // {textops.SEQ_LEN} AS BIGINT)
+         AS seq_end,
+       CAST(cum_before % {textops.SEQ_LEN} AS BIGINT) AS seq_offset,
+       CAST((cum_before + n_tokens - 1) // {textops.SEQ_LEN}
+            - cum_before // {textops.SEQ_LEN} + 1 AS BIGINT)
+         AS n_seqs_spanned
+FROM c
 """
 
     sql["doc_quality_scores"] = f"""

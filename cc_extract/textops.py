@@ -156,6 +156,50 @@ def chunk_stats(spark, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_LEN = 2048  # training sequence length (tokens) for concat-and-split
+
+
+def sequence_pack(spark, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing — concatenate documents in doc_id
+    order and split every SEQ_LEN tokens (the standard pretraining
+    packing: documents straddle sequence boundaries, nothing is padded
+    or dropped).  Emits the per-document placement map the encoder
+    shard needs: cumulative token offset, first/last sequence id,
+    offset within the first sequence, and the spanned-sequence count.
+
+    Packing runs PER SOURCE (the shard key): at 100 TB the corpus is
+    packed shard-by-shard, so the running-offset window partitions by
+    source and never needs a global single-partition sort — parallelism
+    = number of shards, each window a local sort within its hash
+    partition.  Zero-token documents occupy no positions and emit no
+    row (documented; token convention = the [a-z0-9]+ tokenizer shared
+    with token_stats/chunk_stats)."""
+    t = (
+        with_tokens(load_documents(spark, sf_dir))
+        .select("doc_id", "source",
+                F.size("tokens").cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    c = t.withColumn("cum_before", cum)
+    seq_start = F.floor(F.col("cum_before") / SEQ_LEN)
+    seq_end = F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / SEQ_LEN)
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_before",
+        seq_start.alias("seq_start"),
+        seq_end.alias("seq_end"),
+        (F.col("cum_before") % SEQ_LEN).alias("seq_offset"),
+        (seq_end - seq_start + 1).alias("n_seqs_spanned"),
+    )
+
+
 # --------------------------------------------------------- quality score
 
 def quality_scores(spark, sf_dir: str) -> DataFrame:

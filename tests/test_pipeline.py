@@ -547,6 +547,41 @@ def test_chunk_stats_geometry_and_content(spark, tmp_path):
     assert by_doc[2][0]["chunk_md5"] == hashlib.md5(b"solo").hexdigest()
 
 
+def test_sequence_pack_straddles_and_per_source_offsets(spark, tmp_path):
+    """Concat-and-split packing on a hand-built corpus (SEQ_LEN=2048):
+    within source a, docs of 1000/1500/100 tokens place at cumulative
+    offsets 0/1000/2500 — the second doc straddles the seq 0/1 boundary
+    (spans 2), the third starts at offset 452 of seq 1; source b's
+    running offset is independent; a zero-token doc emits no row and
+    shifts nothing."""
+    from cc_extract.textops import SEQ_LEN, sequence_pack
+
+    assert SEQ_LEN == 2048
+    rows_in = [
+        (0, " ".join(["x"] * 1000), "en", "a"),
+        (1, "!!! ... ???", "en", "a"),           # zero tokens: no row
+        (2, " ".join(["y"] * 1500), "en", "a"),
+        (3, " ".join(["z"] * 100), "en", "a"),
+        (4, " ".join(["q"] * 3000), "en", "b"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows_in, "doc_id long, text string, lang string, source string",
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["cum_before"], r["seq_start"], r["seq_end"],
+                      r["seq_offset"], r["n_seqs_spanned"])
+        for r in sequence_pack(spark, str(sf)).collect()
+    }
+    assert 1 not in got and len(got) == 4
+    assert got[0] == (0, 0, 0, 0, 1)
+    assert got[2] == (1000, 0, 1, 1000, 2)      # straddles 2048
+    assert got[3] == (2500, 1, 1, 452, 1)
+    assert got[4] == (0, 0, 1, 0, 2)            # source b independent
+
+
 def test_span_dedup_rewrite_keeps_canonical_occurrence(spark, tmp_path):
     """The rewrite consumer on the same hand-built corpus as the
     accounting test above: the CANONICAL (lexicographic-min (doc_id, p))
