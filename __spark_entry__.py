@@ -1665,6 +1665,52 @@ def _cc_html_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_headings_df(docs)
 
 
+_TEMPLATE_MIN_PAGES = 3  # a template block recurs on >=3 pages ...
+# ... AND on at least half the domain's html pages (integer-exact rule)
+
+
+def _cc_site_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-template detection (round 5): per domain, the blocks whose
+    exact text recurs across at least _TEMPLATE_MIN_PAGES pages AND at
+    least half the domain's html pages (newest crawl per url) — the
+    site-level boilerplate table a CC-style pipeline strips with (the
+    domain-scoped complement of doc_segment_boilerplate's CCNet
+    paragraph rule; here the unit is the scanner's own block and the
+    key is the block-text md5 the cc_html_blocks surface already pins).
+    The rule is integer-exact (n_urls * 2 >= n_pages), so no float
+    boundary can disagree between engines.
+
+    Scale shape: the payload-bearing pass is the one the blocks surface
+    already makes (pages reduce to O(blocks) 32-hex rows); this adds
+    two partial-aggregable groupBys over (domain, md5) / (domain) and
+    an O(domains)-broadcast join — no payload ever shuffles, and the
+    blocks relation is taken unsorted (ordered=False) so no range
+    shuffle sits below the aggregation."""
+    docs, _ = _cc_corpus_and_extracted(spark)
+    from cc_extract.job import html_blocks_df
+
+    b = (
+        html_blocks_df(docs, ordered=False)
+        .filter(F.col("n_chars") > 0)
+        .withColumn("domain", _cc_host(F.col("url")))
+    )
+    pages = b.groupBy("domain").agg(
+        F.countDistinct("url").alias("n_pages"))
+    grp = b.groupBy("domain", "text_md5").agg(
+        F.countDistinct("url").alias("n_urls"),
+        F.max("n_chars").alias("n_chars"),
+        F.max("kept").alias("kept_any"),
+    )
+    return (
+        grp.join(pages, "domain")
+        .filter((F.col("n_urls") >= _TEMPLATE_MIN_PAGES)
+                & (F.col("n_urls") * 2 >= F.col("n_pages")))
+        .select("domain", "text_md5", "n_urls", "n_pages", "n_chars",
+                "kept_any")
+        .orderBy("domain", "text_md5")
+    )
+
+
 def _cc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX-style capture index (round 5) — the URL-index artifact a real
     crawl publishes next to its WARC segments: one row per CAPTURE (not
@@ -1714,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_stats": textops.chunk_stats,  # r5: context-window chunking
         "doc_sequence_pack": textops.sequence_pack,  # r5: concat-and-split packing
         "cc_html_headings": _cc_html_headings,  # r5: h1-h6 outline rows
+        "cc_site_templates": _cc_site_templates,  # r5: domain template blocks
         "cc_archive_stats": _cc_archive_stats,  # r5: tar/zip bundles + gz/bz2/xz wrappers
         "cc_meta_robots": _cc_meta_robots,  # r5: page-level REP (meta robots + rel=nofollow)
         "cc_index_eligible": _cc_index_eligible,  # r5: status x robots.txt x noindex gate
@@ -4175,6 +4222,37 @@ WITH ranked AS (
 )
 SELECT url, block_idx, span_start, span_end, kept, n_chars, text_md5
 FROM ranked WHERE rk = 1 ORDER BY url, block_idx
+"""
+
+    # site-template detection over the same blocks rows: keep-newest
+    # dense dedup, then the integer-exact recurrence rule re-expressed
+    sql["cc_site_templates"] = f"""
+WITH tranked AS (
+  SELECT *, dense_rank() OVER (
+    PARTITION BY url ORDER BY warc_ts DESC) AS rk
+  FROM read_parquet('{blocks_tbl}')
+),
+tb AS (
+  SELECT lower(regexp_extract(url, '^https://([^/:?#]+)', 1)) AS domain,
+         url, text_md5, n_chars, kept
+  FROM tranked WHERE rk = 1 AND n_chars > 0
+),
+tpages AS (
+  SELECT domain, count(DISTINCT url) AS n_pages FROM tb GROUP BY domain
+),
+tgrp AS (
+  SELECT domain, text_md5, count(DISTINCT url) AS n_urls,
+         max(n_chars) AS n_chars, max(kept) AS kept_any
+  FROM tb GROUP BY domain, text_md5
+)
+SELECT g.domain, g.text_md5,
+       CAST(g.n_urls AS BIGINT) AS n_urls,
+       CAST(p.n_pages AS BIGINT) AS n_pages,
+       CAST(g.n_chars AS BIGINT) AS n_chars,
+       CAST(g.kept_any AS INT) AS kept_any
+FROM tgrp g JOIN tpages p USING (domain)
+WHERE g.n_urls >= {_TEMPLATE_MIN_PAGES} AND g.n_urls * 2 >= p.n_pages
+ORDER BY g.domain, g.text_md5
 """
 
     # inter-crawl snapshot diff over the generator-direct corpus table:

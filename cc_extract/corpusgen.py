@@ -117,7 +117,7 @@ _PACK_STOP = {"Shift_JIS": "。", "GBK": "。", "EUC-KR": "。",
               "windows-1251": ". ", "ISO-8859-7": ". "}
 
 
-def _gen_html(rng: random.Random) -> bytes:
+def _gen_html(rng: random.Random, domain: str | None = None) -> bytes:
     pack = None
     lang = "en"
     if rng.random() < 0.15:
@@ -261,6 +261,27 @@ def _gen_html(rng: random.Random) -> bytes:
         if hv % 11 == 0:
             ld_scripts += ('<script type="application/ld+json">'
                            '{"@type": "Thing",,}</script>\n')
+    # Per-DOMAIN template paragraph (cc_site_templates) — the in-main
+    # boilerplate the X1 tag-blacklist CANNOT strip (it's a plain <p>
+    # inside <div id=main>): a syndication disclaimer whose text is a
+    # pure hash of the domain, so it recurs byte-identically on every
+    # classic html page of the site.  Hash-only derivation, zero rng
+    # consumption; ~1/4 of domains carry none (the absent class).
+    # Extracted text CHANGES for carrier pages -> golden regenerated
+    # per protocol.
+    if domain is None:
+        disclaimer = ""
+    else:
+        dh = int(_hashlib.md5(f"tmpl:{domain}".encode()).hexdigest(), 16)
+        if dh % 4 == 0:
+            disclaimer = ""
+        else:
+            w1 = _WORDS[(dh >> 8) % len(_WORDS)]
+            w2 = _WORDS[(dh >> 16) % len(_WORDS)]
+            disclaimer = (
+                f"<p>Content syndicated by the {domain.split('.')[0]} "
+                f"editorial desk. All {w1} material appears under the "
+                f"{w2} licence and its terms apply.</p>\n")
     doc = f"""<!DOCTYPE html>
 <html lang="{lang}"><head><meta charset="{charset}"><title>{title}</title>
 <meta name="description" content="{desc}">
@@ -275,7 +296,7 @@ def _gen_html(rng: random.Random) -> bytes:
 <div id="main">
 <h1>{title} &amp; {rng.choice(_WORDS)} &mdash; {rng.choice(_WORDS)}</h1>
 {paras}
-<h2>{_words(rng, 3)}</h2>
+{disclaimer}<h2>{_words(rng, 3)}</h2>
 <ul>{lis}</ul>
 {table_html}</div>
 <aside><div>{farm}</div><div class="related">{related}</div></aside>
@@ -3408,7 +3429,8 @@ def gen_doc(i: int, seed: int = SEED) -> list[dict]:
     decorated = rng.random() < 0.12
     if decorated:
         url = _decorate_url(url, rng)
-    payload = _GENERATORS[fmt](rng)
+    payload = (_gen_html(rng, domain) if fmt == "html"
+               else _GENERATORS[fmt](rng))
     # ~5% of text-ish payloads are stored transfer-encoded, as real
     # CC-style stores do; the dispatcher must unwrap and re-sniff.  The
     # wrapper codec is hash-split (NOT rng-drawn — the rng stream is
@@ -3434,7 +3456,8 @@ def gen_doc(i: int, seed: int = SEED) -> list[dict]:
     rows = [{"url": url, "warc_ts": ts, "html": payload, "text": stale, "lang": lang}]
     if rng.random() < DUP_FRACTION:
         rng2 = random.Random((seed << 21) ^ i)
-        payload2 = _GENERATORS[fmt](rng2)
+        payload2 = (_gen_html(rng2, domain) if fmt == "html"
+                    else _GENERATORS[fmt](rng2))
         # half the dup rows (of undecorated urls) re-publish under a
         # tracking-decorated variant: raw-DISTINCT urls that canonicalize
         # equal — the duplicate class raw-url dedup cannot see and

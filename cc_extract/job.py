@@ -284,7 +284,7 @@ def html_jsonld_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def html_blocks_df(docs: DataFrame) -> DataFrame:
+def html_blocks_df(docs: DataFrame, ordered: bool = True) -> DataFrame:
     """Per-BLOCK span rows over a corpus frame — the literal per-block
     "spans match" surface for the newest crawl of every html-routed url:
     (url, block_idx, span_start, span_end, kept, n_chars, text_md5).
@@ -323,12 +323,14 @@ def html_blocks_df(docs: DataFrame) -> DataFrame:
     # keep-newest per url: rank crawls by ts (dense — all blocks of the
     # newest crawl share its ts), then keep rank 1
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-    return (
+    out = (
         blocks.withColumn("_rk", F.dense_rank().over(w))
         .filter(F.col("_rk") == 1)
         .select("url", *bcols)
-        .orderBy("url", "block_idx")
     )
+    # aggregate consumers (cc_site_templates) skip the global sort — a
+    # range shuffle below a groupBy is pure cost
+    return out.orderBy("url", "block_idx") if ordered else out
 
 
 def html_tables_df(docs: DataFrame) -> DataFrame:
