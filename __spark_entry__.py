@@ -837,6 +837,61 @@ def _cc_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("refetch_score"), "domain")
 
 
+def _cc_bloom_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter frontier dedup (round 5) — the probabilistic
+    "have we fetched this url before?" gate between url DISCOVERY
+    (cc_sitemap_urls locs + cc_feed_urls entry links) / scheduler
+    re-proposals and the fetch queue.  The production path is
+    textops.bloom_membership: a <=m-row bit table built once per crawl
+    cycle from the seen-url ledger, probed by an m-bounded equi-join —
+    at 10^12 seen urls that replaces re-shuffling the full ledger
+    against every cycle's candidate stream with a position-sharded
+    bitmap artifact (demo m=4096/k=4 here so the false-positive class
+    is populated at the 1,200-url contract corpus; see the sizing note
+    at textops.BLOOM_M_BITS).
+
+    This contract query ALSO runs the exact audit join (actually_seen)
+    to pin the two theorems the oracle can check row by row: zero
+    false negatives (actually_seen=1 -> probably_seen=1, every row)
+    and an honestly non-empty false-positive class.  The re-proposal
+    slice is a hash split (md5 'bloomcand:' prefix, 3/16 of seen urls)
+    so both engines draw it identically with no rng."""
+    docs, _ = _cc_corpus_and_extracted(spark)
+    seen = docs.select("url").distinct()
+    sm = (
+        _cc_sitemap_urls(spark, sf_dir)
+        .filter(F.col("loc").isNotNull())
+        .select(F.col("loc").alias("url"), F.lit("sitemap").alias("src"))
+    )
+    fd = (
+        _cc_feed_urls(spark, sf_dir)
+        .filter(F.col("url").isNotNull())
+        .select("url", F.lit("feed").alias("src"))
+    )
+    rf = (
+        seen.filter(
+            F.substring(
+                F.md5(F.concat(F.lit("bloomcand:"), F.col("url"))), 1, 1
+            ).isin("0", "1", "2"))
+        .select("url", F.lit("refetch").alias("src"))
+    )
+    cand = (
+        sm.unionByName(fd).unionByName(rf)
+        .groupBy("url").agg(F.min("src").alias("src"))
+    )
+    bm = textops.bloom_membership(seen, cand.select("url"))
+    joined = (
+        cand.join(bm, "url")
+        .join(seen.withColumn("_s", F.lit(1)), "url", "left")
+    )
+    return joined.select(
+        "url", "src", "n_hits", "probably_seen",
+        F.coalesce(F.col("_s"), F.lit(0)).cast("int").alias("actually_seen"),
+        ((F.col("probably_seen") == 1) & F.col("_s").isNull())
+        .cast("int").alias("false_positive"),
+    ).orderBy("url")
+
+
 def _cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain extraction accounting over the deduped pipeline output:
     doc counts, ok/error splits and extracted-text volume keyed by the
@@ -1757,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "cc_bloom_frontier": _cc_bloom_frontier,  # r5: bloom seen-url gate
         "doc_chunk_stats": textops.chunk_stats,  # r5: context-window chunking
         "doc_sequence_pack": textops.sequence_pack,  # r5: concat-and-split packing
         "cc_html_headings": _cc_html_headings,  # r5: h1-h6 outline rows
@@ -4830,6 +4886,51 @@ SELECT f.domain, f.refetch_score,
 FROM frontier f JOIN policy p USING (domain)
 LEFT JOIN smc USING (domain)
 ORDER BY f.refetch_score DESC, f.domain
+"""
+
+    # Bloom frontier gate: DuckDB re-derives the m=4096/k=4 filter with
+    # its own hex arithmetic (strpos digit decode — the simhash oracle
+    # convention), the same md5 probe streams, the same hash-split
+    # re-proposal slice, plus the exact audit join the two theorems
+    # (zero false negatives, populated false-positive class) hang off
+    _bf_digits = (
+        "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256"
+        " + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1))"
+    )
+    sql["cc_bloom_frontier"] = f"""
+WITH seen AS (SELECT DISTINCT url FROM read_parquet('{corpus}')),
+sbits AS (
+  SELECT DISTINCT {_bf_digits} AS pos
+  FROM (SELECT md5('bf' || CAST(j AS VARCHAR) || '|' || url) AS h
+        FROM seen, (VALUES (0), (1), (2), (3)) js(j))
+),
+cand0 AS (
+  SELECT loc AS url, 'sitemap' AS src FROM ({sql["cc_sitemap_urls"]})
+  WHERE loc IS NOT NULL
+  UNION ALL
+  SELECT url, 'feed' AS src FROM ({sql["cc_feed_urls"]})
+  WHERE url IS NOT NULL
+  UNION ALL
+  SELECT url, 'refetch' AS src FROM seen
+  WHERE substr(md5('bloomcand:' || url), 1, 1) IN ('0', '1', '2')
+),
+cand AS (SELECT url, min(src) AS src FROM cand0 GROUP BY url),
+probe AS (
+  SELECT url, {_bf_digits} AS pos
+  FROM (SELECT url, md5('bf' || CAST(j AS VARCHAR) || '|' || url) AS h
+        FROM cand, (VALUES (0), (1), (2), (3)) js(j))
+),
+hq AS (
+  SELECT p.url, sum(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS n_hits
+  FROM probe p LEFT JOIN sbits b USING (pos) GROUP BY p.url
+)
+SELECT c.url, c.src, CAST(q.n_hits AS BIGINT) AS n_hits,
+       CAST(q.n_hits = 4 AS INT) AS probably_seen,
+       CAST(s.url IS NOT NULL AS INT) AS actually_seen,
+       CAST(q.n_hits = 4 AND s.url IS NULL AS INT) AS false_positive
+FROM cand c JOIN hq q USING (url) LEFT JOIN seen s USING (url)
+ORDER BY c.url
 """
 
     # Revisit dedup round-trip: stored-vs-revisit re-derived relationally

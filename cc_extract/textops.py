@@ -2317,3 +2317,70 @@ def temperature_mixture(spark, sf_dir: str, tau: float = 0.7) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------------------ bloom filter
+
+BLOOM_M_BITS = 12   # m = 4096 positions (3 md5 hex digits, exact — no mod)
+BLOOM_K = 4         # probes per key
+
+# DEMO sizing: at the 1,200-url contract corpus the load is kn/m ~ 1.17,
+# so the false-positive class is genuinely populated (~20% of unseen
+# candidates) and the contract exercises every outcome.  Production
+# sizing is the standard formula (m ~ 1.44 * n * log2(1/fpr) bits; 10^12
+# seen urls at 1% fpr -> ~1.2 TB of bits, sharded by position range) —
+# the CODE is parameter-independent: positions just take more hex digits.
+
+
+def _bloom_pos_col(col, j: int):
+    """Probe-j bit position for a key column: the first BLOOM_M_BITS bits
+    of md5(f"bf{j}|" + key), read as 3 hex digits so the position is
+    exact integer arithmetic in both engines (no float, no modulo)."""
+    h = F.md5(F.concat(F.lit(f"bf{j}|"), col))
+    return F.conv(F.substring(h, 1, BLOOM_M_BITS // 4), 16, 10).cast("int")
+
+
+def bloom_membership(seen: DataFrame, cand: DataFrame,
+                     key: str = "url") -> DataFrame:
+    """Bloom-filter membership test of *cand* against *seen* — the
+    crawl-frontier "have we fetched this url before?" gate.
+
+    At 100 TB the seen-url ledger is ~10^12 rows; an exact anti-join of
+    every discovered candidate against it shuffles the ledger every
+    crawl cycle.  The Bloom filter replaces that with a compact bit
+    table built ONCE per cycle (<= m distinct positions — here a
+    partial-aggregable distinct over O(seen) map-side-projected ints,
+    at production m a position-range-sharded bitmap artifact) that the
+    candidate stream probes via an m-bounded equi-join: map-side
+    broadcast at this m, co-partitioned by position range at any m.
+    No false negatives (every probe of a seen key hits by construction
+    — pinned by test); false positives are the tunable cost.
+
+    Returns one row per distinct candidate key: (key, n_hits,
+    probably_seen) with n_hits in 0..BLOOM_K.  Exact membership is NOT
+    computed here — that audit join is the caller's (test-scale)
+    choice; this function is the production path."""
+    k = F.col(key)
+    bits = (
+        seen.select(
+            F.explode(F.array(*[
+                _bloom_pos_col(k, j) for j in range(BLOOM_K)
+            ])).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = cand.select(
+        key,
+        F.explode(F.array(*[
+            _bloom_pos_col(k, j) for j in range(BLOOM_K)
+        ])).alias("pos"),
+    )
+    return (
+        probe.join(bits, "pos", "left")
+        .groupBy(key)
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            key, F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits") == BLOOM_K).cast("int").alias("probably_seen"),
+        )
+    )

@@ -795,3 +795,29 @@ def test_quality_classifier_learns_past_the_prior(spark):
     prior = max(row["n_keep"], row["n_docs"] - row["n_keep"]) / row["n_docs"]
     assert row["accuracy"] > prior + 0.02
     assert row["w2"] < 0
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    """Bloom-filter theorems on a controlled key set: (a) ZERO false
+    negatives — every seen key probes all K positions into set bits by
+    construction; (b) n_hits is bounded by K; (c) at light load
+    (300 keys in 4096 bits -> fpr ~ 0.004) unseen keys are almost never
+    (falsely) positive, so the filter is doing real discrimination."""
+    from cc_extract import textops
+
+    seen = spark.createDataFrame(
+        [(f"https://s.example/p{i}",) for i in range(300)], "url string")
+    cand = spark.createDataFrame(
+        [(f"https://s.example/p{i}",) for i in range(0, 300, 7)]
+        + [(f"https://other.example/q{i}",) for i in range(200)],
+        "url string")
+    rows = textops.bloom_membership(seen, cand).collect()
+    got = {r["url"]: r for r in rows}
+    assert len(got) == len(range(0, 300, 7)) + 200
+    for i in range(0, 300, 7):
+        r = got[f"https://s.example/p{i}"]
+        assert r["n_hits"] == textops.BLOOM_K and r["probably_seen"] == 1
+    assert all(0 <= r["n_hits"] <= textops.BLOOM_K for r in rows)
+    fp = sum(r["probably_seen"] for r in rows
+             if r["url"].startswith("https://other"))
+    assert fp <= 20
