@@ -98,6 +98,33 @@ def _cc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_extraction_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format extraction-density audit (round 5): how many output
+    chars each input byte yields, over the deduped pipeline output.  The
+    density column is THE boilerplate-strip quality dial an extraction
+    stack watches per release — an X1 heuristic regression (nav links
+    leaking into prose, or prose being over-pruned) moves html's ratio
+    immediately, while pdf/docx ratios pin the binary decoders' yield.
+    ok-rows only (error/quarantine rows have no meaningful yield); both
+    sums are exact BIGINTs so the one division per row is bit-identical
+    cross-engine.  Scale shape: pure post-extraction projection + one
+    partial-aggregable groupBy on O(formats) keys."""
+    _, res = _cc_corpus_and_extracted(spark)
+    ok = res.filter(F.col("status") == "ok")
+    agg = ok.groupBy("fmt").agg(
+        F.count("*").alias("n_ok"),
+        F.sum(F.col("n_bytes_in").cast("long")).alias("bytes_in"),
+        F.sum(F.length("text_out").cast("long")).alias("chars_out"),
+    )
+    return agg.select(
+        "fmt", "n_ok", "bytes_in", "chars_out",
+        F.round(F.col("chars_out") / F.nullif(F.col("bytes_in"), F.lit(0)), 6)
+        .alias("density"),
+        F.round(F.col("chars_out") / F.nullif(F.col("n_ok"), F.lit(0)), 6)
+        .alias("avg_chars"),
+    ).orderBy("fmt")
+
+
 def _cc_ole_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Legacy-Office family accounting (round 5): the OLE magic routes by
     CFB directory stream names to doc (Word97 piece table), xls (BIFF8
@@ -1812,6 +1839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "cc_extraction_density": _cc_extraction_density,  # r5: chars/byte yield per fmt
+        "doc_token_fertility": textops.token_fertility,  # r5: tokenizer fertility audit
+        "event_stickiness": relops.event_stickiness,  # r5: DAU/7dAU ratio
         "cc_bloom_frontier": _cc_bloom_frontier,  # r5: bloom seen-url gate
         "doc_chunk_stats": textops.chunk_stats,  # r5: context-window chunking
         "doc_sequence_pack": textops.sequence_pack,  # r5: concat-and-split packing
@@ -2454,6 +2484,26 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+    # tokenizer fertility: exact BIGINT sums, one division per ratio cell
+    # (bit-identical cross-engine); DuckDB strlen = bytes twin of Spark
+    # octet_length; the word class is spelled out so RE2 and Java agree
+    sql["doc_token_fertility"] = f"""
+WITH a AS (
+  SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+         CAST(sum(len(regexp_extract_all(text, '[^ \\t\\n\\r]+'))) AS BIGINT)
+           AS n_words
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_tokens, n_chars, n_bytes, n_words,
+       round(n_bytes / nullif(n_tokens, 0), 6) AS bytes_per_token,
+       round(n_chars / nullif(n_tokens, 0), 6) AS chars_per_token,
+       round(n_tokens / nullif(n_words, 0), 6) AS tokens_per_word
+FROM a ORDER BY lang, source
+"""
+
     # context-window chunking: Spark sequence(0, n-1, stride) and DuckDB
     # range(0, n, stride) enumerate the identical start set; both engines
     # md5 the space-joined 1-based [start+1, start+CHUNK] token window
@@ -2801,6 +2851,30 @@ SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
        count(*) AS n_users
 FROM activity JOIN cohorts USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+    # trailing-7-day window via the same explode-to-served-days equi-join
+    # shape the Spark side uses (day + offset, restricted to observed
+    # days); dau/wau is one division of two exact BIGINTs
+    sql["event_stickiness"] = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM du),
+served AS (
+  SELECT du.day + CAST(o.o AS INT) AS day, du.user_id
+  FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o
+),
+wau AS (
+  SELECT s.day, count(DISTINCT s.user_id) AS wau
+  FROM served s JOIN days USING (day) GROUP BY s.day
+),
+dau AS (
+  SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day
+)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau,
+       round(dau * 1.0 / wau, 6) AS stickiness
+FROM dau JOIN wau USING (day) ORDER BY day
 """
 
     sql["event_funnel"] = """
@@ -3935,6 +4009,21 @@ WITH {dedup_cte}
 SELECT fmt, status, count(*) AS n_docs,
        CAST(sum(length(text_out)) AS BIGINT) AS total_chars
 FROM d GROUP BY fmt, status ORDER BY fmt, status
+"""
+
+    # exact-integer sums; the density/avg divisions are each one float op
+    # on two exact BIGINTs (identical IEEE result in both engines); nullif
+    # guards degenerate groups the same way the Spark side does
+    sql["cc_extraction_density"] = f"""
+WITH {dedup_cte}
+SELECT fmt, count(*) AS n_ok,
+       CAST(sum(n_bytes_in) AS BIGINT) AS bytes_in,
+       CAST(sum(length(text_out)) AS BIGINT) AS chars_out,
+       round(CAST(sum(length(text_out)) AS BIGINT)
+             / nullif(CAST(sum(n_bytes_in) AS BIGINT), 0), 6) AS density,
+       round(CAST(sum(length(text_out)) AS BIGINT)
+             / nullif(count(*), 0), 6) AS avg_chars
+FROM d WHERE status = 'ok' GROUP BY fmt ORDER BY fmt
 """
 
     sql["cc_ole_stats"] = f"""

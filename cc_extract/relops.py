@@ -879,6 +879,47 @@ def event_retention(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def event_stickiness(spark, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-AU stickiness per day — the engagement ratio
+    every product-analytics stack reports next to the retention triangle
+    (conventionally DAU/MAU; the 7-day window keeps the synthetic
+    corpus's every-day coverage informative).
+
+    Scale shape: the raw stream collapses ONCE to distinct (day, user)
+    rows (partial-aggregable); the trailing window is an EXPLODE of each
+    activity row into the <=7 days it serves — an equi-join shape, never
+    a range/theta join (plan-lint bans BNLJ beyond 1-row scalars), so at
+    10^12 events the cost is 7x the already-aggregated day-user relation,
+    not a window over the stream.  Days with no activity simply don't
+    appear (pinned by the equi-join back to observed days).  dau/wau is
+    one division of two exact BIGINTs, bit-identical in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    day_users = ev.select(
+        F.to_date("ts").alias("day"), "user_id").distinct()
+    days = day_users.select("day").distinct()
+    dau = day_users.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau"))
+    served = day_users.select(
+        F.explode(F.array(*[F.date_add("day", i) for i in range(7)]))
+        .alias("day"),
+        "user_id",
+    )
+    wau = (
+        served.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau", "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
 # --------------------------------------------------------------- TPC-H Q2
 
 def q2_min_cost_supplier(spark, sf_dir: str) -> DataFrame:

@@ -113,6 +113,44 @@ def token_stats(spark, sf_dir: str) -> DataFrame:
     )  # no orderBy: a global sort of per-doc rows is pure cost at scale
 
 
+def token_fertility(spark, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per (lang, source): bytes/token,
+    chars/token and tokens/word over the corpus — the standard table a
+    training-data pipeline publishes when choosing or validating a
+    tokenizer (fertility drift across languages is the classic sign a
+    vocab under-serves a script; see e.g. the per-language fertility
+    tables in multilingual-tokenizer reports).
+
+    Cross-engine float discipline (the q11 pattern): every aggregate is
+    an exact BIGINT sum — octet_length/length/token counts — so the only
+    float op per output cell is ONE division of two exact integers,
+    bit-identical in Spark and DuckDB; zero-token groups divide by
+    NULLIF-null instead of erroring either engine.  "Words" are
+    non-blank runs ([^ \\t\\n\\r]+ — an explicit class so Java and RE2
+    agree without unicode-space semantics), "tokens" the corpus [a-z0-9]+
+    convention.  Scale shape: one pass, partial-aggregable groupBy on
+    O(langs x sources) keys; no window, no join."""
+    df = with_tokens(load_documents(spark, sf_dir))
+    words = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(r"[^ \t\n\r]+"), F.lit(0)))
+    agg = df.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("tokens").cast("long")).alias("n_tokens"),
+        F.sum(F.length("text").cast("long")).alias("n_chars"),
+        F.sum(F.octet_length("text").cast("long")).alias("n_bytes"),
+        F.sum(words.cast("long")).alias("n_words"),
+    )
+    tok = F.nullif(F.col("n_tokens"), F.lit(0))
+    wrd = F.nullif(F.col("n_words"), F.lit(0))
+    return agg.select(
+        "lang", "source", "n_docs", "n_tokens", "n_chars", "n_bytes",
+        "n_words",
+        F.round(F.col("n_bytes") / tok, 6).alias("bytes_per_token"),
+        F.round(F.col("n_chars") / tok, 6).alias("chars_per_token"),
+        F.round(F.col("n_tokens") / wrd, 6).alias("tokens_per_word"),
+    ).orderBy("lang", "source")
+
+
 # ------------------------------------------------------- context chunking
 
 CHUNK_TOKENS = 128   # training context-window chunk length (tokens)
