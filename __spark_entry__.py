@@ -125,6 +125,46 @@ def _cc_extraction_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fmt")
 
 
+_EXT_RX = r"\.([a-z0-9]+)(?:[?#]|$)"
+# url-extension -> pipeline fmt aliases (the claim a lazy server derives
+# from the path vs what the D2 magic-byte sniff actually routed)
+_EXT_ALIAS = {"htm": "html", "mht": "eml", "mhtml": "eml",
+              "png": "image", "gif": "image", "jpg": "image",
+              "jpeg": "image", "tif": "image", "tiff": "image",
+              "bmp": "image"}
+
+
+def _cc_mime_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Claimed-vs-sniffed format audit (round 5): cross-tab of the type a
+    server would CLAIM from the url path (extension, normalized through
+    the image/alias map) against the format the D2 magic-byte sniff
+    actually routed — the standard crawl-hygiene table, since real
+    servers mislabel content constantly and an extraction stack must
+    trust bytes, not paths.  ext_agrees is NULL when the path makes no
+    claim (no extension), 0/1 otherwise — three-valued semantics kept
+    identical cross-engine (trap note 81).  Scale shape: one regexp
+    projection + a partial-aggregable groupBy on O(ext x fmt) keys over
+    the deduped output; the payload never moves."""
+    _, res = _cc_corpus_and_extracted(spark)
+    ext = F.lower(F.regexp_extract("url", _EXT_RX, 1))
+    ext = F.when(ext == "", F.lit(None)).otherwise(ext)
+    norm = ext
+    for a, b in _EXT_ALIAS.items():
+        norm = F.when(ext == a, F.lit(b)).otherwise(norm)
+    rows = res.select(
+        ext.alias("url_ext"), "fmt", "status",
+        (norm == F.col("fmt")).cast("int").alias("ext_agrees"),
+    )
+    return (
+        rows.groupBy("url_ext", "fmt", "ext_agrees")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("status") == "ok").cast("long")).alias("n_ok"),
+        )
+        .orderBy("url_ext", "fmt", "ext_agrees")
+    )
+
+
 def _cc_ole_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Legacy-Office family accounting (round 5): the OLE magic routes by
     CFB directory stream names to doc (Word97 piece table), xls (BIFF8
@@ -1543,6 +1583,19 @@ def _mm_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.video_decode_stats(df)
 
 
+def _mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene segmentation over every decodable video (round 5): the
+    corpus clips carry md5-derived scene runs (1-3 identical frames per
+    scene across all four codec pairs — GIF, MJPEG-AVI, MJPEG-MP4,
+    H.264 I_PCM), and the raster-md5 boundary rule recovers them from
+    DECODED pixels, so a drift in any codec pair breaks the cut count.
+    See multimodal.scene_cut_stats for the plan shape."""
+    from cc_extract import multimodal as mm
+
+    df = mm.media_df(spark, 400, partitions=8)
+    return mm.scene_cut_stats(df)
+
+
 def _mm_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup pairs: 64-bit DCT pHash per
     decodable image (the normative per-row phash64 both engines call),
@@ -1839,6 +1892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "mm_scene_cuts": _mm_scene_cuts,  # r5: video scene segmentation
+        "cc_mime_audit": _cc_mime_audit,  # r5: path-claim vs magic-sniff cross-tab
+        "doc_top_ngrams": textops.top_ngrams,  # r5: most-shared shingles audit
         "cc_extraction_density": _cc_extraction_density,  # r5: chars/byte yield per fmt
         "doc_token_fertility": textops.token_fertility,  # r5: tokenizer fertility audit
         "event_stickiness": relops.event_stickiness,  # r5: DAU/7dAU ratio
@@ -4011,6 +4067,34 @@ SELECT fmt, status, count(*) AS n_docs,
 FROM d GROUP BY fmt, status ORDER BY fmt, status
 """
 
+    alias_case = " ".join(
+        f"WHEN '{a}' THEN '{b}'" for a, b in _EXT_ALIAS.items())
+    sql["cc_mime_audit"] = f"""
+WITH {dedup_cte},
+r AS (
+  SELECT nullif(lower(regexp_extract(url, '{_EXT_RX}', 1)), '') AS url_ext,
+         fmt, status
+  FROM d
+),
+n AS (
+  SELECT url_ext, fmt, status,
+         CAST((CASE url_ext {alias_case} ELSE url_ext END) = fmt AS INT)
+           AS ext_agrees
+  FROM r
+)
+SELECT url_ext, fmt, ext_agrees, count(*) AS n_docs,
+       CAST(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+FROM n GROUP BY url_ext, fmt, ext_agrees
+ORDER BY url_ext, fmt, ext_agrees
+"""
+
+    sql["doc_top_ngrams"] = f"""
+WITH {_sh_cte()}
+SELECT shingle, count(*) AS doc_freq
+FROM sh GROUP BY shingle
+ORDER BY doc_freq DESC, shingle LIMIT 50
+"""
+
     # exact-integer sums; the density/avg divisions are each one float op
     # on two exact BIGINTs (identical IEEE result in both engines); nullif
     # guards degenerate groups the same way the Spark side does
@@ -5138,6 +5222,13 @@ SELECT container, vid_ok, count(*) AS n_videos,
 FROM read_parquet('{media}')
 WHERE kind = 'video'
 GROUP BY container, vid_ok ORDER BY container, vid_ok
+"""
+
+    sql["mm_scene_cuts"] = f"""
+SELECT media_id, vid_n_frames, vid_n_cuts, vid_n_scenes,
+       round(vid_n_scenes / vid_n_frames, 6) AS scene_density
+FROM read_parquet('{media}')
+WHERE kind = 'video' AND vid_ok ORDER BY media_id
 """
 
     sql["mm_mp4_stats"] = f"""

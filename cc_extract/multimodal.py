@@ -24,6 +24,7 @@ counted undecodable, never hidden.
 
 from __future__ import annotations
 
+import hashlib
 import random
 import struct
 import zlib
@@ -538,6 +539,16 @@ def decode_avi_frames(payload: bytes) -> list:
     return frames
 
 
+def _scene_len(i: int) -> int:
+    """Per-clip scene run-length (1-3 frames), md5-derived so adding
+    scene structure consumed ZERO extra rng draws (the per-frame draws
+    below still happen in the original order; in-scene frames just
+    reuse the scene-start text) — the corpus-stability discipline every
+    generator change follows."""
+    return 1 + int(hashlib.md5(f"scenes:{i}".encode()).hexdigest()[:2],
+                   16) % 3
+
+
 def gen_media(i: int, seed: int = 42) -> dict:
     """Deterministic synthetic media row: valid PNG / WAV / JPEG-stub
     containers with known header metadata, noise payloads."""
@@ -623,8 +634,12 @@ def gen_media(i: int, seed: int = 42) -> dict:
             from . import corpusgen as cg
 
             n_frames = rng.randint(2, 4)
-            frames = [render_raster(f"CLIP {i} FRAME {k} {rng.randint(0, 99)}")
-                      for k in range(n_frames)]
+            L, frames, cur = _scene_len(i), [], None
+            for k in range(n_frames):
+                q = rng.randint(0, 99)  # draw consumed every frame
+                if k % L == 0:
+                    cur = f"CLIP {i} FRAME {k} {q}"
+                frames.append(render_raster(cur))
             w, h, raster = frames[0]
             payload = cg._gif_gray(
                 w, h, bytes(raster),
@@ -641,9 +656,12 @@ def gen_media(i: int, seed: int = 42) -> dict:
             n_frames = rng.randint(2, 5)
             jf = []
             w = h = None
+            L, cur = _scene_len(i), None
             for k in range(n_frames):
-                fw, fh, raster = render_raster(
-                    f"CLIP {i:06d} F{k} Q{rng.randint(10, 99)}")
+                q = rng.randint(10, 99)  # draw consumed every frame
+                if k % L == 0:
+                    cur = f"CLIP {i:06d} F{k} Q{q}"
+                fw, fh, raster = render_raster(cur)
                 w, h = fw, fh
                 jf.append(cg._jpeg_gray(fw, fh, bytes(raster)))
             payload = _avi_container(jf, w, h,
@@ -659,9 +677,12 @@ def gen_media(i: int, seed: int = 42) -> dict:
             n_frames = rng.randint(2, 5)
             jf = []
             w = h = None
+            L, cur = _scene_len(i), None
             for k in range(n_frames):
-                fw, fh, raster = render_raster(
-                    f"MP4C {i:06d} F{k} Q{rng.randint(10, 99)}")
+                q = rng.randint(10, 99)  # draw consumed every frame
+                if k % L == 0:
+                    cur = f"MP4C {i:06d} F{k} Q{q}"
+                fw, fh, raster = render_raster(cur)
                 w, h = fw, fh
                 jf.append(cg._jpeg_gray(fw, fh, bytes(raster)))
             payload = _mp4_mjpeg_container(jf, w, h,
@@ -676,9 +697,12 @@ def gen_media(i: int, seed: int = 42) -> dict:
 
             n_frames = rng.randint(2, 4)
             ipcm = []
+            L, cur = _scene_len(i), None
             for k in range(n_frames):
-                fw, fh, raster = render_raster(
-                    f"AVC {i:06d} F{k} Q{rng.randint(10, 99)}")
+                q = rng.randint(10, 99)  # draw consumed every frame
+                if k % L == 0:
+                    cur = f"AVC {i:06d} F{k} Q{q}"
+                fw, fh, raster = render_raster(cur)
                 arr = np.frombuffer(bytes(raster), np.uint8).reshape(fh, fw)
                 arr = np.pad(arr, ((0, fh % 2), (0, fw % 2)), mode="edge")
                 ipcm.append((arr.shape[1], arr.shape[0], arr.tobytes()))
@@ -1697,7 +1721,8 @@ def video_row_stats(payload: bytes) -> dict:
     — the normative implementation shared by the Spark path and the
     oracle."""
     out = {"vid_ok": False, "vid_n_frames": None,
-           "vid_avg_frame_luma": None, "vid_mean_frame_delta": None}
+           "vid_avg_frame_luma": None, "vid_mean_frame_delta": None,
+           "vid_n_cuts": None, "vid_n_scenes": None}
     is_avi = payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
     is_mp4 = len(payload) >= 16 and payload[4:8] == b"ftyp"
     if payload[:6] not in (b"GIF87a", b"GIF89a") and not is_avi \
@@ -1717,10 +1742,18 @@ def video_row_stats(payload: bytes) -> dict:
     means = [float(np.frombuffer(bytes(r), dtype=np.uint8).mean())
              for _w, _h, r in frames]
     deltas = [abs(b - a) for a, b in zip(means, means[1:])]
+    # scene segmentation: a cut is any change in the decoded raster
+    # (byte-exact md5 — the corpus's in-scene frames round-trip
+    # identically through every codec pair, so equality is the honest
+    # boundary signal; real footage would threshold a pixel delta here,
+    # same plan shape)
+    sigs = [hashlib.md5(bytes(r)).hexdigest() for _w, _h, r in frames]
+    n_cuts = sum(1 for a, b in zip(sigs, sigs[1:]) if a != b)
     out.update(
         vid_ok=True, vid_n_frames=len(frames),
         vid_avg_frame_luma=float(np.mean(means)),
         vid_mean_frame_delta=float(np.mean(deltas)) if deltas else 0.0,
+        vid_n_cuts=n_cuts, vid_n_scenes=n_cuts + 1,
     )
     return out
 
@@ -1768,6 +1801,51 @@ def video_decode_stats(df: DataFrame) -> DataFrame:
         )
         .orderBy("container", "vid_ok")
     )
+
+
+def scene_cut_stats(df: DataFrame) -> DataFrame:
+    """Per-clip scene segmentation (round 5): frame-change cuts and
+    scene counts over every decodable video — the table a video-curation
+    pipeline reads to pick one-keyframe-per-scene samples instead of
+    blind every-Nth-frame strides (static clips waste sample budget,
+    fast-cut clips get under-sampled).  The per-row rule is
+    video_row_stats' raster-md5 boundary (normative, shared with the
+    oracle); this surface is the per-clip relation, vid_ok rows only.
+
+    Scale shape: ONE Arrow-batched mapInPandas pass over video payloads
+    (same grain as video_decode_stats — payload bytes never shuffle; the
+    output is O(clips) skinny rows), then a pure projection.  The
+    scenes/frames ratio is one division of two exact ints."""
+    def dec_batches(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"],
+                                    pdf["payload"]):
+                if kind != "video":
+                    continue
+                s = video_row_stats(bytes(p))
+                if not s["vid_ok"]:
+                    continue
+                rows.append({
+                    "media_id": mid,
+                    "vid_n_frames": s["vid_n_frames"],
+                    "vid_n_cuts": s["vid_n_cuts"],
+                    "vid_n_scenes": s["vid_n_scenes"],
+                })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "vid_n_frames", "vid_n_cuts",
+                               "vid_n_scenes"])
+
+    per = df.mapInPandas(
+        dec_batches,
+        "media_id long, vid_n_frames int, vid_n_cuts int, "
+        "vid_n_scenes int",
+    )
+    return per.select(
+        "media_id", "vid_n_frames", "vid_n_cuts", "vid_n_scenes",
+        F.round(F.col("vid_n_scenes") / F.col("vid_n_frames"), 6)
+        .alias("scene_density"),
+    ).orderBy("media_id")
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:

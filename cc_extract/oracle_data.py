@@ -209,6 +209,10 @@ def media_table(n: int = 400) -> str:
             [v["vid_avg_frame_luma"] if v else None for v in vids], pa.float64()),
         "vid_mean_frame_delta": pa.array(
             [v["vid_mean_frame_delta"] if v else None for v in vids], pa.float64()),
+        "vid_n_cuts": pa.array(
+            [v["vid_n_cuts"] if v else None for v in vids], pa.int32()),
+        "vid_n_scenes": pa.array(
+            [v["vid_n_scenes"] if v else None for v in vids], pa.int32()),
         "mp4_ok": pa.array(
             [m["mp4_ok"] if m else None for m in mp4s], pa.bool_()),
         "mp4_brand": pa.array(

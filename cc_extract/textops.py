@@ -295,6 +295,28 @@ def lang_id(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def top_ngrams(spark, sf_dir: str, k: int = 50) -> DataFrame:
+    """Most-document-frequent 3-token shingles — the memorization /
+    near-boilerplate audit table a curation pass reads before dedup
+    tuning (the n-grams shared by the most documents are exactly the
+    templates, licenses and navigation stubs span-dedup should target).
+
+    Reuses shingles_df (per-doc-distinct shingles, array_distinct BEFORE
+    the explode), so the count IS document frequency; the global rollup
+    is a partial-aggregable groupBy on shingle keys and the top-k is
+    TakeOrderedAndProject (count DESC, shingle ASC tiebreak — total
+    order, deterministic cross-engine).  At 10^12 docs the groupBy key
+    space is bounded by distinct shingles, the classic count-combine
+    shape; no all-pairs, no window over the stream."""
+    sh = shingles_df(load_documents(spark, sf_dir))
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "shingle")
+        .limit(k)
+    )
+
+
 # ------------------------------------------------------------ exact dedup
 
 def exact_dedup(spark, sf_dir: str) -> DataFrame:

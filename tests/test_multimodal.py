@@ -738,3 +738,30 @@ def test_h264_ipcm_roundtrip():
         raise AssertionError("noise samples must not decode")
     except ValueError:
         pass
+
+
+def test_scene_cuts_recover_planted_runs():
+    """Every decodable corpus clip carries md5-derived scene runs of
+    _scene_len(i) identical frames; the raster-md5 boundary rule in
+    video_row_stats must recover exactly the planted cut positions
+    across all four codec pairs (GIF, MJPEG-AVI, MJPEG-MP4, I_PCM)."""
+    import cc_extract.multimodal as mm
+
+    seen_cut_counts = set()
+    n_checked = 0
+    for i in range(400):
+        r = mm.gen_media(i)
+        if r["kind"] != "video":
+            continue
+        s = mm.video_row_stats(r["payload"])
+        if not s["vid_ok"]:
+            continue
+        L = mm._scene_len(i)
+        expected = sum(1 for k in range(1, s["vid_n_frames"]) if k % L == 0)
+        assert s["vid_n_cuts"] == expected, (i, L, s)
+        assert s["vid_n_scenes"] == expected + 1
+        seen_cut_counts.add(s["vid_n_cuts"])
+        n_checked += 1
+    assert n_checked >= 50
+    # the contract corpus populates static clips AND multi-cut clips
+    assert 0 in seen_cut_counts and max(seen_cut_counts) >= 2
