@@ -1596,6 +1596,18 @@ def _mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.scene_cut_stats(df)
 
 
+def _mm_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-aware keyframe extraction (round 5): one frame per scene
+    per decodable clip — the sampling consumer of mm_scene_cuts.  The
+    frame_md5 column pins DECODED pixels of every keyframe across all
+    four codec pairs; the oracle is the single-process twin of the same
+    normative scene_keyframes rule."""
+    from cc_extract import multimodal as mm
+
+    df = mm.media_df(spark, 400, partitions=8)
+    return mm.keyframe_rows(df)
+
+
 def _mm_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup pairs: 64-bit DCT pHash per
     decodable image (the normative per-row phash64 both engines call),
@@ -1892,7 +1904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "emb_top_pc_scores": embedops.top_pc_scores,  # r5: power-iteration PC
+        "doc_dedup_threshold_sweep": textops.near_dup_threshold_sweep,  # r5
         "mm_scene_cuts": _mm_scene_cuts,  # r5: video scene segmentation
+        "mm_keyframes": _mm_keyframes,  # r5: one frame per scene
         "cc_mime_audit": _cc_mime_audit,  # r5: path-claim vs magic-sniff cross-tab
         "doc_top_ngrams": textops.top_ngrams,  # r5: most-shared shingles audit
         "cc_extraction_density": _cc_extraction_density,  # r5: chars/byte yield per fmt
@@ -3428,6 +3443,49 @@ JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE round(i.inter / (za.n_sh + zb.n_sh - i.inter), 6) >= 0.5
 """
 
+    # threshold sweep over the SAME verified-pair relation (no jaccard
+    # floor), thresholds exploded from the literal ladder on both engines
+    _sweep = ", ".join(str(t) for t in textops.SWEEP_THRESHOLDS)
+    sql["doc_dedup_threshold_sweep"] = f"""
+WITH {_sh_cte()},
+sig AS ({_minhash_select()}),
+bands AS ({_lsh_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+vp AS (
+  SELECT i.doc_a, i.doc_b,
+         round(i.inter / (za.n_sh + zb.n_sh - i.inter), 6) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+),
+e AS (
+  SELECT th.threshold, vp.doc_a, vp.doc_b, vp.jaccard
+  FROM vp CROSS JOIN
+       (SELECT CAST(unnest([{_sweep}]) AS DOUBLE) AS threshold) th
+  WHERE vp.jaccard >= th.threshold
+),
+np AS (SELECT threshold, count(*) AS n_pairs FROM e GROUP BY threshold),
+nd AS (
+  SELECT threshold, count(DISTINCT d) AS n_docs
+  FROM (SELECT threshold, unnest([doc_a, doc_b]) AS d FROM e)
+  GROUP BY threshold
+)
+SELECT np.threshold, np.n_pairs, nd.n_docs
+FROM np JOIN nd USING (threshold) ORDER BY np.threshold
+"""
+
     # Near-dup clustering: Spark side is iterative min-label propagation;
     # the oracle computes the same components via recursive transitive
     # closure (tractable at oracle scale — the verified-pair graph is tiny)
@@ -3547,6 +3605,53 @@ WITH {_sh_cte()}
 SELECT doc_id, min(md5(shingle)) AS fp_min, max(md5(shingle)) AS fp_max,
        count(*) AS n_shingles
 FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # power-iteration top-PC: the oracle re-derives the SAME iterations
+    # as chained CTEs — v as a (j, vv) relation, every sum over addends
+    # rounded to 9 dp and cast DECIMAL(38,12) (exact, order-insensitive),
+    # v-updates divide+round(6) in-engine, argmax|w| tie-broken by j —
+    # the bit-lockstep twin of embedops.power_iteration_pc
+    d = embedops.DIM
+    pc_parts = [f"""ee AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+exx AS (
+  SELECT vec_id, label, j, x[j] AS xv
+  FROM ee CROSS JOIN
+       (SELECT CAST(unnest(range(1, {d + 1})) AS INT) AS j) jj
+),
+pv0 AS (
+  SELECT j, CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END AS vv
+  FROM (SELECT CAST(unnest(range(1, {d + 1})) AS INT) AS j)
+)"""]
+    for t in range(1, embedops.POWER_ITERS + 1):
+        pc_parts.append(f""",
+pd{t} AS (
+  SELECT vec_id, sum(CAST(round(xv * vv, 9) AS DECIMAL(38,12))) AS dotd
+  FROM exx JOIN pv{t - 1} USING (j) GROUP BY vec_id
+),
+pw{t} AS (
+  SELECT j, sum(CAST(round(xv * CAST(dotd AS DOUBLE), 9)
+                     AS DECIMAL(38,12))) AS w
+  FROM exx JOIN pd{t} USING (vec_id) GROUP BY j
+),
+pm{t} AS (
+  SELECT CAST(w AS DOUBLE) AS wm FROM pw{t}
+  ORDER BY abs(CAST(w AS DOUBLE)) DESC, j LIMIT 1
+),
+pv{t} AS (
+  SELECT j, round(CAST(w AS DOUBLE) / (SELECT wm FROM pm{t}), 6) AS vv
+  FROM pw{t}
+)""")
+    T = embedops.POWER_ITERS
+    sql["emb_top_pc_scores"] = f"""
+WITH {"".join(pc_parts)}
+SELECT vec_id, label,
+       round(CAST(sum(CAST(round(xv * vv, 9) AS DECIMAL(38,12)))
+                  AS DOUBLE), 6) AS pc1_score
+FROM exx JOIN pv{T} USING (j)
+GROUP BY vec_id, label ORDER BY vec_id
 """
 
     # ---- embeddings: constants shared with the Spark side
@@ -5136,6 +5241,12 @@ FROM read_parquet('{wat_tbl}')
 """
 
     media = oracle_data.media_table(400)
+    keyframes = oracle_data.keyframes_table(400)
+
+    sql["mm_keyframes"] = f"""
+SELECT media_id, scene_idx, frame_idx, w, h, frame_md5
+FROM read_parquet('{keyframes}') ORDER BY media_id, scene_idx
+"""
 
     # pHash banding re-derived independently in SQL over the stored
     # signatures (phash64 keeps bit 63 clear, so >> and & are sign-safe

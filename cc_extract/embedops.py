@@ -753,3 +753,105 @@ def semdedup(spark, sf_dir: str, eps: float = SEMDEDUP_EPS) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------- power-iteration PCA
+
+POWER_ITERS = 4
+_pc_cache: dict[str, list[float]] = {}
+
+
+def power_iteration_pc(spark, sf_dir: str,
+                       iters: int = POWER_ITERS) -> list[float]:
+    """Top principal direction of the (uncentered) embedding Gram matrix
+    via *iters* power iterations, entirely as DataFrame aggregations —
+    the whitening / spectral-dedup primitive an embedding pipeline runs
+    before ANN (dominant-direction removal is the standard fix for
+    anisotropic embedding collapse).
+
+    Cross-engine lockstep (the k-means + q9 disciplines combined):
+
+    - EVERY accumulation — the per-row dot x_i . v AND the cross-row
+      w_j = sum_i x_ij * dot_i — sums addends that are rounded to 9 dp
+      then CAST to DECIMAL(38,12), so every sum is EXACT and
+      order-insensitive: no float-addition-order hazard anywhere, in
+      either engine (the q9 ADVICE fix, applied from the start; no
+      reliance on fold order inside list_inner_product/F.aggregate);
+    - normalization: v' = round(w / w[argmax |w|], 6) — the division and
+      round are evaluated BY THE ENGINE on both sides (a 1-row literal
+      select on the Spark path), never by Python, so the 6-dp values
+      that feed the next iteration are bit-identical.
+
+    The driver holds only v (64 doubles — the model, not the data); each
+    iteration is one in-row projection + one partial-aggregable
+    posexplode groupBy of DIM keys.  At 10^12 vectors this is the
+    textbook distributed power method: O(iters) passes, O(DIM) state."""
+    key = f"{sf_dir}|{iters}|{spark.sparkContext.applicationId}"
+    if key in _pc_cache:
+        return _pc_cache[key]
+    emb = (
+        load_embeddings(spark, sf_dir)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .persist()
+    )
+    ex = emb.select("vec_id", F.posexplode("e").alias("pos", "x")).persist()
+    v = [1.0] + [0.0] * (DIM - 1)
+    for _ in range(iters):
+        vj = F.element_at(_lit_vec(v), F.col("pos") + 1)
+        dots = (
+            ex.select("vec_id",
+                      F.round(F.col("x") * vj, 9)
+                      .cast("decimal(38,12)").alias("p"))
+            .groupBy("vec_id")
+            .agg(F.sum("p").alias("dotd"))
+        )
+        rows = (
+            ex.join(dots, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.round(F.col("x") * F.col("dotd").cast("double"), 9)
+                       .cast("decimal(38,12)")).alias("w"))
+            .collect()
+        )
+        byp = {r["pos"]: r["w"] for r in rows}
+        ws = [byp.get(p) for p in range(DIM)]
+        # argmax |w|, smallest pos on ties — the same total order the
+        # oracle's ORDER BY abs(w) DESC, pos LIMIT 1 applies
+        pm = sorted(range(DIM),
+                    key=lambda p: (-abs(float(ws[p] or 0)), p))[0]
+        wm = float(ws[pm])
+        # engine-side divide+round (1-row literal select): Python never
+        # rounds, so HALF_UP semantics match the oracle's round() exactly
+        vrow = spark.range(1).select(*[
+            F.round(F.lit(float(ws[p] or 0)) / F.lit(wm), 6).alias(f"c{p}")
+            for p in range(DIM)
+        ]).first()
+        v = [float(vrow[f"c{p}"]) for p in range(DIM)]
+    ex.unpersist()
+    emb.unpersist()
+    _pc_cache[key] = v
+    return v
+
+
+def top_pc_scores(spark, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the power-iteration top principal
+    direction: (vec_id, label, pc1_score) — the column a spectral-dedup
+    or all-but-the-top whitening pass consumes.  The learned direction
+    enters as 6-dp literals (the ivf_ann pattern: the model is literals,
+    the query is a real pruned scan); the oracle re-derives the SAME
+    iterations as chained CTEs and scores identically."""
+    v = power_iteration_pc(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    ex = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("pos", "x"),
+    )
+    vj = F.element_at(_lit_vec(v), F.col("pos") + 1)
+    return (
+        ex.select("vec_id", "label",
+                  F.round(F.col("x") * vj, 9)
+                  .cast("decimal(38,12)").alias("p"))
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum("p").cast("double"), 6).alias("pc1_score"))
+        .orderBy("vec_id")
+    )

@@ -1715,6 +1715,48 @@ def media_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(feat_batches, FEATURE_SCHEMA)
 
 
+def _decode_video(payload: bytes):
+    """Shared container-dispatch frame decode: (w, h, raster) frames for
+    animated GIF / MJPEG-AVI / MJPEG-or-I_PCM MP4, None for anything
+    undecodable (unknown container, compressed H.264 stand-ins,
+    corruption) — the single route video_row_stats and scene_keyframes
+    both ride so their decode outcomes can never disagree."""
+    is_avi = payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    is_mp4 = len(payload) >= 16 and payload[4:8] == b"ftyp"
+    if payload[:6] not in (b"GIF87a", b"GIF89a") and not is_avi \
+            and not is_mp4:
+        return None
+    try:
+        if is_avi:
+            return decode_avi_frames(payload)
+        if is_mp4:
+            return decode_mp4_frames(payload)
+        from .extractors.gif import decode_gif_frames
+
+        return decode_gif_frames(payload)
+    except Exception:
+        return None
+
+
+def scene_keyframes(payload: bytes) -> list:
+    """Normative per-row keyframe rule (shared by the Spark path and the
+    oracle table): decode the clip, segment by the raster-md5 boundary
+    (same rule as video_row_stats), and emit each scene's FIRST frame —
+    (scene_idx, frame_idx, w, h, frame_md5) tuples.  Empty list when the
+    clip doesn't decode."""
+    frames = _decode_video(payload)
+    if frames is None:
+        return []
+    rows, prev, scene = [], None, -1
+    for k, (w, h, r) in enumerate(frames):
+        sig = hashlib.md5(bytes(r)).hexdigest()
+        if sig != prev:
+            scene += 1
+            rows.append((scene, k, int(w), int(h), sig))
+        prev = sig
+    return rows
+
+
 def video_row_stats(payload: bytes) -> dict:
     """Per-row video decode outcome (animated GIF, MJPEG-AVI, and
     MJPEG-MP4 are the real containers; MP4/H.264 stays the honest stub)
@@ -1723,21 +1765,8 @@ def video_row_stats(payload: bytes) -> dict:
     out = {"vid_ok": False, "vid_n_frames": None,
            "vid_avg_frame_luma": None, "vid_mean_frame_delta": None,
            "vid_n_cuts": None, "vid_n_scenes": None}
-    is_avi = payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
-    is_mp4 = len(payload) >= 16 and payload[4:8] == b"ftyp"
-    if payload[:6] not in (b"GIF87a", b"GIF89a") and not is_avi \
-            and not is_mp4:
-        return out
-    try:
-        if is_avi:
-            frames = decode_avi_frames(payload)
-        elif is_mp4:
-            frames = decode_mp4_frames(payload)
-        else:
-            from .extractors.gif import decode_gif_frames
-
-            frames = decode_gif_frames(payload)
-    except Exception:
+    frames = _decode_video(payload)
+    if frames is None:
         return out
     means = [float(np.frombuffer(bytes(r), dtype=np.uint8).mean())
              for _w, _h, r in frames]
@@ -1846,6 +1875,35 @@ def scene_cut_stats(df: DataFrame) -> DataFrame:
         F.round(F.col("vid_n_scenes") / F.col("vid_n_frames"), 6)
         .alias("scene_density"),
     ).orderBy("media_id")
+
+
+def keyframe_rows(df: DataFrame) -> DataFrame:
+    """One keyframe per scene for every decodable video — the
+    scene-aware sampling consumer of scene_cut_stats (a static clip
+    yields ONE training frame instead of every-Nth copies of the same
+    image; a fast-cut clip yields every distinct scene).  Same
+    mapInPandas grain as the other media passes: payload bytes stay in
+    their scan partition, output is O(scenes) skinny rows."""
+    def kf_batches(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"],
+                                    pdf["payload"]):
+                if kind != "video":
+                    continue
+                for scene, k, w, h, sig in scene_keyframes(bytes(p)):
+                    rows.append({"media_id": mid, "scene_idx": scene,
+                                 "frame_idx": k, "w": w, "h": h,
+                                 "frame_md5": sig})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "scene_idx", "frame_idx",
+                               "w", "h", "frame_md5"])
+
+    return df.mapInPandas(
+        kf_batches,
+        "media_id long, scene_idx int, frame_idx int, w int, h int, "
+        "frame_md5 string",
+    ).orderBy("media_id", "scene_idx")
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:

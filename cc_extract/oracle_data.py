@@ -244,6 +244,42 @@ def media_table(n: int = 400) -> str:
     return path
 
 
+def keyframes_table(n: int = 400) -> str:
+    """Per-scene keyframe rows, the single-process twin of
+    multimodal.keyframe_rows (same normative scene_keyframes rule)."""
+    key = f"keyframes:{n}"
+    if key in _memo:
+        return _memo[key]
+    import pyarrow as pa
+
+    from .multimodal import gen_media, scene_keyframes
+
+    mids, scenes, fidx, ws, hs, sigs = [], [], [], [], [], []
+    for i in range(n):
+        r = gen_media(i)
+        if r["kind"] != "video":
+            continue
+        for scene, k, w, h, sig in scene_keyframes(r["payload"]):
+            mids.append(r["media_id"])
+            scenes.append(scene)
+            fidx.append(k)
+            ws.append(w)
+            hs.append(h)
+            sigs.append(sig)
+    table = pa.table({
+        "media_id": pa.array(mids, pa.int64()),
+        "scene_idx": pa.array(scenes, pa.int32()),
+        "frame_idx": pa.array(fidx, pa.int32()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "frame_md5": pa.array(sigs, pa.string()),
+    })
+    path = os.path.join(_ORACLE_DIR, f"keyframes_{n}.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path
+
+
 def links_table(n_docs: int = 1200) -> str:
     """Per-LINK rows (url, warc_ts, src_domain, dst_domain) extracted from
     every corpus crawl row — the oracle side of the link-graph queries.

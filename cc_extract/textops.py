@@ -1092,6 +1092,48 @@ def lsh_verified_near_dups(spark, sf_dir: str, threshold: float = 0.5,
     )
 
 
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def near_dup_threshold_sweep(spark, sf_dir: str,
+                             toks: DataFrame | None = None) -> DataFrame:
+    """Dedup-threshold tuning table: for each candidate Jaccard cutoff,
+    how many verified near-dup pairs survive and how many documents they
+    touch — the sweep a curation team reads before fixing the dedup
+    threshold (too low deletes legitimate boilerplate-sharing pages, too
+    high leaves templates in the training set).
+
+    Reuses the production LSH+verify relation at threshold 0 (every
+    banded candidate with its exact Jaccard — computed ONCE), then
+    explodes the literal threshold ladder over the tiny verified-pair
+    relation; n_pairs/n_docs are partial-aggregable counts on O(|T|)
+    keys.  Thresholds with zero surviving pairs drop out of the output
+    identically in both engines (inner aggregation semantics).  At
+    10^12 docs the sweep costs one extra pass over the verified pairs
+    (O(near-dups), not O(docs)) — the candidate generation and verify
+    cost is shared with the dedup run itself."""
+    pairs = lsh_verified_near_dups(spark, sf_dir, threshold=0.0, toks=toks)
+    th = F.explode(
+        F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    e = (
+        pairs.select(th, "doc_a", "doc_b", "jaccard")
+        .filter(F.col("jaccard") >= F.col("threshold"))
+    )
+    n_pairs = e.groupBy("threshold").agg(F.count("*").alias("n_pairs"))
+    n_docs = (
+        e.select("threshold",
+                 F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return (
+        n_pairs.join(n_docs, "threshold")
+        .select("threshold", "n_pairs", "n_docs")
+        .orderBy("threshold")
+    )
+
+
 def incremental_dedup(spark, sf_dir: str, threshold: float = 0.5,
                       corpus_hex: str = "c") -> DataFrame:
     """Incremental (cross-snapshot) dedup — the production shape for a
