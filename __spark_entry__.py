@@ -1905,6 +1905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "emb_top_pc_scores": embedops.top_pc_scores,  # r5: power-iteration PC
+        "emb_pc_residual_norms": embedops.pc_residual_norms,  # r5: all-but-the-top
+        "event_value_anomaly": relops.event_value_anomaly,  # r5: daily z-score
         "doc_dedup_threshold_sweep": textops.near_dup_threshold_sweep,  # r5
         "mm_scene_cuts": _mm_scene_cuts,  # r5: video scene segmentation
         "mm_keyframes": _mm_keyframes,  # r5: one frame per scene
@@ -3652,6 +3654,62 @@ SELECT vec_id, label,
                   AS DOUBLE), 6) AS pc1_score
 FROM exx JOIN pv{T} USING (j)
 GROUP BY vec_id, label ORDER BY vec_id
+"""
+
+    # all-but-the-top diagnostic: projection (exact decimal), residual
+    # coordinates as single IEEE ops on identical inputs, residual
+    # sum-of-squares exact again, sqrt/round in-engine
+    sql["emb_pc_residual_norms"] = f"""
+WITH {"".join(pc_parts)},
+pp AS (
+  SELECT vec_id, sum(CAST(round(xv * vv, 9) AS DECIMAL(38,12))) AS pd
+  FROM exx JOIN pv{T} USING (j) GROUP BY vec_id
+),
+rr AS (
+  SELECT e2.vec_id, e2.label, pp.pd,
+         round(e2.xv - CAST(pp.pd AS DOUBLE) * pv.vv, 9) AS rx
+  FROM exx e2
+  JOIN pp USING (vec_id)
+  JOIN pv{T} pv USING (j)
+)
+SELECT vec_id, label,
+       round(CAST(pd AS DOUBLE), 6) AS pc1_score,
+       round(sqrt(CAST(sum(CAST(round(rx * rx, 9) AS DECIMAL(38,12)))
+                       AS DOUBLE)), 6) AS residual_norm
+FROM rr GROUP BY vec_id, label, pd ORDER BY vec_id
+"""
+
+    # daily-revenue anomaly: integer cents, exact sums, one fixed IEEE
+    # sequence for mean/var/z — the q11 exact-arithmetic pattern
+    sql["event_value_anomaly"] = """
+WITH day AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS s_cents,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT count(*) AS n_days,
+         CAST(sum(s_cents) AS BIGINT) AS tot,
+         sum(CAST(s_cents AS DECIMAL(19,0)) * s_cents) AS tot2
+  FROM day
+)
+SELECT strftime(day.day, '%Y-%m-%d') AS day, n_events, s_cents,
+       round((CAST(s_cents AS DOUBLE) - CAST(tot AS DOUBLE) / n_days)
+             / nullif(sqrt(greatest(
+                 CAST(tot2 AS DOUBLE) / n_days
+                 - (CAST(tot AS DOUBLE) / n_days)
+                   * (CAST(tot AS DOUBLE) / n_days), 0.0)), 0.0), 6)
+         AS z_score,
+       CAST(abs(round((CAST(s_cents AS DOUBLE) - CAST(tot AS DOUBLE)
+                       / n_days)
+             / nullif(sqrt(greatest(
+                 CAST(tot2 AS DOUBLE) / n_days
+                 - (CAST(tot AS DOUBLE) / n_days)
+                   * (CAST(tot AS DOUBLE) / n_days), 0.0)), 0.0), 6))
+            >= 2.0 AS INT) AS is_anomaly
+FROM day CROSS JOIN stats ORDER BY day.day
 """
 
     # ---- embeddings: constants shared with the Spark side

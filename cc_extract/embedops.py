@@ -855,3 +855,53 @@ def top_pc_scores(spark, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("p").cast("double"), 6).alias("pc1_score"))
         .orderBy("vec_id")
     )
+
+
+def pc_residual_norms(spark, sf_dir: str) -> DataFrame:
+    """All-but-the-top whitening diagnostic: per-vector projection onto
+    the learned top principal direction AND the norm of what remains
+    after removing it — the table that tells an embedding pipeline how
+    anisotropic its space is (a dominant direction carrying most of the
+    norm is the classic embedding-collapse signature; removal is the
+    standard pre-ANN fix).
+
+    Same lockstep discipline as power_iteration_pc: the projection and
+    the residual sum-of-squares both accumulate 9-dp-rounded addends as
+    DECIMAL(38,12) (exact, order-insensitive); the residual coordinates
+    x_j - p*v_j are single IEEE ops on identical inputs; sqrt/round run
+    in-engine on both sides.  Shapes: two partial-aggregable groupBys
+    over the exploded relation + one equi-join — O(n x DIM), no window,
+    no all-pairs."""
+    v = power_iteration_pc(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    ex = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("pos", "x"),
+    )
+    vj = F.element_at(_lit_vec(v), F.col("pos") + 1)
+    proj = (
+        ex.select("vec_id",
+                  F.round(F.col("x") * vj, 9)
+                  .cast("decimal(38,12)").alias("p"))
+        .groupBy("vec_id")
+        .agg(F.sum("p").alias("pd"))
+    )
+    r = ex.join(proj, "vec_id").select(
+        "vec_id", "label", "pd",
+        F.round(F.col("x") - F.col("pd").cast("double") * vj, 9).alias("rx"),
+    )
+    return (
+        r.select("vec_id", "label", "pd",
+                 F.round(F.col("rx") * F.col("rx"), 9)
+                 .cast("decimal(38,12)").alias("rx2"))
+        .groupBy("vec_id", "label", "pd")
+        .agg(F.sum("rx2").alias("rn2"))
+        .select(
+            "vec_id", "label",
+            F.round(F.col("pd").cast("double"), 6).alias("pc1_score"),
+            F.round(F.sqrt(F.col("rn2").cast("double")), 6)
+            .alias("residual_norm"),
+        )
+        .orderBy("vec_id")
+    )

@@ -920,6 +920,50 @@ def event_stickiness(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def event_value_anomaly(spark, sf_dir: str) -> DataFrame:
+    """Daily-revenue anomaly screen: z-score of each day's event-value
+    total against the corpus's day-level mean/stddev, flagging |z| >= 2
+    — the ops dashboard row every event pipeline alerts on.
+
+    Exact-arithmetic discipline throughout: values go to integer CENTS
+    per event (engine-side round — the q11 pattern), day sums and the
+    global sum / sum-of-squares accumulate as exact integers/decimals
+    (order-insensitive), and mean/var/z are then a fixed sequence of
+    IEEE double ops on identical exact inputs — bit-identical
+    cross-engine with no float-accumulation hazard.  Scale shape: one
+    partial-aggregable groupBy(day) collapses the stream to O(days)
+    rows; the global stats are a 1-row scalar crossed back (whitelisted
+    BNLJ — Spark's only strategy for a keyless scalar join)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    day = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).alias("s_cents"),
+             F.count("*").alias("n_events"))
+    )
+    sq = F.col("s_cents").cast("decimal(19,0)") * F.col("s_cents")
+    stats = day.agg(
+        F.count("*").alias("n_days"),
+        F.sum("s_cents").alias("tot"),
+        F.sum(sq).alias("tot2"),
+    )
+    j = day.crossJoin(F.broadcast(stats))
+    mean = F.col("tot").cast("double") / F.col("n_days")
+    var = F.greatest(
+        F.col("tot2").cast("double") / F.col("n_days") - mean * mean,
+        F.lit(0.0),
+    )
+    z = (F.col("s_cents").cast("double") - mean) / F.nullif(
+        F.sqrt(var), F.lit(0.0))
+    zr = F.round(z, 6)
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events", "s_cents",
+        zr.alias("z_score"),
+        (F.abs(zr) >= 2.0).cast("int").alias("is_anomaly"),
+    ).orderBy("day")
+
+
 # --------------------------------------------------------------- TPC-H Q2
 
 def q2_min_cost_supplier(spark, sf_dir: str) -> DataFrame:

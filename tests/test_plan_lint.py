@@ -50,6 +50,7 @@ BNLJ_OK = {
     "doc_length_quantiles_approx",  # 1-row exact-quantile bound check
     "distinct_users_approx",      # 1-row exact-count bound check
     "event_funnel",               # 1-row funnel stage aggregate
+    "event_value_anomaly",        # 1-row day-level mean/var statistics
     "cc_dedup_effect",            # three scalar counts assembled driver-side
     # NOT a scalar — the one documented-quadratic query: the exact
     # all-pairs cosine baseline (vec_id < vec_id non-equi self-join)
