@@ -1596,6 +1596,58 @@ def _mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.scene_cut_stats(df)
 
 
+def _cc_warc_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-grain storage accounting (round 5): the corpus md5-sharded
+    into 16 segments, each written with write_warc_gz_dedup (revisit
+    records for identical re-crawls) and summarized by the normative
+    warc.segment_stats row rule — record counts by type, compressed
+    segment bytes, recovered payload bytes, compression ratio.  seg_bytes
+    pins the WRITER'S exact output bytes per shard, so any
+    nondeterminism in record serialization, gzip framing or dedup policy
+    breaks the hash.  The shard key is md5-derived (not xxhash64) so the
+    single-process oracle twin shards identically.  Scale shape:
+    applyInPandas at the segment grain — the same O(segment) memory
+    contract as the WARC/WET/WAT round-trips; output is 16 skinny rows."""
+    import pandas as pd
+
+    from cc_extract import warc as W
+
+    docs, _ = _cc_corpus_and_extracted(spark)
+    sid = (
+        F.conv(F.substring(F.md5("url"), 1, 4), 16, 10)
+        .cast("long") % 16
+    )
+    seg = docs.select(sid.alias("seg_id"), "url", "warc_ts", "html")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["url", "warc_ts"])
+        seg_id = int(pdf["seg_id"].iloc[0])
+        blob = W.write_warc_gz_dedup(
+            ((u, t.to_pydatetime(), bytes(h)) for u, t, h in
+             zip(pdf["url"], pdf["warc_ts"], pdf["html"])),
+            segment=f"seg{seg_id}",
+        )
+        return pd.DataFrame([{"seg_id": seg_id, **W.segment_stats(blob)}])
+
+    return seg.groupBy("seg_id").applyInPandas(
+        build,
+        schema="seg_id long, n_response long, n_revisit long, "
+               "n_other long, seg_bytes long, payload_bytes long, "
+               "compression_ratio double",
+    ).orderBy("seg_id")
+
+
+def _mm_audio_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence/activity screen over every decodable audio clip (round 5):
+    10 ms RMS windows, active at >= 10% of the clip's peak window RMS —
+    the trim/keep dial of an audio-curation pass.  Normative row rule
+    shared with the oracle table (multimodal.audio_activity_stats)."""
+    from cc_extract import multimodal as mm
+
+    df = mm.media_df(spark, 400, partitions=8)
+    return mm.audio_activity(df)
+
+
 def _mm_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scene-aware keyframe extraction (round 5): one frame per scene
     per decodable clip — the sampling consumer of mm_scene_cuts.  The
@@ -1910,6 +1962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_threshold_sweep": textops.near_dup_threshold_sweep,  # r5
         "mm_scene_cuts": _mm_scene_cuts,  # r5: video scene segmentation
         "mm_keyframes": _mm_keyframes,  # r5: one frame per scene
+        "mm_audio_activity": _mm_audio_activity,  # r5: silence/activity screen
+        "cc_warc_segment_stats": _cc_warc_segment_stats,  # r5: storage accounting
         "cc_mime_audit": _cc_mime_audit,  # r5: path-claim vs magic-sniff cross-tab
         "doc_top_ngrams": textops.top_ngrams,  # r5: most-shared shingles audit
         "cc_extraction_density": _cc_extraction_density,  # r5: chars/byte yield per fmt
@@ -5391,6 +5445,19 @@ SELECT container, vid_ok, count(*) AS n_videos,
 FROM read_parquet('{media}')
 WHERE kind = 'video'
 GROUP BY container, vid_ok ORDER BY container, vid_ok
+"""
+
+    warcsegs = oracle_data.warc_segments_table(_CC_N_DOCS)
+    sql["cc_warc_segment_stats"] = f"""
+SELECT seg_id, n_response, n_revisit, n_other, seg_bytes,
+       payload_bytes, compression_ratio
+FROM read_parquet('{warcsegs}') ORDER BY seg_id
+"""
+
+    sql["mm_audio_activity"] = f"""
+SELECT media_id, act_n_windows, act_n_active, act_frac
+FROM read_parquet('{media}')
+WHERE kind = 'audio' AND act_n_windows IS NOT NULL ORDER BY media_id
 """
 
     sql["mm_scene_cuts"] = f"""

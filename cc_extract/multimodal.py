@@ -1624,6 +1624,65 @@ def audio_row_stats(payload: bytes) -> dict:
     return out
 
 
+ACT_WIN_FRAC = 100   # 10 ms activity windows (rate // 100 samples)
+ACT_THRESHOLD = 0.1  # window is active at >= 10% of the clip's peak RMS
+
+
+def audio_activity_stats(payload: bytes) -> dict:
+    """Windowed activity detection (round 5) — the silence-trimming
+    screen an audio-curation pipeline runs before training (mostly-
+    silent clips waste tokens; the active fraction is the keep/trim
+    dial).  10 ms RMS windows; a window counts active at >= 10% of the
+    clip's own peak window RMS (relative threshold, level-invariant).
+    Normative implementation shared verbatim by the Spark path and the
+    oracle table, like every other mm row rule."""
+    out = {"act_n_windows": None, "act_n_active": None, "act_frac": None}
+    try:
+        rate, samples = decode_audio(payload)
+    except Exception:
+        return out
+    if not rate or samples.size == 0:
+        return out
+    x = samples.astype(np.float64) / 32768.0
+    win = max(1, rate // ACT_WIN_FRAC)
+    n_win = max(1, int(x.size // win))
+    r = x[: n_win * win].reshape(n_win, -1)
+    rms = np.sqrt((r * r).mean(axis=1))
+    peak = float(rms.max())
+    n_active = int((rms >= ACT_THRESHOLD * peak).sum()) if peak > 0 else 0
+    out.update(
+        act_n_windows=n_win, act_n_active=n_active,
+        act_frac=round(n_active / n_win, 6),
+    )
+    return out
+
+
+def audio_activity(df: DataFrame) -> DataFrame:
+    """Per-clip activity relation over every decodable audio row — one
+    Arrow-batched mapInPandas pass (payloads stay in their scan
+    partitions), O(clips) skinny rows out."""
+    def act_batches(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"],
+                                    pdf["payload"]):
+                if kind != "audio":
+                    continue
+                s = audio_activity_stats(bytes(p))
+                if s["act_n_windows"] is None:
+                    continue
+                rows.append({"media_id": mid, **s})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "act_n_windows",
+                               "act_n_active", "act_frac"])
+
+    return df.mapInPandas(
+        act_batches,
+        "media_id long, act_n_windows int, act_n_active int, "
+        "act_frac double",
+    ).orderBy("media_id")
+
+
 def audio_decode_stats(df: DataFrame) -> DataFrame:
     """Decode every audio payload (Arrow-batched mapInPandas): per
     sample-rate decode rate, mean clip duration and mean RMS level —

@@ -137,7 +137,8 @@ def media_table(n: int = 400) -> str:
     import numpy as np
     import pyarrow as pa
 
-    from .multimodal import (FEATURE_DIM, audio_row_stats, gen_media,
+    from .multimodal import (FEATURE_DIM, audio_activity_stats,
+                             audio_row_stats, gen_media,
                              image_row_stats, mp4_row_stats,
                              afp64, parse_media_meta, phash64,
                              video_row_stats)
@@ -150,6 +151,8 @@ def media_table(n: int = 400) -> str:
             for r in rows]
     auds = [audio_row_stats(r["payload"]) if r["kind"] == "audio" else None
             for r in rows]
+    acts = [audio_activity_stats(r["payload"]) if r["kind"] == "audio"
+            else None for r in rows]
     vids = [video_row_stats(r["payload"]) if r["kind"] == "video" else None
             for r in rows]
     mp4s = [mp4_row_stats(r["payload"])
@@ -201,6 +204,12 @@ def media_table(n: int = 400) -> str:
             [a["aud_duration_s"] if a else None for a in auds], pa.float64()),
         "aud_rms": pa.array(
             [a["aud_rms"] if a else None for a in auds], pa.float64()),
+        "act_n_windows": pa.array(
+            [a["act_n_windows"] if a else None for a in acts], pa.int32()),
+        "act_n_active": pa.array(
+            [a["act_n_active"] if a else None for a in acts], pa.int32()),
+        "act_frac": pa.array(
+            [a["act_frac"] if a else None for a in acts], pa.float64()),
         "vid_ok": pa.array(
             [v["vid_ok"] if v else None for v in vids], pa.bool_()),
         "vid_n_frames": pa.array(
@@ -275,6 +284,44 @@ def keyframes_table(n: int = 400) -> str:
         "frame_md5": pa.array(sigs, pa.string()),
     })
     path = os.path.join(_ORACLE_DIR, f"keyframes_{n}.parquet")
+    _atomic_write_table(table, path)
+    _memo[key] = path
+    return path
+
+
+def warc_segments_table(n_docs: int = 1200, n_segs: int = 16) -> str:
+    """Per-segment storage stats, the single-process twin of the Spark
+    side's md5-sharded write_warc_gz_dedup + warc.segment_stats pass.
+    The shard key is md5-derived (int(md5(url)[:4], 16) % n_segs) so
+    Python, Spark and any SQL engine agree without xxhash64."""
+    key = f"warcsegs:{n_docs}:{n_segs}"
+    if key in _memo:
+        return _memo[key]
+    import pyarrow as pa
+
+    from .corpusgen import gen_corpus
+    from .warc import segment_stats, write_warc_gz_dedup
+
+    segs: dict[int, list] = {}
+    for r in gen_corpus(n_docs):
+        sid = int(hashlib.md5(r["url"].encode("utf-8")).hexdigest()[:4],
+                  16) % n_segs
+        segs.setdefault(sid, []).append(
+            (r["url"], r["warc_ts"], bytes(r["html"])))
+    rows = []
+    for sid in sorted(segs):
+        recs = sorted(segs[sid], key=lambda t: (t[0], t[1]))
+        blob = write_warc_gz_dedup(iter(recs), segment=f"seg{sid}")
+        rows.append({"seg_id": sid, **segment_stats(blob)})
+    cols = ["seg_id", "n_response", "n_revisit", "n_other", "seg_bytes",
+            "payload_bytes", "compression_ratio"]
+    table = pa.table({
+        c: pa.array([r[c] for r in rows],
+                    pa.float64() if c == "compression_ratio"
+                    else pa.int64())
+        for c in cols
+    })
+    path = os.path.join(_ORACLE_DIR, f"warcsegs_{n_docs}.parquet")
     _atomic_write_table(table, path)
     _memo[key] = path
     return path

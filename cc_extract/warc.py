@@ -486,3 +486,34 @@ def records_df(seg_df):
             )
 
     return seg_df.mapInPandas(parse, schema=RECORDS_SCHEMA)
+
+
+def segment_stats(blob: bytes) -> dict:
+    """Per-segment storage accounting — the row a crawl's storage
+    planner reads per ``.warc.gz`` artifact: record counts by type,
+    compressed segment size, recovered payload bytes, and the revisit
+    savings the §6.7.2 dedup bought.  Normative implementation shared
+    by the Spark path and the oracle table (same pattern as the mm row
+    rules), so writer bytes, reader walk and dedup policy are all
+    pinned by one hash row per segment."""
+    n_response = n_revisit = n_other = 0
+    payload_bytes = 0
+    for r in iter_warc_gz(blob):
+        t = r["rec_type"]
+        if t == "response":
+            n_response += 1
+            payload_bytes += len(r["payload"] or b"")
+        elif t == "revisit":
+            n_revisit += 1
+        else:
+            n_other += 1
+    seg_bytes = len(blob)
+    return {
+        "n_response": n_response,
+        "n_revisit": n_revisit,
+        "n_other": n_other,
+        "seg_bytes": seg_bytes,
+        "payload_bytes": payload_bytes,
+        "compression_ratio": round(payload_bytes / seg_bytes, 6)
+        if seg_bytes else None,
+    }
