@@ -1123,6 +1123,103 @@ def _cc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("domain")
 
 
+HITS_ITERS = 4
+
+
+def _cc_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the domain link
+    graph — the companion ranking to cc_pagerank a crawl pipeline runs
+    to separate directories/aggregators (high hub) from destination
+    content (high authority); the pair feeds frontier prioritization
+    next to cc_crawl_frontier's freshness score.
+
+    Max-normalized variant: each half-step divides by the max score
+    instead of the L2 norm (same principal-eigenvector fixpoint,
+    standard in practice) so the cross-engine lockstep needs NO sqrt:
+    every accumulation sums 9-dp-rounded addends as DECIMAL(38,12)
+    (exact, order-insensitive — the emb_top_pc discipline), max over
+    exact decimals is trivially order-insensitive, and the normalize is
+    one IEEE divide + round(9) evaluated in-engine on both sides.  The
+    oracle re-derives the identical HITS_ITERS iterations as chained
+    CTEs.
+
+    Scale shape: nodes/edges are O(domains)/O(domains^2) — tiny next to
+    the corpus; each half-step is one equi-join of edges against the
+    current scores plus a groupBy, the same shuffle pattern as
+    cc_pagerank, with scores localCheckpointed per round (lineage
+    truncation).  The per-round max is a whitelisted 1-row scalar
+    cross."""
+    edges = (
+        _cc_links(spark)
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").cast("double").alias("w"))
+        .localCheckpoint()
+    )
+    docs, _ = _cc_corpus_and_extracted(spark)
+    nodes = docs.select(_cc_host(F.col("url")).alias("domain")).distinct() \
+        .localCheckpoint()
+    hubs = nodes.select("domain", F.lit(1.0).alias("h")).localCheckpoint()
+    auth = None
+    for _ in range(HITS_ITERS):
+        # authority half-step: a'(v) = Σ_{u→v} w(u,v) · h(u)
+        ap = (
+            edges.join(hubs, edges.src_domain == hubs.domain)
+            .select(
+                F.col("dst_domain").alias("domain"),
+                F.round(F.col("w") * F.col("h"), 9)
+                .cast("decimal(38,12)").alias("p"),
+            )
+            .groupBy("domain")
+            .agg(F.sum("p").alias("ap"))
+        )
+        am = ap.agg(F.max("ap").alias("am"))
+        auth = (
+            nodes.join(ap, "domain", "left")
+            .crossJoin(am)
+            .select(
+                "domain",
+                F.round(
+                    F.coalesce(F.col("ap"), F.lit(0).cast("decimal(38,12)"))
+                    .cast("double") / F.col("am").cast("double"), 9
+                ).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        # hub half-step: h'(v) = Σ_{v→u} w(v,u) · a(u)
+        hp = (
+            edges.join(auth, edges.dst_domain == auth.domain)
+            .select(
+                F.col("src_domain").alias("domain"),
+                F.round(F.col("w") * F.col("a"), 9)
+                .cast("decimal(38,12)").alias("p"),
+            )
+            .groupBy("domain")
+            .agg(F.sum("p").alias("hp"))
+        )
+        hm = hp.agg(F.max("hp").alias("hm"))
+        hubs = (
+            nodes.join(hp, "domain", "left")
+            .crossJoin(hm)
+            .select(
+                "domain",
+                F.round(
+                    F.coalesce(F.col("hp"), F.lit(0).cast("decimal(38,12)"))
+                    .cast("double") / F.col("hm").cast("double"), 9
+                ).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        hubs.join(auth, "domain")
+        .select(
+            "domain",
+            F.round("h", 6).alias("hub"),
+            F.round("a", 6).alias("authority"),
+        )
+        .orderBy("domain")
+    )
+
+
 # cc_domain_filter thresholds — the domain-level analogue of
 # doc_corpus_filter's per-document rule ladder
 DOMAIN_MIN_DOCS = 3          # too few docs to trust the domain's stats
@@ -1956,6 +2053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "cc_hits": _cc_hits,  # r5: HITS hubs/authorities, decimal lockstep
+        "doc_heaps_law": textops.heaps_law,  # r5: vocabulary-growth curve
+        "doc_zipf_fit": textops.zipf_fit,  # r5: rank-frequency slope per lang
         "emb_top_pc_scores": embedops.top_pc_scores,  # r5: power-iteration PC
         "emb_pc_residual_norms": embedops.pc_residual_norms,  # r5: all-but-the-top
         "event_value_anomaly": relops.event_value_anomaly,  # r5: daily z-score
@@ -2629,6 +2729,84 @@ SELECT lang, source, n_docs, n_tokens, n_chars, n_bytes, n_words,
        round(n_chars / nullif(n_tokens, 0), 6) AS chars_per_token,
        round(n_tokens / nullif(n_words, 0), 6) AS tokens_per_word
 FROM a ORDER BY lang, source
+"""
+
+    # vocabulary-growth curve: every cell is an exact BIGINT count; the
+    # bucket is integer division on both engines and the only window
+    # runs over the n_buckets aggregated rows
+    sql["doc_heaps_law"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS tokens,
+         (doc_id * {textops.HEAPS_BUCKETS})
+           // ((SELECT max(doc_id) + 1 FROM documents)) AS bucket
+  FROM documents
+),
+pb AS (
+  SELECT bucket, count(*) AS n_docs,
+         CAST(sum(len(tokens)) AS BIGINT) AS n_tokens
+  FROM t GROUP BY bucket
+),
+fs AS (
+  SELECT tok, min(bucket) AS fb
+  FROM (SELECT bucket, unnest(tokens) AS tok FROM t)
+  GROUP BY tok
+),
+nv AS (SELECT fb AS bucket, count(*) AS new_vocab FROM fs GROUP BY fb)
+SELECT CAST(pb.bucket AS BIGINT) AS bucket,
+       CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+       CAST(coalesce(new_vocab, 0) AS BIGINT) AS new_vocab,
+       CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(new_vocab, 0)) OVER w AS BIGINT) AS cum_vocab
+FROM pb LEFT JOIN nv USING (bucket)
+WINDOW w AS (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING)
+ORDER BY pb.bucket
+"""
+
+    # Zipf rank-frequency fit: ln on identical integer inputs rounded to
+    # 9 dp, all four accumulations exact DECIMAL(38,12) sums of 9-dp
+    # addends, slope/intercept ONE fixed IEEE sequence mirrored
+    # token-for-token with the Spark expressions
+    sql["doc_zipf_fit"] = f"""
+WITH f AS (
+  SELECT lang, tok, count(*) AS freq
+  FROM (SELECT lang, unnest({_TOKENS}) AS tok FROM documents)
+  GROUP BY lang, tok
+),
+r AS (
+  SELECT lang, freq, tok,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY freq DESC, tok ASC) AS rnk
+  FROM f
+),
+xy AS (
+  SELECT lang,
+         round(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+         round(ln(CAST(freq AS DOUBLE)), 9) AS y
+  FROM r WHERE rnk <= {textops.ZIPF_TOP_R}
+),
+s AS (
+  SELECT lang, count(*) AS n_ranks,
+         sum(CAST(x AS DECIMAL(38,12))) AS sx,
+         sum(CAST(y AS DECIMAL(38,12))) AS sy,
+         sum(CAST(round(x * y, 9) AS DECIMAL(38,12))) AS sxy,
+         sum(CAST(round(x * x, 9) AS DECIMAL(38,12))) AS sxx
+  FROM xy GROUP BY lang
+)
+SELECT lang, CAST(n_ranks AS BIGINT) AS n_ranks,
+       round((CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / CAST(n_ranks AS DOUBLE), 6) AS zipf_intercept
+FROM s ORDER BY lang
 """
 
     # context-window chunking: Spark sequence(0, n-1, stride) and DuckDB
@@ -5062,6 +5240,57 @@ r{_t} AS (
     sql["cc_pagerank"] = (
         "WITH " + ",\n".join(_pr_parts)
         + f"\nSELECT domain, round(pr, 6) AS pagerank FROM r{PAGERANK_ITERS}"
+        + "\nORDER BY domain"
+    )
+
+    # HITS hubs/authorities: identical max-normalized half-steps as
+    # chained CTEs — exact DECIMAL(38,12) sums of 9-dp addends, exact
+    # decimal max, one IEEE divide + round(9) per normalize (the
+    # emb_top_pc lockstep applied to the cc_pagerank CTE pattern)
+    _hits_parts = [_lg_ctes + f""",
+edges AS (
+  SELECT src_domain, dst_domain, CAST(count(*) AS DOUBLE) AS w
+  FROM lk GROUP BY 1, 2
+),
+nodes AS (
+  SELECT DISTINCT lower(regexp_extract(url, '^https://([^/:?#]+)', 1)) AS domain
+  FROM read_parquet('{corpus}')
+),
+h0 AS (SELECT domain, CAST(1.0 AS DOUBLE) AS h FROM nodes)"""]
+    for _t in range(1, HITS_ITERS + 1):
+        _hits_parts.append(f"""ap{_t} AS (
+  SELECT e.dst_domain AS domain,
+         sum(CAST(round(e.w * h.h, 9) AS DECIMAL(38,12))) AS ap
+  FROM edges e JOIN h{_t - 1} h ON h.domain = e.src_domain
+  GROUP BY 1
+),
+am{_t} AS (SELECT max(ap) AS am FROM ap{_t}),
+a{_t} AS (
+  SELECT n.domain,
+         round(CAST(coalesce(ap.ap, CAST(0 AS DECIMAL(38,12)))
+                    AS DOUBLE) / CAST(am{_t}.am AS DOUBLE), 9) AS a
+  FROM nodes n CROSS JOIN am{_t}
+       LEFT JOIN ap{_t} ap ON n.domain = ap.domain
+),
+hp{_t} AS (
+  SELECT e.src_domain AS domain,
+         sum(CAST(round(e.w * a.a, 9) AS DECIMAL(38,12))) AS hp
+  FROM edges e JOIN a{_t} a ON a.domain = e.dst_domain
+  GROUP BY 1
+),
+hm{_t} AS (SELECT max(hp) AS hm FROM hp{_t}),
+h{_t} AS (
+  SELECT n.domain,
+         round(CAST(coalesce(hp.hp, CAST(0 AS DECIMAL(38,12)))
+                    AS DOUBLE) / CAST(hm{_t}.hm AS DOUBLE), 9) AS h
+  FROM nodes n CROSS JOIN hm{_t}
+       LEFT JOIN hp{_t} hp ON n.domain = hp.domain
+)""")
+    sql["cc_hits"] = (
+        "WITH " + ",\n".join(_hits_parts)
+        + f"\nSELECT h{HITS_ITERS}.domain, round(h, 6) AS hub,"
+        + " round(a, 6) AS authority"
+        + f"\nFROM h{HITS_ITERS} JOIN a{HITS_ITERS} USING (domain)"
         + "\nORDER BY domain"
     )
 

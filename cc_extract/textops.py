@@ -2486,3 +2486,121 @@ def bloom_membership(seen: DataFrame, cand: DataFrame,
             (F.col("n_hits") == BLOOM_K).cast("int").alias("probably_seen"),
         )
     )
+
+
+# --------------------------------------------- corpus growth statistics
+
+HEAPS_BUCKETS = 20   # doc-order checkpoints for the vocabulary-growth curve
+ZIPF_TOP_R = 100     # rank-frequency ladder depth for the Zipf fit
+
+
+def heaps_law(spark, sf_dir: str, n_buckets: int = HEAPS_BUCKETS) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: cumulative distinct-token
+    vocabulary vs cumulative token count at *n_buckets* doc-order
+    checkpoints — the table a corpus-curation pass reads to decide
+    whether more data still buys new vocabulary (sub-linear growth
+    flattening early is the classic crawl-saturation signal).
+
+    Exact-arithmetic contract: EVERY output cell is a BIGINT count —
+    no float exists anywhere in the query, so cross-engine parity is
+    trivial.  "Doc order" is doc_id ascending (the corpus's stable
+    ingestion order); bucket = (doc_id * n_buckets) div (max_doc_id + 1),
+    integer division in both engines.
+
+    Scale shape: one tokenize pass; the first-occurrence relation is a
+    partial-aggregable groupBy(token) -> min(bucket) (O(vocab) keys,
+    hash-uniform); per-bucket rollups are O(n_buckets) rows, and the
+    only window runs over those n_buckets rows — never over the corpus.
+    The max_doc_id scalar is a whitelisted 1-row cross (the
+    doc_source_mixture pattern)."""
+    docs = with_tokens(load_documents(spark, sf_dir))
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    b = docs.crossJoin(mx).withColumn(
+        "bucket", F.expr(f"(doc_id * {n_buckets}) div (mx + 1)")
+    )
+    per_bucket = b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("tokens").cast("long")).alias("n_tokens"),
+    )
+    first_seen = (
+        b.select("bucket", F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("bucket").alias("fb"))
+        .groupBy("fb")
+        .agg(F.count("*").alias("new_vocab"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(
+            first_seen, per_bucket.bucket == first_seen.fb, "left"
+        )
+        .select(
+            "bucket", "n_docs", "n_tokens",
+            F.coalesce("new_vocab", F.lit(0)).cast("long").alias("new_vocab"),
+        )
+        .select(
+            "bucket", "n_docs", "n_tokens", "new_vocab",
+            F.sum("n_docs").over(w).alias("cum_docs"),
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum("new_vocab").over(w).alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def zipf_fit(spark, sf_dir: str, top_r: int = ZIPF_TOP_R) -> DataFrame:
+    """Zipf rank-frequency fit per language: least-squares slope (and
+    intercept) of ln(freq) on ln(rank) over the top *top_r* tokens — the
+    corpus-health diagnostic a curation pipeline publishes alongside the
+    fertility table (a slope far from ~-1 flags boilerplate flooding or
+    tokenizer mismatch for that language; Zipf 1949, Heaps 1978).
+
+    Cross-engine float discipline (the emb_top_pc lockstep + the
+    event_value_anomaly fixed-sequence pattern): ln(rank)/ln(freq) are
+    single libm calls on identical integer inputs rounded to 9 dp; all
+    four accumulations (Σx, Σy, Σxy, Σx²) sum 9-dp-rounded addends as
+    DECIMAL(38,12) — exact and order-insensitive — and the closed-form
+    slope/intercept are ONE fixed IEEE sequence on those exact sums,
+    mirrored token-for-token in the oracle SQL.  Rank ties break on the
+    token string, a total order.
+
+    Scale shape: one tokenize pass -> partial-aggregable
+    groupBy(lang, token) (O(vocab) keys); the rank window partitions by
+    lang over per-token AGGREGATED rows (vocab-sized, not corpus-sized)
+    and the fit reduces each lang to one row."""
+    docs = with_tokens(load_documents(spark, sf_dir))
+    freq = (
+        docs.select("lang", F.explode("tokens").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("tok"))
+    xy = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_r)
+        .select(
+            "lang",
+            F.round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
+            F.round(F.log(F.col("freq").cast("double")), 9).alias("y"),
+        )
+    )
+    s = xy.groupBy("lang").agg(
+        F.count("*").alias("n_ranks"),
+        F.sum(F.col("x").cast("decimal(38,12)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,12)")).alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9)
+              .cast("decimal(38,12)")).alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9)
+              .cast("decimal(38,12)")).alias("sxx"),
+    )
+    r = F.col("n_ranks").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (r * sxy - sx * sy) / (r * sxx - sx * sx)
+    return s.select(
+        "lang", "n_ranks",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / r, 6).alias("zipf_intercept"),
+    ).orderBy("lang")
