@@ -1693,6 +1693,19 @@ def _mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.scene_cut_stats(df)
 
 
+def _mm_exif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF audit over camera-style JPEGs (round 5): real APP1/TIFF-IFD
+    parse (both byte orders) cross-checked against the actually-decoded
+    raster — stale post-resize dimension claims, display-axis-swap
+    orientations (>= 5), truncated-TIFF parse failures all counted per
+    (make, orientation).  See multimodal.parse_exif/_with_exif for the
+    corpus spec and multimodal.exif_stats for the plan shape."""
+    from cc_extract import multimodal as mm
+
+    df = mm.media_df(spark, 400, partitions=8)
+    return mm.exif_stats(df)
+
+
 def _cc_warc_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-grain storage accounting (round 5): the corpus md5-sharded
     into 16 segments, each written with write_warc_gz_dedup (revisit
@@ -2054,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "cc_hits": _cc_hits,  # r5: HITS hubs/authorities, decimal lockstep
+        "mm_exif_stats": _mm_exif_stats,  # r5: EXIF claim-vs-decode audit
         "doc_heaps_law": textops.heaps_law,  # r5: vocabulary-growth curve
         "doc_zipf_fit": textops.zipf_fit,  # r5: rank-frequency slope per lang
         "emb_top_pc_scores": embedops.top_pc_scores,  # r5: power-iteration PC
@@ -5681,6 +5695,27 @@ GROUP BY container, vid_ok ORDER BY container, vid_ok
 SELECT seg_id, n_response, n_revisit, n_other, seg_bytes,
        payload_bytes, compression_ratio
 FROM read_parquet('{warcsegs}') ORDER BY seg_id
+"""
+
+    # EXIF audit: oracle columns come from the same normative parse_exif
+    # (single-process, in media_table).  Conditional counts COALESCE the
+    # NULL condition to 0 and CAST the sum back to BIGINT (DuckDB sums
+    # to HUGEINT -> pandas float otherwise) so both engines emit
+    # non-null int64 — failed parses count 0 toward every flag.
+    sql["mm_exif_stats"] = f"""
+SELECT exif_make, exif_orientation, count(*) AS n_images,
+       CAST(sum(COALESCE(CAST(exif_ok AS BIGINT), 0)) AS BIGINT)
+         AS n_parse_ok,
+       CAST(sum(COALESCE(
+           CAST(exif_w = dec_w AND exif_h = dec_h AS BIGINT), 0))
+         AS BIGINT) AS n_dims_match,
+       CAST(sum(COALESCE(CAST(exif_orientation >= 5 AS BIGINT), 0))
+         AS BIGINT) AS n_display_swap,
+       min(exif_dt) AS min_dt, max(exif_dt) AS max_dt
+FROM read_parquet('{media}')
+WHERE has_exif
+GROUP BY exif_make, exif_orientation
+ORDER BY exif_make, exif_orientation
 """
 
     sql["mm_audio_activity"] = f"""

@@ -754,9 +754,11 @@ def gen_media(i: int, seed: int = 42) -> dict:
         if pick < 0.3:
             payload = cg._png_gray(w, h, bytes(raster))
         elif pick < 0.5:
-            payload = cg._jpeg_gray(w, h, bytes(raster))
+            # camera-style JPEGs carry EXIF (md5-derived — no rng draw)
+            payload = _with_exif(cg._jpeg_gray(w, h, bytes(raster)), i, w, h)
         elif pick < 0.65:
-            payload = cg._jpeg_progressive(w, h, bytes(raster))
+            payload = _with_exif(
+                cg._jpeg_progressive(w, h, bytes(raster)), i, w, h)
         elif pick < 0.8:
             payload = cg._tiff_gray(w, h, bytes(raster), lzw=True, predictor=2)
         elif pick < 0.9:
@@ -1323,6 +1325,237 @@ def media_metadata(df: DataFrame) -> DataFrame:
             })
 
     return df.mapInPandas(meta_batches, META_SCHEMA)
+
+
+# ------------------------------------------------------------- EXIF
+
+# Exif 2.x APP1 over the TIFF 6.0 IFD structure (public specs: JEITA
+# CP-3451 / TIFF 6.0).  The corpus's camera-style JPEGs carry a real
+# APP1 block — both byte orders, Orientation/Make/DateTime in IFD0 and
+# PixelX/YDimension in the Exif sub-IFD — because EXIF-vs-decoded-dims
+# and orientation handling are the classic multimodal-ingest traps
+# (rotated rasters, post-resize stale dimension claims).
+
+EXIF_MAKES = ["CamCo", "PixelWorks", "Shutterline", "OptiMax"]
+
+
+def _exif_app1(orientation: int, dt: str, make: str, px_w: int, px_h: int,
+               big_endian: bool) -> bytes:
+    """Serialize one Exif APP1 segment: IFD0 (Make 0x010F, Orientation
+    0x0112, DateTime 0x0132, ExifIFDPointer 0x8769) + Exif sub-IFD
+    (PixelXDimension 0xA002, PixelYDimension 0xA003).  SHORT values sit
+    in the first two bytes of the 4-byte slot in file byte order;
+    ASCII values beyond 4 bytes live at explicit offsets."""
+    E = ">" if big_endian else "<"
+    make_b = make.encode("ascii") + b"\x00"
+    dt_b = dt.encode("ascii") + b"\x00"
+    dt_off = 8 + 2 + 4 * 12 + 4          # header + IFD0(4 entries)
+    make_off = dt_off + len(dt_b)
+    exif_off = make_off + len(make_b)
+    if exif_off % 2:
+        exif_off += 1                    # TIFF values are word-aligned
+
+    def entry(tag: int, typ: int, cnt: int, val4: bytes) -> bytes:
+        return struct.pack(E + "HHI", tag, typ, cnt) + val4
+
+    ifd0 = struct.pack(E + "H", 4)
+    ifd0 += entry(0x010F, 2, len(make_b), struct.pack(E + "I", make_off))
+    ifd0 += entry(0x0112, 3, 1, struct.pack(E + "HH", orientation, 0))
+    ifd0 += entry(0x0132, 2, len(dt_b), struct.pack(E + "I", dt_off))
+    ifd0 += entry(0x8769, 4, 1, struct.pack(E + "I", exif_off))
+    ifd0 += struct.pack(E + "I", 0)
+    exif_ifd = struct.pack(E + "H", 2)
+    exif_ifd += entry(0xA002, 4, 1, struct.pack(E + "I", px_w))
+    exif_ifd += entry(0xA003, 4, 1, struct.pack(E + "I", px_h))
+    exif_ifd += struct.pack(E + "I", 0)
+    hdr = (b"MM\x00\x2a" if big_endian else b"II\x2a\x00") \
+        + struct.pack(E + "I", 8)
+    body = hdr + ifd0 + dt_b + make_b
+    body += b"\x00" * (exif_off - len(body))
+    body += exif_ifd
+    blob = b"Exif\x00\x00" + body
+    return struct.pack(">BBH", 0xFF, 0xE1, len(blob) + 2) + blob
+
+
+def _with_exif(payload: bytes, i: int, w: int, h: int) -> bytes:
+    """Corpus-side EXIF attachment for JPEG payloads, derived entirely
+    from md5(f"exif|{i}") — ZERO rng-stream consumption (the
+    scene-cuts/jsonld protocol), so every other media draw is untouched.
+    ~70% of camera-style JPEGs carry EXIF; among those: both byte
+    orders, orientation mix incl. the >=5 display-swap class, ~19% a
+    stale 2x dimension claim (the post-resize trap), ~6% a truncated
+    TIFF body (parse must fail HONESTLY, not crash)."""
+    hx = hashlib.md5(f"exif|{i}".encode()).hexdigest()
+    if int(hx[0], 16) >= 11:             # ~31%: no EXIF at all
+        return payload
+    orientation = [1, 1, 1, 3, 6, 6, 8, 5][int(hx[1], 16) % 8]
+    make = EXIF_MAKES[int(hx[2], 16) % 4]
+    stale = int(hx[3], 16) < 3           # ~19%: dims claim 2x the raster
+    px_w, px_h = (2 * w, 2 * h) if stale else (w, h)
+    big_endian = int(hx[4], 16) % 2 == 1
+    dt = (f"20{15 + int(hx[5], 16) % 10}:{1 + int(hx[6], 16) % 12:02d}:"
+          f"{1 + int(hx[7], 16) % 28:02d} {int(hx[8], 16) % 24:02d}:"
+          f"{int(hx[9], 16) % 60:02d}:{int(hx[10], 16) % 60:02d}")
+    app1 = _exif_app1(orientation, dt, make, px_w, px_h, big_endian)
+    if int(hx[11], 16) == 0:             # ~6%: truncated TIFF body
+        cut = len(app1) - 12
+        app1 = struct.pack(">BBH", 0xFF, 0xE1, cut - 2) + app1[4:cut]
+    return payload[:2] + app1 + payload[2:]   # APP1 right after SOI
+
+
+def _parse_exif_tiff(b: bytes) -> dict:
+    """Walk the TIFF structure inside an Exif APP1 body (after the
+    'Exif\\0\\0' id): returns the tag subset the audit reads.  Raises on
+    any malformation — the caller converts that to exif_ok=False."""
+    if b[:4] == b"II\x2a\x00":
+        E = "<"
+    elif b[:4] == b"MM\x00\x2a":
+        E = ">"
+    else:
+        raise ValueError("bad TIFF header in Exif")
+    (ifd,) = struct.unpack_from(E + "I", b, 4)
+
+    def read_ifd(off: int) -> dict:
+        (n,) = struct.unpack_from(E + "H", b, off)
+        ents = {}
+        for t in range(n):
+            tag, typ, cnt = struct.unpack_from(E + "HHI", b, off + 2 + t * 12)
+            ents[tag] = (typ, cnt, off + 2 + t * 12 + 8)
+        return ents
+
+    def val(ent):
+        typ, cnt, voff = ent
+        if typ == 3:                     # SHORT: first 2 bytes of the slot
+            return struct.unpack_from(E + "H", b, voff)[0]
+        if typ == 4:                     # LONG
+            return struct.unpack_from(E + "I", b, voff)[0]
+        if typ == 2:                     # ASCII (NUL-terminated, cnt bytes)
+            if cnt <= 4:
+                raw = b[voff:voff + cnt]
+            else:
+                (o,) = struct.unpack_from(E + "I", b, voff)
+                raw = b[o:o + cnt]
+                if len(raw) < cnt:
+                    raise ValueError("truncated ASCII value")
+            return raw.rstrip(b"\x00").decode("ascii")
+        raise ValueError(f"unsupported EXIF type {typ}")
+
+    ifd0 = read_ifd(ifd)
+    out = {}
+    if 0x0112 in ifd0:
+        out["exif_orientation"] = int(val(ifd0[0x0112]))
+    if 0x010F in ifd0:
+        out["exif_make"] = val(ifd0[0x010F])
+    if 0x0132 in ifd0:
+        out["exif_dt"] = val(ifd0[0x0132])
+    if 0x8769 in ifd0:
+        sub = read_ifd(int(val(ifd0[0x8769])))
+        if 0xA002 in sub:
+            out["exif_w"] = int(val(sub[0xA002]))
+        if 0xA003 in sub:
+            out["exif_h"] = int(val(sub[0xA003]))
+    return out
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Normative per-row EXIF read (shared by the Spark path and the
+    oracle table): locate the APP1/Exif segment in a JPEG's marker
+    stream (never raises — has_exif=False when absent, exif_ok=False
+    when present but malformed)."""
+    out = {"has_exif": False, "exif_ok": None, "exif_orientation": None,
+           "exif_make": None, "exif_dt": None, "exif_w": None,
+           "exif_h": None}
+    if not payload.startswith(b"\xff\xd8"):
+        return out
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker in (0xD9, 0xDA):       # image data: EXIF precedes it
+            break
+        seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        if seglen < 2:
+            break
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            out["has_exif"] = True
+            try:
+                out.update(_parse_exif_tiff(seg[6:]))
+                out["exif_ok"] = True
+            except Exception:
+                out["exif_ok"] = False
+            return out
+        pos += 2 + seglen
+    return out
+
+
+def exif_stats(df: DataFrame) -> DataFrame:
+    """EXIF audit rollup over the image payloads — the ingest table a
+    multimodal pipeline reads before trusting camera metadata: per
+    (make, orientation), how many images parse, how many dimension
+    claims match the actually-decoded raster (stale post-resize claims
+    are the classic trap), how many need a display-axis swap
+    (orientation >= 5), and the capture-date range.
+
+    Scale shape: ONE Arrow-batched mapInPandas pass over image payloads
+    (parse_exif + decode_image share the scan partition — payload bytes
+    never shuffle), then a partial-aggregable groupBy on O(makes x 8)
+    keys.  Conditional counts are sum(CAST(cond AS BIGINT)) on both
+    engines (trap-81 null semantics)."""
+    def exif_batches(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"],
+                                    pdf["payload"]):
+                if kind != "image":
+                    continue
+                b = bytes(p)
+                e = parse_exif(b)
+                if not e["has_exif"]:
+                    continue
+                d = image_row_stats(b)
+                rows.append({
+                    "media_id": mid,
+                    "exif_ok": e["exif_ok"],
+                    "exif_orientation": e["exif_orientation"],
+                    "exif_make": e["exif_make"],
+                    "exif_dt": e["exif_dt"],
+                    "exif_w": e["exif_w"], "exif_h": e["exif_h"],
+                    "dec_w": d["dec_w"], "dec_h": d["dec_h"],
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "exif_ok", "exif_orientation",
+                         "exif_make", "exif_dt", "exif_w", "exif_h",
+                         "dec_w", "dec_h"])
+
+    per = df.mapInPandas(
+        exif_batches,
+        "media_id long, exif_ok boolean, exif_orientation int, "
+        "exif_make string, exif_dt string, exif_w int, exif_h int, "
+        "dec_w int, dec_h int",
+    )
+    dims_match = (F.col("exif_w") == F.col("dec_w")) \
+        & (F.col("exif_h") == F.col("dec_h"))
+    # NULL-condition rows (failed parse -> missing dims/orientation)
+    # count as 0, never NULL: keeps every count column non-null BIGINT
+    # so pandas dtypes agree across engines (int64, no float widening).
+    count_if = lambda c: F.sum(  # noqa: E731
+        F.coalesce(c.cast("bigint"), F.lit(0)))
+    return (
+        per.groupBy("exif_make", "exif_orientation")
+        .agg(
+            F.count("*").alias("n_images"),
+            count_if(F.col("exif_ok")).alias("n_parse_ok"),
+            count_if(dims_match).alias("n_dims_match"),
+            count_if(F.col("exif_orientation") >= 5)
+            .alias("n_display_swap"),
+            F.min("exif_dt").alias("min_dt"),
+            F.max("exif_dt").alias("max_dt"),
+        )
+        .orderBy("exif_make", "exif_orientation")
+    )
 
 
 # ------------------------------------------------------------- features

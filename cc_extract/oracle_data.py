@@ -140,8 +140,8 @@ def media_table(n: int = 400) -> str:
     from .multimodal import (FEATURE_DIM, audio_activity_stats,
                              audio_row_stats, gen_media,
                              image_row_stats, mp4_row_stats,
-                             afp64, parse_media_meta, phash64,
-                             video_row_stats)
+                             afp64, parse_exif, parse_media_meta,
+                             phash64, video_row_stats)
 
     rows = [gen_media(i) for i in range(n)]
     metas = [parse_media_meta(r["payload"]) for r in rows]
@@ -160,6 +160,8 @@ def media_table(n: int = 400) -> str:
             for r in rows]
     phashes = [phash64(r["payload"]) if r["kind"] == "image" else None
                for r in rows]
+    exifs = [parse_exif(r["payload"]) if r["kind"] == "image" else None
+             for r in rows]
     afps = [afp64(r["payload"]) if r["kind"] == "audio" else None
             for r in rows]
     feats = []
@@ -246,6 +248,21 @@ def media_table(n: int = 400) -> str:
             [m["mp4_sps_w"] if m else None for m in mp4s], pa.int32()),
         "mp4_sps_h": pa.array(
             [m["mp4_sps_h"] if m else None for m in mp4s], pa.int32()),
+        "has_exif": pa.array(
+            [e["has_exif"] if e else None for e in exifs], pa.bool_()),
+        "exif_ok": pa.array(
+            [e["exif_ok"] if e else None for e in exifs], pa.bool_()),
+        "exif_orientation": pa.array(
+            [e["exif_orientation"] if e else None for e in exifs],
+            pa.int32()),
+        "exif_make": pa.array(
+            [e["exif_make"] if e else None for e in exifs], pa.string()),
+        "exif_dt": pa.array(
+            [e["exif_dt"] if e else None for e in exifs], pa.string()),
+        "exif_w": pa.array(
+            [e["exif_w"] if e else None for e in exifs], pa.int32()),
+        "exif_h": pa.array(
+            [e["exif_h"] if e else None for e in exifs], pa.int32()),
     })
     path = os.path.join(_ORACLE_DIR, f"media_{n}.parquet")
     _atomic_write_table(table, path)

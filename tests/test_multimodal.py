@@ -765,3 +765,88 @@ def test_scene_cuts_recover_planted_runs():
     assert n_checked >= 50
     # the contract corpus populates static clips AND multi-cut clips
     assert 0 in seen_cut_counts and max(seen_cut_counts) >= 2
+
+
+def test_exif_corpus_classes_all_populated():
+    """The md5-derived EXIF attachment must populate every audit class:
+    no-EXIF JPEGs, both byte orders, orientations incl. >=5, stale 2x
+    dimension claims, and truncated-TIFF parse failures — and the
+    normative parse_exif must read back exactly what _with_exif wrote."""
+    import hashlib
+    import struct
+
+    n_jpeg = n_exif = n_ok = n_bad = n_stale = n_swap = 0
+    orders = set()
+    for i in range(400):
+        r = mm.gen_media(i)
+        if r["kind"] != "image" or not r["payload"].startswith(b"\xff\xd8"):
+            continue
+        if not mm.image_row_stats(r["payload"])["dec_ok"]:
+            continue                      # header-only JPEG stubs: no EXIF
+        n_jpeg += 1
+        e = mm.parse_exif(r["payload"])
+        hx = hashlib.md5(f"exif|{i}".encode()).hexdigest()
+        if int(hx[0], 16) >= 11:
+            assert not e["has_exif"], i
+            continue
+        assert e["has_exif"], i
+        n_exif += 1
+        if int(hx[11], 16) == 0:
+            # truncated TIFF body: honest parse failure, never a crash
+            assert e["exif_ok"] is False, i
+            n_bad += 1
+            continue
+        assert e["exif_ok"] is True, i
+        n_ok += 1
+        want_or = [1, 1, 1, 3, 6, 6, 8, 5][int(hx[1], 16) % 8]
+        assert e["exif_orientation"] == want_or, i
+        assert e["exif_make"] == mm.EXIF_MAKES[int(hx[2], 16) % 4], i
+        assert len(e["exif_dt"]) == 19 and e["exif_dt"][4] == ":", i
+        d = mm.image_row_stats(r["payload"])
+        if int(hx[3], 16) < 3:
+            assert (e["exif_w"], e["exif_h"]) == (2 * d["dec_w"],
+                                                  2 * d["dec_h"]), i
+            n_stale += 1
+        else:
+            assert (e["exif_w"], e["exif_h"]) == (d["dec_w"], d["dec_h"]), i
+        if want_or >= 5:
+            n_swap += 1
+        # APP1 sits right after SOI: FFE1 len "Exif\0\0" then TIFF hdr
+        orders.add(r["payload"][12:14] == b"MM")
+    assert n_exif >= 20 and n_ok >= 18
+    assert n_bad >= 1 and n_stale >= 2 and n_swap >= 3
+    assert n_jpeg - n_exif >= 8           # the no-EXIF class exists
+    assert orders == {True, False}        # both byte orders present
+
+
+def test_exif_attachment_preserves_decode():
+    """Attaching APP1 must not change the decoded raster or dims —
+    decoders skip unknown APPn segments (trap: marker-scan confusion)."""
+    for i in range(400):
+        r = mm.gen_media(i)
+        if r["kind"] != "image" or not r["payload"].startswith(b"\xff\xd8"):
+            continue
+        if not mm.parse_exif(r["payload"])["has_exif"]:
+            continue
+        d = mm.image_row_stats(r["payload"])
+        assert d["dec_ok"], i
+        break
+    else:
+        raise AssertionError("no EXIF JPEG found")
+
+
+def test_exif_hostile_bytes_never_raise():
+    """parse_exif over arbitrary/hostile bytes: never raises, flags
+    malformation honestly."""
+    cases = [
+        b"", b"\xff\xd8", b"\xff\xd8\xff\xe1\x00\x04ab",
+        b"\xff\xd8\xff\xe1\x00\x10Exif\x00\x00garbage!",
+        b"\xff\xd8\xff\xe1\x00\x0aExif\x00\x00II",
+        b"not a jpeg at all",
+        b"\xff\xd8\xff\xe1\x00\x14Exif\x00\x00II\x2a\x00\xff\xff\xff\xff"
+        b"\x00\x00",
+    ]
+    for c in cases:
+        out = mm.parse_exif(c)
+        if out["has_exif"]:
+            assert out["exif_ok"] is False, c
