@@ -2066,6 +2066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "emb_sq8_ann": embedops.sq8_ann,  # r5: int8 SQ codes, integer dot
+        "emb_sq8_recall": embedops.sq8_recall,  # r5: SQ8 recall + err budget
         "cc_hits": _cc_hits,  # r5: HITS hubs/authorities, decimal lockstep
         "mm_exif_stats": _mm_exif_stats,  # r5: EXIF claim-vs-decode audit
         "doc_heaps_law": textops.heaps_law,  # r5: vocabulary-growth curve
@@ -4045,6 +4047,54 @@ ORDER BY method
 SELECT vec_id, label, {cos_expr} AS cos_sim
 FROM embeddings
 ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+    # SQ8: the oracle re-learns the per-dim bounds from the data (the
+    # Spark side collects the same 64x2 sketch), quantizes with the
+    # IDENTICAL floor expression, and scores with the exact integer dot
+    # — order-insensitive by construction, no float summation anywhere
+    # past the (exact) min/max.  span = round(max,6) - round(min,6) in
+    # both engines (embedops.sq8_bounds does the sub in Python on the
+    # same rounded doubles).
+    sq8_ctes = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+ex AS (SELECT vec_id, i AS pos, e[CAST(i AS INT) + 1] AS v
+       FROM e, range({embedops.DIM}) AS t(i)),
+bounds AS (
+  SELECT pos, round(min(v), 6) AS mn,
+         round(max(v), 6) - round(min(v), 6) AS span
+  FROM ex GROUP BY pos
+),
+qv AS (SELECT i AS pos, q[CAST(i AS INT) + 1] AS v
+       FROM (SELECT {qlit} AS q), range({embedops.DIM}) AS t(i)),
+qq AS (SELECT b.pos,
+              CAST(floor(b.span * (qv.v / {qnorm})
+                         * {embedops.SQ8_Q_SCALE} + 0.5) AS BIGINT) AS q
+       FROM qv JOIN bounds b USING (pos)),
+dq AS (SELECT x.vec_id, x.pos,
+              greatest(0, least(255,
+                CAST(floor((x.v - b.mn) / b.span * 255 + 0.5) AS BIGINT)))
+                AS q
+       FROM ex x JOIN bounds b USING (pos)),
+scored AS (SELECT d.vec_id, CAST(sum(d.q * q.q) AS BIGINT) AS adc_dot
+           FROM dq d JOIN qq q USING (pos) GROUP BY d.vec_id)"""
+
+    sql["emb_sq8_ann"] = f"""{sq8_ctes}
+SELECT s.vec_id, e.label, s.adc_dot
+FROM scored s JOIN e USING (vec_id)
+ORDER BY adc_dot DESC, vec_id LIMIT 10
+"""
+
+    sql["emb_sq8_recall"] = f"""{sq8_ctes},
+approx AS (SELECT vec_id FROM scored ORDER BY adc_dot DESC, vec_id LIMIT 10),
+truth AS (SELECT vec_id FROM ({sql["emb_knn_bruteforce"]}) t),
+hits AS (SELECT count(*) AS n_hits FROM approx JOIN truth USING (vec_id)),
+err AS (SELECT CAST(floor(max(span) / 510 * 1000000 + 0.5) AS BIGINT)
+          AS max_q_err_1e6 FROM bounds)
+SELECT 'sq8_dot' AS method, 10 AS k, n_hits,
+       round(CAST(n_hits AS DOUBLE) / 10, 4) AS recall, max_q_err_1e6
+FROM hits CROSS JOIN err
 """
 
     sql["emb_lsh_buckets"] = f"""

@@ -114,3 +114,52 @@ def test_semdedup_decision_properties(spark):
     assert all(
         r["kept"] for r in embedops.semdedup(spark, SF_DIR, eps=1.01).collect()
     )
+
+
+def test_sq8_codes_bounded_and_deterministic(spark):
+    """Every SQ8 code is in [0,255]; the learned bounds are stable
+    across calls (cache) and the query ints are exact integers."""
+    from cc_extract import embedops as eo
+    from pyspark.sql import functions as F
+
+    mn, span = eo.sq8_bounds(spark, SF_DIR)
+    assert len(mn) == eo.DIM and len(span) == eo.DIM
+    assert all(s > 0 for s in span)
+    assert (mn, span) == eo.sq8_bounds(spark, SF_DIR)  # cached, identical
+    emb = eo.load_embeddings(spark, SF_DIR)
+    codes = emb.select(
+        eo._sq8_quantize(F.col("embedding"), mn, span).alias("c"))
+    mx = codes.select(
+        F.max(F.array_max("c")).alias("hi"),
+        F.min(F.array_min("c")).alias("lo")).collect()[0]
+    assert 0 <= mx["lo"] and mx["hi"] <= 255
+    qi = eo.sq8_query_ints(mn, span)
+    assert all(isinstance(x, int) for x in qi) and len(qi) == eo.DIM
+
+
+def test_sq8_adc_recall_is_high(spark):
+    """ADC scoring (int codes x span-scaled integer query) must rank
+    essentially like the exact cosine: recall@10 >= 0.8 — the measured
+    motivation for asymmetric over symmetric scoring (quantizing the
+    raw non-unit query with the data's bounds clips it: recall 0.3)."""
+    from cc_extract import embedops as eo
+
+    row = eo.sq8_recall(spark, SF_DIR).collect()[0]
+    assert row["method"] == "sq8_dot" and row["k"] == 10
+    assert row["recall"] >= 0.8, row
+    assert row["max_q_err_1e6"] > 0
+
+
+def test_sq8_scores_are_exact_integers(spark):
+    """The full score column round-trips as int64 — no float widening
+    anywhere (the cross-engine order-insensitivity argument)."""
+    from cc_extract import embedops as eo
+
+    df = eo.sq8_ann(spark, SF_DIR)
+    assert dict(df.dtypes)["adc_dot"] == "bigint"
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(isinstance(r["adc_dot"], int) for r in rows)
+    # descending, vec_id tiebreak = a total order
+    keys = [(-r["adc_dot"], r["vec_id"]) for r in rows]
+    assert keys == sorted(keys)
