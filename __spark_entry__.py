@@ -2066,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "event_attribution": relops.event_attribution,  # r5: last-touch revenue
         "emb_sq8_ann": embedops.sq8_ann,  # r5: int8 SQ codes, integer dot
         "emb_sq8_recall": embedops.sq8_recall,  # r5: SQ8 recall + err budget
         "cc_hits": _cc_hits,  # r5: HITS hubs/authorities, decimal lockstep
@@ -3929,6 +3930,33 @@ FROM rr GROUP BY vec_id, label, pd ORDER BY vec_id
 
     # daily-revenue anomaly: integer cents, exact sums, one fixed IEEE
     # sequence for mean/var/z — the q11 exact-arithmetic pattern
+    sql["event_attribution"] = """
+WITH tagged AS (
+  SELECT user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type IN ('view','click','signup')
+                         THEN ts END IGNORE NULLS) OVER w AS t_ts,
+         last_value(CASE WHEN event_type IN ('view','click','signup')
+                         THEN event_type END IGNORE NULLS) OVER w AS t_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+pur AS (
+  SELECT CASE WHEN t_ts IS NOT NULL AND ts - t_ts <= INTERVAL 7 DAY
+              THEN t_type ELSE 'direct' END AS touch_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM tagged WHERE event_type = 'purchase'
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tot_cents FROM pur)
+SELECT touch_type, count(*) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS attributed_cents,
+       round(CAST(sum(cents) AS DOUBLE) / CAST(tot_cents AS DOUBLE), 6)
+         AS share
+FROM pur CROSS JOIN tot
+GROUP BY touch_type, tot_cents
+ORDER BY touch_type
+"""
+
     sql["event_value_anomaly"] = """
 WITH day AS (
   SELECT CAST(ts AS DATE) AS day,

@@ -1260,3 +1260,69 @@ def q20_dominant_suppliers(spark, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+def event_attribution(spark, sf_dir: str, window_days: int = 7) -> DataFrame:
+    """Last-touch revenue attribution — the marketing-analytics consumer
+    of the event stream: each purchase is credited to the user's most
+    recent preceding touch event (view / click / signup) within
+    *window_days*; older or absent touches fall to the 'direct' bucket.
+
+    Semantics pinned cross-engine: the "most recent preceding" row is
+    last_value(... IGNORE NULLS) over (PARTITION BY user_id ORDER BY
+    ts, event_id ROWS UNBOUNDED PRECEDING TO 1 PRECEDING) — a total
+    order, so ts ties cannot flip the winner; the recency test is
+    interval arithmetic (timezone-free in both engines); revenue goes
+    to integer CENTS before any sum (order-insensitive); share is one
+    division on exact integers + round 6dp (fixed IEEE sequence).
+
+    Scale shape: ONE shuffle on user_id runs both window expressions in
+    the same sort (the event_sessions discipline); everything after is
+    a partial-aggregable groupBy on O(4) keys plus a whitelisted 1-row
+    broadcast cross for the denominator."""
+    ev = _t(spark, sf_dir, "events")
+    touches = ("view", "click", "signup")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*touches)
+    t_ts = F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w)
+    t_type = F.last(
+        F.when(is_touch, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    pur = (
+        ev.withColumn("t_ts", t_ts)
+        .withColumn("t_type", t_type)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("t_ts").isNotNull()
+                & (F.col("ts") - F.col("t_ts")
+                   <= F.expr(f"INTERVAL {window_days} DAYS")),
+                F.col("t_type"),
+            ).otherwise(F.lit("direct")).alias("touch_type"),
+            cents.alias("cents"),
+        )
+    )
+    tot = pur.agg(F.sum("cents").alias("tot_cents"))
+    return (
+        pur.groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "touch_type",
+            "n_purchases",
+            "attributed_cents",
+            F.round(
+                F.col("attributed_cents").cast("double")
+                / F.col("tot_cents").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("touch_type")
+    )

@@ -821,3 +821,61 @@ def test_bloom_membership_no_false_negatives(spark):
     fp = sum(r["probably_seen"] for r in rows
              if r["url"].startswith("https://other"))
     assert fp <= 20
+
+
+def test_event_attribution_semantics(spark, tmp_path):
+    """Last-touch attribution on a hand-built stream, pinning every edge
+    of the contract: window inclusivity (exactly 7 days attributes; 7
+    days + 1s is direct), no-prior-touch purchases are direct, non-touch
+    events between touch and purchase don't break the chain, ts ties
+    resolve by event_id (the LAST in the total order wins), and cents
+    are exact."""
+    from datetime import datetime, timedelta
+
+    from cc_extract.relops import event_attribution
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(eid, uid, dt, typ, val=10.0):
+        return (eid, t0 + timedelta(seconds=dt), uid, typ, val, "{}")
+
+    rows = [
+        # u1: view -> purchase next day = attributed to view
+        ev(1, 1, 0, "view"),
+        ev(2, 1, 86400, "purchase", 12.34),
+        # u1: second purchase 10 days after the view = direct
+        ev(3, 1, 10 * 86400, "purchase", 1.00),
+        # u2: purchase with no prior events = direct
+        ev(4, 2, 0, "purchase", 5.00),
+        # u3: click and signup at the SAME ts -> higher event_id wins
+        ev(5, 3, 0, "click"),
+        ev(6, 3, 0, "signup"),
+        ev(7, 3, 3600, "purchase", 7.77),
+        # u4: touch exactly 7 days before = attributed (<=)
+        ev(8, 4, 0, "click"),
+        ev(9, 4, 7 * 86400, "purchase", 2.00),
+        # u5: touch 7 days + 1 s before = direct
+        ev(10, 5, 0, "click"),
+        ev(11, 5, 7 * 86400 + 1, "purchase", 3.00),
+        # u6: error event after the view must not steal attribution
+        ev(12, 6, 0, "view"),
+        ev(13, 6, 10, "error"),
+        ev(14, 6, 20, "purchase", 4.00),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(sf / "events.parquet"))
+
+    got = {
+        r["touch_type"]: (r["n_purchases"], r["attributed_cents"])
+        for r in event_attribution(spark, str(sf)).collect()
+    }
+    assert got["view"] == (2, 1234 + 400)
+    assert got["direct"] == (3, 100 + 500 + 300)
+    assert got["signup"] == (1, 777)
+    assert got["click"] == (1, 200)
+    assert set(got) == {"view", "direct", "signup", "click"}

@@ -51,6 +51,7 @@ BNLJ_OK = {
     "distinct_users_approx",      # 1-row exact-count bound check
     "event_funnel",               # 1-row funnel stage aggregate
     "event_value_anomaly",        # 1-row day-level mean/var statistics
+    "event_attribution",          # 1-row total-cents denominator
     "doc_heaps_law",              # 1-row max_doc_id bucketing scalar
     "cc_hits",                    # 1-row per-half-step max normalizer
     "cc_dedup_effect",            # three scalar counts assembled driver-side
