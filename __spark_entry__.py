@@ -98,6 +98,60 @@ def _cc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_zratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality screen (round 5): zlib ratio of each
+    extracted text (compressed/raw utf-8 bytes), bucketed into the two
+    classic curation tails — 'repetitive' (< 0.30: template/spam text
+    that compresses away) and 'incompressible' (>= 0.65: garbled or
+    random-ish output) around 'normal' — the cheap corpus-hygiene dial
+    the C4/CCNet lineage applies before any model-based scoring.
+
+    The compressed size comes from one Arrow-batched mapInPandas pass
+    calling textops.zlib_len (zlib is C-speed; the batch never moves
+    payload bytes — only extracted text already materialized by the
+    shared pipeline relation), then a partial-aggregable groupBy on
+    O(fmt x 3) keys.  The oracle table stores z_len computed by the
+    SAME normative function, so both engines derive ratio and class
+    from identical integers; the per-doc and per-group divisions are
+    each one IEEE op on exact BIGINTs.  Scale: at 100 TB this is a
+    map-only pass over extracted text + a tiny rollup — no shuffle of
+    anything but the O(groups) partials."""
+    from cc_extract.textops import (ZRATIO_INCOMPRESSIBLE,
+                                    ZRATIO_REPETITIVE, zlib_len)
+
+    _, res = _cc_corpus_and_extracted(spark)
+    ok = res.filter(F.col("status").startswith("ok")
+                    & (F.octet_length("text_out") > 0))
+
+    def z_batches(batches):
+        for pdf in batches:
+            out = pdf[["fmt"]].copy()
+            out["raw_len"] = [len(t.encode("utf-8")) for t in pdf["text_out"]]
+            out["z_len"] = [zlib_len(t) for t in pdf["text_out"]]
+            yield out
+
+    per = ok.select("fmt", "text_out").mapInPandas(
+        z_batches, "fmt string, raw_len long, z_len long")
+    ratio = F.col("z_len") / F.col("raw_len")
+    zclass = (
+        F.when(ratio < ZRATIO_REPETITIVE, "repetitive")
+        .when(ratio >= ZRATIO_INCOMPRESSIBLE, "incompressible")
+        .otherwise("normal")
+    )
+    return (
+        per.groupBy("fmt", zclass.alias("zclass"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("raw_len").alias("raw_bytes"),
+            F.sum("z_len").alias("z_bytes"),
+        )
+        .withColumn(
+            "agg_ratio",
+            F.round(F.col("z_bytes") / F.col("raw_bytes"), 6))
+        .orderBy("fmt", "zclass")
+    )
+
+
 def _cc_extraction_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-format extraction-density audit (round 5): how many output
     chars each input byte yields, over the deduped pipeline output.  The
@@ -2066,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "cc_zratio_filter": _cc_zratio_filter,  # r5: zlib-ratio quality screen
         "event_attribution": relops.event_attribution,  # r5: last-touch revenue
         "emb_sq8_ann": embedops.sq8_ann,  # r5: int8 SQ codes, integer dot
         "emb_sq8_recall": embedops.sq8_recall,  # r5: SQ8 recall + err budget
@@ -4580,6 +4635,30 @@ WITH {_sh_cte()}
 SELECT shingle, count(*) AS doc_freq
 FROM sh GROUP BY shingle
 ORDER BY doc_freq DESC, shingle LIMIT 50
+"""
+
+    # zlib ratio screen: z_len in the oracle table is textops.zlib_len
+    # (the identical normative function the Spark batch calls), raw is
+    # strlen = utf-8 BYTES (Spark octet_length); the per-doc and per-
+    # group divisions are each one IEEE op on exact BIGINTs
+    from cc_extract.textops import ZRATIO_INCOMPRESSIBLE, ZRATIO_REPETITIVE
+    sql["cc_zratio_filter"] = f"""
+WITH {dedup_cte},
+per AS (
+  SELECT fmt, CAST(strlen(text_out) AS BIGINT) AS raw_len, z_len,
+         CASE WHEN z_len / CAST(strlen(text_out) AS BIGINT)
+                   < {ZRATIO_REPETITIVE} THEN 'repetitive'
+              WHEN z_len / CAST(strlen(text_out) AS BIGINT)
+                   >= {ZRATIO_INCOMPRESSIBLE} THEN 'incompressible'
+              ELSE 'normal' END AS zclass
+  FROM d WHERE status LIKE 'ok%' AND strlen(text_out) > 0
+)
+SELECT fmt, zclass, count(*) AS n_docs,
+       CAST(sum(raw_len) AS BIGINT) AS raw_bytes,
+       CAST(sum(z_len) AS BIGINT) AS z_bytes,
+       round(CAST(sum(z_len) AS BIGINT)
+             / CAST(sum(raw_len) AS BIGINT), 6) AS agg_ratio
+FROM per GROUP BY fmt, zclass ORDER BY fmt, zclass
 """
 
     # exact-integer sums; the density/avg divisions are each one float op

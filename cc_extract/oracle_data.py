@@ -46,9 +46,10 @@ def extraction_table(n_docs: int = 1200) -> str:
 
     from .corpusgen import gen_corpus
     from .extractors import extract_document
+    from .textops import zlib_len
 
     urls, tss, fmts, statuses, errors = [], [], [], [], []
-    texts, shas, nbytes, enc_kinds, wrap_kinds = [], [], [], [], []
+    texts, shas, nbytes, enc_kinds, wrap_kinds, zlens = [], [], [], [], [], []
     for r in gen_corpus(n_docs):
         res = extract_document(r["html"], r["url"])
         urls.append(r["url"])
@@ -59,6 +60,7 @@ def extraction_table(n_docs: int = 1200) -> str:
         texts.append(res["text"])
         shas.append(hashlib.sha256(res["text"].encode("utf-8")).hexdigest())
         nbytes.append(len(r["html"]))
+        zlens.append(zlib_len(res["text"]))
         # standard-security-handler generation, sniffed from the RAW
         # payload (gzip-wrapped PDFs sniff NULL on both engines — the
         # Spark side applies the same raw-byte rule natively)
@@ -90,6 +92,7 @@ def extraction_table(n_docs: int = 1200) -> str:
         "n_bytes_in": pa.array(nbytes, pa.int32()),
         "enc_kind": pa.array(enc_kinds, pa.string()),
         "wrap_kind": pa.array(wrap_kinds, pa.string()),
+        "z_len": pa.array(zlens, pa.int64()),
     })
     path = os.path.join(_ORACLE_DIR, f"extracted_{n_docs}.parquet")
     _atomic_write_table(table, path)

@@ -240,6 +240,22 @@ def sequence_pack(spark, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- quality score
 
+ZLIB_LEVEL = 6
+ZRATIO_REPETITIVE = 0.30     # spam/template tail (~p5 of ok rows)
+ZRATIO_INCOMPRESSIBLE = 0.65  # noise/garbled tail (~p95 of ok rows)
+
+
+def zlib_len(text: str) -> int:
+    """Normative compressed size for the compression-ratio quality
+    screen: len(zlib.compress(utf8, level=6)).  Single-process twin of
+    the Spark-side Arrow batch — both call THIS function, so the oracle
+    table and the distributed column agree byte-for-byte (zlib output
+    is deterministic for a fixed level + library build)."""
+    import zlib
+
+    return len(zlib.compress(text.encode("utf-8"), ZLIB_LEVEL))
+
+
 def quality_scores(spark, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: length, punctuation ratio, stopword
     ratio, mean token length — the classic cheap pre-filters for web text."""
