@@ -2121,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "cc_zratio_filter": _cc_zratio_filter,  # r5: zlib-ratio quality screen
+        "event_ab_test": relops.event_ab_test,  # r5: two-proportion z readout
         "event_attribution": relops.event_attribution,  # r5: last-touch revenue
         "emb_sq8_ann": embedops.sq8_ann,  # r5: int8 SQ codes, integer dot
         "emb_sq8_recall": embedops.sq8_recall,  # r5: SQ8 recall + err budget
@@ -3985,6 +3986,45 @@ FROM rr GROUP BY vec_id, label, pd ORDER BY vec_id
 
     # daily-revenue anomaly: integer cents, exact sums, one fixed IEEE
     # sequence for mean/var/z — the q11 exact-arithmetic pattern
+    # z-score: identical op sequence as the Spark column (all inputs are
+    # exact BIGINTs; each expression below is the same IEEE op order)
+    sql["event_ab_test"] = """
+WITH users AS (
+  SELECT user_id,
+         max(CAST(event_type = 'purchase' AND value >= 95.0 AS INT))
+           AS converted
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT CAST(sum(CAST(user_id % 2 = 0 AS BIGINT)) AS BIGINT) AS n_users_a,
+         CAST(sum(CAST(user_id % 2 = 0 AS BIGINT) * converted) AS BIGINT)
+           AS n_conv_a,
+         CAST(sum(CAST(user_id % 2 = 1 AS BIGINT)) AS BIGINT) AS n_users_b,
+         CAST(sum(CAST(user_id % 2 = 1 AS BIGINT) * converted) AS BIGINT)
+           AS n_conv_b
+  FROM users
+)
+SELECT n_users_a, n_conv_a,
+       round(CAST(n_conv_a AS DOUBLE) / n_users_a, 6) AS rate_a,
+       n_users_b, n_conv_b,
+       round(CAST(n_conv_b AS DOUBLE) / n_users_b, 6) AS rate_b,
+       round((CAST(n_conv_a AS DOUBLE) / n_users_a
+              - CAST(n_conv_b AS DOUBLE) / n_users_b)
+             / nullif(sqrt((CAST(n_conv_a + n_conv_b AS DOUBLE)
+                            / (n_users_a + n_users_b))
+                           * (1.0 - CAST(n_conv_a + n_conv_b AS DOUBLE)
+                                    / (n_users_a + n_users_b))
+                           * (1.0 / n_users_a + 1.0 / n_users_b)), 0), 6) AS z_score,
+       CAST(coalesce(abs(round((CAST(n_conv_a AS DOUBLE) / n_users_a
+              - CAST(n_conv_b AS DOUBLE) / n_users_b)
+             / nullif(sqrt((CAST(n_conv_a + n_conv_b AS DOUBLE)
+                            / (n_users_a + n_users_b))
+                           * (1.0 - CAST(n_conv_a + n_conv_b AS DOUBLE)
+                                    / (n_users_a + n_users_b))
+                           * (1.0 / n_users_a + 1.0 / n_users_b)), 0), 6)) >= 1.96, false) AS INT) AS significant
+FROM g
+"""
+
     sql["event_attribution"] = """
 WITH tagged AS (
   SELECT user_id, ts, event_type, value,

@@ -1326,3 +1326,53 @@ def event_attribution(spark, sf_dir: str, window_days: int = 7) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+def event_ab_test(spark, sf_dir: str) -> DataFrame:
+    """Experiment readout — the two-proportion z-test every product
+    analytics stack runs on an event stream: users split into variants
+    by the deterministic id-bucket assignment (user_id % 2, the
+    transparent stand-in for hash-bucketing), conversion = the user has
+    at least one HIGH-VALUE purchase (value >= 95 — plain any-purchase
+    saturates at p=1 on this stream, leaving the test no variance), and
+    the pooled z-score decides significance at the 1.96 two-sided bar.
+
+    Exactness discipline: every input to the statistic (user counts,
+    conversion counts) is an exact BIGINT from one partial-aggregable
+    per-user max + one scalar conditional aggregate; the z-score is
+    then a FIXED sequence of IEEE double ops on those identical
+    integers, mirrored operation-for-operation in the oracle SQL — no
+    float accumulation anywhere.  Scale shape: one shuffle (per-user
+    aggregate), then a 1-row scalar aggregate; nothing else moves."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(((F.col("event_type") == "purchase")
+               & (F.col("value") >= 95.0)).cast("int"))
+        .alias("converted")
+    )
+    is_a = (F.col("user_id") % 2 == 0).cast("long")
+    is_b = (F.col("user_id") % 2 == 1).cast("long")
+    g = users.agg(
+        F.sum(is_a).alias("n_users_a"),
+        F.sum(is_a * F.col("converted")).alias("n_conv_a"),
+        F.sum(is_b).alias("n_users_b"),
+        F.sum(is_b * F.col("converted")).alias("n_conv_b"),
+    )
+    p1 = F.col("n_conv_a").cast("double") / F.col("n_users_a")
+    p2 = F.col("n_conv_b").cast("double") / F.col("n_users_b")
+    p = (F.col("n_conv_a") + F.col("n_conv_b")).cast("double") / (
+        F.col("n_users_a") + F.col("n_users_b")
+    )
+    se = F.sqrt(p * (F.lit(1.0) - p)
+                * (F.lit(1.0) / F.col("n_users_a")
+                   + F.lit(1.0) / F.col("n_users_b")))
+    # nullif guards the degenerate no-variance case (p pooled 0 or 1,
+    # possible at tiny scale factors): z is NULL, significant is 0
+    z = F.round((p1 - p2) / F.nullif(se, F.lit(0.0)), 6)
+    return g.select(
+        "n_users_a", "n_conv_a", F.round(p1, 6).alias("rate_a"),
+        "n_users_b", "n_conv_b", F.round(p2, 6).alias("rate_b"),
+        z.alias("z_score"),
+        F.coalesce((F.abs(z) >= 1.96).cast("int"), F.lit(0))
+        .alias("significant"),
+    )
