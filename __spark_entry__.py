@@ -2121,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "cc_zratio_filter": _cc_zratio_filter,  # r5: zlib-ratio quality screen
+        "event_heavy_hitters_cms": relops.event_heavy_hitters_cms,  # r5: CMS sketch
         "event_ab_test": relops.event_ab_test,  # r5: two-proportion z readout
         "event_attribution": relops.event_attribution,  # r5: last-touch revenue
         "emb_sq8_ann": embedops.sq8_ann,  # r5: int8 SQ codes, integer dot
@@ -3988,6 +3989,32 @@ FROM rr GROUP BY vec_id, label, pd ORDER BY vec_id
     # sequence for mean/var/z — the q11 exact-arithmetic pattern
     # z-score: identical op sequence as the Spark column (all inputs are
     # exact BIGINTs; each expression below is the same IEEE op order)
+    sql["event_heavy_hitters_cms"] = """
+WITH ucnt AS (
+  SELECT user_id, count(*) AS true_count FROM events GROUP BY user_id
+),
+probes AS (
+  SELECT user_id, true_count, j, ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) AS pos
+  FROM (SELECT user_id, true_count, j,
+               md5('cms' || CAST(j AS VARCHAR) || '|'
+                   || CAST(user_id AS VARCHAR)) AS h
+        FROM ucnt, (VALUES (0), (1), (2), (3)) js(j))
+),
+sketch AS (
+  SELECT j, pos, CAST(sum(true_count) AS BIGINT) AS cell
+  FROM probes GROUP BY j, pos
+),
+est AS (
+  SELECT p.user_id, p.true_count,
+         CAST(min(s.cell) AS BIGINT) AS cms_est
+  FROM probes p JOIN sketch s USING (j, pos)
+  GROUP BY p.user_id, p.true_count
+)
+SELECT user_id, true_count, cms_est,
+       CAST(cms_est - true_count AS BIGINT) AS overestimate
+FROM est ORDER BY true_count DESC, user_id LIMIT 20
+"""
+
     sql["event_ab_test"] = """
 WITH users AS (
   SELECT user_id,

@@ -1376,3 +1376,50 @@ def event_ab_test(spark, sf_dir: str) -> DataFrame:
         F.coalesce((F.abs(z) >= 1.96).cast("int"), F.lit(0))
         .alias("significant"),
     )
+
+
+CMS_D = 4       # sketch depth (independent md5-salted hash rows)
+CMS_HEX = 2     # bucket = first 2 md5 hex digits -> w = 256, no modulo
+
+
+def event_heavy_hitters_cms(spark, sf_dir: str, k: int = 20) -> DataFrame:
+    """Count-min-sketch heavy hitters — the third classic distributed
+    sketch next to the repo's HLL (distinct_users_approx) and KLL-style
+    quantiles (doc_length_quantiles_approx): a d x w counter table
+    whose cells are the only shuffled state, with the one-sided
+    guarantee est >= true ALWAYS and est - true bounded by colliding
+    mass.  Reported per top-k user (by exact count) with the exact
+    count alongside — the calibration table that justifies shipping
+    the sketch, mirroring emb_ann_recall's recall-not-vibes pattern.
+
+    Buckets are exact hex-prefix integers of salted md5 (the bloom
+    idiom — no float, no modulo), so both engines derive identical
+    cells.  Scale shape: counts partial-aggregate per key BEFORE
+    sketch insertion (map-side combine), the sketch is d*w = 1024
+    rows, and the estimate join broadcasts it; at 10^12 events the
+    only full-stream pass is the first partial agg."""
+    ev = _t(spark, sf_dir, "events")
+    ucnt = ev.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    probes = ucnt.select(
+        "user_id", "true_count",
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_D)])).alias("j"),
+    )
+    h = F.md5(F.concat(F.lit("cms"), F.col("j").cast("string"),
+                       F.lit("|"), F.col("user_id").cast("string")))
+    probes = probes.withColumn(
+        "pos", F.conv(F.substring(h, 1, CMS_HEX), 16, 10).cast("int"))
+    sketch = probes.groupBy("j", "pos").agg(
+        F.sum("true_count").alias("cell"))
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "pos"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "user_id", "true_count", "cms_est",
+            (F.col("cms_est") - F.col("true_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("true_count"), F.asc("user_id"))
+        .limit(k)
+    )

@@ -879,3 +879,18 @@ def test_event_attribution_semantics(spark, tmp_path):
     assert got["signup"] == (1, 777)
     assert got["click"] == (1, 200)
     assert set(got) == {"view", "direct", "signup", "click"}
+
+
+def test_cms_one_sided_guarantee(spark):
+    """Count-min estimates NEVER undercount: overestimate >= 0 on every
+    reported row, est == true for keys with collision-free rows, and
+    the top-k ordering is by exact count (the sketch only estimates)."""
+    from cc_extract.relops import event_heavy_hitters_cms
+
+    rows = event_heavy_hitters_cms(
+        spark, "/root/testdata/sf0.001", k=50).collect()
+    assert rows, "no users"
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert all(r["cms_est"] >= r["true_count"] for r in rows)
+    counts = [r["true_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
