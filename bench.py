@@ -210,6 +210,9 @@ def main() -> None:
     # PQ codebooks train in the warm-up and are cached — the timed
     # window is the ADC scan + top-k, the PQ serving metric
     timed("emb_pq_ann", embedops.pq_ann)
+    # SQ8 bounds learn in the warm-up and are cached — the timed window
+    # is the integer-ADC scan + top-k (r5), the 4x-memory serving tier
+    timed("emb_sq8_ann", embedops.sq8_ann)
 
     spark.stop()
 
