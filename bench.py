@@ -131,7 +131,11 @@ def main() -> None:
     from bench.weather import wait_for_window
 
     wait_min = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_CLEAN", "4"))
-    weather = wait_for_window(CPUS, max_slowdown=1.15,
+    # 1.08: the 2026-08-20 pre-validation run showed a 1.11 window that
+    # passed the old 1.15 gate yet inflated e2e 35% and dsir ~2x (cpu
+    # throttling the steal counter can't see — trap 84); in a 1.02
+    # window the same binaries re-measured at r4 parity.
+    weather = wait_for_window(CPUS, max_slowdown=1.08,
                               wait_minutes=wait_min, interval_sec=30.0)
 
     spark = build_session(cpus=CPUS, app_name="cc_extract-bench")
