@@ -30,7 +30,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
-CORPUS_DIR = f"/dev/shm/cc_bench_corpus_{N_DOCS}"
+# Fixed FINE-GRAINED layout, independent of CPUS (trap 80): a real lake
+# provides far more splits than cores, so the bench corpus must too.
+# 2026-08-20: the corpus dir was cached from an 8-wide run (8 files) and
+# then reused by the 32-wide bench — 8 scan tasks on 32 cores with
+# in-scan extraction left 24 cores idle and read as a 35% e2e
+# "regression".  The partition count is now pinned and part of the
+# cache key so no width's layout can poison another's.
+CORPUS_PARTS = 128
+CORPUS_DIR = f"/dev/shm/cc_bench_corpus_{N_DOCS}_p{CORPUS_PARTS}"
 
 # Steal gating (round-2 verdict #1): this guest's vCPUs are host-shared —
 # BENCH_r02 recorded 53.5 s for a query whose warm truth is 6.3 s because
@@ -96,7 +104,8 @@ def ensure_corpus(spark) -> None:
         return
     from cc_extract.corpusgen import corpus_df
 
-    corpus_df(spark, N_DOCS, partitions=CPUS).write.mode("overwrite").parquet(CORPUS_DIR)
+    corpus_df(spark, N_DOCS, partitions=CORPUS_PARTS).write.mode(
+        "overwrite").parquet(CORPUS_DIR)
 
 
 def bench_extract(spark) -> tuple[float, float, int]:
