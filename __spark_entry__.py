@@ -2120,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "doc_epoch_schedule": textops.epoch_schedule,  # r5: epochs per source
         "cc_zratio_filter": _cc_zratio_filter,  # r5: zlib-ratio quality screen
         "event_heavy_hitters_cms": relops.event_heavy_hitters_cms,  # r5: CMS sketch
         "event_ab_test": relops.event_ab_test,  # r5: two-proportion z readout
@@ -3389,6 +3390,37 @@ SELECT source, n_docs, n_tokens,
        round((pt / sum(pt) OVER ()) / (CAST(n_tokens AS DOUBLE) / total_tokens), 6)
          AS boost
 FROM pt ORDER BY source
+"""
+
+    sql["doc_epoch_schedule"] = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens FROM per
+),
+pt AS (
+  SELECT *, round(pow(CAST(n_tokens AS DOUBLE) / total_tokens,
+                      CAST(0.7 AS DOUBLE)), 9) AS pt
+  FROM t
+),
+s AS (
+  SELECT source, n_tokens, total_tokens,
+         round(pt / sum(pt) OVER (), 6) AS temp_share,
+         CAST(total_tokens * 2 AS BIGINT) AS budget_tokens
+  FROM pt
+),
+r AS (
+  SELECT *, CAST(floor(temp_share * CAST(budget_tokens AS DOUBLE) + 0.5)
+                 AS BIGINT) AS requested_tokens
+  FROM s
+)
+SELECT source, n_tokens, temp_share, budget_tokens, requested_tokens,
+       round(CAST(requested_tokens AS DOUBLE) / n_tokens, 6) AS epochs,
+       CAST(requested_tokens > n_tokens AS INT) AS oversampled
+FROM r ORDER BY source
 """
 
     _gstop = ", ".join(f"'{w}'" for w in textops.GOPHER_STOP)

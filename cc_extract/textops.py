@@ -2620,3 +2620,54 @@ def zipf_fit(spark, sf_dir: str, top_r: int = ZIPF_TOP_R) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / r, 6).alias("zipf_intercept"),
     ).orderBy("lang")
+
+
+def epoch_schedule(spark, sf_dir: str, tau: float = 0.7,
+                   budget_factor: int = 2) -> DataFrame:
+    """Epochs-per-source training schedule — the operational consumer of
+    temperature_mixture: given a total token budget (budget_factor x
+    the corpus, the "train for ~2 epochs worth of tokens" setting),
+    how many tokens each source contributes under the temperature
+    shares and therefore how many PASSES over each source the sampler
+    makes (the published "N epochs of Wikipedia vs 0.5 of web" table).
+    oversampled marks sources repeated beyond one epoch — the
+    memorization-risk rows a data card calls out.
+
+    Exactness: budget = total_tokens * budget_factor is exact BIGINT
+    arithmetic; requested_tokens = floor(temp_share_6dp * budget + 0.5)
+    is one IEEE multiply on identical inputs + the tie-free floor
+    convention; epochs is one division of exact BIGINTs rounded 6dp.
+    Scale shape identical to temperature_mixture: one partial-
+    aggregable groupBy over O(sources) keys, windows over the
+    aggregated rows only."""
+    docs = fan_out_scan(load_documents(spark, sf_dir))
+    per_src = (
+        with_tokens(docs)
+        .select("source", F.size("tokens").cast("long").alias("n"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    pt = F.round(
+        F.pow(F.col("n_tokens") / F.col("total_tokens"), F.lit(tau)), 9
+    )
+    share = F.round(F.col("pt") / F.col("z"), 6)
+    budget = (F.col("total_tokens") * F.lit(budget_factor)).cast("long")
+    requested = F.floor(share * budget.cast("double") + F.lit(0.5)) \
+        .cast("long")
+    return (
+        per_src
+        .withColumn("total_tokens", F.sum("n_tokens").over(w_all))
+        .withColumn("pt", pt)
+        .withColumn("z", F.sum("pt").over(w_all))
+        .select(
+            "source", "n_tokens",
+            share.alias("temp_share"),
+            budget.alias("budget_tokens"),
+            requested.alias("requested_tokens"),
+            F.round(requested.cast("double") / F.col("n_tokens"), 6)
+            .alias("epochs"),
+            (requested > F.col("n_tokens")).cast("int").alias("oversampled"),
+        )
+        .orderBy("source")
+    )
