@@ -4666,6 +4666,7 @@ ORDER BY adc_dist, emb.vec_id LIMIT {embedops.DEFAULT_K}
         "ivf_nprobe4": ("4 of 8 cells", sql["emb_ivf_ann_nprobe4"]),
         "pq_adc": ("all codes (ADC)", sql["emb_pq_ann"]),
         "ivf_pq": ("2 of 8 cells (ADC)", sql["emb_ivf_pq_ann"]),
+        "sq8_adc": ("all codes (int8 ADC)", sql["emb_sq8_ann"]),
     }
     ctes = ",\n".join(
         f"c_{m} AS (SELECT vec_id FROM ({q}))"

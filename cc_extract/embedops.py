@@ -478,6 +478,7 @@ def ann_recall(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
         ("pq_adc", "all codes (ADC)", pq_ann(spark, sf_dir, k)),
         ("ivf_pq", "2 of 8 cells (ADC)",
          ivf_pq_ann(spark, sf_dir, k, nprobe=2)),
+        ("sq8_adc", "all codes (int8 ADC)", sq8_ann(spark, sf_dir, k)),
     ]
     cands = None
     for name, _cost, df in tagged:
