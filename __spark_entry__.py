@@ -2120,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "doc_minhash_error": textops.minhash_error,  # r5: sketch calibration
         "doc_epoch_schedule": textops.epoch_schedule,  # r5: epochs per source
         "cc_zratio_filter": _cc_zratio_filter,  # r5: zlib-ratio quality screen
         "event_heavy_hitters_cms": relops.event_heavy_hitters_cms,  # r5: CMS sketch
@@ -3781,6 +3782,52 @@ FROM inter i
 JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE round(i.inter / (za.n_sh + zb.n_sh - i.inter), 6) >= 0.5
+"""
+
+    sql["doc_minhash_error"] = f"""
+WITH {_sh_cte()},
+sig AS ({_minhash_select()}),
+bands AS ({_lsh_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+m AS (
+  SELECT c.doc_a, c.doc_b,
+         (CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END) + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END) + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) AS n_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+j AS (
+  SELECT i.doc_a, i.doc_b,
+         round(i.inter / (za.n_sh + zb.n_sh - i.inter), 6) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+),
+per AS (
+  SELECT m.n_match, CAST(m.n_match AS DOUBLE) / 8.0 AS est, j.jaccard
+  FROM m JOIN j USING (doc_a, doc_b)
+)
+SELECT n_match,
+       round(CAST(n_match AS DOUBLE) / 8.0, 6) AS est_jaccard,
+       count(*) AS n_pairs,
+       round(CAST(sum(CAST(round(jaccard, 9) AS DECIMAL(38,12)))
+                  AS DOUBLE) / count(*), 6) AS mean_exact_jaccard,
+       round(CAST(sum(CAST(round(abs(est - jaccard), 9)
+                           AS DECIMAL(38,12)))
+                  AS DOUBLE) / count(*), 6) AS mean_abs_err
+FROM per GROUP BY n_match ORDER BY n_match
 """
 
     # threshold sweep over the SAME verified-pair relation (no jaccard

@@ -2671,3 +2671,87 @@ def epoch_schedule(spark, sf_dir: str, tau: float = 0.7,
         )
         .orderBy("source")
     )
+
+
+def minhash_error(spark, sf_dir: str,
+                  toks: DataFrame | None = None) -> DataFrame:
+    """MinHash estimator calibration — the sketch-vs-truth table for the
+    dedup family (the pattern emb_ann_recall and the CMS heavy-hitter
+    table follow): for every LSH candidate pair, the K=8 signature's
+    Jaccard estimate (matching components / K) against the EXACT
+    shingle Jaccard the verify stage computes, rolled up per
+    matching-component count.  This is the table that justifies K=8
+    banding thresholds: E[matches/K] = J, and the per-bucket mean
+    exact Jaccard should track est_jaccard within the binomial spread.
+
+    Exactness: matches and intersection sizes are integers; est = m/8
+    is exact in binary; the two means accumulate 9-dp-rounded addends
+    as DECIMAL(38,12) (order-insensitive, the power-iteration
+    discipline).  Scale shape: signature-sized joins only — the exact
+    Jaccard runs on candidate pairs (the whole point of LSH), never
+    all-pairs."""
+    sig = minhash_signatures(spark, sf_dir, toks=toks).localCheckpoint()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(F.col(f"h{2*b}"),
+                                 F.col(f"h{2*b+1}")).alias("key"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"h{i}").alias(f"a{i}")
+                      for i in range(MINHASH_K)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"h{i}").alias(f"b{i}")
+                      for i in range(MINHASH_K)])
+    m = None
+    for i in range(MINHASH_K):
+        t = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        m = t if m is None else m + t
+    exact = lsh_verified_near_dups(spark, sf_dir, threshold=0.0, toks=toks)
+    per = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", m.alias("n_match"))
+        .join(exact, ["doc_a", "doc_b"])
+        .select(
+            "n_match",
+            (F.col("n_match") / F.lit(8.0)).alias("est"),
+            "jaccard",
+        )
+    )
+    dec = lambda c: F.round(c, 9).cast("decimal(38,12)")  # noqa: E731
+    return (
+        per.groupBy("n_match")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(dec(F.col("jaccard"))).alias("sj"),
+            F.sum(dec(F.abs(F.col("est") - F.col("jaccard")))).alias("se"),
+        )
+        .select(
+            "n_match",
+            F.round(F.col("n_match") / F.lit(8.0), 6).alias("est_jaccard"),
+            "n_pairs",
+            F.round(F.col("sj").cast("double") / F.col("n_pairs"), 6)
+            .alias("mean_exact_jaccard"),
+            F.round(F.col("se").cast("double") / F.col("n_pairs"), 6)
+            .alias("mean_abs_err"),
+        )
+        .orderBy("n_match")
+    )
