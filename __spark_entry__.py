@@ -2120,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "event_transitions": relops.event_transitions,  # r5: Markov path matrix
         "doc_minhash_error": textops.minhash_error,  # r5: sketch calibration
         "doc_epoch_schedule": textops.epoch_schedule,  # r5: epochs per source
         "cc_zratio_filter": _cc_zratio_filter,  # r5: zlib-ratio quality screen
@@ -4092,6 +4093,24 @@ est AS (
 SELECT user_id, true_count, cms_est,
        CAST(cms_est - true_count AS BIGINT) AS overestimate
 FROM est ORDER BY true_count DESC, user_id LIMIT 20
+"""
+
+    sql["event_transitions"] = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+g AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6)
+         AS p
+FROM g ORDER BY prev_type, next_type
 """
 
     sql["event_ab_test"] = """

@@ -1423,3 +1423,35 @@ def event_heavy_hitters_cms(spark, sf_dir: str, k: int = 20) -> DataFrame:
         .orderBy(F.desc("true_count"), F.asc("user_id"))
         .limit(k)
     )
+
+
+def event_transitions(spark, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (path analysis): counts and row-
+    normalized probabilities of consecutive (prev -> next) event-type
+    pairs within each user's stream — the Markov view of product flow
+    that funnel analysis summarizes and session replay drills into.
+
+    The lag runs in ONE (user_id; ts, event_id) sort (the
+    event_sessions / event_attribution discipline — a total order, so
+    ts ties cannot flip a transition); the rollup is a partial-
+    aggregable groupBy on O(types^2) keys, and the row probability is
+    one division of exact BIGINTs via a window over the tiny
+    aggregated relation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_row = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn("row_total", F.sum("n").over(w_row))
+        .select(
+            "prev_type", "next_type", "n",
+            F.round(F.col("n").cast("double") / F.col("row_total"), 6)
+            .alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
