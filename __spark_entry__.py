@@ -152,6 +152,25 @@ def _cc_zratio_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_error_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-error taxonomy (round 5): per-(fmt, error-string) doc
+    counts over the deduped pipeline output — the ops triage table that
+    turns a failure-rate number into named, ranked work items (which
+    decoder, which malformation, how many docs).  Error strings are
+    deterministic (the extractors raise pinned messages), so the rollup
+    is exact.  Scale shape: filtered projection + partial-aggregable
+    groupBy on O(fmt x error-classes) keys; TakeOrderedAndProject for
+    the ranked view with a total-order tiebreak."""
+    _, res = _cc_corpus_and_extracted(spark)
+    return (
+        res.filter(F.col("error").isNotNull())
+        .groupBy("fmt", "error")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "fmt", "error")
+        .limit(30)
+    )
+
+
 def _cc_extraction_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-format extraction-density audit (round 5): how many output
     chars each input byte yields, over the deduped pipeline output.  The
@@ -2120,6 +2139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r6 window should lead with whatever this round's window displaced.
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
+        "emb_ivf_cell_balance": embedops.ivf_cell_balance,  # r5: index skew
+        "cc_error_taxonomy": _cc_error_taxonomy,  # r5: ranked failure classes
         "event_transitions": relops.event_transitions,  # r5: Markov path matrix
         "doc_minhash_error": textops.minhash_error,  # r5: sketch calibration
         "doc_epoch_schedule": textops.epoch_schedule,  # r5: epochs per source
@@ -4490,6 +4511,20 @@ ORDER BY r.vec_id
 
     sql["emb_semdedup"] = _semdedup_sql()
 
+    _km_bal, _km_prev = _kmeans_ctes()
+    sql["emb_ivf_cell_balance"] = f"""
+WITH {_km_bal},
+g AS (SELECT cell, count(*) AS n_vecs FROM member GROUP BY cell),
+t AS (SELECT *, CAST(sum(n_vecs) OVER () AS BIGINT) AS total FROM g)
+SELECT cell, n_vecs,
+       round(CAST(n_vecs AS DOUBLE) / total, 6) AS share,
+       round(CAST(n_vecs AS DOUBLE) / total * CAST({embedops.N_CELLS}
+             AS DOUBLE), 6) AS imbalance
+FROM t ORDER BY cell
+"""
+
+
+
     def _pq_sql() -> str:
         # Product quantization, mirroring embedops.pq_codebooks /
         # pq_ann exactly: per 16-d subspace an independent PQ_K-means
@@ -4801,6 +4836,14 @@ WITH {_sh_cte()}
 SELECT shingle, count(*) AS doc_freq
 FROM sh GROUP BY shingle
 ORDER BY doc_freq DESC, shingle LIMIT 50
+"""
+
+    sql["cc_error_taxonomy"] = f"""
+WITH {dedup_cte}
+SELECT fmt, error, count(*) AS n_docs
+FROM d WHERE error IS NOT NULL
+GROUP BY fmt, error
+ORDER BY n_docs DESC, fmt, error LIMIT 30
 """
 
     # zlib ratio screen: z_len in the oracle table is textops.zlib_len

@@ -1031,3 +1031,37 @@ def sq8_recall(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
             F.lit(max_q_err).cast("bigint").alias("max_q_err_1e6"),
         )
     )
+
+
+def ivf_cell_balance(spark, sf_dir: str) -> DataFrame:
+    """IVF index-balance diagnostic: per learned cell, member count and
+    the share of the corpus it holds, plus the imbalance factor
+    (share x n_cells — 1.0 = perfectly balanced).  The table an ANN
+    operator reads before trusting nprobe cost estimates: a hot cell
+    means probes that hit it scan far more than corpus/n_cells vectors
+    (the IVF equivalent of partition skew), and re-training or
+    splitting is the fix.  One argmin projection (identical to the
+    ivf_ann membership rule) + a partial-aggregable groupBy on
+    N_CELLS keys."""
+    from pyspark.sql import Window
+
+    cents = kmeans_centroids(spark, sf_dir)
+    emb = load_embeddings(spark, sf_dir)
+    member = emb.select(
+        _cell_expr_sql("CAST(embedding AS ARRAY<DOUBLE>)", cents)
+        .alias("cell")
+    )
+    w_all = Window.partitionBy()
+    return (
+        member.groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"))
+        .withColumn("total", F.sum("n_vecs").over(w_all))
+        .select(
+            "cell", "n_vecs",
+            F.round(F.col("n_vecs").cast("double") / F.col("total"), 6)
+            .alias("share"),
+            F.round(F.col("n_vecs").cast("double") / F.col("total")
+                    * F.lit(float(N_CELLS)), 6).alias("imbalance"),
+        )
+        .orderBy("cell")
+    )
