@@ -1116,6 +1116,46 @@ def _cc_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link reciprocity per source domain — the web-graph symmetry
+    metric next to PageRank/HITS: of a domain's distinct outbound
+    edges (self-loops excluded), how many are answered by a reverse
+    edge.  High reciprocity flags link-exchange cliques (the classic
+    link-farm signature the rank family needs qualifying context for).
+    Scale shape: the edge set is the already-aggregated O(domains^2)
+    relation; reciprocity is one self-equi-join on the reversed key +
+    two partial-aggregable rollups — payloads never touched."""
+    edges = (
+        _cc_links(spark)
+        .select("src_domain", "dst_domain")
+        .filter(F.col("src_domain") != F.col("dst_domain"))
+        .distinct()
+    )
+    rev = edges.select(
+        F.col("dst_domain").alias("r_src"), F.col("src_domain").alias("r_dst")
+    )
+    recip = edges.join(
+        rev,
+        (F.col("src_domain") == F.col("r_src"))
+        & (F.col("dst_domain") == F.col("r_dst")),
+        "left_semi",
+    )
+    out = edges.groupBy("src_domain").agg(F.count("*").alias("n_out"))
+    rc = recip.groupBy("src_domain").agg(F.count("*").alias("n_recip"))
+    return (
+        out.join(rc, "src_domain", "left")
+        .select(
+            "src_domain", "n_out",
+            F.coalesce("n_recip", F.lit(0)).alias("n_recip"),
+            F.round(
+                F.coalesce("n_recip", F.lit(0)).cast("double")
+                / F.col("n_out"), 6
+            ).alias("recip_ratio"),
+        )
+        .orderBy("src_domain")
+    )
+
+
 def _cc_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation per TARGET domain — the classic ranking /
     description feature (what the web says a site is about, which the
@@ -2140,6 +2180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new/changed in r5 (never verified by ANY driver run yet) ---
         "emb_ivf_cell_balance": embedops.ivf_cell_balance,  # r5: index skew
+        "event_pareto": relops.event_pareto,  # r5: activity concentration
+        "cc_link_reciprocity": _cc_link_reciprocity,  # r5: graph symmetry
         "cc_error_taxonomy": _cc_error_taxonomy,  # r5: ranked failure classes
         "event_transitions": relops.event_transitions,  # r5: Markov path matrix
         "doc_minhash_error": textops.minhash_error,  # r5: sketch calibration
@@ -4116,6 +4158,33 @@ SELECT user_id, true_count, cms_est,
 FROM est ORDER BY true_count DESC, user_id LIMIT 20
 """
 
+    sql["event_pareto"] = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+),
+decs AS (
+  SELECT n_events,
+         ntile(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+  FROM per_user
+),
+g AS (
+  SELECT decile, count(*) AS n_users,
+         CAST(sum(n_events) AS BIGINT) AS n_events
+  FROM decs GROUP BY decile
+),
+t AS (
+  SELECT *, CAST(sum(n_events) OVER () AS BIGINT) AS total,
+         CAST(sum(n_events) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM g
+)
+SELECT decile, n_users, n_events,
+       round(CAST(n_events AS DOUBLE) / total, 6) AS share,
+       round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+FROM t ORDER BY decile
+"""
+
     sql["event_transitions"] = """
 WITH pairs AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id
@@ -5580,6 +5649,29 @@ FROM lk GROUP BY 1, 2 ORDER BY 1, 2
 WITH {_lg_ctes}
 SELECT dst_domain, anchor, count(*) AS n_links
 FROM lk GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+    sql["cc_link_reciprocity"] = f"""
+WITH {_lg_ctes},
+edges AS (
+  SELECT DISTINCT src_domain, dst_domain FROM lk
+  WHERE src_domain <> dst_domain
+),
+rc AS (
+  SELECT e.src_domain, count(*) AS n_recip
+  FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges r
+                WHERE r.src_domain = e.dst_domain
+                  AND r.dst_domain = e.src_domain)
+  GROUP BY e.src_domain
+),
+o AS (SELECT src_domain, count(*) AS n_out FROM edges GROUP BY src_domain)
+SELECT o.src_domain, o.n_out,
+       CAST(coalesce(rc.n_recip, 0) AS BIGINT) AS n_recip,
+       round(CAST(coalesce(rc.n_recip, 0) AS DOUBLE) / o.n_out, 6)
+         AS recip_ratio
+FROM o LEFT JOIN rc USING (src_domain)
+ORDER BY src_domain
 """
 
     _d = PAGERANK_DAMPING

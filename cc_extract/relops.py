@@ -1455,3 +1455,41 @@ def event_transitions(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+def event_pareto(spark, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Pareto) table: users ranked by event
+    count into deciles (NTILE over the total order count DESC, user_id
+    ASC — remainder distribution is SQL-standard and identical in both
+    engines), with each decile's user count, event count, event share,
+    and cumulative share — the "top 10% of users produce X% of
+    activity" readout every engagement report leads with.
+
+    Exactness: counts are BIGINTs end-to-end; shares are single
+    divisions of exact integers; the cumulative sum runs over the
+    10-row aggregated relation only.  Scale shape: one partial-
+    aggregable per-user groupBy; the NTILE window sorts the O(users)
+    aggregate, never the raw stream."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    decs = per_user.withColumn("decile", F.ntile(10).over(w))
+    g = decs.groupBy("decile").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0)
+    return (
+        g.withColumn("total", F.sum("n_events").over(w_all))
+        .withColumn("cum", F.sum("n_events").over(w_cum))
+        .select(
+            "decile", "n_users", "n_events",
+            F.round(F.col("n_events").cast("double") / F.col("total"), 6)
+            .alias("share"),
+            F.round(F.col("cum").cast("double") / F.col("total"), 6)
+            .alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
