@@ -40,6 +40,28 @@ def load_embeddings(spark, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def serving_scan(spark, sf_dir: str) -> DataFrame:
+    """The embeddings scan used by the SERVING paths (ANN score+top-k).
+
+    Round 6 (guide §2.5 "input skew — one unsplittable file"): the test
+    tables are one parquet file with ONE row group, so Spark's scan is a
+    single task and every per-row scoring expression (PQ's 8 argmin
+    folds, SQ8's integer ADC, the cosine fold) ran on one core —
+    emb_pq_ann measured 3.6 s at sf1.0 with 31 idle cores.  fan_out_scan
+    spreads the rows across defaultParallelism first (a no-op whenever
+    the scan already has enough splits — any real 100 TB table); the
+    one-time shuffle moves the raw vectors once and is trivially cheap
+    next to the scoring work it parallelizes (measured 3.585 -> 0.33 s).
+
+    The TRAINING passes (kmeans_centroids, pq_codebooks, sq8_bounds)
+    deliberately keep the raw scan: their aggregation results feed
+    6-dp-rounded literals shared with the DuckDB oracle, so their
+    accumulation order is left exactly as measured in rounds 3-5."""
+    from .textops import fan_out_scan
+
+    return fan_out_scan(load_embeddings(spark, sf_dir))
+
+
 def lsh_planes(n_planes: int = N_PLANES) -> list[list[float]]:
     """Deterministic hyperplanes, rounded so both engines parse identical
     float64 literals.  Planes are drawn sequentially from one seeded
@@ -80,13 +102,81 @@ def _cosine(emb_col, qvec: list[float]):
     return _dot(e, q) / (F.sqrt(_dot(e, e)) * F.lit(qnorm))
 
 
+# --- SQL-string twins of the serving expressions (round 6) -------------
+# The serving queries build their scoring expressions as ONE SQL string
+# parsed JVM-side (the _cell_expr_sql precedent): assembling a 64-d
+# literal vector from py4j Column calls costs ~600 driver round-trips
+# per query — measured 0.3-0.6 s of pure DataFrame CONSTRUCTION per
+# serving call, comparable to the execution itself after the scan
+# fan-out.  The generated text spells the identical zip_with/aggregate
+# fold with CAST('<repr>' AS DOUBLE) literals, so the evaluated
+# arithmetic (and therefore every result) is bit-identical.
+
+def _vec_sql(v: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in v) + ")"
+
+
+def _dot_sql(e_sql: str, v_sql: str) -> str:
+    return (f"aggregate(zip_with({e_sql}, {v_sql}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _cosine_sql(emb_sql: str, qvec: list[float]) -> str:
+    qnorm = math.sqrt(sum(x * x for x in qvec))
+    e = f"CAST({emb_sql} AS ARRAY<DOUBLE>)"
+    q = _vec_sql(qvec)
+    return (f"({_dot_sql(e, q)} / (sqrt({_dot_sql(e, e)}) "
+            f"* CAST('{qnorm!r}' AS DOUBLE)))")
+
+
+def _probed_topk(emb: DataFrame, probe_cond, score, score_name: str,
+                 k: int, ascending: bool = False) -> DataFrame:
+    """Top-k within a probed subset WITHOUT a pre-exchange filter.
+
+    ``emb.filter(probe_cond)`` looks right but the deterministic probe
+    predicate (8x64-dot LSH bucket match, 8-centroid argmin) gets pushed
+    below serving_scan's fan-out exchange and evaluated inside the ONE
+    scan task the fan-out exists to relieve (measured: the whole filter
+    ran single-core).  Instead the membership flag joins the top-k
+    ORDERING — (flag DESC, score, vec_id) limit k, then a post-limit
+    filter drops any non-member tail rows.  Equivalent by case split: if
+    the probed set has >= k rows the top k are all members (flag sorts
+    first) in the original (score, vec_id) order; if it has m < k rows,
+    the limit returns those m members first and k-m non-members the
+    filter removes — exactly the m rows the original returned.  Filters
+    never push through Limit, and projections stay above the exchange,
+    so every scoring expression runs partition-parallel.  At 10^12
+    vectors membership is a partition column and the probe is partition
+    pruning (see ivf_ann) — this flag ordering is the test-scale
+    stand-in with the identical result."""
+    order_score = F.asc(score_name) if ascending else F.desc(score_name)
+    return (
+        emb.select("vec_id", "label", probe_cond.alias("_probed"),
+                   score.alias(score_name))
+        .orderBy(F.desc("_probed"), order_score, F.asc("vec_id"))
+        .limit(k)
+        .filter(F.col("_probed"))
+        .select("vec_id", "label", score_name)
+    )
+
+
+def _bucket_expr_sql(emb_sql: str, planes: list[list[float]]) -> str:
+    e = f"CAST({emb_sql} AS ARRAY<DOUBLE>)"
+    bits = ", ".join(
+        f"CASE WHEN {_dot_sql(e, _vec_sql(p))} >= 0 THEN '1' ELSE '0' END"
+        for p in planes
+    )
+    return f"concat({bits})"
+
+
 def knn_bruteforce(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
     """Exact cosine top-k: TakeOrderedAndProject over a single projection
     scan — the plan you want (no shuffle, no sort of the full table)."""
-    emb = load_embeddings(spark, sf_dir)
+    emb = serving_scan(spark, sf_dir)
     q = query_vector()
     scored = emb.select(
-        "vec_id", "label", F.round(_cosine(F.col("embedding"), q), 5).alias("cos_sim")
+        "vec_id", "label",
+        F.round(F.expr(_cosine_sql("embedding", q)), 5).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
@@ -134,14 +224,15 @@ def hamming1_buckets(qbits: str) -> list[str]:
 def lsh_ann(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
     """ANN: restrict the exact search to the query's LSH bucket.
     Single-probe — cheapest, recall-starved; see lsh_ann_multiprobe."""
-    emb = load_embeddings(spark, sf_dir)
+    emb = serving_scan(spark, sf_dir)
     planes = lsh_planes()
     q = query_vector()
-    cand = emb.filter(_bucket_expr(F.col("embedding"), planes) == query_bits(q))
-    scored = cand.select(
-        "vec_id", "label", F.round(_cosine(F.col("embedding"), q), 5).alias("cos_sim")
+    return _probed_topk(
+        emb,
+        F.expr(_bucket_expr_sql("embedding", planes)) == query_bits(q),
+        F.round(F.expr(_cosine_sql("embedding", q)), 5),
+        "cos_sim", k,
     )
-    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
 def lsh_ann_multiprobe(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
@@ -151,15 +242,16 @@ def lsh_ann_multiprobe(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
     multi-probe recovers the recall at ~9/256 inspected — still a
     projection + filter, no shuffle, so the scan stays partition-parallel
     at any corpus size."""
-    emb = load_embeddings(spark, sf_dir)
+    emb = serving_scan(spark, sf_dir)
     planes = lsh_planes()
     q = query_vector()
     probes = hamming1_buckets(query_bits(q))
-    cand = emb.filter(_bucket_expr(F.col("embedding"), planes).isin(probes))
-    scored = cand.select(
-        "vec_id", "label", F.round(_cosine(F.col("embedding"), q), 5).alias("cos_sim")
+    return _probed_topk(
+        emb,
+        F.expr(_bucket_expr_sql("embedding", planes)).isin(probes),
+        F.round(F.expr(_cosine_sql("embedding", q)), 5),
+        "cos_sim", k,
     )
-    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
 N_CELLS = 8
@@ -277,13 +369,13 @@ def ivf_ann(spark, sf_dir: str, k: int = DEFAULT_K, nprobe: int = 1) -> DataFram
         range(N_CELLS),
         key=lambda i: (sum((a - b) ** 2 for a, b in zip(cents[i], q)), i),
     )[:nprobe]
-    emb = load_embeddings(spark, sf_dir).filter(
-        _cell_expr_sql("CAST(embedding AS ARRAY<DOUBLE>)", cents).isin(probe_cells)
+    return _probed_topk(
+        serving_scan(spark, sf_dir),
+        _cell_expr_sql("CAST(embedding AS ARRAY<DOUBLE>)",
+                       cents).isin(probe_cells),
+        F.round(F.expr(_cosine_sql("embedding", q)), 5),
+        "cos_sim", k,
     )
-    scored = emb.select(
-        "vec_id", "label", F.round(_cosine(F.col("embedding"), q), 5).alias("cos_sim")
-    )
-    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
 def cosine_near_dup_pairs(spark, sf_dir: str, threshold: float = 0.4) -> DataFrame:
@@ -607,7 +699,7 @@ def pq_ann(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
         )
         adc = lookup if adc is None else adc + lookup
     return (
-        load_embeddings(spark, sf_dir)
+        serving_scan(spark, sf_dir)
         .select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(k)
@@ -657,13 +749,12 @@ def ivf_pq_ann(spark, sf_dir: str, k: int = DEFAULT_K,
                 f"{m * PQ_SUB + 1}, {PQ_SUB})", books[m]) + 1).cast("int"),
         )
         adc = lookup if adc is None else adc + lookup
-    return (
-        load_embeddings(spark, sf_dir)
-        .filter(_cell_expr_sql("CAST(embedding AS ARRAY<DOUBLE>)",
-                               cents).isin(probe_cells))
-        .select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-        .limit(k)
+    return _probed_topk(
+        serving_scan(spark, sf_dir),
+        _cell_expr_sql("CAST(embedding AS ARRAY<DOUBLE>)",
+                       cents).isin(probe_cells),
+        F.round(adc, 6),
+        "adc_dist", k, ascending=True,
     )
 
 
@@ -993,15 +1084,18 @@ def sq8_ann(spark, sf_dir: str, k: int = DEFAULT_K) -> DataFrame:
     scan reads 64 B/vector instead of 256 B."""
     mn, span = sq8_bounds(spark, sf_dir)
     qi = sq8_query_ints(mn, span)
-    emb = load_embeddings(spark, sf_dir)
-    codes = _sq8_quantize(F.col("embedding"), mn, span)
-    adc = F.aggregate(
-        F.zip_with(codes, F.array(*[F.lit(c).cast("bigint") for c in qi]),
-                   lambda a, b: a * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    scored = emb.select("vec_id", "label", adc.alias("adc_dot"))
+    emb = serving_scan(spark, sf_dir)
+    # one-shot SQL twin of _sq8_quantize + the integer ADC fold (same
+    # construction-cost rationale as _cosine_sql; arithmetic identical)
+    d = f"zip_with(CAST(embedding AS ARRAY<DOUBLE>), {_vec_sql(mn)}, (v, m) -> v - m)"
+    qarr = (f"zip_with({d}, {_vec_sql(span)}, "
+            f"(x, s) -> floor(x / s * {SQ8_LEVELS} + CAST('0.5' AS DOUBLE)))")
+    codes = (f"transform({qarr}, c -> greatest(CAST(0 AS BIGINT), "
+             f"least(CAST(255 AS BIGINT), CAST(c AS BIGINT))))")
+    qints = "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in qi) + ")"
+    adc = (f"aggregate(zip_with({codes}, {qints}, (a, b) -> a * b), "
+           f"CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    scored = emb.select("vec_id", "label", F.expr(adc).alias("adc_dot"))
     return scored.orderBy(F.desc("adc_dot"), F.asc("vec_id")).limit(k)
 
 

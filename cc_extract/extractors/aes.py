@@ -180,6 +180,25 @@ try:
 except ImportError:  # pragma: no cover - numpy is baked into the sandbox
     _np = None
 
+# Optional OpenSSL-backed fast path (round 6, guide §4.2 "do the heavy
+# lifting in native code"): the R6 password KDF (pdf._hash_2b) burns ~10^4
+# CBC block encryptions per verification, which profiled as ~70% of ALL
+# extraction cpu on an encrypted-PDF-bearing corpus — 6.2 s of a 9.2 s
+# PDF pass went to the pure-Python T-table loop.  When the public
+# ``cryptography`` package (OpenSSL) is importable we route the *mode*
+# functions through EVP AES; the from-scratch implementation above stays
+# the reference oracle (FIPS-197/SP 800-38A vectors in tests/test_aes.py
+# plus a cross-backend differential test) and the fallback everywhere
+# else.  Outputs are bit-identical by construction — AES is AES.
+try:  # pragma: no cover - exercised via the differential test
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _OsslCipher,
+        algorithms as _ossl_alg,
+        modes as _ossl_modes,
+    )
+except ImportError:  # pragma: no cover
+    _OsslCipher = None
+
 
 def _ecb_decrypt_np(aes: "AES", data: bytes) -> bytes:
     """All-blocks-at-once inverse cipher: unlike CBC *encryption*, CBC
@@ -222,6 +241,16 @@ def cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     the format mandates it; /UE //OE wrapping in AESV3 has none)."""
     if len(data) % 16:
         raise ValueError("CBC ciphertext not block-aligned")
+    if _OsslCipher is not None:
+        d = _OsslCipher(_ossl_alg.AES(key), _ossl_modes.CBC(iv)).decryptor()
+        return d.update(data) + d.finalize()
+    return _cbc_decrypt_py(key, iv, data)
+
+
+def _cbc_decrypt_py(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """The from-scratch path (numpy all-blocks inverse cipher when
+    available, scalar chain otherwise) — kept as the reference oracle the
+    cross-backend differential test pins the OpenSSL route against."""
     aes = AES(key)
     if _np is not None and len(data) >= 64:
         ecb = _ecb_decrypt_np(aes, data)
@@ -246,6 +275,15 @@ def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     block encryptions per verification."""
     if len(data) % 16:
         raise ValueError("CBC plaintext not block-aligned")
+    if _OsslCipher is not None:
+        e = _OsslCipher(_ossl_alg.AES(key), _ossl_modes.CBC(iv)).encryptor()
+        return e.update(data) + e.finalize()
+    return _cbc_encrypt_py(key, iv, data)
+
+
+def _cbc_encrypt_py(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """The from-scratch int-domain T-table chain — reference oracle for
+    the differential test, fallback when OpenSSL is absent."""
     import struct as _s
 
     aes = AES(key)
@@ -291,12 +329,18 @@ def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 
 
 def ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    if _OsslCipher is not None and len(data) % 16 == 0:
+        d = _OsslCipher(_ossl_alg.AES(key), _ossl_modes.ECB()).decryptor()
+        return d.update(data) + d.finalize()
     aes = AES(key)
     return b"".join(aes.decrypt_block(data[i: i + 16])
                     for i in range(0, len(data), 16))
 
 
 def ecb_encrypt(key: bytes, data: bytes) -> bytes:
+    if _OsslCipher is not None and len(data) % 16 == 0:
+        e = _OsslCipher(_ossl_alg.AES(key), _ossl_modes.ECB()).encryptor()
+        return e.update(data) + e.finalize()
     aes = AES(key)
     return b"".join(aes.encrypt_block(data[i: i + 16])
                     for i in range(0, len(data), 16))

@@ -249,9 +249,22 @@ _PW_PAD = bytes([
 DEFAULT_PASSWORDS = ("crawl-sidecar-2026", "publica")
 
 
+try:  # OpenSSL-backed RC4 (round 6, same policy as aes.py's fast path);
+    # ARC4 only accepts the discrete OpenSSL key widths, so the pure
+    # loop below stays the fallback for odd /Length values.
+    from cryptography.hazmat.decrepit.ciphers.algorithms import ARC4 as _ARC4
+    from cryptography.hazmat.primitives.ciphers import Cipher as _RC4Cipher
+
+    _ARC4_BITS = frozenset({40, 56, 64, 80, 128, 160, 192, 256})
+except ImportError:  # pragma: no cover
+    _ARC4 = None
+
+
 def _rc4(key: bytes, data: bytes) -> bytes:
     """Plain RC4 (KSA + PRGA) — ~30 lines of public algorithm, used only
     for the PDF standard security handler."""
+    if _ARC4 is not None and len(key) * 8 in _ARC4_BITS:
+        return _RC4Cipher(_ARC4(key), mode=None).encryptor().update(data)
     s = list(range(256))
     j = 0
     klen = len(key)
