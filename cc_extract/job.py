@@ -530,13 +530,20 @@ def pipeline_df(
     if shuffle_policy == "giants-only":
         small = df.filter(F.col("n_bytes_in") <= F.lit(salt_threshold))
         big = df.filter(F.col("n_bytes_in") > F.lit(salt_threshold))
-        # R5 salt at fine granularity: spreads any bucket's giants AND
-        # bounds per-batch memory (~1 giant per execution partition here)
-        n_big_parts = max(n_exec * 4, salt)
+        # R5 salt at fine granularity.  Round 6 split: the salt KEYSPACE
+        # stays fine (16x exec partitions — guide §2.5 wants many more
+        # distinct keys than partitions so the hash spreads evenly) but
+        # the PARTITION count is n_exec, not 4x: the giant tail is a
+        # small fraction of rows, and 4x partitions meant a giant-branch
+        # stage of mostly-empty tasks (512 tasks for 34 giants on the
+        # bench corpus — ~2 s of pure scheduling).  Per-batch memory is
+        # bounded by arrow.maxRecordsPerBatch, not the partition count;
+        # production can still widen via the exec_partitions argument.
+        n_salt_keys = max(n_exec * 16, salt)
         big = big.withColumn(
             "salt",
-            F.pmod(F.xxhash64("url", F.lit(1)), F.lit(n_big_parts)).cast("int"),
-        ).repartition(n_big_parts, F.col("salt"))
+            F.pmod(F.xxhash64("url", F.lit(1)), F.lit(n_salt_keys)).cast("int"),
+        ).repartition(n_exec, F.col("salt"))
         res = run_extract(small).unionByName(run_extract(big.drop("salt")))
     else:
         df = df.withColumn(

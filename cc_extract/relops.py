@@ -131,14 +131,24 @@ def top_orders(spark, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- window dedup (R3 twin)
 
 def latest_event_per_user(spark, sf_dir: str) -> DataFrame:
-    """Keep-newest-per-key window — the same R3 dedup shape the extraction
-    job applies to duplicate crawls of a url."""
+    """Keep-newest-per-key — the same R3 dedup decision the extraction
+    job applies to duplicate crawls of a url.
+
+    Round 6: expressed as max_by over the (ts, event_id) ordering struct
+    instead of a row_number window.  Identical row per user ((ts,
+    event_id) is unique within a user, both columns non-null, and the
+    lexicographic struct max IS the window's desc/desc rank-1 row), but
+    the aggregate partial-aggregates map-side: the exchange carries one
+    row per user instead of every event, and the window's per-partition
+    sort disappears — the shape you want when 10^12 events dedup to
+    10^9 users (guide §2.3 "aggregate before you shuffle")."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", F.round("value", 4).alias("value"))
+        ev.groupBy("user_id")
+        .agg(F.max_by(F.struct("event_id", "event_type", "value"),
+                      F.struct("ts", "event_id")).alias("m"))
+        .select("user_id", "m.event_id", "m.event_type",
+                F.round("m.value", 4).alias("value"))
     )
 
 

@@ -52,6 +52,21 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Round 6: InferFiltersFromGenerate turns every explode(arr) into
+        # an inferred `isnotnull(arr) AND size(arr) > 0` filter, and
+        # predicate pushdown then drags that filter — containing the FULL
+        # array-building expression (tokenize + per-window md5 for the
+        # shingle/segment relations) — below the fan-out exchange, where
+        # it re-runs single-threaded in the scan task and duplicates the
+        # projection's work (measured: the (doc, segment) explode went
+        # 5.6 s -> 1.3 s at sf1.0 with the rule off).  The inferred
+        # filter is semantically redundant (Generate already skips
+        # null/empty arrays), so excluding the rule cannot change any
+        # result; our corpora have no empty-array-heavy tail for it to
+        # prune — at any scale the duplicated generator evaluation costs
+        # more than the rows it would skip.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.execution.arrow.useLargeVarTypes", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -385,8 +385,13 @@ def minhash_signatures(spark, sf_dir: str,
 
     Hash family: h_i(s) = first 12 hex chars of md5(i || '|' || s); min is
     taken lexicographically over the fixed-width hex — identical semantics
-    in Spark and DuckDB, no bigint conversion needed.  At scale the
-    explode->groupBy(doc_id) agg is a partial-aggregable map-side combine."""
+    in Spark and DuckDB, no bigint conversion needed.
+
+    At scale the explode->groupBy(doc_id) agg is a partial-aggregable
+    map-side combine.  (Round 6 A/B note: an in-row array_min-of-
+    transform variant avoids the shuffle entirely but loses ~15% to the
+    interpreted HOF path once InferFiltersFromGenerate is excluded in
+    session.py — the explode shape is codegen'd end-to-end and stays.)"""
     sh = shingles_df(load_documents(spark, sf_dir), toks=toks)
     aggs = [
         F.min(
@@ -1049,7 +1054,11 @@ def dup_clusters(spark, sf_dir: str, threshold: float = 0.5,
                 labels["doc_id"],
                 F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence-sum action below materializes the
+            # checkpoint as part of its own job — eager=True ran a
+            # separate checkpoint job per round, doubling the round
+            # count's job latency (round 6)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -1080,24 +1089,45 @@ def lsh_verified_near_dups(spark, sf_dir: str, threshold: float = 0.5,
     back to a shuffled hash join keyed on doc_a — which partitions the
     verify work instead of replicating it — when it isn't."""
     cand = lsh_candidate_pairs(spark, sf_dir, toks=toks)
-    sh = shingles_df(load_documents(spark, sf_dir), toks=toks)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("sa")
-        .join(cand, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sh.alias("sb"),
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    # Round 6 verify shape: keep the per-doc DISTINCT shingle sets as
+    # in-row ARRAYS and compute |A∩B| with array_intersect on the
+    # candidate pairs only, instead of exploding the shingle relation
+    # twice and running the (sa.doc=a)⨝cand⨝(sb.doc=b AND shingle=
+    # shingle) three-way join + groupBy (measured ~4 s -> ~1.5 s at
+    # sf1.0 inside the funnel chain).  Counts are over the identical
+    # distinct sets, so inter / n_a / n_b — and therefore jaccard — are
+    # unchanged.  The explicit inter >= 1 filter reproduces the old
+    # inner-join semantics exactly (banded candidates always share the
+    # band-min shingle, so it never drops a real row; it guards the
+    # threshold-0.0 sweep).  AQE decides the join build side exactly as
+    # before — the candidate relation can be O(docs) on a dup-heavy
+    # corpus, so no unconditional broadcast hint.
+    base = (
+        (with_tokens(load_documents(spark, sf_dir)) if toks is None else toks)
+        .select("doc_id", "tokens")
+        .filter(F.size("tokens") >= SHINGLE_N)
     )
+    idx = F.sequence(F.lit(0), F.size("tokens") - SHINGLE_N)
+    sh_arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, SHINGLE_N)),
+        )
+    )
+    arrs = base.select("doc_id", sh_arr.alias("sh"))
     j = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        cand
+        .join(arrs.select(F.col("doc_id").alias("doc_a"),
+                          F.col("sh").alias("sh_a")), "doc_a")
+        .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .filter(F.col("inter") >= 1)
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
@@ -1524,8 +1554,17 @@ def segment_boilerplate(spark, sf_dir: str, seg_w: int = 10,
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_common_segs"))
     )
+    # n_distinct_segs from the CHECKPOINT, not per_doc: segs is already
+    # distinct, so count(pairs) per doc == size(segs), and the old
+    # per_doc branch re-tokenized + re-hashed the whole corpus for the
+    # final join — twice, in fact, because the trailing orderBy's range
+    # sampler re-executes its (shuffle-free, broadcast-joined) child
+    # (round 6; measured 7.7 s -> 2.0 s at sf1.0).  Every doc has >= 1
+    # segment (tokens filtered non-empty), so the row set is unchanged.
+    n_distinct = pairs.groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct_segs"))
     return (
-        per_doc.select("doc_id", F.size("segs").alias("n_distinct_segs"))
+        n_distinct
         .join(counts, "doc_id", "left")
         .select(
             "doc_id",
@@ -1628,7 +1667,13 @@ def unigram_logprob(spark, sf_dir: str) -> DataFrame:
     sort-merges or broadcasts by statistics.  Only the log-probability
     weighted sum shuffles doc-wise — no all-pairs anything."""
     docs = fan_out_scan(load_documents(spark, sf_dir))
-    pairs = token_tf_pairs(docs)
+    # Round 6: checkpoint the (doc, token, tf) relation itself — the LM
+    # build AND the scoring join both consume it, and the old plan
+    # re-ran tokenize + the sorted-run counter for each (2 corpus
+    # passes -> 1).  pairs is the corpus-side feature table the LM is
+    # distilled from; the LM stays checkpointed too (stored-artifact
+    # policy, and its totals are re-read for the normalizer).
+    pairs = token_tf_pairs(docs).localCheckpoint()
     cnts = (
         pairs.groupBy("token")
         .agg(F.sum("tf").cast("long").alias("cnt"))
@@ -2085,12 +2130,49 @@ def bm25_rank(spark, sf_dir: str, query_terms=("join", "hash", "filter"),
     deliberate, documented deviation from the textbook N = |corpus|
     (Lucene likewise computes docCount per-field over docs that HAVE
     the field); the DuckDB oracle uses the identical convention."""
-    pairs = token_tf_pairs(load_documents(spark, sf_dir))
-    dl = pairs.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    stats = dl.agg(
+    # Round 6 single-pass shape: the old plan derived dl / stats / qp
+    # from three separate token_tf_pairs subtrees, i.e. THREE
+    # tokenize + sorted-run-counter passes over the corpus.  But every
+    # number it needs falls out of the token array directly — dl is
+    # sum(tf) over distinct tokens == size(tokens), and a query term's
+    # tf is size(filter(tokens, == term)) — so one projection computes
+    # (doc_id, dl, tf_per_term), is checkpointed (a 5-int row per doc),
+    # and stats / dfreq / the scoring join all read that.  Every value
+    # (dl, tf, df, N, avgdl — the dl sum is integer-exact in double, so
+    # avg has no accumulation drift) is identical to the old plan's.
+    toks = with_tokens(load_documents(spark, sf_dir)).select(
+        "doc_id", "tokens")
+    def _tf_of(term):
+        # a one-arg lambda per term (a two-arg lambda would be treated
+        # as pyspark's (element, index) form)
+        return F.size(F.filter("tokens", lambda t: t == F.lit(term)))
+
+    tf_cols = [
+        _tf_of(term).alias(f"_tf{i}") for i, term in enumerate(query_terms)
+    ]
+    base = (
+        toks.select(
+            "doc_id", F.size("tokens").cast("long").alias("dl"), *tf_cols)
+        .filter(F.col("dl") > 0)
+        .localCheckpoint()
+    )
+    stats = base.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    qp = pairs.filter(F.col("token").isin(*query_terms))
+    qp = (
+        base.select(
+            "doc_id", "dl",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(term).alias("token"),
+                    F.col(f"_tf{i}").alias("tf"),
+                )
+                for i, term in enumerate(query_terms)
+            ])).alias("p"),
+        )
+        .select("doc_id", "dl", "p.token", "p.tf")
+        .filter(F.col("tf") > 0)
+    )
     dfreq = qp.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + F.lit(0.5))
@@ -2103,7 +2185,6 @@ def bm25_rank(spark, sf_dir: str, query_terms=("join", "hash", "filter"),
     term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / tnorm
     return (
         qp.join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
         .join(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
@@ -2138,6 +2219,14 @@ def dsir_weights(spark, sf_dir: str, n_buckets: int = 256) -> DataFrame:
     sorted-run tf counter.  At 10^12 docs the LM is built on a sample
     and becomes a literal, as the paper does."""
     docs = load_documents(spark, sf_dir)
+    # Round 6: materialize the hashed-feature bag once.  The old plan
+    # held ONE feat DataFrame but its three consumers (target LM, raw
+    # LM, scoring join) each re-ran tokenize + sorted-run counter +
+    # bucket agg over the corpus — and the raw⨝tgt relation was itself
+    # built twice (LM rows + the 1-row totals).  feat is the paper's
+    # materialized feature table; everything downstream is O(docs
+    # buckets) aggregation over the checkpoint (measured 3.3 -> 1.6 s
+    # at sf1.0, 5 corpus passes -> 1).
     feat = (
         token_tf_pairs(docs)
         .select(
@@ -2147,6 +2236,7 @@ def dsir_weights(spark, sf_dir: str, n_buckets: int = 256) -> DataFrame:
         )
         .groupBy("doc_id", "b")
         .agg(F.sum("tf").cast("long").alias("tf"))
+        .localCheckpoint()
     )
     target_ids = docs.filter(F.col("lang") == "en").select("doc_id")
     tgt = (
@@ -2155,12 +2245,16 @@ def dsir_weights(spark, sf_dir: str, n_buckets: int = 256) -> DataFrame:
         .agg(F.sum("tf").alias("t_cnt"))
     )
     raw = feat.groupBy("b").agg(F.sum("tf").alias("r_cnt"))
-    lm = (
+    joint = (
         raw.join(tgt, "b", "left")
         .fillna(0, subset=["t_cnt"])
+        .localCheckpoint()  # <= 256 rows; feeds both the LM and its totals
+    )
+    lm = (
+        joint
         .join(
             F.broadcast(
-                raw.join(tgt, "b", "left").fillna(0, subset=["t_cnt"]).agg(
+                joint.agg(
                     F.sum("t_cnt").alias("t_tot"),
                     F.sum("r_cnt").alias("r_tot"),
                 )
