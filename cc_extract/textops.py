@@ -349,6 +349,38 @@ def exact_dedup(spark, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- shingles
 
+def shingle_array_df(toks: DataFrame, n: int, out_col: str = "sh",
+                     keep: tuple = ("doc_id",)) -> DataFrame:
+    """Per-doc DISTINCT n-token shingle array, built by SUBSTRING over
+    the once-joined token string instead of concat_ws(slice(tokens, i,
+    n)) per window (round 6).  The i-th window string is provably
+    identical — tokens are ASCII ([a-z0-9]+), joins use a single space,
+    and substring(joined, starts[i], starts[i+n] + len(tok[i+n-1]) -
+    starts[i]) spans exactly tokens i..i+n-1 with their separating
+    spaces — but each window is ONE copy out of the joined buffer
+    instead of an n-element slice + varargs concat (measured 1.36 ->
+    0.95 s for the 3-shingle pass at sf1.0; bigger for 8-gram windows).
+    starts[] is the in-row prefix sum of token lengths (+1/space).
+    Callers must pre-filter size(tokens) >= n."""
+    base = toks.select(
+        *keep, "tokens",
+        F.concat_ws(" ", "tokens").alias("_joined"),
+        F.expr(
+            "aggregate(slice(transform(tokens, t -> length(t)), 1, "
+            "size(tokens) - 1), array(1), "
+            "(acc, l) -> array_append(acc, element_at(acc, -1) + l + 1))"
+        ).alias("_starts"),
+    )
+    w = F.expr(
+        f"transform(sequence(0, size(tokens) - {n}), "
+        f"i -> substring(_joined, element_at(_starts, i + 1), "
+        f"element_at(_starts, i + {n}) "
+        f"+ length(element_at(tokens, i + {n})) "
+        f"- element_at(_starts, i + 1)))"
+    )
+    return base.select(*keep, F.array_distinct(w).alias(out_col))
+
+
 def shingles_df(df: DataFrame, toks: DataFrame | None = None) -> DataFrame:
     """doc_id -> distinct 3-token shingles (exploded).
 
@@ -367,14 +399,8 @@ def shingles_df(df: DataFrame, toks: DataFrame | None = None) -> DataFrame:
         .select("doc_id", "tokens")
         .filter(F.size("tokens") >= SHINGLE_N)
     )
-    idx = F.sequence(F.lit(0), F.size("tokens") - SHINGLE_N)
-    shingle_arr = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, SHINGLE_N)),
-        )
-    )
-    return toks.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    return shingle_array_df(toks, SHINGLE_N).select(
+        "doc_id", F.explode("sh").alias("shingle"))
 
 
 # ---------------------------------------------------------- minhash + lsh
@@ -994,13 +1020,9 @@ def benchmark_decontamination(spark, sf_dir: str, bench_hex: str = "1",
         .select("doc_id", "tokens", is_bench.alias("is_bench"))
         .filter(F.size("tokens") >= ngram_n)
     )
-    idx = F.sequence(F.lit(0), F.size("tokens") - ngram_n)
-    grams = F.array_distinct(
-        F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, ngram_n))
-        )
-    )
-    sh = toks.select("doc_id", "is_bench", F.explode(grams).alias("gram"))
+    sh = shingle_array_df(
+        toks, ngram_n, out_col="grams", keep=("doc_id", "is_bench")
+    ).select("doc_id", "is_bench", F.explode("grams").alias("gram"))
     bench_grams = sh.filter(F.col("is_bench")).select("gram").distinct()
     corpus = sh.filter(~F.col("is_bench"))
     return (
@@ -1107,14 +1129,7 @@ def lsh_verified_near_dups(spark, sf_dir: str, threshold: float = 0.5,
         .select("doc_id", "tokens")
         .filter(F.size("tokens") >= SHINGLE_N)
     )
-    idx = F.sequence(F.lit(0), F.size("tokens") - SHINGLE_N)
-    sh_arr = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", F.slice("tokens", i + 1, SHINGLE_N)),
-        )
-    )
-    arrs = base.select("doc_id", sh_arr.alias("sh"))
+    arrs = shingle_array_df(base, SHINGLE_N)
     j = (
         cand
         .join(arrs.select(F.col("doc_id").alias("doc_a"),
@@ -1534,6 +1549,9 @@ def segment_boilerplate(spark, sf_dir: str, seg_w: int = 10,
         .select("doc_id", "tokens")
         .filter(F.size("tokens") > 0)
     )
+    # (round-6 A/B note: the shingle_array_df substring trick is a wash
+    # here — segments are NON-overlapping, so each token is copied once
+    # either way; the simpler per-window concat stays)
     n_segs = F.ceil(F.size("tokens") / seg_w).cast("int")
     seg_arr = F.transform(
         F.sequence(F.lit(0), n_segs - 1),
