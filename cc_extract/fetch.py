@@ -54,6 +54,15 @@ def fetch_one(url: str, timeout: float = DEFAULT_TIMEOUT,
 
     out = {"url": url, "status": None, "payload": None, "n_bytes": 0,
            "truncated": False, "error": None}
+    # Scheme allowlist (round-6 advice, medium): a frontier consumes
+    # UNTRUSTED url lists — without this, a file:// entry reads local
+    # files into the payload column and ftp:// reaches arbitrary ports.
+    # Only http(s) is a crawl fetch; anything else is an error ROW (the
+    # never-raises D4 contract), not a request.
+    scheme = url.split(":", 1)[0].lower() if ":" in url else ""
+    if scheme not in ("http", "https"):
+        out["error"] = "scheme_not_allowed"
+        return out
     try:
         req = urllib.request.Request(
             url, headers={"User-Agent": "cc-extract-fetch/1.0"})

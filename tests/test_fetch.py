@@ -74,6 +74,19 @@ def test_fetch_one_success_and_failures(server):
     assert slow["status"] is None and "unreachable" in slow["error"]
 
 
+def test_fetch_one_rejects_non_http_schemes(tmp_path):
+    """Untrusted url lists must not reach non-http(s) handlers: a file://
+    entry would read local files into the payload column (round-6 advice).
+    The rejection is an error ROW (never-raises contract), no I/O done."""
+    secret = tmp_path / "secret.txt"
+    secret.write_bytes(b"do-not-read")
+    for url in (f"file://{secret}", "ftp://example.com/x",
+                "FILE:///etc/hostname", "gopher://x", "not-a-url"):
+        r = fetch_one(url)
+        assert r["error"] == "scheme_not_allowed", url
+        assert r["payload"] is None and r["status"] is None
+
+
 def test_fetch_one_truncates_at_cap(server):
     r = fetch_one(f"{server}/big.bin", max_bytes=1000)
     assert r["status"] == 200 and r["truncated"] is True
