@@ -406,7 +406,8 @@ def shingles_df(df: DataFrame, toks: DataFrame | None = None) -> DataFrame:
 # ---------------------------------------------------------- minhash + lsh
 
 def minhash_signatures(spark, sf_dir: str,
-                       toks: DataFrame | None = None) -> DataFrame:
+                       toks: DataFrame | None = None,
+                       sh: DataFrame | None = None) -> DataFrame:
     """K=8 MinHash signature per document.
 
     Hash family: h_i(s) = first 12 hex chars of md5(i || '|' || s); min is
@@ -417,8 +418,14 @@ def minhash_signatures(spark, sf_dir: str,
     map-side combine.  (Round 6 A/B note: an in-row array_min-of-
     transform variant avoids the shuffle entirely but loses ~15% to the
     interpreted HOF path once InferFiltersFromGenerate is excluded in
-    session.py — the explode shape is codegen'd end-to-end and stays.)"""
-    sh = shingles_df(load_documents(spark, sf_dir), toks=toks)
+    session.py — the explode shape is codegen'd end-to-end and stays.)
+
+    ``sh`` short-circuits the shingle build with a pre-computed exploded
+    (doc_id, shingle) relation — the verified-near-dup chain builds the
+    per-doc shingle ARRAYS once (it needs them again for the exact
+    verify) and threads the explode here instead of shingling twice."""
+    if sh is None:
+        sh = shingles_df(load_documents(spark, sf_dir), toks=toks)
     aggs = [
         F.min(
             F.substring(
@@ -431,7 +438,8 @@ def minhash_signatures(spark, sf_dir: str,
 
 
 def lsh_candidate_pairs(spark, sf_dir: str,
-                        toks: DataFrame | None = None) -> DataFrame:
+                        toks: DataFrame | None = None,
+                        sh: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH near-dup candidates: banding (4 bands x 2 rows) over the
     signatures; docs sharing any band key become a candidate pair.
 
@@ -440,8 +448,14 @@ def lsh_candidate_pairs(spark, sf_dir: str,
     Signatures are materialized once (localCheckpoint): the self-join's
     broadcast branch would otherwise recompute the shingle->minhash
     pipeline a second time (broadcast exchanges are never reused against
-    shuffle exchanges); at production scale they are a stored index."""
-    sig = minhash_signatures(spark, sf_dir, toks=toks).localCheckpoint()
+    shuffle exchanges); at production scale they are a stored index.
+    ``sh`` threads a pre-exploded shingle relation (see
+    minhash_signatures).  The signature checkpoint is lazy: the band
+    self-join's first materialization computes it once inside its own
+    job (eager=True paid one extra blocking job per call for the same
+    rows)."""
+    sig = minhash_signatures(spark, sf_dir, toks=toks,
+                             sh=sh).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -1013,6 +1027,7 @@ def benchmark_decontamination(spark, sf_dir: str, bench_hex: str = "1",
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
         < F.lit(bench_hex)
     )
+    shared_toks = toks is not None
     base = (with_tokens(load_documents(spark, sf_dir)) if toks is None
             else toks)
     toks = (
@@ -1023,10 +1038,26 @@ def benchmark_decontamination(spark, sf_dir: str, bench_hex: str = "1",
     sh = shingle_array_df(
         toks, ngram_n, out_col="grams", keep=("doc_id", "is_bench")
     ).select("doc_id", "is_bench", F.explode("grams").alias("gram"))
+    # The benchmark n-gram set is broadcast EXPLICITLY (round 6): real
+    # benchmark eval sets are small and fixed, so this side never scales
+    # with the corpus.  Its subtree executes single-threaded inside the
+    # driver's broadcast-exchange thread (thread dumps: ~1.7 s of serial
+    # child evaluation + UnsafeHashedRelation build with zero stages
+    # running).  When a pre-tokenized ``toks`` relation is threaded in,
+    # the corpus side is too cheap to hide that serial build, so the
+    # relation is localCheckpointed first — the distinct then runs as a
+    # normal parallel job and the broadcast builds from materialized rows
+    # in ~0.1 s (measured 2.65 -> 1.12 s at the 10x bed, rows identical;
+    # it is also the natural stored index of the decontamination pass).
+    # Standalone (toks=None) the corpus-side scan+tokenize overlaps the
+    # serial build anyway and an eager checkpoint only ADDS a blocking
+    # job (measured 1.64 -> 2.11 s), so it stays un-checkpointed there.
     bench_grams = sh.filter(F.col("is_bench")).select("gram").distinct()
+    if shared_toks:
+        bench_grams = bench_grams.localCheckpoint()
     corpus = sh.filter(~F.col("is_bench"))
     return (
-        corpus.join(bench_grams, "gram")
+        corpus.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_ngrams"))
         .orderBy("doc_id")
@@ -1059,10 +1090,14 @@ def dup_clusters(spark, sf_dir: str, threshold: float = 0.5,
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).distinct().localCheckpoint(eager=True)
+    # lazy: the initial convergence-sum action below materializes the
+    # label checkpoint inside its own job — eager=True ran a separate
+    # checkpoint job first (one extra scheduler round-trip per call;
+    # measured ~1 s at the 10x bed where the whole relation is tiny)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
@@ -1110,7 +1145,6 @@ def lsh_verified_near_dups(spark, sf_dir: str, threshold: float = 0.5,
     candidate relation is actually small (the common case), and falls
     back to a shuffled hash join keyed on doc_a — which partitions the
     verify work instead of replicating it — when it isn't."""
-    cand = lsh_candidate_pairs(spark, sf_dir, toks=toks)
     # Round 6 verify shape: keep the per-doc DISTINCT shingle sets as
     # in-row ARRAYS and compute |A∩B| with array_intersect on the
     # candidate pairs only, instead of exploding the shingle relation
@@ -1124,12 +1158,28 @@ def lsh_verified_near_dups(spark, sf_dir: str, threshold: float = 0.5,
     # threshold-0.0 sweep).  AQE decides the join build side exactly as
     # before — the candidate relation can be O(docs) on a dup-heavy
     # corpus, so no unconditional broadcast hint.
+    #
+    # The shingle ARRAYS are built ONCE and localCheckpointed: both the
+    # candidate generation (minhash over their explode, threaded via the
+    # ``sh`` parameter) and the exact verify read the same materialized
+    # relation — previously the tokenize+shingle subtree ran twice, once
+    # under the signature build and once under the verify join (measured
+    # 2.46 -> 2.06 s at the 10x bed, identical rows).  At production
+    # scale the arrays are the stored shingle index next to the stored
+    # signature index.
     base = (
         (with_tokens(load_documents(spark, sf_dir)) if toks is None else toks)
         .select("doc_id", "tokens")
         .filter(F.size("tokens") >= SHINGLE_N)
     )
-    arrs = shingle_array_df(base, SHINGLE_N)
+    # lazy: the first downstream action (the signature checkpoint /
+    # edges materialization) computes and pins the arrays inside its own
+    # job instead of running a separate blocking checkpoint job first
+    arrs = shingle_array_df(base, SHINGLE_N).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(
+        spark, sf_dir, toks=toks,
+        sh=arrs.select("doc_id", F.explode("sh").alias("shingle")),
+    )
     j = (
         cand
         .join(arrs.select(F.col("doc_id").alias("doc_a"),
@@ -2336,18 +2386,23 @@ def curation_funnel(spark, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("text").alias("text_md5"), "tokens")
         .localCheckpoint()
     )
+    # The three INLINE flags (is_bench, language pick, exact-dedup
+    # window) are all expressions over the same checkpointed toks rows,
+    # so they ride in ONE projection (the window's text_md5 shuffle
+    # carries them along) instead of three separate branches joined back
+    # on doc_id — two joins fewer per funnel run (measured ~1 s at the
+    # 10x bed, output identical).  The SHIPPED operators (corpus_filter,
+    # dedup_keep_decision, benchmark_decontamination) stay composed via
+    # their own relations: the funnel's audit-can't-drift-from-its-parts
+    # property only depends on those.
     en = F.size(F.filter("tokens", lambda t: t.isin(EN_STOP)))
     de = F.size(F.filter("tokens", lambda t: t.isin(DE_STOP)))
     fr = F.size(F.filter("tokens", lambda t: t.isin(FR_STOP)))
-    lang = toks.select(
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "1"
+    base = toks.select(
         "doc_id",
+        is_bench.alias("is_bench"),
         ((en >= de) & (en >= fr) & (en > 0)).alias("is_en"),
-    )
-    qual = corpus_filter(spark, sf_dir, toks=toks).select(
-        "doc_id", "n_tokens", F.col("keep").alias("q_keep")
-    )
-    ex = toks.select(
-        "doc_id",
         (
             F.col("doc_id")
             == F.min("doc_id").over(
@@ -2355,18 +2410,25 @@ def curation_funnel(spark, sf_dir: str) -> DataFrame:
             )
         ).alias("exact_keep"),
     )
+    qual = corpus_filter(spark, sf_dir, toks=toks).select(
+        "doc_id", "n_tokens", F.col("keep").alias("q_keep")
+    )
     nd = dedup_keep_decision(spark, sf_dir, toks=toks).select(
         "doc_id", F.col("keep").alias("nd_keep")
     )
+    # cont is localCheckpointed before the broadcast hint: its subtree is
+    # the full corpus-side n-gram probe, and a lazy broadcast child
+    # executes single-threaded inside the driver's broadcast-exchange
+    # thread (same root cause as the bench_grams checkpoint inside
+    # benchmark_decontamination — see the round-6 note there).  The
+    # checkpoint runs the probe as a parallel job; the broadcast then
+    # ships the tiny contaminated-doc list.
     cont = benchmark_decontamination(spark, sf_dir, toks=toks).select(
         "doc_id", F.lit(True).alias("contaminated")
-    )
-    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "1"
+    ).localCheckpoint()
     flags = (
-        toks.select("doc_id", is_bench.alias("is_bench"))
-        .join(lang, "doc_id")
+        base
         .join(qual, "doc_id")
-        .join(ex, "doc_id")
         .join(nd, "doc_id")
         .join(F.broadcast(cont), "doc_id", "left")
         .fillna(False, subset=["contaminated"])
