@@ -260,6 +260,209 @@ def _scan_html(doc: str, st: _BlockState) -> None:
     st.finish()
 
 
+def _scan_blocks(
+    doc: str, want_spans: bool = False
+) -> tuple[list[tuple[str, int, int]], list[tuple[int, int]]]:
+    """Inlined production twin of ``_scan_html(doc, _BlockState[Spans]())``.
+
+    Same event order, same block tuples, same span pairs — pinned
+    differentially against the event-driven walker over the corpus and
+    structured random markup (tests/test_properties.py::
+    test_scan_blocks_differential, tests/test_extractors.py::
+    test_scan_blocks_matches_event_scanner).  The event walker spent
+    ~40% of its time on per-event method dispatch (253k data + 372k
+    tag calls per 4k-doc batch); here the state machine lives in local
+    variables and the common no-quote attribute tail is two C-level
+    ``str.find`` probes instead of the chunk-regex loop.  ``_scan_html``
+    stays as the generic event scanner (the stdlib differential twin
+    and any external _BlockState feeders use it unchanged).
+
+    Returns ``(blocks, spans)``; ``spans`` is ``[]`` unless *want_spans*.
+    """
+    from html import unescape
+
+    n = len(doc)
+    pos = 0
+    blocks: list[tuple[str, int, int]] = []
+    spans: list[tuple[int, int]] = []
+    parts: list[str] = []
+    anchor_chars = 0
+    n_tags = 0
+    skip = 0
+    adepth = 0
+    lo: int | None = None
+    hi: int | None = None
+    find = doc.find
+    sub_ws = _WS.sub
+
+    def flush() -> None:
+        nonlocal parts, anchor_chars, n_tags, lo, hi
+        text = sub_ws(" ", "".join(parts)).strip()
+        if text:
+            blocks.append((text, anchor_chars, n_tags))
+            if want_spans:
+                spans.append((lo, hi))
+        parts = []
+        anchor_chars = 0
+        n_tags = 0
+        lo = None
+        hi = None
+
+    def emit(seg: str, s: int, e: int) -> None:
+        # rare-path data event (literal '<', EOF flush of broken markup);
+        # the hot text-segment path is inlined in the loop below
+        nonlocal anchor_chars, lo, hi
+        if skip or not seg:
+            return
+        parts.append(seg)
+        if adepth:
+            anchor_chars += len(sub_ws(" ", seg).strip())
+        if want_spans and not seg.isspace():
+            if lo is None:
+                lo = s
+            hi = e
+
+    while pos < n:
+        lt = find("<", pos)
+        if lt == -1:
+            seg = doc[pos:]
+            if not skip:
+                if "&" in seg:
+                    seg = unescape(seg)
+                if seg:
+                    parts.append(seg)
+                    if adepth:
+                        anchor_chars += len(sub_ws(" ", seg).strip())
+                    if want_spans and not seg.isspace():
+                        if lo is None:
+                            lo = pos
+                        hi = n
+            break
+        if lt > pos:
+            # hot path: text segment between tags
+            if not skip:
+                seg = doc[pos:lt]
+                if "&" in seg:
+                    seg = unescape(seg)
+                if seg:
+                    parts.append(seg)
+                    if adepth:
+                        anchor_chars += len(sub_ws(" ", seg).strip())
+                    if want_spans and not seg.isspace():
+                        if lo is None:
+                            lo = pos
+                        hi = lt
+        nxt = doc[lt + 1 : lt + 2]
+        if nxt == "!":
+            if doc.startswith("<!--", lt):
+                end_ = find("-->", lt + 4)
+                if end_ == -1:
+                    seg = doc[lt:]
+                    emit(unescape(seg) if "&" in seg else seg, lt, n)
+                    pos = n
+                else:
+                    pos = end_ + 3
+            else:
+                end_ = find(">", lt + 2)
+                if end_ == -1:
+                    seg = doc[lt:]
+                    emit(unescape(seg) if "&" in seg else seg, lt, n)
+                    pos = n
+                else:
+                    pos = end_ + 1
+            continue
+        if nxt == "?":
+            end_ = find(">", lt + 2)
+            if end_ == -1:
+                seg = doc[lt:]
+                emit(unescape(seg) if "&" in seg else seg, lt, n)
+                pos = n
+            else:
+                pos = end_ + 1
+            continue
+        if nxt == "/":
+            m = _ENDTAG_RX.match(doc, lt)
+            if m:
+                tag = m.group(1).lower()
+                pos = m.end()
+                # end(tag), inlined
+                if tag in BLACKLIST_TAGS:
+                    if skip:
+                        skip -= 1
+                elif not skip:
+                    if tag == "a" and adepth:
+                        adepth -= 1
+                    if tag in BLOCK_TAGS and (parts or n_tags):
+                        flush()
+            else:  # malformed </...: skip to '>' like html.parser's bailout
+                end_ = find(">", lt + 2)
+                if end_ == -1:
+                    seg = doc[lt:]
+                    emit(unescape(seg) if "&" in seg else seg, lt, n)
+                    pos = n
+                else:
+                    pos = end_ + 1
+            continue
+        m = _TAGNAME_RX.match(doc, lt + 1)
+        if not m:
+            # literal '<' in text
+            emit("<", lt, lt + 1)
+            pos = lt + 1
+            continue
+        tag = m.group(0).lower()
+        ae = m.end()
+        # attribute tail: no-quote fast path (first '>' precedes any
+        # quote char ⇒ identical to the chunk-loop answer)
+        gt = find(">", ae)
+        if gt == -1:
+            tag_end = _skip_attrs(doc, ae, n)
+        elif find('"', ae, gt) == -1 and find("'", ae, gt) == -1:
+            tag_end = gt + 1
+        else:
+            tag_end = _skip_attrs(doc, ae, n)
+        if tag_end == -1:
+            seg = doc[lt:]  # unterminated tag at EOF
+            emit(unescape(seg) if "&" in seg else seg, lt, n)
+            pos = n
+            continue
+        pos = tag_end
+        self_closing = doc[tag_end - 2 : tag_end - 1] == "/" and not (
+            _SELFCLOSE_VETO.search(doc, ae, tag_end - 1)
+        )
+        # start(tag) [+ end(tag) when self-closing], inlined
+        if tag in BLACKLIST_TAGS:
+            if self_closing:
+                pass  # start += 1 then end -= 1: net zero
+            elif tag in ("script", "style"):
+                # raw-text element: content never emits data; only the
+                # cursor (and, on a found close, the net-zero depth) move
+                mclose = _RAWTEXT_CLOSE[tag].search(doc, pos)
+                if mclose is None:
+                    skip += 1  # unterminated: stay skipped to EOF
+                    pos = n
+                else:
+                    gt2 = find(">", mclose.start())
+                    pos = n if gt2 == -1 else gt2 + 1
+            else:
+                skip += 1
+            continue
+        if not skip:
+            if tag in BLOCK_TAGS:
+                if parts or n_tags:
+                    flush()
+            else:
+                n_tags += 1
+            if tag == "a":
+                adepth += 1
+        if self_closing and not skip:
+            if tag == "a" and adepth:
+                adepth -= 1
+            if tag in BLOCK_TAGS and (parts or n_tags):
+                flush()
+    flush()
+    return blocks, spans
+
+
 def _keep_block(text: str, anchor_chars: int, n_tags: int) -> bool:
     total = len(text)
     if total == 0:
@@ -278,9 +481,8 @@ def extract_html(payload: bytes) -> str:
     if m:
         declared = m.group(1).decode("ascii", "ignore")
     doc = decode_bytes(payload, declared)
-    st = _BlockState()
-    _scan_html(doc, st)
-    kept = [t for (t, a, n) in st.blocks if _keep_block(t, a, n)]
+    blocks, _ = _scan_blocks(doc)
+    kept = [t for (t, a, n) in blocks if _keep_block(t, a, n)]
     return normalize_text("\n".join(kept))
 
 
@@ -345,11 +547,10 @@ def extract_html_blocks(payload: bytes) -> list[dict]:
 
 def blocks_of_doc(doc: str) -> list[dict]:
     """extract_html_blocks over an already-decoded document string."""
-    st = _BlockStateSpans()
-    _scan_html(doc, st)
+    blocks, spans = _scan_blocks(doc, want_spans=True)
     out = []
     for i, ((text, anchor, n_tags), (lo, hi)) in enumerate(
-            zip(st.blocks, st.spans)):
+            zip(blocks, spans)):
         out.append({
             "block_idx": i,
             "text": text,

@@ -114,3 +114,18 @@ def test_html_fast_scanner_differential(frags):
     fast = _BlockState()
     _scan_html(doc, fast)
     assert fast.blocks == w.state.blocks
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_html_fragment(), max_size=6))
+def test_scan_blocks_differential(frags):
+    """Structured random HTML: the inlined production scanner must be
+    block- and span-identical to the event-driven walker."""
+    from cc_extract.extractors.html import (
+        _BlockStateSpans, _scan_blocks, _scan_html,
+    )
+
+    doc = "<html><body>" + "".join(frags) + "</body></html>"
+    ref = _BlockStateSpans()
+    _scan_html(doc, ref)
+    assert _scan_blocks(doc, want_spans=True) == (ref.blocks, ref.spans)
