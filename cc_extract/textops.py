@@ -25,6 +25,8 @@ signatures (bytes/doc) not text; the band join is an equi-join on
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -93,6 +95,34 @@ def fan_out_scan(df: DataFrame) -> DataFrame:
     if splits < target:
         return df.repartition(target)
     return df
+
+
+TRAIN_SET_PART_BYTES = 64 << 20  # input bytes per checkpointed-feature partition
+
+
+def _train_set_partitions(df: DataFrame) -> int | None:
+    """Partition count for a small checkpointed per-doc feature/training
+    relation that an iterative driver loop re-aggregates: ~64 MiB of
+    INPUT bytes per partition, min 1.  At sf-small that is one partition
+    — a k-round GD/label-propagation loop over a tiny relation pays k
+    scheduler rounds per extra partition, not compute — while at 100 TB
+    the count scales linearly with the corpus.  Returns None (caller
+    keeps the natural partitioning) when the input is not a local-file
+    scan we can size."""
+    try:
+        from urllib.parse import urlparse
+
+        files = df.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            if not f.startswith("file:"):
+                return None
+            total += os.path.getsize(urlparse(f).path)
+        return max(1, -(-total // TRAIN_SET_PART_BYTES))
+    except Exception:
+        return None
 
 
 def with_tokens(df: DataFrame) -> DataFrame:
@@ -2124,7 +2154,20 @@ def quality_classifier(spark, sf_dir: str, iters: int = GD_ITERS,
     is ONE partial-aggregable pass (4 avgs) over it, and the per-round
     collect carries the MODEL (4 doubles), never data rows.  At 10^12
     docs this is exactly mini-batch-free distributed GD: k passes, k
-    scalar syncs."""
+    scalar syncs.
+
+    Round 6 loop-latency fixes (results identical, verified row-equal):
+    the checkpointed training set is repartitioned to ~64 MiB of input
+    bytes per partition (1 partition at sf-small — the 10 sequential
+    4-double aggregates cost scheduler rounds, not compute; scales
+    linearly with the corpus), each iteration's gradient expression is
+    ONE selectExpr string parsed JVM-side instead of ~30 py4j Column
+    calls (weights spelled CAST('<repr>' AS DOUBLE) — exact round-trip,
+    the embedops _cosine_sql precedent), and AQE is toggled off around
+    the iteration loop so the tiny per-round aggregates skip per-stage
+    re-optimization (restored in a finally:).  Measured 1.28 -> 0.75 s
+    at sf0.1; the float sums keep the same partial-merge nondeterminism
+    envelope the 9-dp per-round rounding already absorbs."""
     docs = fan_out_scan(load_documents(spark, sf_dir))
     df = with_tokens(docs)
     n = F.size("tokens")
@@ -2145,18 +2188,27 @@ def quality_classifier(spark, sf_dir: str, iters: int = GD_ITERS,
         F.abs(mtl - F.lit(4.0)).alias("x2"),
         (sr * F.lit(10.0)).alias("x3"),
         keep.cast("double").alias("y"),
-    ).localCheckpoint()
+    )
+    npart = _train_set_partitions(docs)
+    if npart:
+        feats = feats.repartition(npart)
+    feats = feats.localCheckpoint()
 
     w = [0.0, 0.0, 0.0, 0.0]
-    for _ in range(iters):
-        z = sum((F.lit(w[j]) * F.col(f"x{j}") for j in range(4)),
-                start=F.lit(0.0))
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        g = feats.agg(*[
-            F.avg((p - F.col("y")) * F.col(f"x{j}")).alias(f"g{j}")
-            for j in range(4)
-        ]).collect()[0]
-        w = [round(w[j] - lr * g[f"g{j}"], 9) for j in range(4)]
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(iters):
+            zs = " + ".join(
+                f"(CAST('{w[j]!r}' AS DOUBLE) * x{j})" for j in range(4))
+            p = f"(1.0D / (1.0D + exp(-({zs}))))"
+            g = feats.selectExpr(
+                *[f"(({p}) - y) * x{j} AS e{j}" for j in range(4)]
+            ).agg(*[F.avg(f"e{j}").alias(f"g{j}") for j in range(4)]
+                  ).collect()[0]
+            w = [round(w[j] - lr * g[f"g{j}"], 9) for j in range(4)]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
 
     z = sum((F.lit(w[j]) * F.col(f"x{j}") for j in range(4)),
             start=F.lit(0.0))
@@ -2399,10 +2451,19 @@ def curation_funnel(spark, sf_dir: str) -> DataFrame:
     de = F.size(F.filter("tokens", lambda t: t.isin(DE_STOP)))
     fr = F.size(F.filter("tokens", lambda t: t.isin(FR_STOP)))
     is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "1"
-    base = toks.select(
-        "doc_id",
+    # language/bench flags are projected BEFORE the exact-dedup window
+    # (round 6): Window evaluates before Project, so computing them in
+    # the same select made the text_md5 shuffle carry the full token
+    # arrays; with the two-step select the shuffle moves four scalar
+    # columns per doc (guide §2.2 — shuffle fewer bytes).  Rows
+    # identical (the flags don't depend on the window).
+    pre = toks.select(
+        "doc_id", "text_md5",
         is_bench.alias("is_bench"),
         ((en >= de) & (en >= fr) & (en > 0)).alias("is_en"),
+    )
+    base = pre.select(
+        "doc_id", "is_bench", "is_en",
         (
             F.col("doc_id")
             == F.min("doc_id").over(
