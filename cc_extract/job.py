@@ -111,6 +111,44 @@ def with_bucket(df: DataFrame, n_buckets: int, url_col: str = "url") -> DataFram
     )
 
 
+PACK_SCAN_BYTES = 32 << 20  # min input bytes per scan task worth a Python pass
+
+
+def pack_scan(df: DataFrame) -> DataFrame:
+    """Pack a many-tiny-files scan into fewer tasks before a per-row
+    Python/Arrow pass (round 6) — the inverse of textops.fan_out_scan.
+
+    The bench corpus is 128 x ~200 KB files and ``openCostInBytes`` is
+    tuned to never merge files (extraction parallelism rides the scan
+    for fat payloads), so every corpus-frame pass ran 128 tasks whose
+    per-task Arrow/worker round-trip cost more than their ~160 rows of
+    work (cc_html_spans measured 1.59 -> 0.74 s with the pass packed to
+    defaultParallelism).  Packing is scale-adaptive and a no-op on any
+    healthy lake: target = max(defaultParallelism, total_bytes /
+    PACK_SCAN_BYTES) — when files average >= 32 MiB (production layout)
+    target >= n_files and the scan is returned untouched; only a
+    fragmented-small-files input coalesces (no shuffle, same rows)."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        from urllib.parse import urlparse
+
+        files = df.inputFiles()
+        if not files or len(files) <= cores:
+            return df
+        total = 0
+        for f in files:
+            if not f.startswith("file:"):
+                return df
+            total += os.path.getsize(urlparse(f).path)
+        target = max(cores, -(-total // PACK_SCAN_BYTES))
+        if target >= len(files):
+            return df
+        return df.coalesce(target)
+    except Exception:
+        return df
+
+
 SPAN_COLS = ("n_blocks", "n_kept", "kept_chars", "span_chars",
              "doc_chars", "first_kept_start", "last_kept_end")
 
@@ -147,7 +185,7 @@ def html_spans_df(docs: DataFrame) -> DataFrame:
                     rows[k].append(s[k])
             yield pd.DataFrame(rows, columns=list(cols))
 
-    spans = docs.select("url", "warc_ts", "html").mapInPandas(
+    spans = pack_scan(docs).select("url", "warc_ts", "html").mapInPandas(
         batches, schema=schema
     )
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
@@ -188,7 +226,7 @@ def html_meta_df(docs: DataFrame) -> DataFrame:
                     rows[k].append(m[k])
             yield pd.DataFrame(rows, columns=list(cols))
 
-    meta = docs.select("url", "warc_ts", "html").mapInPandas(
+    meta = pack_scan(docs).select("url", "warc_ts", "html").mapInPandas(
         batches, schema=schema
     )
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
@@ -230,7 +268,7 @@ def html_robots_df(docs: DataFrame) -> DataFrame:
                     rows[k].append(m[k])
             yield pd.DataFrame(rows, columns=list(cols))
 
-    rb = docs.select("url", "warc_ts", "html").mapInPandas(
+    rb = pack_scan(docs).select("url", "warc_ts", "html").mapInPandas(
         batches, schema=schema
     )
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
@@ -272,7 +310,7 @@ def html_jsonld_df(docs: DataFrame) -> DataFrame:
                     rows[k].append(m[k])
             yield pd.DataFrame(rows, columns=list(cols))
 
-    ld = docs.select("url", "warc_ts", "html").mapInPandas(
+    ld = pack_scan(docs).select("url", "warc_ts", "html").mapInPandas(
         batches, schema=schema
     )
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
@@ -317,7 +355,7 @@ def html_blocks_df(docs: DataFrame, ordered: bool = True) -> DataFrame:
                         rows[k].append(b[k])
             yield pd.DataFrame(rows, columns=list(cols))
 
-    blocks = docs.select("url", "warc_ts", "html").mapInPandas(
+    blocks = pack_scan(docs).select("url", "warc_ts", "html").mapInPandas(
         batches, schema=schema
     )
     # keep-newest per url: rank crawls by ts (dense — all blocks of the
@@ -363,7 +401,7 @@ def html_tables_df(docs: DataFrame) -> DataFrame:
                         rows[k].append(t[k])
             yield pd.DataFrame(rows, columns=list(cols))
 
-    cells = docs.select("url", "warc_ts", "html").mapInPandas(
+    cells = pack_scan(docs).select("url", "warc_ts", "html").mapInPandas(
         batches, schema=schema
     )
     # keep-newest per url: dense rank — all cells of the newest crawl
@@ -407,7 +445,7 @@ def html_headings_df(docs: DataFrame) -> DataFrame:
                         rows[k].append(h[k])
             yield pd.DataFrame(rows, columns=list(cols))
 
-    heads = docs.select("url", "warc_ts", "html").mapInPandas(
+    heads = pack_scan(docs).select("url", "warc_ts", "html").mapInPandas(
         batches, schema=schema
     )
     # keep-newest per url: dense rank — all headings of the newest
@@ -432,7 +470,7 @@ def snapshot_diff_df(docs: DataFrame, pivot_ts: str) -> DataFrame:
     uniform hash key, AQE coalesced) + an O(domains) partial-aggregable
     groupBy."""
     pivot = F.to_timestamp(F.lit(pivot_ts))
-    d = docs.select(
+    d = pack_scan(docs).select(
         "url", "warc_ts", F.sha2(F.col("html"), 256).alias("sha")
     )
     w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
