@@ -596,34 +596,41 @@ def simhash(spark, sf_dir: str) -> DataFrame:
     constant, identical in Spark and DuckDB), single partial-aggregable
     groupBy(doc_id) shuffle."""
     tok = token_tf_pairs(load_documents(spark, sf_dir))
-    tok = tok.withColumn("h", F.md5(F.col("token")))
-    # one conv per hex digit (16), not per bit (64)
-    digit_cols = [
-        F.conv(F.substring("h", d + 1, 1), 16, 10).cast("int").alias(f"d{d}")
-        for d in range(16)
-    ]
-    tok = tok.select("doc_id", "tf", *digit_cols)
+    # Round 6: the 16 per-digit conv() parses per row collapse to ONE —
+    # bit b of the token's hash is bit (b%4) of hex digit b//4, i.e. the
+    # 64-bit mask m = sum_d digit_d << 4d, which is exactly the unsigned
+    # hex parse of the REVERSED first-16 hex chars (reverse turns the
+    # big-endian digit string into the little-endian digit weights);
+    # conv(..,16,-10) keeps the value in signed-64 space so the CAST
+    # never overflows.  Bit tests become integer shifts off m.
+    tok = tok.selectExpr(
+        "doc_id", "tf",
+        "CAST(conv(reverse(substring(md5(token), 1, 16)), 16, -10) "
+        "AS BIGINT) AS m",
+    )
     # the 64 weighted sums and the 63-term pack are built as F.expr SQL
     # strings parsed JVM-side in one shot — assembling them from py4j
     # Column calls made DataFrame CONSTRUCTION (2.2 s) cost twice the
     # execution (1.1 s) at sf0.01; semantics are identical (integer
-    # arithmetic throughout, same CASE structure)
+    # arithmetic throughout, same CASE structure).  Round 6: the ±tf
+    # CASE per bit is re-grouped as s_b = 2*t_b - T with t_b =
+    # sum(tf * bit_b) and T = sum(tf) — exact integers, so the majority
+    # vote s_b > 0 ⟺ 2*t_b > T is bit-identical, and the per-row work
+    # is a shift-and-multiply instead of a branch (1.05 -> 0.89 s at
+    # sf0.1 together with the single-conv mask; verified row-identical).
     sums = [
-        F.expr(
-            f"sum(CASE WHEN (d{b // 4} & {1 << (b % 4)}) != 0 "
-            f"THEN tf ELSE -tf END)"
-        ).alias(f"s{b}")
+        F.expr(f"sum(tf * ((m >> {b}) & 1))").alias(f"t{b}")
         for b in range(SIMHASH_BITS)
-    ]
+    ] + [F.expr("sum(tf)").alias("tt")]
     agg = tok.groupBy("doc_id").agg(*sums)
     pack = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {2 ** b}L ELSE 0L END)"
+        f"(CASE WHEN 2 * t{b} > tt THEN {2 ** b}L ELSE 0L END)"
         for b in range(SIMHASH_BITS - 1)
     )
     packed = agg.select(
         "doc_id",
         F.expr(
-            f"CAST((CASE WHEN s63 > 0 THEN -9223372036854775808L "
+            f"CAST((CASE WHEN 2 * t63 > tt THEN -9223372036854775808L "
             f"ELSE 0L END) + {pack} AS BIGINT)"
         ).alias("simhash"),
     )
