@@ -2493,21 +2493,22 @@ def curation_funnel(spark, sf_dir: str) -> DataFrame:
     nd = dedup_keep_decision(spark, sf_dir, toks=toks).select(
         "doc_id", F.col("keep").alias("nd_keep")
     )
-    # cont is localCheckpointed before the broadcast hint: its subtree is
-    # the full corpus-side n-gram probe, and a lazy broadcast child
-    # executes single-threaded inside the driver's broadcast-exchange
-    # thread (same root cause as the bench_grams checkpoint inside
-    # benchmark_decontamination — see the round-6 note there).  The
-    # checkpoint runs the probe as a parallel job; the broadcast then
-    # ships the tiny contaminated-doc list.
+    # Round-6 session 2: no broadcast HINT and no checkpoint on cont.
+    # The static F.broadcast forced the n-gram probe subtree into the
+    # driver's serial broadcast-exchange thread, which the eager
+    # checkpoint existed to mitigate (one blocking job per funnel run).
+    # Left un-hinted, the probe runs as ordinary parallel stages and
+    # AQE converts the join to broadcast at runtime FROM the
+    # materialized shuffle output — parallel build, no pre-job, no
+    # serial thread (3.9 -> 3.4 s at sf0.1, rows identical).
     cont = benchmark_decontamination(spark, sf_dir, toks=toks).select(
         "doc_id", F.lit(True).alias("contaminated")
-    ).localCheckpoint()
+    )
     flags = (
         base
         .join(qual, "doc_id")
         .join(nd, "doc_id")
-        .join(F.broadcast(cont), "doc_id", "left")
+        .join(cont, "doc_id", "left")
         .fillna(False, subset=["contaminated"])
     )
     s1 = F.col("is_en")
