@@ -1093,8 +1093,15 @@ def benchmark_decontamination(spark, sf_dir: str, bench_hex: str = "1",
     if shared_toks:
         bench_grams = bench_grams.localCheckpoint()
     corpus = sh.filter(~F.col("is_bench"))
+    # Standalone, the static broadcast HINT is dropped (round-6 session
+    # 2): it forced the bench-side distinct subtree into the driver's
+    # serial broadcast thread; un-hinted it runs as parallel stages and
+    # AQE broadcasts from the materialized output (0.95 -> 0.83 s at
+    # sf0.1, rows identical).  The shared-toks path keeps ckpt+hint —
+    # A/B'd 0.73 vs 0.74-0.78 for the un-hinted variants there.
+    bg = bench_grams if not shared_toks else F.broadcast(bench_grams)
     return (
-        corpus.join(F.broadcast(bench_grams), "gram")
+        corpus.join(bg, "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_ngrams"))
         .orderBy("doc_id")
