@@ -2302,11 +2302,18 @@ def bm25_rank(spark, sf_dir: str, query_terms=("join", "hash", "filter"),
     tf_cols = [
         _tf_of(term).alias(f"_tf{i}") for i, term in enumerate(query_terms)
     ]
+    # lazy + un-hinted joins (round-6 session 2): with the static
+    # broadcast hints dropped from the dfreq/stats joins below, the
+    # checkpoint no longer feeds a driver-serial broadcast build, so it
+    # can materialize inside the final job like the unigram/boilerplate
+    # checkpoints (0.88 -> 0.78 s avg over 4 interleaved rep-pairs,
+    # never worse, rows identical); AQE broadcasts both tiny sides from
+    # their materialized stages at runtime.
     base = (
         toks.select(
             "doc_id", F.size("tokens").cast("long").alias("dl"), *tf_cols)
         .filter(F.col("dl") > 0)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     stats = base.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -2336,8 +2343,8 @@ def bm25_rank(spark, sf_dir: str, query_terms=("join", "hash", "filter"),
     )
     term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / tnorm
     return (
-        qp.join(F.broadcast(dfreq), "token")
-        .join(F.broadcast(stats))
+        qp.join(dfreq, "token")
+        .join(stats)
         .groupBy("doc_id")
         .agg(
             F.round(F.sum(term_score), 4).alias("bm25"),
