@@ -2468,10 +2468,15 @@ def curation_funnel(spark, sf_dir: str) -> DataFrame:
     component operator via their ``toks`` parameter — previously each
     flag branch re-scanned and re-tokenized the corpus (5 scans)."""
     docs = load_documents(spark, sf_dir)
+    # lazy (round-6 session 2): toks pins on its first materialization
+    # (inside the near-dup chain's first job) and every later consumer —
+    # the flag window, quality, decontamination, the final join — reads
+    # the pinned partitions; eager only added a blocking tokenize job
+    # per funnel run (4.12 -> 3.91 s avg over 4 interleaved rep-pairs).
     toks = (
         with_tokens(docs)
         .select("doc_id", F.md5("text").alias("text_md5"), "tokens")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # The three INLINE flags (is_bench, language pick, exact-dedup
     # window) are all expressions over the same checkpointed toks rows,
