@@ -668,7 +668,12 @@ def simhash_near_dups(
     # time at sf0.1.  At production scale signatures are a STORED index
     # (exactly the incremental-dedup premise); localCheckpoint is the
     # local stand-in, same pattern as dup_clusters' lineage truncation.
-    sig = simhash(spark, sf_dir).localCheckpoint()
+    # Lazy (round-6 session 2): the LogicalRDD's unknown stats already
+    # rule out the static broadcast the checkpoint guards against, AQE
+    # stage reuse makes the self-join's two sides one map stage over
+    # the pinned partitions, and the eager variant only added a
+    # blocking pre-job (1.30 -> 1.18 s avg over 3 interleaved pairs).
+    sig = simhash(spark, sf_dir).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         "simhash",
